@@ -1,0 +1,98 @@
+"""Metric catalog — the Spark-native replacement for per-directory
+``.ceres-node`` JSON metadata files.
+
+Reference: each CeresNode directory holds a free-form JSON dict with
+engine-known keys ``timeStep`` (int, default 60), ``aggregationMethod``
+(default 'average'), plus rollup conventions ``retentions`` /
+``xFilesFactor`` (ceres.py ≈L430 readMetadata / ≈L450 writeMetadata).
+Millions of tiny metadata files is the known ceres failure mode; here
+the whole catalog is ONE small DataFrame — broadcastable, cacheable,
+and joinable against the fact table without a shuffle.
+
+``find`` (op #12) = glob→regex + rlike; the optional interval filter
+(CeresTree.find's fromTime/untilTime args, ≈L240) is a semi-join
+against per-metric extents, mirroring hasDataForInterval (≈L500).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ceres_spark.plans.glob import glob_to_regex
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("timeStep", T.IntegerType(), False),
+        T.StructField("aggregationMethod", T.StringType(), False),
+        T.StructField(
+            "retentions", T.ArrayType(T.ArrayType(T.IntegerType())), True
+        ),
+        T.StructField("xFilesFactor", T.DoubleType(), True),
+    ]
+)
+
+#: default metadata, as in CeresNode.create (ceres.py ≈L360)
+DEFAULTS = {"timeStep": 60, "aggregationMethod": "average"}
+
+
+def make_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Build a catalog DataFrame from metadata dicts (node create,
+    op #2). Unknown JSON keys are dropped — the engine only ever read
+    the keys modeled here."""
+    filled = [
+        {
+            "metric": r["metric"],
+            "timeStep": int(r.get("timeStep", DEFAULTS["timeStep"])),
+            "aggregationMethod": r.get(
+                "aggregationMethod", DEFAULTS["aggregationMethod"]
+            ),
+            "retentions": r.get("retentions"),
+            "xFilesFactor": r.get("xFilesFactor"),
+        }
+        for r in rows
+    ]
+    return spark.createDataFrame(filled, CATALOG_SCHEMA)
+
+
+def catalog_from_points(points: DataFrame) -> DataFrame:
+    """Derive a catalog from observed metrics (distinct is a map-side
+    combinable agg on a low-cardinality key)."""
+    return points.select("metric").distinct().select(
+        "metric",
+        F.lit(60).alias("timeStep"),
+        F.lit("average").alias("aggregationMethod"),
+        F.lit(None).cast(CATALOG_SCHEMA["retentions"].dataType).alias("retentions"),
+        F.lit(None).cast("double").alias("xFilesFactor"),
+    )
+
+
+def find(
+    catalog: DataFrame,
+    pattern: str,
+    points: DataFrame | None = None,
+    from_time: int | None = None,
+    until_time: int | None = None,
+) -> DataFrame:
+    """Glob metric discovery (op #12) with optional interval filter.
+
+    Returns matching catalog rows. When an interval is given, keeps
+    only metrics whose data extent overlaps it (LEFT SEMI join against
+    per-metric min/max — no data columns move through the join).
+    """
+    rx = glob_to_regex(pattern)
+    matched = catalog.filter(F.col("metric").rlike(rx))
+    if points is not None and (from_time is not None or until_time is not None):
+        extents = points.groupBy("metric").agg(
+            F.min("ts").alias("_min_ts"), F.max("ts").alias("_max_ts")
+        )
+        cond = F.lit(True)
+        if until_time is not None:
+            cond = cond & (F.col("_min_ts") < F.lit(int(until_time)))
+        if from_time is not None:
+            cond = cond & (F.col("_max_ts") >= F.lit(int(from_time)))
+        live = extents.filter(cond).select("metric")
+        matched = matched.join(live, "metric", "left_semi")
+    return matched

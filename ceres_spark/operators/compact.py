@@ -1,0 +1,67 @@
+"""Write-path compaction: quantize + last-writer-wins dedup (op #16).
+
+Reference: ``CeresNode.compact(datapoints)`` (ceres.py ≈L460-495)
+sorts ascending, drops None values, floor-quantizes each timestamp to
+the node's timeStep, and resolves duplicate quantized timestamps by
+keeping the LAST value in write order (``sequence[-1] = (ts, val)``),
+then splits into contiguous runs for slice routing.
+
+Spark mapping: the run-splitting is a slice-file artifact and is
+unnecessary with sparse storage; the semantic payload is
+sort + quantize + LWW. Distributed LWW needs an explicit write-order
+column (``arrival_seq``); ``max_by(value, arrival_seq)`` per
+(metric, quantized ts) reproduces "last write wins" without any
+in-place mutation — append-only Parquet plus this read-path dedup is
+race-free where ceres needed SliceDeleted/retry (ceres.py ≈L640).
+
+Scale: one shuffle on (metric, ts) with map-side partial max_by; no
+window function, no sort of the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(df: DataFrame, time_step: int, ts_col: str = "ts") -> DataFrame:
+    """Floor-align epoch-second timestamps to the step grid
+    (``t - (t % timeStep)``, ceres.py ≈L520)."""
+    step = int(time_step)
+    # pure integer math (no double division) — bit-identical on every
+    # engine and immune to float rounding at any epoch magnitude
+    return df.withColumn(
+        ts_col, (F.col(ts_col) - F.col(ts_col) % step).cast("long")
+    )
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str] = ("metric", "ts"),
+    value_col: str = "value",
+    order_col: str = "arrival_seq",
+) -> DataFrame:
+    """Duplicate quantized timestamps → last (highest arrival_seq)
+    value wins. Output schema: keys + value_col."""
+    return df.groupBy(*keys).agg(
+        F.max_by(value_col, F.col(order_col)).alias(value_col)
+    )
+
+
+def compact(
+    df: DataFrame,
+    time_step: int,
+    keys: list[str] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "arrival_seq",
+) -> DataFrame:
+    """Full compact semantics: drop NULL values, quantize, LWW dedup.
+
+    Sorting is deliberately omitted: downstream consumers are
+    aggregates/joins for which Catalyst plans its own ordering; a
+    global sort here would be a wasted full shuffle at scale.
+    """
+    cleaned = df.filter(F.col(value_col).isNotNull())
+    quantized = quantize(cleaned, time_step, ts_col)
+    return lww_dedup(quantized, [*keys, ts_col], value_col, order_col)

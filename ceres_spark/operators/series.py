@@ -1,0 +1,147 @@
+"""The read path: dense time-range fetch, merge, interval probe.
+
+Reference read kernel: ``CeresNode.read(fromTime, untilTime)``
+(ceres.py ≈L510-610) quantizes the bounds to the node's timeStep,
+walks slices newest→oldest doing O(1) positional reads, and pads
+missing head/middle/tail points with None so the result is DENSE —
+every step in [from, until) appears exactly once. ``TimeSeriesData``
+(≈L903) carries (start, end, step, values).
+
+Spark mapping: the slice walk + positional seek is a Parquet scan
+with a pushed ``ts BETWEEN`` predicate (row-group min/max stats do
+the seeking); densification is an explicit grid built with
+``sequence()`` + explode, LEFT-joined against the data so gaps
+surface as NULL rows (never NaN — ceres converts packed NaN to None
+at the same boundary, ceres.py ≈L760).
+
+Scale notes:
+- the grid is (#metrics × range/step) rows generated compute-only —
+  no scan, no shuffle to build it.
+- the grid↔data join is on (metric, ts); with the data side already
+  aggregated to the step grid, both sides are bucket-cardinality,
+  not raw-point cardinality.
+- metric filters are pushed to Parquet *before* aggregation, so a
+  1-metric fetch over 100 TB touches only that metric's row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ceres_spark.errors import InvalidRequest
+from ceres_spark.operators.aggregate import aggregate_series
+
+
+def time_grid(
+    metrics: DataFrame,
+    from_time: int,
+    until_time: int,
+    step: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dense (metric, ts) grid covering [from_time, until_time) at
+    ``step``. ``metrics`` is a 1-column DataFrame of metric names.
+
+    `sequence()` is evaluated per metric row JVM-side (whole-stage
+    codegen); for very wide ranges the explode is the dominant row
+    producer, which is exactly the reference's dense-result cost.
+    """
+    return metrics.select(
+        "metric",
+        F.explode(
+            F.sequence(
+                F.lit(int(from_time)).cast("long"),
+                F.lit(int(until_time) - 1).cast("long"),
+                F.lit(int(step)).cast("long"),
+            )
+        ).alias(ts_col),
+    )
+
+
+def densify(
+    df: DataFrame,
+    metrics: DataFrame,
+    from_time: int,
+    until_time: int,
+    step: int,
+) -> DataFrame:
+    """LEFT-join the grid with bucketed data → dense series with NULL
+    gaps (op #14, the rightNulls/leftNulls padding of ceres.py ≈L560)."""
+    grid = time_grid(metrics, from_time, until_time, step)
+    return grid.join(df, ["metric", "ts"], "left").select(
+        "metric", "ts", "value"
+    )
+
+
+def read_series(
+    points: DataFrame,
+    metrics: DataFrame,
+    from_time: int,
+    until_time: int,
+    step: int,
+    method: str = "average",
+) -> DataFrame:
+    """Dense fetch (op #10): quantize bounds, scan, bucket, densify.
+
+    Result schema: ``metric string, ts bigint, value double`` with one
+    row per (metric, grid step) — the DataFrame analogue of
+    ``TimeSeriesData(start, end, step, values)``.
+
+    Raises :class:`InvalidRequest` when ``from_time >= until_time``
+    (parity with CeresSlice.read's bounds check, ceres.py ≈L750).
+    """
+    step = int(step)
+    from_q = int(from_time) - (int(from_time) % step)
+    until_q = int(until_time) - (int(until_time) % step)
+    if from_q >= until_q:
+        raise InvalidRequest(
+            f"Invalid time interval: from={from_time} until={until_time}"
+        )
+    scoped = points.join(F.broadcast(metrics), "metric").filter(
+        (F.col("ts") >= from_q) & (F.col("ts") < until_q)
+    )
+    bucketed = aggregate_series(scoped, method, step)
+    return densify(bucketed, metrics, from_q, until_q, step)
+
+
+def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Null-coalesce union (op #24, TimeSeriesData.merge ≈L935).
+
+    Aligned on (metric, ts); ``a`` wins where it has a value, ``b``
+    fills only ``a``'s NULL holes. Points of ``b`` outside ``a``'s
+    (metric, ts) domain are DROPPED — the reference only fills holes,
+    never extends the range, hence LEFT join rather than FULL OUTER.
+    """
+    bb = b.select("metric", "ts", F.col("value").alias("_merge_value"))
+    return (
+        a.join(bb, ["metric", "ts"], "left")
+        .select(
+            "metric",
+            "ts",
+            F.coalesce(F.col("value"), F.col("_merge_value")).alias("value"),
+        )
+    )
+
+
+def has_data_for_interval(
+    points: DataFrame,
+    from_time: int | None,
+    until_time: int | None,
+) -> DataFrame:
+    """Interval probe (op #25, CeresNode.hasDataForInterval ≈L500).
+
+    Returns ``metric, has_data boolean`` per metric: does the metric's
+    [min ts, max ts] extent overlap [from, until)? ``None`` bounds are
+    open, exactly like the reference. One map-side-combinable agg —
+    no window, no distinct.
+    """
+    extents = points.groupBy("metric").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    cond = F.lit(True)
+    if until_time is not None:
+        cond = cond & (F.col("min_ts") < F.lit(int(until_time)))
+    if from_time is not None:
+        cond = cond & (F.col("max_ts") >= F.lit(int(from_time)))
+    return extents.select("metric", cond.alias("has_data"))

@@ -1,0 +1,99 @@
+"""Parquet table sources.
+
+The driver provides TPC-H-ish tables plus ``events``/``documents``/
+``embeddings`` at ``/root/testdata/sf*/``. ``points`` derives the
+canonical tall time-series table (FIXTURES.md §B.1) that plays the
+role of a ceres tree's datapoints: ``metric`` replaces the node path,
+an explicit quantized ``ts`` replaces the slice-positional implicit
+timestamp (ceres.py ≈L750 CeresSlice.read), ``arrival_seq`` gives the
+write order that ceres's last-writer-wins compaction relies on
+(ceres.py ≈L460 CeresNode.compact).
+
+Scale note: every loader returns a plain DataFrame scan — filters and
+projections applied downstream reach the Parquet reader via Catalyst
+(PushedFilters / ReadSchema), so reading 2 columns of a 100 TB table
+scans 2 columns, not 11.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: ceres DEFAULT_TIMESTEP (ceres.py ≈L45)
+DEFAULT_TIMESTEP = 60
+
+
+def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Scan one source table. Lazy — no I/O until an action."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load(spark, name, sf_dir) for name in TABLES}
+
+
+def points(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    time_step: int = DEFAULT_TIMESTEP,
+) -> DataFrame:
+    """Canonical tall series table derived from ``events``.
+
+    Schema: ``metric string, ts bigint (epoch s, quantized),
+    value double, arrival_seq bigint``.
+
+    Timestamps are kept as epoch-second BIGINT internally: quantization
+    is integer math (exactly ceres's ``t - (t % timeStep)``,
+    ceres.py ≈L520), and bigint round-trips bit-exactly through every
+    engine the oracle uses.
+    """
+    ev = load(spark, "events", sf_dir)
+    step = int(time_step)
+    epoch = epoch_seconds(ev.schema["ts"].dataType)
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        (epoch - epoch % step).cast("long").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("arrival_seq"),
+    )
+
+
+def epoch_seconds(dtype, col: str = "ts") -> F.Column:
+    """Epoch-seconds Column for a timestamp that may arrive either as
+    a real TimestampType or as epoch-nanos LongType (the
+    ``nanosAsLong`` read path for TIMESTAMP(NANOS) parquet). Both
+    floor the sub-second part, matching DuckDB ``floor(epoch(ts))``."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, T.LongType):
+        # integer division — epoch-nanos (~1.7e18) would lose precision
+        # through a double; DIV floors for non-negative epochs
+        return F.expr(f"{col} DIV 1000000000")
+    return F.unix_timestamp(col)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register all source tables as temp views for spark.sql use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,122 @@
+"""Read/write-path semantics — mirrors the reference's
+ModuleFunctionsTest / TimeSeriesDataTest / CeresNodeTest scenarios
+(tests/test_ceres.py) on tiny hand-built DataFrames.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.aggregate as agg
+import ceres_spark.operators.compact as cp
+import ceres_spark.operators.series as ser
+from ceres_spark.errors import InvalidAggregationMethod, InvalidRequest
+
+SCHEMA = "metric string, ts long, value double, arrival_seq long"
+
+
+def pts(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_aggregate_methods_null_skipping(spark):
+    # aggregate() semantics: None-filter, empty→None (ceres.py ≈L1005)
+    df = pts(
+        spark,
+        [
+            ("m", 0, 1.0, 0),
+            ("m", 60, None, 1),
+            ("m", 120, 3.0, 2),
+            ("empty", 0, None, 3),
+        ],
+    )
+    row = {
+        r["metric"]: r
+        for r in df.groupBy("metric")
+        .agg(
+            agg.agg_expr("average").alias("avg"),
+            agg.agg_expr("sum").alias("sum"),
+            agg.agg_expr("last").alias("last"),
+            agg.agg_expr("max").alias("max"),
+            agg.agg_expr("min").alias("min"),
+        )
+        .collect()
+    }
+    assert row["m"]["avg"] == 2.0
+    assert row["m"]["sum"] == 4.0
+    assert row["m"]["last"] == 3.0  # last non-null by ts
+    assert row["m"]["max"] == 3.0
+    assert row["m"]["min"] == 1.0
+    # all-null group → NULL for every method (empty→None parity)
+    assert all(row["empty"][k] is None for k in ("avg", "sum", "last", "max", "min"))
+
+
+def test_invalid_aggregation_method_raises():
+    with pytest.raises(InvalidAggregationMethod):
+        agg.agg_expr("median")
+
+
+def test_aggregate_series_partial_last_chunk(spark):
+    # aggregateSeries: partial last chunk still aggregated (≈L1033)
+    df = pts(spark, [("m", 0, 1.0, 0), ("m", 60, 2.0, 1), ("m", 120, 9.0, 2)])
+    out = {
+        r["ts"]: r["value"]
+        for r in agg.aggregate_series(df, "average", 120).collect()
+    }
+    assert out == {0: 1.5, 120: 9.0}
+
+
+def test_compact_lww_and_quantize(spark):
+    # CeresNode.compact: quantize + duplicate ts → last write wins (≈L460)
+    df = pts(
+        spark,
+        [
+            ("m", 61, 1.0, 0),
+            ("m", 119, 2.0, 1),  # same 60s bucket, later arrival → wins
+            ("m", 180, None, 2),  # None values dropped
+            ("m", 240, 4.0, 3),
+        ],
+    )
+    out = {r["ts"]: r["value"] for r in cp.compact(df, 60).collect()}
+    assert out == {60: 2.0, 240: 4.0}
+
+
+def test_read_series_dense_padding(spark):
+    # CeresNode.read: left/mid/right None padding (≈L560-600)
+    df = pts(spark, [("m", 120, 5.0, 0), ("m", 240, 7.0, 1)])
+    metrics = spark.createDataFrame([("m",)], "metric string")
+    rows = ser.read_series(df, metrics, 0, 360, 60, "average").collect()
+    out = {r["ts"]: r["value"] for r in rows}
+    assert out == {0: None, 60: None, 120: 5.0, 180: None, 240: 7.0, 300: None}
+    assert len(rows) == 6  # dense: every step in [0, 360)
+
+
+def test_read_series_invalid_request(spark):
+    df = pts(spark, [("m", 0, 1.0, 0)])
+    metrics = spark.createDataFrame([("m",)], "metric string")
+    with pytest.raises(InvalidRequest):
+        ser.read_series(df, metrics, 100, 100, 60)
+
+
+def test_merge_fills_only_holes(spark):
+    # TimeSeriesData.merge: self wins, other fills None, out-of-range
+    # dropped (≈L935)
+    a = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 60, None), ("m", 120, 3.0)],
+        "metric string, ts long, value double",
+    )
+    b = spark.createDataFrame(
+        [("m", 60, 9.0), ("m", 120, 8.0), ("m", 300, 7.0)],
+        "metric string, ts long, value double",
+    )
+    out = {r["ts"]: r["value"] for r in ser.merge(a, b).collect()}
+    assert out == {0: 1.0, 60: 9.0, 120: 3.0}  # 300 dropped, 120 self-wins
+
+
+def test_has_data_for_interval(spark):
+    df = pts(spark, [("m", 100, 1.0, 0), ("m", 200, 2.0, 1)])
+    probe = lambda f, u: ser.has_data_for_interval(df, f, u).collect()[0]["has_data"]
+    assert probe(150, 250)
+    assert probe(None, 101)
+    assert not probe(201, None)
+    assert not probe(None, 100)  # min_ts < until is strict
+    assert probe(200, 999)  # max_ts >= from is inclusive
