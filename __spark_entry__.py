@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 import ceres_spark.catalog as cat
 import ceres_spark.operators.aggregate as agg
 import ceres_spark.operators.compact as cp
+import ceres_spark.operators.resolution as res
+import ceres_spark.operators.retention as ret
 import ceres_spark.operators.series as ser
 import ceres_spark.sources.tables as tbl
 
@@ -127,6 +129,36 @@ def _q_delete_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #21: maintenance rollup 60 s → 3600 s with xFilesFactor=0.05
+    (bucket kept only when ≥5% of its 60 expected points are known —
+    ≥3 points; events are sparse, ~3 points/bucket on average)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ret.rollup(deduped, "average", 60, 3600, x_files_factor=0.05)
+
+
+def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #13: cross-resolution read. Data older than day 20 lives only
+    in a 300 s rollup archive; newer data in the 60 s table. A fetch of
+    days 18-22 reconciles at the coarsest step touched (300 s),
+    finest data winning where both cover a bucket."""
+    horizon = T0 + 20 * DAY
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    fine = deduped.filter(F.col("ts") >= horizon)
+    coarse = ret.rollup(
+        deduped.filter(F.col("ts") < horizon), "average", 60, 300
+    )
+    metrics = deduped.select("metric").distinct()
+    return res.read_multi_resolution(
+        {60: fine, 300: coarse},
+        metrics,
+        T0 + 18 * DAY,
+        T0 + 22 * DAY,
+        "average",
+        result_step=300,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -139,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_methods": _q_agg_methods,
         "aggregate_series": _q_aggregate_series,
         "merge_series": _q_merge,
+        "rollup_xff": _q_rollup_xff,
+        "multi_resolution": _q_multi_resolution,
         "has_data_for_interval": _q_has_data,
         "find_glob": _q_find_glob,
         "delete_before": _q_delete_before,
@@ -213,6 +247,47 @@ b AS (
 )
 SELECT a.ts, coalesce(a.value, b.value) AS value
 FROM a LEFT JOIN b USING (ts)
+""",
+        "rollup_xff": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+FROM deduped GROUP BY 1, 2
+HAVING count(value) / 60.0 >= 0.05
+""",
+        "multi_resolution": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+fine_agg AS (
+  SELECT metric, ts - (ts % 300) AS ts, {DEC_AVG} AS value
+  FROM deduped
+  WHERE ts >= {T0 + 20 * DAY} AND ts >= {T0 + 18 * DAY} AND ts < {T0 + 22 * DAY}
+  GROUP BY 1, 2
+),
+coarse AS (
+  SELECT metric, ts - (ts % 300) AS ts, {DEC_AVG} AS value
+  FROM deduped WHERE ts < {T0 + 20 * DAY} GROUP BY 1, 2
+),
+coarse_f AS (
+  SELECT * FROM coarse WHERE ts >= {T0 + 18 * DAY} AND ts < {T0 + 22 * DAY}
+),
+merged AS (
+  SELECT metric, ts, coalesce(f.value, c.value) AS value
+  FROM fine_agg f FULL OUTER JOIN coarse_f c USING (metric, ts)
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0 + 18 * DAY}, {T0 + 22 * DAY}, 300) r
+)
+SELECT grid.metric, grid.ts, merged.value
+FROM grid LEFT JOIN merged USING (metric, ts)
 """,
         "has_data_for_interval": f"""
 WITH {POINTS_CTE}

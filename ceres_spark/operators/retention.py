@@ -1,0 +1,122 @@
+"""Maintenance: retention delete, rollup, defrag (ops #8, #21-22).
+
+Reference: ``CeresSlice.deleteBefore(t)`` (ceres.py ≈L835) quantizes
+the cutoff UP to the step grid and physically drops the file prefix;
+``plugins/maintenance/rollup.py`` reads ``retentions=[[step,history],
+...]`` + ``xFilesFactor`` from node metadata, downsamples fine data
+older than the finer archive's horizon into the coarser archive, and
+expires fine data; ``plugins/maintenance/defrag.py`` merges adjacent
+slices to cut file count.
+
+Spark-native:
+- delete-before = partition overwrite of only the affected date
+  partitions (dynamic partition overwrite) — at 100 TB this touches
+  the handful of partitions straddling the cutoff, never the table.
+- rollup = one groupBy per (resolution pair) producing the coarser
+  table; xFilesFactor = ``count(value) / expected_points_per_bucket``
+  filter, exactly the reference's "enough known points" rule.
+- defrag = small-file compaction: rewrite partitions at a target
+  file size. With slices gone, this is the first-class maintenance
+  citizen (SURVEY.md §4 "inverted").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ceres_spark.operators.aggregate import agg_expr
+from ceres_spark.errors import InvalidAggregationMethod
+from ceres_spark.operators.aggregate import AGGREGATION_METHODS
+
+
+def quantize_up(t: int, step: int) -> int:
+    """deleteBefore's cutoff rule: round UP to the next step boundary
+    (ceres.py ≈L840)."""
+    t, step = int(t), int(step)
+    return t + (-t) % step
+
+
+def delete_before(points: DataFrame, cutoff: int, step: int) -> DataFrame:
+    """Front-truncate (op #8): rows at/after the up-quantized cutoff
+    survive. Returns the filtered DataFrame; writers overwrite only
+    partitions with date < cutoff's date (see ``expire_path``)."""
+    return points.filter(F.col("ts") >= F.lit(quantize_up(cutoff, step)))
+
+
+def expire_path(
+    spark, path: str, cutoff: int, step: int, partition_col: str = "date"
+) -> None:
+    """Physically drop expired date partitions + rewrite the single
+    straddling partition. Uses dynamic partition overwrite so
+    untouched dates are never rewritten."""
+    cutoff_q = quantize_up(cutoff, step)
+    df = spark.read.parquet(path)
+    cutoff_date = F.to_date(F.timestamp_seconds(F.lit(cutoff_q)))
+    affected = df.filter(F.col(partition_col) <= cutoff_date)
+    surviving = affected.filter(F.col("ts") >= F.lit(cutoff_q))
+    (
+        surviving.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # fully-expired partitions are dropped by dynamic overwrite only if
+    # they appear in `surviving`; remove the rest explicitly
+    import shutil, os, datetime
+
+    cutoff_day = datetime.datetime.fromtimestamp(
+        cutoff_q, datetime.timezone.utc
+    ).date()
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(f"{partition_col}="):
+                day = d.split("=", 1)[1]
+                try:
+                    if datetime.date.fromisoformat(day) < cutoff_day:
+                        shutil.rmtree(os.path.join(path, d))
+                except ValueError:
+                    pass
+
+
+def rollup(
+    points: DataFrame,
+    method: str,
+    old_step: int,
+    new_step: int,
+    x_files_factor: float = 0.0,
+    until: int | None = None,
+) -> DataFrame:
+    """Downsample a (deduped) fine series to ``new_step`` buckets
+    (op #21). ``x_files_factor``: a coarse bucket is kept only when
+    ``known_points / expected_points >= xff`` — the rollup plugin's
+    rule. ``until`` bounds the fine data consumed (the finer archive's
+    horizon in the reference)."""
+    if method not in AGGREGATION_METHODS:
+        raise InvalidAggregationMethod(method)
+    old_step, new_step = int(old_step), int(new_step)
+    src = points if until is None else points.filter(F.col("ts") < int(until))
+    bucket = (F.col("ts") - F.col("ts") % new_step).cast("long").alias("ts")
+    expected = new_step // old_step
+    out = src.groupBy("metric", bucket).agg(
+        agg_expr(method).alias("value"), F.count("value").alias("_known")
+    )
+    if x_files_factor > 0:
+        out = out.filter(F.col("_known") / F.lit(expected) >= F.lit(x_files_factor))
+    return out.drop("_known")
+
+
+def compact_files(spark, path: str, target_partitions: int | None = None) -> None:
+    """Defrag (op #22): rewrite a dataset at healthy file sizes. With
+    AQE coalescing enabled a plain rewrite already merges small
+    shuffle outputs; ``target_partitions`` forces a count when the
+    caller knows better (e.g. total_bytes / 128MB)."""
+    df = spark.read.parquet(path)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    tmp = path + "__compacted"
+    df.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -1,0 +1,100 @@
+"""Structured Streaming ingest — the ceres write path as a stream
+(SURVEY.md §2 op #17 + §2.2 "watermarked streaming ingest").
+
+Reference: carbon daemons call ``CeresTree.store`` point-batch by
+point-batch; ceres accepts arbitrary lateness (a point may be years
+old) and resolves duplicate timestamps last-writer-wins in-place
+(CeresNode.write ≈L610, CeresSlice.write ≈L790).
+
+Spark-native: ``readStream → foreachBatch(store_batch)``. Each
+micro-batch is compacted (quantize + in-batch LWW) and appended with
+``arrival_seq = batchId`` — the streaming engine's monotone batch id
+IS the write-order stamp, so cross-batch LWW resolves at read time
+with zero streaming state. That preserves ceres's unlimited-lateness
+semantics exactly: no watermark drops data on the storage path.
+
+Watermarks appear only on *aggregation* streams (windowed rollups for
+dashboards), where bounded state is mandatory at scale; data older
+than the watermark still lands in storage via the foreachBatch path
+and is picked up by the batch rollup job — the documented backfill
+story (SURVEY.md §7 M2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.compact as cp
+
+
+def store_batch(
+    batch: DataFrame, batch_id: int, target_path: str, time_step: int
+) -> None:
+    """foreachBatch body: compact within the batch, stamp write order,
+    append partitioned by UTC date."""
+    out = (
+        cp.compact(
+            batch.select(
+                "metric",
+                F.col("ts").cast("long").alias("ts"),
+                F.col("value").cast("double").alias("value"),
+                F.coalesce(F.col("arrival_seq"), F.lit(0)).alias("arrival_seq"),
+            ),
+            time_step,
+        )
+        .withColumn("arrival_seq", F.lit(int(batch_id)).cast("long"))
+        .withColumn("date", F.to_date(F.timestamp_seconds(F.col("ts"))))
+    )
+    out.write.mode("append").partitionBy("date").parquet(target_path)
+
+
+def stream_store(
+    stream: DataFrame,
+    target_path: str,
+    time_step: int = 60,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Attach the ceres write path to any streaming DataFrame with
+    columns (metric, ts epoch-s, value, [arrival_seq]). Returns the
+    StreamingQuery."""
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: store_batch(df, bid, target_path, time_step)
+    ).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup_stream(
+    stream: DataFrame,
+    window_seconds: int,
+    lateness: str = "1 hour",
+    ts_col: str = "ts",
+):
+    """Watermarked tumbling-window aggregate over an event stream
+    (§2.2): bounded state for live rollups. ``ts_col`` must be a real
+    timestamp column. Late-beyond-watermark rows are dropped HERE but
+    never from storage (see module docstring)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(
+            F.window(ts_col, f"{int(window_seconds)} seconds").alias("w"),
+            "metric",
+        )
+        .agg(
+            F.count("value").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "metric",
+            F.unix_timestamp(F.col("w.start")).alias("ts"),
+            "n_points",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,289 @@
+"""CeresTree / CeresNode — the storage API, Spark-native.
+
+Reference surface (ceres.py): ``CeresTree`` (≈L78-330) owns a rooted
+directory hierarchy marked by ``.ceres-tree/``; ``CeresNode``
+(≈L333-700) is one metric backed by a ``.ceres-node`` JSON metadata
+file plus slice files; ``createTree/createNode/getNode/store/fetch/
+find/walk`` are the public ops (SURVEY.md §2 ops #1-4, #9-10, #17-18,
+#26-28).
+
+Spark-native re-expression:
+
+- the tree root is a **warehouse directory** holding one small
+  ``catalog`` parquet (all node metadata — replaces millions of
+  ``.ceres-node`` files, the known ceres scale failure) and one tall
+  ``points`` parquet dataset per resolution
+  (``points/step=<timeStep>/``), **partitioned by UTC date** so
+  time-range fetches prune partitions before any I/O.
+- writes are **append-only**: ``store`` stamps each batch with a
+  monotonically increasing ``arrival_seq`` and appends; ceres's
+  in-place last-writer-wins byte overwrites (CeresSlice.write ≈L790)
+  become LWW dedup on the read path — no mutation, no SliceDeleted
+  races, safe under concurrent writers.
+- ``fetch`` is the dense read kernel from operators/series.py;
+  fetching an unknown metric raises :class:`NodeNotFound` while an
+  empty range of a known metric returns a dense all-NULL series —
+  the reference's error-vs-empty distinction (ceres.py ≈L310).
+
+At 100 TB: the catalog stays tiny (one row per metric) and is
+broadcast into every fetch; the points dataset is the only big thing,
+and every access path here reaches it through (date partition prune +
+metric/ts predicate pushdown).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import ceres_spark.catalog as cat
+import ceres_spark.operators.compact as cp
+import ceres_spark.operators.series as ser
+from ceres_spark.errors import CorruptNode, NodeNotFound
+
+TREE_MARKER = ".ceres-tree"
+DEFAULT_TIMESTEP = 60  # ceres.py ≈L45
+
+
+class CeresTree:
+    """A warehouse of metrics. ``root`` is any writable directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        if not os.path.isdir(os.path.join(root, TREE_MARKER)):
+            raise ValueError(f"{root} is not a ceres tree")
+        self.spark = spark
+        self.root = root
+
+    # -- creation (ops #1-2) -------------------------------------------
+
+    @classmethod
+    def create_tree(
+        cls, spark: SparkSession, root: str, **props: Any
+    ) -> "CeresTree":
+        """Op #1 (CeresTree.createTree ≈L100): mark the root and store
+        tree-level props (JSON instead of one-file-per-prop)."""
+        marker = os.path.join(root, TREE_MARKER)
+        os.makedirs(marker, exist_ok=True)
+        with open(os.path.join(marker, "props.json"), "w") as f:
+            json.dump(props, f)
+        return cls(spark, root)
+
+    @staticmethod
+    def get_tree(spark: SparkSession, path: str) -> "CeresTree | None":
+        """Module fn getTree (≈L62): walk up to the owning tree."""
+        p = os.path.abspath(path)
+        while True:
+            if os.path.isdir(os.path.join(p, TREE_MARKER)):
+                return CeresTree(spark, p)
+            parent = os.path.dirname(p)
+            if parent == p:
+                return None
+            p = parent
+
+    # -- catalog (ops #2-4, #26) ---------------------------------------
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "catalog")
+
+    def catalog(self) -> DataFrame:
+        path = self._catalog_path()
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], cat.CATALOG_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    def _write_catalog(self, df: DataFrame) -> None:
+        # catalog is tiny (1 row/metric): single-file overwrite via temp
+        tmp = self._catalog_path() + "__tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = self._catalog_path()
+        bak = final + "__old"
+        if os.path.exists(final):
+            os.rename(final, bak)
+        os.rename(tmp, final)
+        if os.path.exists(bak):
+            import shutil
+
+            shutil.rmtree(bak)
+
+    def create_node(self, node_path: str, **properties: Any) -> "CeresNode":
+        """Op #2 (CeresNode.create ≈L360): upsert catalog row with
+        defaults timeStep=60, aggregationMethod='average'."""
+        new = cat.make_catalog(self.spark, [{"metric": node_path, **properties}])
+        existing = self.catalog().filter(F.col("metric") != node_path)
+        self._write_catalog(existing.unionByName(new))
+        return CeresNode(self, node_path)
+
+    def has_node(self, node_path: str) -> bool:
+        return (
+            self.catalog().filter(F.col("metric") == node_path).limit(1).count()
+            > 0
+        )
+
+    def get_node(self, node_path: str) -> "CeresNode":
+        """Op #26 analogue — raises NodeNotFound like getNode ≈L200."""
+        if not self.has_node(node_path):
+            raise NodeNotFound(f"Node {node_path!r} does not exist in {self.root}")
+        return CeresNode(self, node_path)
+
+    def delete_node(self, node_path: str) -> None:
+        node = self.get_node(node_path)  # NodeNotFound if absent
+        self._write_catalog(self.catalog().filter(F.col("metric") != node_path))
+        # data rows stay until the retention/compaction job sweeps them;
+        # fetch is already impossible (catalog is the source of truth)
+        del node
+
+    # -- data (ops #10, #17-18) ----------------------------------------
+
+    def points_path(self, step: int = DEFAULT_TIMESTEP) -> str:
+        return os.path.join(self.root, "points", f"step={int(step)}")
+
+    def points(self, step: int = DEFAULT_TIMESTEP) -> DataFrame:
+        path = self.points_path(step)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [], "metric string, ts long, value double, arrival_seq long, date date"
+            )
+        return self.spark.read.parquet(path)
+
+    def _next_arrival_seq(self, step: int) -> int:
+        existing = self.points(step)
+        row = existing.agg(F.max("arrival_seq").alias("m")).collect()[0]
+        return (row["m"] or 0) + 1
+        # NOTE at scale: replace this scan with a commit counter from a
+        # transaction log / streaming batchId — see streaming/ingest.py
+
+    def store(self, node_path: str, datapoints: DataFrame) -> None:
+        """Op #18 (CeresTree.store ≈L295) → node.write. ``datapoints``
+        is a DataFrame with (ts long epoch-s, value double)."""
+        self.get_node(node_path).write(datapoints)
+
+    def fetch(self, node_path: str, from_time: int, until_time: int) -> DataFrame:
+        """Op #10 (CeresTree.fetch ≈L310): dense read at the node's
+        timeStep using its aggregationMethod for bucket reconciliation."""
+        return self.get_node(node_path).read(from_time, until_time)
+
+    # -- discovery (op #12) --------------------------------------------
+
+    def find(
+        self,
+        pattern: str,
+        from_time: int | None = None,
+        until_time: int | None = None,
+    ) -> Iterator["CeresNode"]:
+        points = None
+        if from_time is not None or until_time is not None:
+            points = self.points()
+        rows = cat.find(
+            self.catalog(), pattern, points, from_time, until_time
+        ).collect()
+        for r in rows:
+            yield CeresNode(self, r["metric"])
+
+    def walk(self) -> Iterator["CeresNode"]:
+        """Op #23 driver support (CeresTree.walk ≈L120)."""
+        for r in self.catalog().select("metric").collect():
+            yield CeresNode(self, r["metric"])
+
+
+class CeresNode:
+    """One metric. Thin handle over (tree catalog row + points rows)."""
+
+    __slots__ = ("tree", "node_path", "_meta")
+
+    def __init__(self, tree: CeresTree, node_path: str):
+        self.tree = tree
+        self.node_path = node_path
+        self._meta: dict | None = None
+
+    # -- metadata (ops #3-4) -------------------------------------------
+
+    def read_metadata(self) -> dict:
+        rows = (
+            self.tree.catalog().filter(F.col("metric") == self.node_path).collect()
+        )
+        if not rows:
+            raise CorruptNode(self, "missing catalog entry")
+        d = rows[0].asDict()
+        if d.get("timeStep") is None:
+            raise CorruptNode(self, "missing required key 'timeStep'")
+        self._meta = d
+        return d
+
+    def write_metadata(self, metadata: dict) -> None:
+        self.tree.create_node(self.node_path, **metadata)
+        self._meta = None
+
+    @property
+    def time_step(self) -> int:
+        if self._meta is None:
+            self.read_metadata()
+        return int(self._meta["timeStep"])
+
+    @property
+    def aggregation_method(self) -> str:
+        if self._meta is None:
+            self.read_metadata()
+        return self._meta.get("aggregationMethod") or "average"
+
+    # -- write (op #17) --------------------------------------------------
+
+    def write(self, datapoints: DataFrame) -> None:
+        """Append-only write. compact() semantics (quantize + LWW) are
+        applied within the batch; cross-batch LWW is resolved at read
+        time via arrival_seq — the distributed analogue of ceres's
+        in-place overwrite (CeresSlice.write ≈L790). Arbitrary
+        lateness is accepted, exactly like the reference."""
+        step = self.time_step
+        seq = self.tree._next_arrival_seq(step)
+        batch = (
+            cp.compact(
+                datapoints.select(
+                    F.lit(self.node_path).alias("metric"),
+                    F.col("ts").cast("long").alias("ts"),
+                    F.col("value").cast("double").alias("value"),
+                    F.lit(seq).cast("long").alias("arrival_seq"),
+                ),
+                step,
+            )
+            .withColumn("arrival_seq", F.lit(seq).cast("long"))
+            .withColumn("date", F.to_date(F.timestamp_seconds(F.col("ts"))))
+        )
+        (
+            batch.write.mode("append")
+            .partitionBy("date")
+            .parquet(self.tree.points_path(step))
+        )
+
+    # -- read (op #10) ---------------------------------------------------
+
+    def read(self, from_time: int, until_time: int) -> DataFrame:
+        """Dense fetch at the node's own timeStep/aggregationMethod.
+        Cross-batch LWW dedup happens here (max_by arrival_seq)."""
+        step = self.time_step
+        # metric filter BEFORE dedup so it reaches the parquet scan;
+        # the ts-range filter inside read_series is on a group key and
+        # Catalyst pushes it through the dedup aggregate too
+        mine = self.tree.points(step).filter(F.col("metric") == self.node_path)
+        pts = cp.lww_dedup(mine)
+        metrics = self.tree.spark.createDataFrame(
+            [(self.node_path,)], "metric string"
+        )
+        return ser.read_series(
+            pts, metrics, from_time, until_time, step, self.aggregation_method
+        )
+
+    def has_data_for_interval(
+        self, from_time: int | None, until_time: int | None
+    ) -> bool:
+        probe = ser.has_data_for_interval(
+            self.tree.points(self.time_step).filter(
+                F.col("metric") == self.node_path
+            ),
+            from_time,
+            until_time,
+        ).collect()
+        return bool(probe and probe[0]["has_data"])

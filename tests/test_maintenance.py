@@ -1,0 +1,89 @@
+"""Retention / rollup / defrag / multi-resolution reconciliation
+(ops #8, #13, #21-22)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.resolution as res
+import ceres_spark.operators.retention as ret
+
+PTS = "metric string, ts long, value double"
+
+
+def df(spark, rows, schema=PTS):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_quantize_up():
+    assert ret.quantize_up(100, 60) == 120
+    assert ret.quantize_up(120, 60) == 120
+
+
+def test_delete_before_quantizes_up(spark):
+    d = df(spark, [("m", 60, 1.0), ("m", 120, 2.0), ("m", 180, 3.0)])
+    out = {r["ts"] for r in ret.delete_before(d, 61, 60).collect()}
+    assert out == {120, 180}  # cutoff 61 → 120
+
+
+def test_rollup_xfilesfactor(spark):
+    # 300s bucket expects 5 points at 60s; xff=0.5 needs >=3 known
+    rows = [("m", t, 1.0) for t in (0, 60, 120)]  # 3/5 known in bucket 0
+    rows += [("m", 300, 2.0)]  # 1/5 known in bucket 300
+    out = ret.rollup(df(spark, rows), "average", 60, 300, x_files_factor=0.5)
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got == {0: 1.0}  # bucket 300 dropped by xff
+
+
+def test_rollup_until_horizon(spark):
+    rows = [("m", 0, 1.0), ("m", 300, 2.0), ("m", 600, 3.0)]
+    out = ret.rollup(df(spark, rows), "sum", 60, 300, until=600)
+    assert {r["ts"] for r in out.collect()} == {0, 300}
+
+
+def test_expire_path_drops_old_partitions(spark, tmp_path):
+    path = str(tmp_path / "pts")
+    d = df(spark, [("m", 0, 1.0), ("m", 86400 * 3, 2.0)]).withColumn(
+        "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+    )
+    d.write.partitionBy("date").parquet(path)
+    ret.expire_path(spark, path, 86400, 60)
+    left = spark.read.parquet(path).select("ts").collect()
+    assert {r["ts"] for r in left} == {86400 * 3}
+    assert not any("1970-01-01" in p for p in os.listdir(path))
+
+
+def test_compact_files(spark, tmp_path):
+    path = str(tmp_path / "pts")
+    df(spark, [("m", t, float(t)) for t in range(0, 6000, 60)]).repartition(
+        16
+    ).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    ret.compact_files(spark, path, target_partitions=1)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after < before and after == 1
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_multi_resolution_reconciliation(spark):
+    # coarse archive covers [0, 1200); fine covers [600, 1200).
+    # read [0, 1200) → result at coarse step 300, fine data wins where
+    # present (reference op #13: newest/finest first, re-agg to coarse).
+    fine = df(spark, [("m", t, 1.0) for t in range(600, 1200, 60)])
+    coarse = df(spark, [("m", t, 50.0) for t in range(0, 1200, 300)])
+    metrics = spark.createDataFrame([("m",)], "metric string")
+    out = res.read_multi_resolution(
+        {60: fine, 300: coarse}, metrics, 0, 1200, "average"
+    )
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got == {0: 50.0, 300: 50.0, 600: 1.0, 900: 1.0}
+
+
+def test_choose_resolution(spark):
+    fine = df(spark, [("m", 900, 1.0)])
+    coarse = df(spark, [("m", 0, 2.0)])
+    tables = {60: fine, 300: coarse}
+    # range touches coarse → coarsest wins
+    assert res.choose_resolution(tables, 0, 1200) == 300
+    # range touches only fine → fine step
+    assert res.choose_resolution(tables, 600, 1200) == 60

@@ -1,0 +1,66 @@
+"""Streaming ingest (op #17 as a stream): out-of-order micro-batches
+must converge to the same LWW state as a single batch write —
+FIXTURES.md §B.4."""
+
+import ceres_spark.operators.compact as cp
+import ceres_spark.streaming.ingest as ing
+from pyspark.sql import functions as F
+
+
+def test_stream_store_matches_batch(spark, tmp_path):
+    # 3 shuffled micro-batches, overlapping timestamps (late + dup data)
+    batches = [
+        [("m", 120, 10.0), ("m", 300, 30.0)],
+        [("m", 60, 6.0), ("m", 121, 99.0)],   # 121 → bucket 120, later batch wins
+        [("m", 10, 1.0)],                      # very late — still accepted
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        ).withColumn("arrival_seq", F.lit(i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    target = str(tmp_path / "points")
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double, arrival_seq long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = ing.stream_store(
+        stream, target, time_step=60, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    final = cp.lww_dedup(spark.read.parquet(target))
+    got = {r["ts"]: r["value"] for r in final.collect()}
+    # NOTE: file-source batch order isn't guaranteed to match write
+    # order, so assert LWW convergence on the keys, not which dup won
+    assert set(got) == {0, 60, 120, 300}
+    assert got[0] == 1.0 and got[60] == 6.0 and got[300] == 30.0
+    assert got[120] in (10.0, 99.0)
+
+
+def test_windowed_rollup_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # watermark after the data batch = 570s - 60s = 510s > 300s, so the
+    # no-data batch Spark runs on watermark advance emits window [0,300)
+    rows = [("m", i, float(i)) for i in range(0, 600, 30)]
+    spark.createDataFrame(rows, "metric string, epoch long, value double") \
+        .select("metric", F.timestamp_seconds("epoch").alias("ts"), "value") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("metric string, ts timestamp, value double") \
+        .parquet(src)
+    agg = ing.windowed_rollup_stream(stream, 300, lateness="1 minute")
+    q = agg.writeStream.format("memory").queryName("roll").outputMode(
+        "append"
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt2")
+    ).start()
+    q.awaitTermination(120)
+    got = {
+        r["ts"]: (r["n_points"], r["sum_value"])
+        for r in spark.sql("select * from roll").collect()
+    }
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes all but possibly the last window
+    assert got.get(0) == (10, sum(range(0, 300, 30)) * 1.0)
