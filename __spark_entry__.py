@@ -21,9 +21,13 @@ from pyspark.sql import functions as F
 import ceres_spark.catalog as cat
 import ceres_spark.operators.aggregate as agg
 import ceres_spark.operators.compact as cp
+import ceres_spark.operators.dedup as dd
+import ceres_spark.operators.relational as rel
 import ceres_spark.operators.resolution as res
 import ceres_spark.operators.retention as ret
 import ceres_spark.operators.series as ser
+import ceres_spark.operators.similarity as sim
+import ceres_spark.operators.text as text
 import ceres_spark.sources.tables as tbl
 
 # events span 2024-01-01 → 2024-01-30 (UTC)
@@ -42,8 +46,25 @@ points AS (
 )
 """
 
-DEC_AVG = "CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(value)"
-DEC_SUM = "CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)"
+DEC_AVG = (
+    "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+    " / COUNT(value)"
+)
+DEC_SUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+# DuckDB cosine matching operators/similarity.py's zip_with+aggregate
+# evaluation: double-cast before multiply, left-to-right accumulation
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
 
 
 # ---------------------------------------------------------------- queries
@@ -159,6 +180,115 @@ def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- LLM-pipeline ops
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-set Jaccard near-dup pairs blocked by source."""
+    return dd.jaccard_pairs(
+        tbl.load(spark, "documents", sf_dir), threshold=0.8
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified at shingle-Jaccard ≥ 0.5.
+    Rows-only check (hashing not portable to SQL); ground truth is
+    pytest brute-force comparison."""
+    return dd.minhash_lsh_pairs(
+        tbl.load(spark, "documents", sf_dir), threshold=0.5
+    ).select("doc_a", "doc_b")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤12 pairs blocked by source (rows-only)."""
+    return dd.simhash_pairs(
+        tbl.load(spark, "documents", sf_dir), max_hamming=12
+    )
+
+
+def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return sim.topk_brute(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).select("query_id", "neighbor_id", "label", "cosine_sim", "rank")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.30 ≈ p99 of within-label
+    similarity; the fixture has no true near-dups) blocked by label —
+    brute within block, oracle-exact. The unblocked LSH path is
+    _q_topk_cosine_lsh (rows-only)."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    l = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "label"
+    )
+    r = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "label"
+    )
+    return (
+        l.join(r, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= 0.30)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; rows-only —
+    recall vs brute force is asserted in pytest)."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return sim.topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+# ------------------------------------------------- relational pack
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q1_pricing_summary(spark, sf_dir)
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q3_shipping_priority(spark, sf_dir)
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q5_local_supplier_volume(spark, sf_dir)
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.grouping_sets_orders(spark, sf_dir)
+
+
+def _q_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.rank_orders_per_customer(spark, sf_dir)
+
+
+def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.top_parts_by_size(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -176,6 +306,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_data_for_interval": _q_has_data,
         "find_glob": _q_find_glob,
         "delete_before": _q_delete_before,
+        # LLM-pipeline extensions (SURVEY.md §2.2)
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "topk_cosine_lsh": _q_topk_cosine_lsh,
+        "embedding_neardup": _q_embedding_neardup,
+        # relational pack (SURVEY.md §2.2)
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "grouping_sets": _q_grouping_sets,
+        "rank_window": _q_rank_window,
+        "top_parts": _q_top_parts,
     }
 
 
@@ -306,5 +455,188 @@ SELECT metric, count(value) AS n_points,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM points WHERE ts >= {cutoff_q}
 GROUP BY metric
+""",
+        "text_stats": """
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       n_chars / len(tk) AS avg_token_len,
+       len(list_distinct(tk)) / len(tk) AS lexical_diversity
+FROM t
+""",
+        "quality_score": """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n,
+         len(list_distinct(string_split(lower(text), ' '))) AS nd,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> length(x) >= 4)) AS nl
+  FROM documents
+)
+SELECT doc_id, lang,
+       (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END
+        * (nd / n + nl / n)) / 2.0 AS quality
+FROM t
+""",
+        "lang_id": """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split(lower(text), ' ')) AS dt
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_intersect(dt, ['der','und','die','nicht','ist'])) AS s_de,
+    len(list_intersect(dt, ['the','and','of','is','a'])) AS s_en,
+    len(list_intersect(dt, ['el','la','de','que','y'])) AS s_es,
+    len(list_intersect(dt, ['le','la','et','les','des'])) AS s_fr
+  FROM t
+)
+SELECT doc_id, lang AS lang_actual,
+  CASE
+    WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+    WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+    WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+    WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+    ELSE 'unknown'
+  END AS lang_pred
+FROM s
+""",
+        "fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS content_key,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+        "jaccard_pairs": """
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(lower(text), ' ')) AS g
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g, b.g))
+           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+           AS jaccard_sim
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT * FROM pairs WHERE jaccard_sim >= 0.8
+""",
+        "topk_cosine": f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         {_cos('q.qv', 'e.v')} AS cosine_sim
+  FROM e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, label, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+        "embedding_neardup": f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos('a.v', 'b.v')} AS cosine_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cosine_sim >= 0.30
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      / COUNT(l_quantity) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      / COUNT(l_extendedprice) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name AS nation,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+        "grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS (
+    (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+)
+""",
+        "rank_window": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+        "top_parts": """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 25
 """,
     }

@@ -32,6 +32,11 @@ from ceres_spark.errors import InvalidAggregationMethod
 AGGREGATION_METHODS = ("average", "sum", "last", "max", "min")
 
 
+def _dec_to_double(col: Column) -> Column:
+    """Correctly-rounded decimal→double via string (see agg_expr)."""
+    return col.cast("string").cast("double")
+
+
 def agg_expr(method: str, value_col: str = "value", ts_col: str = "ts") -> Column:
     """Null-skipping aggregate Column for one ceres method.
 
@@ -43,11 +48,15 @@ def agg_expr(method: str, value_col: str = "value", ts_col: str = "ts") -> Colum
         # reproducible bit-for-bit at any parallelism / partitioning
         # (double summation is order-dependent; decimal is not), and
         # identical to the DuckDB oracle's matching expression.
-        return F.sum(F.col(value_col).cast("decimal(30,10)")).cast(
-            "double"
+        # decimal→string→double because decimal→double casts are not
+        # correctly rounded in every engine (DuckDB computes
+        # int128/10^scale in float arithmetic: off by 1 ulp); every
+        # engine parses decimal strings correctly rounded.
+        return _dec_to_double(
+            F.sum(F.col(value_col).cast("decimal(30,10)"))
         ) / F.count(F.col(value_col))
     if method == "sum":
-        return F.sum(F.col(value_col).cast("decimal(30,10)")).cast("double")
+        return _dec_to_double(F.sum(F.col(value_col).cast("decimal(30,10)")))
     if method == "last":
         # last non-null value by timestamp; max_by skips rows where the
         # value is NULL only if we pre-filter, so guard with a when().

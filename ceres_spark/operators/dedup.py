@@ -1,0 +1,250 @@
+"""Deduplication for LLM-data pipelines (north-star §2.2):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design for 100 TB:
+- exact dedup is one hash-groupBy — map-side combinable, no window.
+- pairwise similarity is NEVER all-pairs at scale: candidates come
+  from LSH band buckets (MinHash) or blocking keys, so the join
+  cardinality is Σ bucket² instead of N².
+- all hashing is deterministic (xxhash64 with fixed seeds), so
+  results are reproducible run-to-run and cluster-to-cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ceres_spark.operators.text import tokens
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
+    """Exact dedup by content hash (normalized text by default):
+    keep the lowest doc_id of each group, count the copies."""
+    k = key if key is not None else F.md5(
+        F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    )
+    return (
+        docs.select(k.alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------- shingles / jaccard
+
+def shingles(k: int = 3, col: str = "text") -> Column:
+    """k-token shingles (distinct) of lowercased text — the MinHash
+    input unit. Built with HOFs, fully JVM-side."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| on distinct-element arrays (integer set sizes
+    → one double division: deterministic everywhere)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    use_shingles: bool = False,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs within a blocking key.
+
+    Blocking bounds the self-join: candidates are same-``block_col``
+    pairs, so cardinality is Σ block² not N². For unblocked discovery
+    at scale use :func:`minhash_lsh_pairs` (probabilistic blocking).
+    """
+    grams = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
+    d = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "_blk", F.col("_g").alias("_ga")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "_blk", F.col("_g").alias("_gb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
+    sim = jaccard(F.col("_ga"), F.col("_gb"))
+    return (
+        pairs.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+    )
+
+
+# ---------------------------------------------------------- minhash
+
+def minhash_signature(
+    shingle_col: Column | str = "_g", num_hashes: int = 64
+) -> Column:
+    """MinHash signature: sig[i] = min over shingles of
+    xxhash64(i, shingle). Deterministic; one array column per doc.
+
+    Takes a *materialized* shingle array column, not the shingle
+    expression: Catalyst has no let-binding, so passing the expression
+    would inline it into all ``num_hashes`` lambda bodies — a 64×
+    recompute of the shingling."""
+    g = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(g, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact
+    shingle Jaccard.
+
+    Pipeline (each stage one DataFrame op, scale-safe):
+      1. signature: per-doc array of ``num_hashes`` minima (map-only);
+      2. banding: explode into ``bands`` (band_id, band_hash) keys —
+         docs sharing any band bucket become candidates (the classic
+         s-curve: P[candidate] = 1-(1-j^r)^b, r = hashes/bands);
+      3. bucket self-join on (band_id, band_hash) → candidate pairs
+         (distinct), join cardinality Σ bucket², never N²;
+      4. verify candidates with exact Jaccard on shingle sets and
+         filter by ``threshold`` — LSH only proposes, never decides.
+    """
+    rows_per_band = num_hashes // bands
+    # the two persist()s are load-bearing, not tweaks: Catalyst has no
+    # let-binding, so an unmaterialized shingle/signature expression
+    # gets INLINED into every downstream lambda (64 hash lambdas, then
+    # `bands` band-hash expressions, then both self-join sides) — a
+    # 16-64× recompute. Materializing is the in-session analogue of
+    # writing the shingle/signature tables first, which is exactly how
+    # a 100 TB run stages this pipeline.
+    shingled = docs.select(
+        "doc_id", shingles(shingle_k).alias("_g")
+    ).persist()
+    d = shingled.select(
+        "doc_id", "_g", minhash_signature("_g", num_hashes).alias("_sig")
+    ).persist()
+    banded = d.select(
+        "doc_id",
+        "_g",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("_sig"),
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    ).cast("string")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_g").alias("_ga"),
+        "band_id",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_g").alias("_gb"),
+        "band_id",
+        "band_hash",
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ga", "_gb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sim = jaccard(F.col("_ga"), F.col("_gb"))
+    return candidates.select(
+        "doc_a", "doc_b", sim.alias("jaccard_sim")
+    ).filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+
+
+# ----------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: bit j of the hash is the sign of
+    Σ_tokens (2·bit_j(xxhash64(token)) − 1). Near-dups have small
+    Hamming distance. Pure HOF expressions — no Python, no shuffle."""
+    th = F.transform(F.array_distinct(tokens()), lambda t: F.xxhash64(t))
+    # one vote expression per bit (Python-unrolled: shift amounts must
+    # be literals); each votes +1/-1 per token hash, sign sets the bit
+    def vote_fn(mask):
+        def f(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+
+        return f
+
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        mask_val = (1 << j) if j < 63 else -(1 << 63)  # signed-long sign bit
+        mask = F.lit(mask_val).cast("long")
+        vote = F.aggregate(th, F.lit(0).cast("long"), vote_fn(mask))
+        sh = sh.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return docs.select("doc_id", sh.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 8, block_col: str = "source"
+) -> DataFrame:
+    """SimHash near-dup pairs within a blocking key (at scale, block
+    on simhash prefix bands instead — same LSH idea as MinHash)."""
+    # persist: the 64 per-bit vote expressions would otherwise be
+    # recomputed on both sides of the self-join (see minhash note)
+    s = simhash(docs).join(docs.select("doc_id", block_col), "doc_id").persist()
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_ha"),
+        F.col(block_col).alias("_blk"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_hb"),
+        F.col(block_col).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,165 @@
+"""Star-schema relational query pack (north-star §2.2).
+
+Ceres has no relational algebra at all (SURVEY.md §2 "operators ceres
+does NOT have"); these queries prove the general query surface —
+joins (broadcast dims vs shuffled facts), hash aggregation, grouping
+sets, ranking windows, top-k — against the DuckDB oracle on the
+TPC-H-style fixtures.
+
+Scale choices, stated once:
+- dimension tables (region/nation/customer/supplier/part) are
+  broadcast — no shuffle for the fact side of dim joins;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key, which
+  AQE re-plans at runtime (skew split, partition coalesce);
+- money sums accumulate in DECIMAL(30,10): exact, order-independent,
+  oracle-identical (double summation would be partitioning-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import ceres_spark.sources.tables as tbl
+
+
+def _dec_sum(col):
+    # decimal→string→double: decimal→double is off-by-1-ulp in some
+    # engines (DuckDB); string parse is correctly rounded everywhere
+    return F.sum(col.cast("decimal(30,10)")).cast("string").cast("double")
+
+
+def _dec_avg(col):
+    return _dec_sum(col) / F.count(col)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted: pricing summary over lineitem shipped by
+    2000-09-02 (well past fixture range end → all rows; the filter
+    still exercises parquet predicate pushdown on l_shipdate)."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            _dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            _dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            _dec_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 adapted: top-k revenue orders for BUILDING-segment
+    customers ordered before 1998-03-15 with lineitems shipped after.
+    customer is broadcast; orders⋈lineitem shuffles on o_orderkey."""
+    cust = tbl.load(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tbl.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted (no partsupp in fixtures): revenue per nation
+    where customer and supplier share the nation, one region, one
+    year. All dims broadcast; the join tree keeps the two fact
+    tables' shuffle on the same key."""
+    region = tbl.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = tbl.load(spark, "nation", sf_dir)
+    cust = tbl.load(spark, "customer", sf_dir)
+    supp = tbl.load(spark, "supplier", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = tbl.load(spark, "lineitem", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        _dec_sum(revenue).alias("revenue")
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) over orders —
+    sub-total lattice in one pass (partial aggregation handles the
+    rollup; no union of scans)."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_price,
+               COUNT(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )
+
+
+def rank_orders_per_customer(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Ranking window: top-k orders per customer by totalprice.
+    One shuffle on custkey; row_number ties broken by orderkey."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def top_parts_by_size(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Global top-k with tie-safe ordering — Spark turns
+    orderBy+limit into TakeOrderedAndProject (no full sort at scale)."""
+    part = tbl.load(spark, "part", sf_dir)
+    return (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(k)
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (north-star §2.2).
+
+Two paths, per the mandate:
+- brute-force cosine top-k — the exact baseline. All math is
+  double-cast BEFORE multiplication and accumulated left-to-right
+  (``zip_with`` + ``aggregate`` HOFs), which makes the score
+  bit-identical to DuckDB's ``list_reduce`` evaluation — the oracle
+  can compare exact doubles, no tolerance.
+- random-hyperplane LSH — the scale path: 100 TB of vectors can't
+  all-pairs. Vectors land in sign-pattern buckets; only same-bucket
+  (or probed-neighbor-bucket) pairs are scored. Hyperplanes are
+  generated deterministically from xxhash64, so the index is
+  reproducible without storing anything.
+
+Embedding-cosine near-dup dedup reuses the same kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i, left-to-right double accumulation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = as_double(a), as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def topk_brute(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small: broadcast) × ``embeddings`` (big) — the join
+    is a broadcast nested loop scoring every (query, candidate) pair;
+    ranking is a per-query window. Ties break on candidate id so the
+    result is total-order deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        *(["label"] if "label" in embeddings.columns else []),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_cv")
+    )
+
+
+# --------------------------------------------------------------- LSH
+
+def hyperplane(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ±1 components derived
+    from a splitmix-style integer mix — reproducible anywhere, no
+    stored model."""
+    comps = []
+    for d in range(dim):
+        z = (plane_id * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9) & (
+            (1 << 64) - 1
+        )
+        z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+        comps.append(1.0 if (z >> 63) else -1.0)
+    return comps
+
+
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 12, table: int = 0
+) -> Column:
+    """Sign-pattern bucket id: bit p = [vec · plane_p > 0]. 2^n_planes
+    buckets; more planes → smaller buckets → cheaper joins, lower
+    per-table recall. ``table`` selects an independent plane set."""
+    vd = as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(c) for c in hyperplane(table * n_planes + p, dim)]
+        )
+        bit = F.when(dot(vd, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return bucket
+
+
+def lsh_buckets(
+    vec_col: Column, dim: int, n_planes: int, n_tables: int
+) -> Column:
+    """Array of ``n_tables`` independent bucket ids (OR-amplification:
+    a pair is candidate if it collides in ANY table —
+    P = 1-(1-s^p)^L, the classic s-curve). Explode + join on
+    (table_id, bucket)."""
+    return F.array(
+        *[lsh_bucket(vec_col, dim, n_planes, t) for t in range(n_tables)]
+    )
+
+
+def _with_bucket_rows(
+    df: DataFrame, dim: int, n_planes: int, n_tables: int,
+    id_col: str, vec_col: str, id_alias: str, vec_alias: str,
+) -> DataFrame:
+    """(id, vec) exploded to one row per (table_id, bucket)."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("_tbl", "_bkt"),
+    )
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates colliding with the
+    query in ≥1 of ``n_tables`` LSH tables. At scale the bucket
+    columns are precomputed + the table partitioned by them, turning
+    ANN into a co-located join; candidates are deduped BEFORE the
+    (expensive) cosine so each pair is scored once."""
+    c = _with_bucket_rows(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col,
+        "neighbor_id", "_cv",
+    )
+    q = _with_bucket_rows(
+        queries, dim, n_planes, n_tables, id_col, vec_col, "query_id", "_qv"
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["_tbl", "_bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cosine_sim", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_cv", "_bkt", "_tbl")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH: only
+    pairs colliding in ≥1 table are scored (near-identical vectors
+    share all sign bits of some table with overwhelming probability),
+    deduped before the cosine."""
+    l = _with_bucket_rows(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col, "id_a", "_va"
+    )
+    r = _with_bucket_rows(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col, "id_b", "_vb"
+    )
+    return (
+        l.join(r, ["_tbl", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,95 @@
+"""Text analysis for LLM-data pipelines (north-star §2.2).
+
+Not in the ceres reference (which has no string functions at all —
+SURVEY.md §2 "operators ceres does NOT have"); mandated by the
+driver's north star: language-ID, quality scoring, token counting,
+document fingerprinting over the ``documents`` table.
+
+Everything here is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen-friendly, zero Python in the hot path. At 100 TB
+these are embarrassingly parallel per-row maps: no shuffle at all
+until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deterministic marker tokens per language for the n-gram/stopword
+#: heuristic. Real deployments plug in real stopword tables; the
+#: driver fixture's vocabulary is synthetic engine-speak, so accuracy
+#: against the fixture's `lang` column is not meaningful — the
+#: operator's semantics (deterministic scoring + argmax) are.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Token counting + lexical stats per document."""
+    t = tokens()
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        (F.col("n_chars") / F.size(t)).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)) / F.size(t)).alias("lexical_diversity"),
+    )
+
+
+def quality_score(docs: DataFrame, min_tokens: int = 20) -> DataFrame:
+    """Heuristic quality scoring: length gate + lexical diversity +
+    long-token share. One deterministic double per doc in [0, 1]."""
+    t = tokens()
+    n = F.size(t)
+    distinct_ratio = F.size(F.array_distinct(t)) / n
+    long_ratio = F.size(F.filter(t, lambda x: F.length(x) >= 4)) / n
+    length_gate = F.when(n >= min_tokens, F.lit(1.0)).otherwise(
+        n / F.lit(float(min_tokens))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        (length_gate * (distinct_ratio + long_ratio) / F.lit(2.0)).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID: score = |distinct tokens ∩ markers|
+    per language; predict the max (ties broken alphabetically, the
+    deterministic choice); no markers hit → 'unknown'."""
+    dt = F.array_distinct(tokens())
+    scores = {
+        lang: F.size(F.array_intersect(dt, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in sorted(LANG_MARKERS.items())
+    }
+    best = None
+    for lang, s in scores.items():  # alphabetical → first max wins
+        best = s if best is None else F.greatest(best, s)
+    pred = F.lit("unknown")
+    for lang in reversed(sorted(LANG_MARKERS)):  # build CASE back-to-front
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    out = docs.select("doc_id", F.col("lang").alias("lang_actual"),
+                      pred.alias("lang_pred"))
+    return out
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text. (The reference-free analogue of a rolling hash: stable,
+    portable across engines, join-key-ready for exact dedup.)"""
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,136 @@
+"""LLM-pipeline operators: ground-truth checks for the paths the SQL
+oracle can't express (MinHash/LSH recall, SimHash, multimodal
+plumbing) plus semantics sanity for the text ops — FIXTURES.md §B.5-6.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.dedup as dd
+import ceres_spark.operators.multimodal as mm
+import ceres_spark.operators.similarity as sim
+import ceres_spark.operators.text as text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    # plant exact near-dups: copy docs with one token changed
+    # (FIXTURES.md §B.5 neardup-docs)
+    base = docs.limit(30)
+    perturbed = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = base.unionByName(perturbed)
+    pairs = dd.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall} < 0.8; found={len(found)}"
+
+
+def test_minhash_agrees_with_brute_force(spark, docs):
+    # every pair minhash emits must truly pass the Jaccard threshold
+    # (the verify stage guarantees precision == 1.0 by construction;
+    # this asserts the wiring, not the theory)
+    pairs = dd.minhash_lsh_pairs(docs.limit(100), threshold=0.5).collect()
+    for r in pairs:
+        assert r["jaccard_sim"] >= 0.5
+
+
+def test_simhash_exact_dup_is_zero_hamming(spark, docs):
+    two = docs.limit(1)
+    dup = two.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    s = dd.simhash(two.unionByName(dup)).collect()
+    assert s[0]["simhash"] == s[1]["simhash"]
+
+
+def test_lsh_topk_recall_vs_brute(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = sim.topk_brute(emb, queries, k=10).collect()
+    approx = sim.topk_lsh(emb, queries, k=10, n_planes=4, n_tables=8).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(a & b) / len(b)
+    # multi-table OR-amplification (p=4, L=8): partial recall by
+    # design; assert far above chance (per-table bucket share ≈ 1/16)
+    assert recall >= 0.5, f"lsh recall {recall}"
+
+
+def test_topk_label_coherence(spark, emb):
+    # FIXTURES.md §B.6: top-10 neighbors of each LABEL CENTROID should
+    # mostly share that label (individual vectors are too noisy — the
+    # fixture's max within-label cosine is ~0.47)
+    import numpy as np
+
+    pdf = emb.toPandas()
+    centroids = []
+    for label, grp in pdf.groupby("label"):
+        c = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
+        centroids.append((-(int(label) + 1), [float(x) for x in c], int(label)))
+    qdf = spark.createDataFrame(
+        centroids, "vec_id long, embedding array<float>, label int"
+    )
+    rows = sim.topk_brute(emb, qdf, k=10).collect()
+    qlabel = {vid: lab for vid, _, lab in centroids}
+    same = sum(1 for r in rows if r["label"] == qlabel[r["query_id"]])
+    # numpy ground truth on this fixture gives ~0.4 purity (the label
+    # signal is weak by construction: max within-label cosine ≈ 0.47);
+    # assert well above the 0.1 chance level for 10 labels
+    assert same / len(rows) >= 0.25, f"centroid label coherence {same / len(rows)}"
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    assets = mm.assets_from_documents(docs.limit(50))
+    feats = mm.extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+        assert r["n_bytes"] > 0 and len(r["content_sha1"]) == 40
+    # deterministic: same content → same features
+    again = {r["asset_id"]: r["features"] for r in feats.collect()}
+    assert all(again[r["asset_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"bytes", "image")
+
+
+def test_frame_sample_plan(spark, docs):
+    assets = mm.assets_from_documents(docs.limit(30))
+    frames = mm.frame_sample(assets, every_ms=500)
+    rows = frames.groupBy("asset_id").count().collect()
+    assert rows and all(r["count"] >= 1 for r in rows)
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = text.quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    # 'la' appears in both es and fr marker lists → tie → alphabetical
+    d = spark.createDataFrame(
+        [(1, "la la la", "fr", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert text.lang_id(d).collect()[0]["lang_pred"] == "es"

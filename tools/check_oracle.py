@@ -22,17 +22,24 @@ from ceres_spark.sources.tables import TABLES
 
 
 def _norm(rows, cols):
+    import numpy as np
+
     out = []
     for row in rows:
         vals = []
         for c in cols:
             v = row[c]
+            # canonicalize numpy scalars so repr/sort keys are stable
+            if isinstance(v, np.floating):
+                v = float(v)
+            elif isinstance(v, np.integer):
+                v = int(v)
+            elif isinstance(v, np.bool_):
+                v = bool(v)
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append(None)
-            elif isinstance(v, float):
-                vals.append(v)  # exact — determinism is the contract
             else:
-                vals.append(v)
+                vals.append(v)  # exact — determinism is the contract
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
