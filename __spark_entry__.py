@@ -28,6 +28,7 @@ import ceres_spark.operators.retention as ret
 import ceres_spark.operators.series as ser
 import ceres_spark.operators.similarity as sim
 import ceres_spark.operators.text as text
+import ceres_spark.operators.windows as win
 import ceres_spark.sources.tables as tbl
 
 # events span 2024-01-01 → 2024-01-30 (UTC)
@@ -239,16 +240,28 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute within block, oracle-exact. The unblocked LSH path is
     _q_topk_cosine_lsh (rows-only)."""
     emb = tbl.load(spark, "embeddings", sf_dir)
+    nrm = sim.norm(sim.as_double(F.col("embedding")))
     l = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "label"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        nrm.alias("_na"),
+        "label",
     )
     r = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "label"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        nrm.alias("_nb"),
+        "label",
     )
     return (
         l.join(r, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", sim.cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine_sim",
+            sim.cosine_prenorm(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .filter(F.col("cosine_sim") >= 0.30)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -261,6 +274,21 @@ def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_lsh(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: 1h windows sliding by 30min per event_type."""
+    return win.sliding_window_agg(tbl.load(spark, "events", sf_dir))
+
+
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: 30min-gap session windows per user."""
+    return win.session_window_agg(tbl.load(spark, "events", sf_dir))
+
+
+def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: JSON props extraction + aggregation per event_type."""
+    return win.props_extract_agg(tbl.load(spark, "events", sf_dir))
 
 
 # ------------------------------------------------- relational pack
@@ -318,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_lsh": _q_topk_cosine_lsh,
         "embedding_neardup": _q_embedding_neardup,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
+        "props_extract": _q_props_extract,
         # relational pack (SURVEY.md §2.2)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -561,6 +592,53 @@ WITH e AS (
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT * FROM pairs WHERE cosine_sim >= 0.30
+""",
+        "sliding_window": """
+WITH e AS (
+  SELECT event_type AS metric,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x, value
+  FROM events
+), w AS (
+  SELECT metric, x - (x % 1800) AS ts, value FROM e
+  UNION ALL
+  SELECT metric, x - (x % 1800) - 1800 AS ts, value FROM e
+)
+SELECT metric, ts, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sum_value
+FROM w GROUP BY 1, 2
+""",
+        "session_window": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events
+), o AS (
+  SELECT *,
+    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+              >= 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM o
+)
+SELECT user_id, CAST(min(t) // 1000000 AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+        "props_extract": """
+WITH e AS (
+  SELECT event_type AS metric,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT metric, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM e GROUP BY metric
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,132 @@
+"""CLI tools — parity with the reference's ``bin/`` scripts (op #9)
+and the maintenance driver (op #23).
+
+Reference commands → subcommands here:
+  ceres-tree-create  → tree-create ROOT [--prop k=v ...]
+  ceres-node-create  → node-create ROOT NODE [--step N] [--agg METHOD]
+  ceres-node-write   → node-write ROOT NODE ts:value [ts:value ...]
+  ceres-node-read    → node-read ROOT NODE FROM UNTIL
+  ceres-node-find    → find ROOT PATTERN [--from T] [--until T]
+  ceres-maintenance  → maintenance ROOT --plugin {rollup,defrag}
+                       (bin/ceres-maintenance walks the tree and
+                        dispatches plugin node_found hooks; here each
+                        plugin is a batch job over the whole table —
+                        the per-node loop is the part Spark replaces)
+
+Usage: ``python -m ceres_spark.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from ceres_spark.session import get_spark
+
+    return get_spark("ceres-spark-cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ceres-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tree-create")
+    t.add_argument("root")
+    t.add_argument("--prop", action="append", default=[])
+
+    n = sub.add_parser("node-create")
+    n.add_argument("root")
+    n.add_argument("node")
+    n.add_argument("--step", type=int, default=60)
+    n.add_argument("--agg", default="average")
+
+    w = sub.add_parser("node-write")
+    w.add_argument("root")
+    w.add_argument("node")
+    w.add_argument("datapoints", nargs="+", help="ts:value ...")
+
+    r = sub.add_parser("node-read")
+    r.add_argument("root")
+    r.add_argument("node")
+    r.add_argument("from_time", type=int)
+    r.add_argument("until_time", type=int)
+
+    f = sub.add_parser("find")
+    f.add_argument("root")
+    f.add_argument("pattern")
+    f.add_argument("--from", dest="from_time", type=int, default=None)
+    f.add_argument("--until", dest="until_time", type=int, default=None)
+
+    m = sub.add_parser("maintenance")
+    m.add_argument("root")
+    m.add_argument("--plugin", choices=("rollup", "defrag"), required=True)
+    m.add_argument("--new-step", type=int, default=300)
+    m.add_argument("--method", default="average")
+    m.add_argument("--xff", type=float, default=0.0)
+
+    args = p.parse_args(argv)
+    from ceres_spark.tree import CeresTree
+
+    spark = _spark()
+
+    if args.cmd == "tree-create":
+        props = dict(kv.split("=", 1) for kv in args.prop)
+        CeresTree.create_tree(spark, args.root, **props)
+        print(f"created tree at {args.root}")
+    elif args.cmd == "node-create":
+        tree = CeresTree(spark, args.root)
+        tree.create_node(args.node, timeStep=args.step, aggregationMethod=args.agg)
+        print(f"created node {args.node}")
+    elif args.cmd == "node-write":
+        tree = CeresTree(spark, args.root)
+        rows = []
+        for dp in args.datapoints:  # bin/ceres-node-write's ts:value syntax
+            ts, _, val = dp.partition(":")
+            rows.append((int(ts), float(val)))
+        tree.store(
+            args.node,
+            spark.createDataFrame(rows, "ts long, value double"),
+        )
+        print(f"wrote {len(rows)} datapoints to {args.node}")
+    elif args.cmd == "node-read":
+        tree = CeresTree(spark, args.root)
+        df = tree.fetch(args.node, args.from_time, args.until_time)
+        for row in df.orderBy("ts").collect():
+            v = "None" if row["value"] is None else repr(row["value"])
+            print(f"{row['ts']}\t{v}")
+    elif args.cmd == "find":
+        tree = CeresTree(spark, args.root)
+        for node in tree.find(args.pattern, args.from_time, args.until_time):
+            print(node.node_path)
+    elif args.cmd == "maintenance":
+        tree = CeresTree(spark, args.root)
+        if args.plugin == "rollup":
+            import ceres_spark.operators.compact as cp
+            import ceres_spark.operators.retention as ret
+
+            fine = cp.lww_dedup(tree.points())
+            coarse = ret.rollup(
+                fine, args.method, 60, args.new_step, x_files_factor=args.xff
+            ).withColumn(
+                "arrival_seq", F.lit(0).cast("long")
+            ).withColumn(
+                "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+            )
+            coarse.write.mode("overwrite").partitionBy("date").parquet(
+                tree.points_path(args.new_step)
+            )
+            print(f"rolled up to step={args.new_step}")
+        else:
+            import ceres_spark.operators.retention as ret
+
+            ret.compact_files(spark, tree.points_path(60))
+            print("defragmented step=60")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

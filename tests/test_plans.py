@@ -1,0 +1,82 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 promises
+must be visible in the plan, not just intended — predicate pushdown
+to parquet, broadcast joins for dims, map-side partial aggregation,
+no shuffle for map-only ops. These assertions are what '.explain and
+iterate' hardens into."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.relational as rel
+import ceres_spark.operators.text as text
+import ceres_spark.sources.tables as tbl
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_points_scan_pushes_metric_filter(spark):
+    pts = tbl.points(spark, SF).filter(F.col("metric") == "click")
+    plan = plan_of(pts)
+    assert "PushedFilters" in plan
+    # the metric (event_type) equality must reach the parquet reader
+    assert "EqualTo(event_type,click)" in plan.replace(" ", ""), plan
+
+
+def test_q1_pushes_shipdate_filter(spark):
+    plan = plan_of(rel.q1_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(rel.q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = plan_of(rel.q5_local_supplier_volume(spark, SF))
+    # 4 dim joins broadcast; the orders⋈lineitem fact join may be
+    # broadcast at this tiny SF (AQE) — assert no fallback to
+    # BroadcastNestedLoop (which would mean a missing equi-condition)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_stats_is_map_only(spark):
+    plan = plan_of(text.text_stats(tbl.load(spark, "documents", SF)))
+    assert "Exchange" not in plan  # pure per-row projection: no shuffle
+
+
+def test_aggregate_series_partial_agg(spark):
+    import ceres_spark.operators.aggregate as agg
+
+    df = spark.createDataFrame(
+        [("m", 0, 1.0)], "metric string, ts long, value double"
+    )
+    import re
+
+    plan = plan_of(agg.aggregate_series(df, "average", 300))
+    # map-side partial combine around exactly one exchange
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = tbl.load(spark, "documents", SF).select("doc_id")
+    plan = plan_of(docs)
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in rs and "text" not in rs  # only doc_id scanned
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(rel.top_parts_by_size(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
