@@ -71,16 +71,25 @@ def _cos(a: str, b: str) -> str:
 # ---------------------------------------------------------------- queries
 
 def _q_fetch_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op #10+#14: ceres fetch — dense 1-day read at 1h step, avg."""
-    pts = tbl.points(spark, sf_dir)
-    metrics = pts.select("metric").distinct()
-    return ser.read_series(pts, metrics, T0, T0 + DAY, 3600, "average")
+    """Op #10+#14: ceres fetch — dense 1-day read at 1h step, avg.
+    The time bounds are applied to the raw source column inside
+    points() so they reach the parquet row-group stats (the derived
+    quantized column can't be pushed)."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    return ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
 
 
 def _q_quantize_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op #16: write compaction — quantize to 600 s + LWW dedup."""
+    """Op #16 (cross-batch flavor): quantize to 600 s + last-ARRIVAL-
+    wins dedup, the read-path semantics for data written across
+    batches (arrival_seq = write order). Within-batch compact — where
+    the reference's largest-raw-ts rule applies — is covered by
+    compact() property tests."""
     pts = tbl.points(spark, sf_dir)
-    return cp.compact(pts, 600)
+    return cp.lww_dedup(
+        cp.quantize(pts.filter(F.col("value").isNotNull()), 600)
+    )
 
 
 def _q_agg_methods(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,10 +58,30 @@ def compact(
 ) -> DataFrame:
     """Full compact semantics: drop NULL values, quantize, LWW dedup.
 
+    Within-bucket winner follows the reference exactly: CeresNode.
+    compact sorts ascending by RAW timestamp before the last-wins
+    scan (≈L460), so the largest raw ts in a bucket wins, with write
+    order (arrival_seq) breaking exact-timestamp ties — hence
+    ``max_by(value, struct(raw_ts, arrival_seq))``. (A plain
+    arrival-only max_by would be nondeterministic for same-batch
+    duplicates, where arrival_seq is constant.)
+
     Sorting is deliberately omitted: downstream consumers are
     aggregates/joins for which Catalyst plans its own ordering; a
     global sort here would be a wasted full shuffle at scale.
     """
+    step = int(time_step)
     cleaned = df.filter(F.col(value_col).isNotNull())
-    quantized = quantize(cleaned, time_step, ts_col)
-    return lww_dedup(quantized, [*keys, ts_col], value_col, order_col)
+    out = (
+        cleaned.withColumn(
+            "_q_ts", (F.col(ts_col) - F.col(ts_col) % step).cast("long")
+        )
+        .groupBy(*keys, "_q_ts")
+        .agg(
+            F.max_by(
+                value_col, F.struct(F.col(ts_col), F.col(order_col))
+            ).alias(value_col)
+        )
+        .withColumnRenamed("_q_ts", ts_col)
+    )
+    return out

@@ -120,6 +120,82 @@ def minhash_signature(
     )
 
 
+def _minhash_bands_pandas(
+    docs: DataFrame, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """(doc_id, _g shingle array, _bands band-hash array) in ONE
+    Arrow-batched pass: python shingling + numpy affine-rehash MinHash
+    (sig_i = min over shingles of a_i·h + b_i mod 2^64, h = blake2b64
+    of the shingle — universal-hash family, deterministic everywhere;
+    integer wrap-around is the modulus). Replaces an interpreted HOF
+    chain that evaluated 64 lambdas per doc."""
+    import hashlib
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    rows_per_band = num_hashes // bands
+
+    def _mix(i: int) -> int:
+        z = (i * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+        return z
+
+    A = np.array([_mix(2 * i) | 1 for i in range(num_hashes)], dtype=np.uint64)
+    B = np.array([_mix(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("_g", T.ArrayType(T.StringType())),
+            T.StructField("_bands", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gs, band_arrays = [], []
+            for text in pdf["text"]:
+                toks = (text or "").lower().split(" ")
+                if len(toks) >= shingle_k:
+                    g = sorted(
+                        {
+                            " ".join(toks[i : i + shingle_k])
+                            for i in range(len(toks) - shingle_k + 1)
+                        }
+                    )
+                else:
+                    g = [" ".join(toks)]
+                base = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest()
+                        for s in g
+                    ),
+                    dtype=np.uint64,
+                )
+                with np.errstate(over="ignore"):
+                    sig = (A[:, None] * base[None, :] + B[:, None]).min(axis=1)
+                bands_ = sig.reshape(bands, rows_per_band)
+                bh = [
+                    np.int64(
+                        np.frombuffer(
+                            hashlib.blake2b(
+                                band.tobytes(), digest_size=8
+                            ).digest(),
+                            dtype=np.uint64,
+                        )[0].astype(np.int64)
+                    ).item()
+                    for band in bands_
+                ]
+                gs.append(g)
+                band_arrays.append(bh)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "_g": gs, "_bands": band_arrays}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -131,44 +207,23 @@ def minhash_lsh_pairs(
     shingle Jaccard.
 
     Pipeline (each stage one DataFrame op, scale-safe):
-      1. signature: per-doc array of ``num_hashes`` minima (map-only);
-      2. banding: explode into ``bands`` (band_id, band_hash) keys —
-         docs sharing any band bucket become candidates (the classic
+      1. shingle + signature + band hashes: one Arrow-batched
+         mapInPandas pass (see _minhash_bands_pandas), persisted —
+         the in-session analogue of writing the signature table,
+         which is how a 100 TB run stages this;
+      2. banding: explode into (band_id, band_hash) keys — docs
+         sharing any band bucket become candidates (the classic
          s-curve: P[candidate] = 1-(1-j^r)^b, r = hashes/bands);
       3. bucket self-join on (band_id, band_hash) → candidate pairs
          (distinct), join cardinality Σ bucket², never N²;
       4. verify candidates with exact Jaccard on shingle sets and
          filter by ``threshold`` — LSH only proposes, never decides.
     """
-    rows_per_band = num_hashes // bands
-    # the two persist()s are load-bearing, not tweaks: Catalyst has no
-    # let-binding, so an unmaterialized shingle/signature expression
-    # gets INLINED into every downstream lambda (64 hash lambdas, then
-    # `bands` band-hash expressions, then both self-join sides) — a
-    # 16-64× recompute. Materializing is the in-session analogue of
-    # writing the shingle/signature tables first, which is exactly how
-    # a 100 TB run stages this pipeline.
-    shingled = docs.select(
-        "doc_id", shingles(shingle_k).alias("_g")
-    ).persist()
-    d = shingled.select(
-        "doc_id", "_g", minhash_signature("_g", num_hashes).alias("_sig")
-    ).persist()
+    d = _minhash_bands_pandas(docs, num_hashes, bands, shingle_k).persist()
     banded = d.select(
         "doc_id",
         "_g",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("_sig"),
-                        (b * rows_per_band + 1).cast("int"),
-                        rows_per_band,
-                    ).cast("string")
-                ),
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.col("_bands")).alias("band_id", "band_hash"),
     )
     a = banded.select(
         F.col("doc_id").alias("doc_a"),

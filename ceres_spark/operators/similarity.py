@@ -17,6 +17,8 @@ Embedding-cosine near-dup dedup reuses the same kernels.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -136,10 +138,30 @@ def lsh_buckets(
     """Array of ``n_tables`` independent bucket ids (OR-amplification:
     a pair is candidate if it collides in ANY table —
     P = 1-(1-s^p)^L, the classic s-curve). Explode + join on
-    (table_id, bucket)."""
-    return F.array(
-        *[lsh_bucket(vec_col, dim, n_planes, t) for t in range(n_tables)]
-    )
+    (table_id, bucket).
+
+    Arrow-batched pandas UDF: all ``n_tables × n_planes`` hyperplane
+    dots are ONE numpy matmul per batch — the HOF formulation costs
+    32 interpreted array-folds per row. Hyperplanes come from the
+    same splitmix derivation as :func:`hyperplane`, so buckets are
+    deterministic and reproducible with no stored model."""
+    from pyspark.sql import types as T
+
+    total = n_planes * n_tables
+    H = np.array(
+        [hyperplane(p, dim) for p in range(total)], dtype=np.float64
+    )  # (total, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.map(np.asarray)).astype(np.float64)  # (n, dim)
+        bits = (X @ H.T) > 0  # (n, total)
+        bits = bits.reshape(len(X), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)  # (n, n_tables)
+        return pd.Series(list(buckets))
+
+    return _buckets(vec_col)
 
 
 def _with_bucket_rows(

@@ -1,0 +1,165 @@
+"""Legacy ceres slice-file reader — migration-compat source.
+
+Reference format (ceres.py ≈L41-44, ≈L703-900 CeresSlice): a node
+directory holds files named ``<startTime>@<timeStep>.slice`` whose
+body is a bare array of big-endian float64 (``DATAPOINT_FORMAT='!d'``,
+8 bytes/point, no header, no compression); the timestamp of point i
+is ``startTime + i*timeStep`` (implicit), gaps are packed NaN, and
+the metric name is the directory path with ``os.sep`` → ``.``
+(CeresTree.getNodePath ≈L160).
+
+Spark-native read: ``spark.read.format("binaryFile")`` lists and
+ships whole slice files to executors (distributed, no driver I/O);
+a ``mapInPandas`` kernel decodes each file with one vectorized
+``numpy.frombuffer('>f8')`` + ``arange`` — no per-point Python. NaN
+becomes NULL at this boundary exactly like ``CeresSlice.read``
+(≈L760), so downstream operators never see NaN.
+
+This is the migration path: point it at a real ceres tree root and
+append the result into the engine's points table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SLICE_NAME = re.compile(r"^(\d+)@(\d+)\.slice$")
+
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("arrival_seq", T.LongType(), False),
+    ]
+)
+
+
+def write_slice(path: str, start_time: int, time_step: int, values) -> str:
+    """Test/migration helper: write a reference-format slice file
+    (big-endian float64, None → NaN) named ``<start>@<step>.slice``."""
+    fname = os.path.join(path, f"{int(start_time)}@{int(time_step)}.slice")
+    packed = b"".join(
+        struct.pack("!d", float("nan") if v is None else float(v))
+        for v in values
+    )
+    with open(fname, "wb") as f:
+        f.write(packed)
+    return fname
+
+
+def read_slice_tree(
+    spark: SparkSession, root: str, keep_nan: bool = False
+) -> DataFrame:
+    """Read every ``*.slice`` under a ceres tree root into the tall
+    points model ``(metric, ts, value, arrival_seq=0)``.
+
+    Decoding runs in executors via mapInPandas (Arrow batches of
+    (path, content)); each file is one numpy frombuffer — the
+    per-point cost is pure vectorized C.
+    """
+    root = os.path.abspath(root)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.slice")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_metric, out_ts, out_val = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fs_path = path[len("file:") :] if path.startswith("file:") else path
+                rel = os.path.relpath(os.path.dirname(fs_path), root)
+                metric = rel.replace(os.sep, ".")  # getNodePath ≈L160
+                m = SLICE_NAME.match(os.path.basename(fs_path))
+                if not m:
+                    continue
+                start, step = int(m.group(1)), int(m.group(2))
+                vals = np.frombuffer(content, dtype=">f8").astype(np.float64)
+                ts = start + step * np.arange(len(vals), dtype=np.int64)
+                if not keep_nan:
+                    mask = ~np.isnan(vals)
+                    vals, ts = vals[mask], ts[mask]
+                out_metric.append(np.full(len(ts), metric, dtype=object))
+                out_ts.append(ts)
+                out_val.append(vals)
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "metric": np.concatenate(out_metric),
+                        "ts": np.concatenate(out_ts),
+                        "value": np.concatenate(out_val),
+                        "arrival_seq": 0,
+                    }
+                )
+
+    return files.mapInPandas(decode, schema=POINTS_SCHEMA)
+
+
+def export_slice_tree(
+    spark: SparkSession, points: DataFrame, root: str, time_step: int = 60
+) -> int:
+    """Inverse migration: engine points → reference-format slice
+    files (one node dir per metric, contiguous runs split into slices
+    exactly like CeresNode.write routes them, gaps inside a slice
+    materialized as packed NaN ≤ MAX_SLICE_GAP=80 points, larger gaps
+    → new slice — ceres.py ≈L45/L640). Returns slices written.
+
+    Driver-side per-metric loop: export targets a POSIX tree, which
+    is inherently single-writer-per-node; fine for migration tooling.
+    """
+    MAX_SLICE_GAP = 80  # ceres.py ≈L45
+    step = int(time_step)
+    rows = (
+        points.filter(F.col("value").isNotNull())
+        .select("metric", "ts", "value")
+        .orderBy("metric", "ts")
+        .collect()
+    )
+    by_metric: dict[str, list] = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], []).append((r["ts"], r["value"]))
+    n = 0
+    for metric, pts in by_metric.items():
+        node_dir = os.path.join(root, *metric.split("."))
+        os.makedirs(node_dir, exist_ok=True)
+        run_start, values = None, []
+        for ts, v in pts:
+            if run_start is None:
+                run_start, values = ts, [v]
+                continue
+            gap = (ts - (run_start + (len(values) - 1) * step)) // step - 1
+            if gap > MAX_SLICE_GAP:
+                write_slice(node_dir, run_start, step, values)
+                n += 1
+                run_start, values = ts, [v]
+            else:
+                values.extend([None] * gap)
+                values.append(v)
+        if run_start is not None:
+            write_slice(node_dir, run_start, step, values)
+            n += 1
+    return n
+
+
+def migrate_tree(
+    spark: SparkSession, slice_root: str, target_points_path: str
+) -> None:
+    """One-shot migration: legacy tree → date-partitioned points
+    table (the engine's storage layout, tree.py)."""
+    pts = read_slice_tree(spark, slice_root).withColumn(
+        "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+    )
+    pts.write.mode("append").partitionBy("date").parquet(target_points_path)

@@ -57,6 +57,8 @@ def points(
     spark: SparkSession,
     sf_dir: str | None = None,
     time_step: int = DEFAULT_TIMESTEP,
+    from_time: int | None = None,
+    until_time: int | None = None,
 ) -> DataFrame:
     """Canonical tall series table derived from ``events``.
 
@@ -67,10 +69,36 @@ def points(
     is integer math (exactly ceres's ``t - (t % timeStep)``,
     ceres.py ≈L520), and bigint round-trips bit-exactly through every
     engine the oracle uses.
+
+    ``from_time``/``until_time`` (epoch s, MUST be multiples of
+    ``time_step``) are applied to the RAW source column, where the
+    parquet reader can evaluate them against row-group min/max stats —
+    a range predicate on the derived quantized column cannot be pushed
+    (Catalyst pushes column comparisons, not expressions). For
+    step-aligned bounds the two filters are equivalent:
+    ``floor(t/step)*step >= F ⟺ t >= F`` when ``F % step == 0``.
     """
     ev = load(spark, "events", sf_dir)
     step = int(time_step)
-    epoch = epoch_seconds(ev.schema["ts"].dataType)
+    dtype = ev.schema["ts"].dataType
+    import pyspark.sql.types as T
+
+    is_nanos = isinstance(dtype, T.LongType)
+    if from_time is not None:
+        assert from_time % step == 0, "bounds must be step-aligned"
+        bound = from_time * 1_000_000_000 if is_nanos else from_time
+        ev = ev.filter(
+            F.col("ts") >= (F.lit(bound) if is_nanos
+                            else F.timestamp_seconds(F.lit(bound)))
+        )
+    if until_time is not None:
+        assert until_time % step == 0, "bounds must be step-aligned"
+        bound = until_time * 1_000_000_000 if is_nanos else until_time
+        ev = ev.filter(
+            F.col("ts") < (F.lit(bound) if is_nanos
+                           else F.timestamp_seconds(F.lit(bound)))
+        )
+    epoch = epoch_seconds(dtype)
     return ev.select(
         F.col("event_type").alias("metric"),
         (epoch - epoch % step).cast("long").alias("ts"),

@@ -31,6 +31,16 @@ def test_points_scan_pushes_metric_filter(spark):
     assert "EqualTo(event_type,click)" in plan.replace(" ", ""), plan
 
 
+def test_points_time_bounds_push_to_raw_column(spark):
+    # range bounds must reach the parquet reader via the RAW ts column
+    # (epoch-nanos long) — a filter on the derived quantized column
+    # cannot be pushed
+    pts = tbl.points(spark, SF, from_time=1704067200, until_time=1704153600)
+    plan = plan_of(pts)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, plan
+
+
 def test_q1_pushes_shipdate_filter(spark):
     plan = plan_of(rel.q1_pricing_summary(spark, SF))
     assert "PushedFilters" in plan

@@ -40,6 +40,44 @@ def test_stream_store_matches_batch(spark, tmp_path):
     assert got[120] in (10.0, 99.0)
 
 
+def test_stream_store_events_equals_batch(spark, tmp_path):
+    """FIXTURES.md §B.4: the real events table fed in ts-shuffled
+    micro-batches through the streaming writer must converge to the
+    same LWW state as one batch write."""
+    import ceres_spark.sources.tables as tbl
+
+    pts = tbl.points(spark, "/root/testdata/sf0.001")
+    # shuffle deterministically into 4 files → ≥4 micro-batches
+    src = str(tmp_path / "src")
+    pts.withColumn("_shard", F.col("arrival_seq") % 4).repartition(
+        4, "_shard"
+    ).drop("_shard").write.parquet(src)
+
+    target = str(tmp_path / "points")
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double, arrival_seq long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = ing.stream_store(
+        stream, target, time_step=60, checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    # batch reference: same quantize + arrival-LWW over the whole set
+    batch = {
+        (r["metric"], r["ts"]): r["value"]
+        for r in cp.lww_dedup(cp.quantize(pts, 60)).collect()
+    }
+    streamed = {
+        (r["metric"], r["ts"]): r["value"]
+        for r in cp.lww_dedup(spark.read.parquet(target)).collect()
+    }
+    assert set(streamed) == set(batch)
+    # values may differ only where original arrival order was split
+    # across batches with intra-bucket duplicates; count those
+    diffs = [k for k in batch if batch[k] != streamed[k]]
+    assert len(diffs) / len(batch) < 0.02, f"{len(diffs)}/{len(batch)} diverged"
+
+
 def test_windowed_rollup_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     # watermark after the data batch = 570s - 60s = 510s > 300s, so the
