@@ -1,0 +1,67 @@
+"""Join strategies for scale: salted skew joins and bucketed
+co-located joins.
+
+These are the two knobs SURVEY.md's scale mandate calls out beyond
+broadcast (which relational.py uses everywhere a dim fits):
+
+- **Salting** defeats hot-key skew that AQE's skew-join splitting
+  can't fully fix (e.g. one metric is 50% of all points and the
+  OTHER side must replicate). The hot side gets a random-but-
+  deterministic salt in [0, salt); the small side is exploded
+  ``salt``× so every salted key finds its match. Join key becomes
+  (key, salt) → the hot key spreads over ``salt`` reducers.
+- **Bucketing** pre-shuffles both fact tables into the same bucket
+  layout on the join key, so repeated joins (the common case for
+  orders⋈lineitem-shaped workloads) pay ZERO exchange at query time
+  — the write amortizes the shuffle once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (skewed) side, explode the
+    small side ``salt``×. Deterministic salt (hash of the full row's
+    key + a per-row uniform from xxhash64 of all columns would be
+    overkill — a hash of monotonically varying payload is enough;
+    here we use pmod(xxhash64(all cols), salt) so re-runs agree)."""
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    b = big.withColumn("_salt", salt_col.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Materialize a fact table bucketed (and optionally sorted) by
+    the join key. Subsequent equi-joins between tables bucketed the
+    same way need no exchange — and with sorted buckets, no sort."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables — the plan should show
+    SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -38,6 +38,11 @@ def get_spark(
         # Spark's vectorized reader rejects; read as epoch-nanos long
         # and convert explicitly (integer math, no tz ambiguity)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed-table warehouse (bucketed tables etc.) outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/ceres_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -166,6 +166,26 @@ class CeresTree:
         timeStep using its aggregationMethod for bucket reconciliation."""
         return self.get_node(node_path).read(from_time, until_time)
 
+    # -- caching (ops #26-27) ------------------------------------------
+
+    def set_node_caching_behavior(self, behavior: str) -> None:
+        """Op #26 (CeresTree.setNodeCachingBehavior ≈L200): 'all'
+        caches the catalog DataFrame (it is small and hot in every
+        fetch), 'none' releases it."""
+        if behavior not in ("all", "none"):
+            raise ValueError(f"invalid caching behavior {behavior!r}")
+        df = self.catalog()
+        if behavior == "all":
+            df.cache()
+        else:
+            self.spark.catalog.clearCache()
+
+    def clear_slice_cache(self, step: int = DEFAULT_TIMESTEP) -> None:
+        """Op #27 analogue (CeresNode.clearSliceCache ≈L640): drop
+        Spark's cached file listing/metadata so new files written by
+        other processes become visible — the REFRESH TABLE analogue."""
+        self.spark.catalog.refreshByPath(self.points_path(step))
+
     # -- discovery (op #12) --------------------------------------------
 
     def find(
