@@ -314,6 +314,14 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q5_local_supplier_volume(spark, sf_dir)
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q6_forecast_revenue(spark, sf_dir)
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q10_returned_items(spark, sf_dir)
+
+
 def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.grouping_sets_orders(spark, sf_dir)
 
@@ -362,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
         "rank_window": _q_rank_window,
         "top_parts": _q_top_parts,
@@ -699,6 +709,31 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1
+""",
+        "tpch_q6": """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """,
         "grouping_sets": """
 SELECT o_orderstatus, o_orderpriority,

@@ -117,6 +117,53 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate — every predicate is
+    parquet-pushable (shipdate range, discount band, quantity cap), so
+    the scan reads only matching row groups and 4 of 11 columns."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 adapted: top-k customers by revenue lost to returns
+    in one quarter. customer/nation broadcast; orders⋈lineitem
+    shuffles on orderkey."""
+    cust = tbl.load(spark, "customer", sf_dir)
+    nation = tbl.load(spark, "nation", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((status, priority), (status), ()) over orders —
     sub-total lattice in one pass (partial aggregation handles the

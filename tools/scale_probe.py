@@ -1,0 +1,116 @@
+"""Scale-up probe: does the core pipeline scale linearly?
+
+Synthesizes N× the sf0.1 events table (id/time-shifted copies — same
+key cardinality per copy, more data volume), writes it as parquet,
+and times the core series pipeline (quantize+LWW, dense fetch,
+rollup, window agg) at each multiple. Linear wall-time growth with
+flat per-row cost = the plan survives scale-up; super-linear growth
+flags a shuffle or skew problem.
+
+Usage: python tools/scale_probe.py [multiples ...]   (default 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.aggregate as agg
+import ceres_spark.operators.compact as cp
+import ceres_spark.operators.series as ser
+import ceres_spark.sources.tables as tbl
+from ceres_spark.session import get_spark
+
+T0 = 1704067200
+DAY = 86400
+
+
+def synthesize(spark, base_dir: str, mult: int, out: str) -> int:
+    ev = tbl.load(spark, "events", base_dir)
+    n = ev.count()
+    parts = []
+    for i in range(mult):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + i * n).alias("event_id"),
+                # shift each copy by i minutes so timestamps interleave
+                # without colliding (keeps per-bucket density realistic)
+                (F.col("ts") + F.lit(i * 60_000_000_000)).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.write.mode("overwrite").parquet(out)
+    return n * mult
+
+
+def time_pipeline(spark, sf_dir: str) -> dict[str, float]:
+    pts = tbl.points(spark, sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    cp.lww_dedup(cp.quantize(pts, 600)).count()
+    t["quantize_lww"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    metrics = pts.select("metric").distinct()
+    ser.read_series(pts, metrics, T0, T0 + 7 * DAY, 3600, "average").count()
+    t["fetch_dense_7d"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    agg.aggregate_series(cp.compact(pts, 60), "average", 3600).count()
+    t["rollup_1h"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale-probe")
+    base = "/root/testdata/sf0.1"
+    time_pipeline(spark, base)  # warm up JVM/codegen before timing
+    results = {}
+    for m in mults:
+        with tempfile.TemporaryDirectory() as td:
+            out = f"{td}/events.parquet"
+            rows = synthesize(spark, base, m, out)
+            # the probe dir mimics an sf dir (only events is read)
+            import os, shutil
+
+            for name in tbl.TABLES:
+                src = f"{base}/{name}.parquet"
+                dst = f"{td}/{name}.parquet"
+                if name != "events" and not os.path.exists(dst):
+                    os.symlink(src, dst)
+            timings = time_pipeline(spark, td)
+            results[f"x{m}"] = {"rows": rows, **timings}
+            print(json.dumps({f"x{m}": results[f"x{m}"]}))
+    # per-row scaling summary
+    base_t = results[f"x{mults[0]}"]
+    for m in mults[1:]:
+        r = results[f"x{m}"]
+        ratios = {
+            k: round(r[k] / max(base_t[k], 1e-9), 1)
+            for k in r
+            if k != "rows"
+        }
+        print(
+            json.dumps(
+                {
+                    "scale": f"x{m} vs x{mults[0]}",
+                    "data_ratio": m,
+                    "time_ratios": ratios,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
