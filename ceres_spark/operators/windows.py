@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-import ceres_spark.sources.tables as tbl
 
 
 def event_time(events: DataFrame, col: str = "ts") -> Column:

@@ -41,8 +41,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_TIMESTEP = 60
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession able to run this
+    engine: the driver calls entry()/queries() with ITS OWN session,
+    which may lack our session.py configs. Both confs are runtime
+    SQL confs, so setting them here is safe and idempotent.
+
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which the
+      vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: oracle comparability of any
+      timestamp-derived value.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked-down conf: proceed and let the read surface it
+
+
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Scan one source table. Lazy — no I/O until an action."""
+    ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
