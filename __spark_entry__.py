@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 import ceres_spark.catalog as cat
 import ceres_spark.operators.aggregate as agg
+import ceres_spark.operators.asof as asof
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.relational as rel
@@ -314,6 +315,67 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q5_local_supplier_volume(spark, sf_dir)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator (§2.2): as-of join — each click event gets the
+    most recent error value for the same user (point-in-time join).
+    Spark has no built-in; composed as union + running last-non-null
+    window. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = tbl.load(spark, "events", sf_dir)
+    epoch = tbl.epoch_seconds(ev.schema["ts"].dataType)
+    base = ev.select(
+        "user_id", epoch.alias("ts"), "value", "event_id", "event_type"
+    )
+    left = base.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    right = (
+        base.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+    )
+    out = asof.asof_join(
+        left, right, by="user_id", value_cols=("err_value",)
+    )
+    return out.withColumnRenamed("err_value_asof", "error_value_asof")
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, verified bit-exact)."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over orders status × priority (full sub-total lattice)."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers ordering in both 1997 and 1998."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y98 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y97.intersect(y98)
+
+
 def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q6_forecast_revenue(spark, sf_dir)
 
@@ -370,6 +432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "asof_join": _q_asof_join,
+        "percentiles": _q_percentiles,
+        "cube_orders": _q_cube,
+        "intersect_custkeys": _q_intersect,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
@@ -709,6 +775,44 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1
+""",
+        "asof_join": """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value,
+         event_id, event_type
+  FROM events
+), l AS (
+  SELECT user_id, t AS ts, value FROM ev WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, t AS ts, arg_max(value, event_id) AS err_value
+  FROM ev WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT l.user_id, l.ts, l.value, r.err_value AS error_value_asof
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+""",
+        "cube_orders": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "intersect_custkeys": """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
 """,
         "tpch_q6": """
 SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
