@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 import ceres_spark.catalog as cat
 import ceres_spark.operators.aggregate as agg
 import ceres_spark.operators.asof as asof
+import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.relational as rel
@@ -339,6 +340,24 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("err_value_asof", "error_value_asof")
 
 
+def _q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator (§2.2): range/interval join — events banded by
+    value tier via binned containment join, then aggregated."""
+    ev = tbl.load(spark, "events", sf_dir).select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 250.0)],
+        "band string, lo double, hi double",
+    )
+    joined = rjoin.range_join(ev, bands, "value", bin_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per return flag (Spark
     `percentile` ≡ DuckDB `quantile_cont`, verified bit-exact)."""
@@ -433,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
+        "range_band_join": _q_range_band_join,
         "percentiles": _q_percentiles,
         "cube_orders": _q_cube,
         "intersect_custkeys": _q_intersect,
@@ -790,6 +810,16 @@ WITH ev AS (
 SELECT l.user_id, l.ts, l.value, r.err_value AS error_value_asof
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_band_join": """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 250.0)
+)
+SELECT band, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY 1
 """,
         "percentiles": """
 SELECT l_returnflag,
