@@ -166,6 +166,41 @@ class CeresTree:
         timeStep using its aggregationMethod for bucket reconciliation."""
         return self.get_node(node_path).read(from_time, until_time)
 
+    def resolutions(self) -> list[int]:
+        """Steps with materialized points tables (sorted fine→coarse)."""
+        base = os.path.join(self.root, "points")
+        if not os.path.isdir(base):
+            return []
+        steps = []
+        for d in os.listdir(base):
+            if d.startswith("step="):
+                try:
+                    steps.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(steps)
+
+    def read_multi(
+        self, node_path: str, from_time: int, until_time: int
+    ) -> DataFrame:
+        """Cross-resolution dense fetch (op #13) over every
+        materialized resolution table — the read path after the
+        rollup/expiry maintenance jobs have moved old data into
+        coarser archives (the complete ceres lifecycle)."""
+        import ceres_spark.operators.resolution as resmod
+
+        node = self.get_node(node_path)  # NodeNotFound if absent
+        tables = {}
+        for step in self.resolutions():
+            pts = self.points(step).filter(F.col("metric") == node_path)
+            tables[step] = cp.lww_dedup(pts)
+        if not tables:
+            tables = {node.time_step: self.points(node.time_step)}
+        metrics = self.spark.createDataFrame([(node_path,)], "metric string")
+        return resmod.read_multi_resolution(
+            tables, metrics, from_time, until_time, node.aggregation_method
+        )
+
     # -- caching (ops #26-27) ------------------------------------------
 
     def set_node_caching_behavior(self, behavior: str) -> None:
