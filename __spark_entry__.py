@@ -24,6 +24,7 @@ import ceres_spark.operators.asof as asof
 import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.dedup as dd
+import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.relational as rel
 import ceres_spark.operators.resolution as res
 import ceres_spark.operators.retention as ret
@@ -192,6 +193,48 @@ def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: FIXTURES.md §B.2 — per-metric aggregationMethod cycling through
+#: all 5 (alphabetical metric order). Drives the metadata-driven read.
+METHOD_BY_METRIC = {
+    "click": "average",
+    "error": "sum",
+    "purchase": "last",
+    "signup": "max",
+    "view": "min",
+}
+
+
+def _q_fetch_per_node_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops #3+#10: metadata-driven fetch — each metric's hourly
+    buckets aggregated with ITS OWN catalog aggregationMethod (the
+    read path consults node metadata, CeresNode.read ≈L510). One scan,
+    one shuffle: all five methods computed per group, the catalog
+    method selected per-metric with a CASE."""
+    deduped = cp.compact(
+        tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + 7 * DAY), 60
+    )
+    per_bucket = deduped.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).cast("long").alias("ts")
+    ).agg(
+        agg.agg_expr("average").alias("_avg"),
+        agg.agg_expr("sum").alias("_sum"),
+        agg.agg_expr("last").alias("_last"),
+        agg.agg_expr("max").alias("_max"),
+        agg.agg_expr("min").alias("_min"),
+    )
+    expr = None
+    col_of = {
+        "average": "_avg", "sum": "_sum", "last": "_last",
+        "max": "_max", "min": "_min",
+    }
+    for metric, method in sorted(METHOD_BY_METRIC.items()):
+        branch = F.when(F.col("metric") == metric, F.col(col_of[method]))
+        expr = branch if expr is None else expr.when(
+            F.col("metric") == metric, F.col(col_of[method])
+        )
+    return per_bucket.select("metric", "ts", expr.alias("value"))
+
+
 # ------------------------------------------------- LLM-pipeline ops
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +318,21 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= 0.30)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def _q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (rows-only): deterministic Lloyd's coarse
+    quantizer, nprobe-list probe, exact re-rank. Full-probe == brute
+    is asserted in pytest."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    # iters=1 here: each Lloyd pass is 2 driver-synchronized actions
+    # and the bench re-trains per invocation; convergence-quality
+    # invariants (determinism, full-probe == brute) are pytest's job
+    centroids = ivf.train_centroids(emb, k=8, iters=1)
+    idx = ivf.build_index(emb, centroids)
+    return ivf.search(
+        idx, emb.filter(F.col("vec_id") < 5), centroids, k=10, nprobe=4
     )
 
 
@@ -427,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_methods": _q_agg_methods,
         "aggregate_series": _q_aggregate_series,
         "merge_series": _q_merge,
+        "fetch_per_node_method": _q_fetch_per_node_method,
         "rollup_xff": _q_rollup_xff,
         "multi_resolution": _q_multi_resolution,
         "has_data_for_interval": _q_has_data,
@@ -443,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_lsh": _q_topk_cosine_lsh,
+        "topk_cosine_ivf": _q_topk_cosine_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
@@ -532,6 +592,31 @@ b AS (
 )
 SELECT a.ts, coalesce(a.value, b.value) AS value
 FROM a LEFT JOIN b USING (ts)
+""",
+        "fetch_per_node_method": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points
+  WHERE value IS NOT NULL AND ts >= {T0} AND ts < {T0 + 7 * DAY}
+  GROUP BY 1, 2
+),
+per_bucket AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         {DEC_AVG} AS _avg, {DEC_SUM} AS _sum,
+         arg_max(value, ts) AS _last,
+         max(value) AS _max, min(value) AS _min
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts,
+  CASE metric
+    WHEN 'click' THEN _avg
+    WHEN 'error' THEN _sum
+    WHEN 'purchase' THEN _last
+    WHEN 'signup' THEN _max
+    WHEN 'view' THEN _min
+  END AS value
+FROM per_bucket
 """,
         "rollup_xff": f"""
 WITH {POINTS_CTE},

@@ -69,6 +69,22 @@ def stream_store(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] = ("metric", "ts"),
+    lateness: str = "1 hour",
+    ts_col: str = "event_time",
+):
+    """Streaming exact dedup (§2.2): drop duplicate (metric, ts)
+    arrivals within the watermark window —
+    ``dropDuplicatesWithinWatermark`` keeps state only for
+    ``lateness``, so the dedup is exactly bounded. Storage-path LWW
+    still resolves anything later than the watermark."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_rollup_stream(
     stream: DataFrame,
     window_seconds: int,

@@ -78,6 +78,26 @@ def test_stream_store_events_equals_batch(spark, tmp_path):
     assert len(diffs) / len(batch) < 0.02, f"{len(diffs)}/{len(batch)} diverged"
 
 
+def test_dedup_stream_drops_watermark_window_dupes(spark, tmp_path):
+    src = str(tmp_path / "dsrc")
+    rows = [("m", 60, 1.0), ("m", 60, 1.0), ("m", 120, 2.0), ("m", 60, 9.0)]
+    spark.createDataFrame(rows, "metric string, ts long, value double") \
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts"))) \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double, event_time timestamp"
+    ).parquet(src)
+    out = ing.dedup_stream(stream)
+    q = out.writeStream.format("memory").queryName("dd").outputMode(
+        "append"
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ddck")
+    ).start()
+    q.awaitTermination(120)
+    got = spark.sql("select metric, ts from dd").collect()
+    assert sorted((r["metric"], r["ts"]) for r in got) == [("m", 60), ("m", 120)]
+
+
 def test_windowed_rollup_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     # watermark after the data batch = 570s - 60s = 510s > 300s, so the
