@@ -360,6 +360,33 @@ def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.props_extract_agg(tbl.load(spark, "events", sf_dir))
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 composite: the LLM training-data pipeline as ONE
+    declarative plan — quality gate → exact dedup (fingerprint,
+    keep lowest doc_id) → per-language corpus stats. Catalyst fuses
+    the whole thing; the only shuffles are the dedup groupBy and the
+    final stats groupBy."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    enriched = text.enrich(docs)  # one scan, zero joins
+    gated = enriched.filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20)
+    )
+    kept = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),  # deterministic pick among dups
+        F.min("quality").alias("quality"),  # same text → same quality
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(30,10)")).cast("string")
+            .cast("double") / F.count("quality")
+        ).alias("avg_quality"),
+    )
+
+
 # ------------------------------------------------- relational pack
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "corpus_pipeline": _q_corpus_pipeline,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -737,6 +765,33 @@ SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS content_key,
        count(*) AS n_copies
 FROM documents
 GROUP BY 1
+""",
+        "corpus_pipeline": """
+WITH q AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(string_split(lower(text), ' ')) AS n,
+         len(list_distinct(string_split(lower(text), ' '))) AS nd,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> length(x) >= 4)) AS nl,
+         md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, fingerprint, n AS n_tokens,
+         (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END
+          * (nd / n + nl / n)) / 2.0 AS quality
+  FROM q
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 20
+), kept AS (
+  SELECT fingerprint, min(doc_id) AS doc_id, min(lang) AS lang,
+         min(quality) AS quality, min(n_tokens) AS n_tokens
+  FROM gated GROUP BY fingerprint
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(quality AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) / COUNT(quality) AS avg_quality
+FROM kept GROUP BY lang
 """,
         "jaccard_pairs": """
 WITH d AS (

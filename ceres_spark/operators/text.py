@@ -87,6 +87,27 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out
 
 
+def enrich(docs: DataFrame) -> DataFrame:
+    """All per-document derived columns in ONE projection (single
+    scan, zero joins): quality, fingerprint, token count. The
+    composition primitive for pipeline queries — deriving each via
+    its own DataFrame and self-joining would scan the corpus once per
+    feature."""
+    t = tokens()
+    n = F.size(t)
+    distinct_ratio = F.size(F.array_distinct(t)) / n
+    long_ratio = F.size(F.filter(t, lambda x: F.length(x) >= 4)) / n
+    gate = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        (gate * (distinct_ratio + long_ratio) / F.lit(2.0)).alias("quality"),
+        F.md5(norm).alias("fingerprint"),
+        n.alias("n_tokens"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text. (The reference-free analogue of a rolling hash: stable,
