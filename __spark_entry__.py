@@ -488,6 +488,14 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q10_returned_items(spark, sf_dir)
 
 
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customers_without_orders(spark, sf_dir)
+
+
+def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.running_order_totals(spark, sf_dir)
+
+
 def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.grouping_sets_orders(spark, sf_dir)
 
@@ -547,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
+        "anti_join": _q_anti_join,
+        "running_totals": _q_running_totals,
         "rank_window": _q_rank_window,
         "top_parts": _q_top_parts,
     }
@@ -1018,6 +1028,24 @@ FROM orders
 GROUP BY GROUPING SETS (
     (o_orderstatus, o_orderpriority), (o_orderstatus), ()
 )
+""",
+        "anti_join": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+)
+""",
+        "running_totals": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS running_total
+FROM orders
 """,
         "rank_window": """
 SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

@@ -201,6 +201,44 @@ def rank_orders_per_customer(
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order in 1998 Q1 (every
+    fixture customer has SOME order, so the unfiltered variant is
+    vacuous). The date filter is pushed into the build side before
+    the anti hash."""
+    cust = tbl.load(spark, "customer", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame: running order-value total per customer
+    in order-key order. Decimal accumulation in the frame keeps the
+    running values order-independent across partitions; o_orderkey is
+    unique so the frame ordering is total."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        running.alias("running_total"),
+    )
+
+
 def top_parts_by_size(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """Global top-k with tie-safe ordering — Spark turns
     orderBy+limit into TakeOrderedAndProject (no full sort at scale)."""

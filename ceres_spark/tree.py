@@ -150,11 +150,20 @@ class CeresTree:
         return self.spark.read.parquet(path)
 
     def _next_arrival_seq(self, step: int) -> int:
-        existing = self.points(step)
-        row = existing.agg(F.max("arrival_seq").alias("m")).collect()[0]
-        return (row["m"] or 0) + 1
-        # NOTE at scale: replace this scan with a commit counter from a
-        # transaction log / streaming batchId — see streaming/ingest.py
+        """Monotone write-order stamp from a tree-local counter file —
+        O(1), no table scan. (The streaming path uses batchId instead;
+        a multi-writer cluster deployment would use its coordination
+        service or accept per-writer (writer_id, local_seq) pairs —
+        LWW only needs a total order, not density.)"""
+        seq_file = os.path.join(self.root, TREE_MARKER, f"seq_{int(step)}")
+        last = 0
+        if os.path.exists(seq_file):
+            with open(seq_file) as f:
+                last = int(f.read().strip() or 0)
+        nxt = last + 1
+        with open(seq_file, "w") as f:
+            f.write(str(nxt))
+        return nxt
 
     def store(self, node_path: str, datapoints: DataFrame) -> None:
         """Op #18 (CeresTree.store ≈L295) → node.write. ``datapoints``
