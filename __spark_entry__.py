@@ -488,6 +488,10 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q10_returned_items(spark, sf_dir)
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.pivot_status_by_priority(spark, sf_dir)
+
+
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.customers_without_orders(spark, sf_dir)
 
@@ -555,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
+        "pivot_status": _q_pivot,
         "anti_join": _q_anti_join,
         "running_totals": _q_running_totals,
         "rank_window": _q_rank_window,
@@ -1028,6 +1033,15 @@ FROM orders
 GROUP BY GROUPING SETS (
     (o_orderstatus, o_orderpriority), (o_orderstatus), ()
 )
+""",
+        "pivot_status": """
+SELECT o_orderstatus,
+  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY 1
 """,
         "anti_join": """
 SELECT c_custkey, c_name, c_mktsegment

@@ -201,6 +201,27 @@ def rank_orders_per_customer(
     )
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status rows × priority columns. Spark's
+    pivot with an explicit value list stays a single pass (no distinct
+    scan for the pivot domain)."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    # stable oracle-friendly column names
+    renames = {
+        "1-URGENT": "n_urgent", "2-HIGH": "n_high", "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec", "5-LOW": "n_low",
+    }
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join: customers with no order in 1998 Q1 (every
     fixture customer has SOME order, so the unfiltered variant is

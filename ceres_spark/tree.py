@@ -175,6 +175,36 @@ class CeresTree:
         timeStep using its aggregationMethod for bucket reconciliation."""
         return self.get_node(node_path).read(from_time, until_time)
 
+    def slices(self) -> DataFrame:
+        """Op #15 (CeresNode.readSlices ≈L465): the storage inventory,
+        as data — one row per (resolution, date partition) with file
+        and row counts, newest first (the reference's descending slice
+        ordering). What slicecheck/defrag tooling consumes."""
+        rows = []
+        for step in self.resolutions():
+            base = self.points_path(step)
+            for d in sorted(os.listdir(base)):
+                if not d.startswith("date="):
+                    continue
+                pdir = os.path.join(base, d)
+                files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                rows.append((step, d.split("=", 1)[1], len(files)))
+        df = self.spark.createDataFrame(
+            rows or [], "step int, date string, n_files int"
+        )
+        counts = None
+        for step in self.resolutions():
+            c = self.points(step).groupBy(
+                F.lit(step).alias("step"),
+                F.col("date").cast("string").alias("date"),
+            ).agg(F.count("*").alias("n_rows"))
+            counts = c if counts is None else counts.unionByName(c)
+        if counts is None:
+            return df.withColumn("n_rows", F.lit(0).cast("long"))
+        return df.join(counts, ["step", "date"], "left").orderBy(
+            F.desc("date"), F.asc("step")
+        )
+
     def resolutions(self) -> list[int]:
         """Steps with materialized points tables (sorted fine→coarse)."""
         base = os.path.join(self.root, "points")

@@ -62,3 +62,15 @@ def test_lifecycle_fetch_before_any_rollup(spark, tmp_path):
     tree.store("m", spark.createDataFrame([(60, 1.0)], "ts long, value double"))
     out = {r["ts"]: r["value"] for r in tree.read_multi("m", 0, 180).collect()}
     assert out == {0: None, 60: 1.0, 120: None}
+
+
+def test_slices_inventory(spark, tmp_path):
+    # op #15: inventory rows per (resolution, date), newest date first
+    tree = CeresTree.create_tree(spark, str(tmp_path))
+    tree.create_node("m", timeStep=60)
+    tree.store("m", spark.createDataFrame(
+        [(60, 1.0), (DAY + 60, 2.0)], "ts long, value double"))
+    inv = tree.slices().collect()
+    assert [(r["step"], r["date"]) for r in inv] == [
+        (60, "1970-01-02"), (60, "1970-01-01")]
+    assert all(r["n_files"] >= 1 and r["n_rows"] == 1 for r in inv)
