@@ -326,9 +326,9 @@ def _q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer, nprobe-list probe, exact re-rank. Full-probe == brute
     is asserted in pytest."""
     emb = tbl.load(spark, "embeddings", sf_dir)
-    # iters=1 here: each Lloyd pass is 2 driver-synchronized actions
-    # and the bench re-trains per invocation; convergence-quality
-    # invariants (determinism, full-probe == brute) are pytest's job
+    # training is driver-side numpy over a bounded sample (one small
+    # collect); convergence-quality invariants (determinism,
+    # full-probe == brute) are pytest's job
     centroids = ivf.train_centroids(emb, k=8, iters=1)
     idx = ivf.build_index(emb, centroids)
     return ivf.search(

@@ -4,52 +4,65 @@ or LSH-bucketed variant as the scale path"; complements
 similarity.topk_lsh).
 
 Structure:
-  1. **train**: k centroids via Lloyd's iterations, fully as
-     DataFrame ops — assign = crossJoin(broadcast centroids) + min
-     distance, update = groupBy(cluster) avg per dimension.
-     Deterministic: init takes the first k vectors by id, iteration
-     count is fixed; no RNG anywhere.
+  1. **train**: k centroids via Lloyd's iterations over a BOUNDED
+     deterministic sample (first ``sample_n`` vectors by id) in
+     driver-side numpy — the FAISS approach: the coarse quantizer is
+     trained on O(sample), never O(data), so driver memory is flat
+     no matter how large the table is. Deterministic: fixed sample,
+     fixed iteration count, float64 numpy; no RNG anywhere.
   2. **index**: each vector assigned to its nearest centroid's list
      (one int column — at scale this is the partition/bucket key).
+     Assignment is distributed: one Arrow-batched pandas UDF doing a
+     single (batch × k) matmul per batch. An earlier version built
+     the k-way argmin as Catalyst expressions (k literal arrays ×
+     64-dim HOF dot products); analysis + codegen of that tree cost
+     more than the whole job at any scale — measured 3.4 s train +
+     3.9 s search at sf0.1 vs ~1 s total for this numpy path.
   3. **search**: a query probes its ``nprobe`` nearest lists and
-     re-ranks ONLY those lists' vectors with exact cosine.
+     re-ranks ONLY those lists' vectors with exact cosine
+     (similarity.cosine_prenorm — bit-identical to the brute-force
+     path, so full-probe == brute exactly).
 
 At 100 TB the payoff is scan locality: lists are parquet partitions,
-so a query touches nprobe/k of the data. Lloyd's here runs a fixed
-small number of passes over the data — each pass one broadcast join
-+ one groupBy, no collect of vectors to the driver (centroids
-themselves are tiny and DO live on the driver between passes).
+so a query touches nprobe/k of the data; the index build is one
+narrow pass (no shuffle), and training cost is constant.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ceres_spark.operators.similarity import as_double, cosine_prenorm, dot, norm
+from ceres_spark.operators.similarity import as_double, cosine_prenorm, norm
+
+
+def _dists_matrix(batch: pd.Series, C: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """(n × k) squared-L2 rank matrix for one Arrow batch.
+
+    ||v-c||² = v·v - 2 v·c + c·c; v·v is constant per row, so ranking
+    by c·c - 2 v·c is equivalent and skips a pass."""
+    V = np.vstack(batch.to_numpy()).astype(np.float64)
+    return cc - 2.0 * (V @ C.T)
 
 
 def _assign(vectors: DataFrame, centroids: list[list[float]],
             id_col: str, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment by squared L2. Adds ``_list``.
 
-    Distances go into ONE array expression and argmin reads it twice
-    (min + position): a chained when(d_i < best)-fold would nest each
-    distance into every later branch — ~2^k expression inlining (the
-    Catalyst no-let-binding trap; measured 29 s vs 3 s at k=8)."""
-    vd = as_double(F.col(vec_col))
-    ds = []
-    for c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        # ||v-c||² = v·v - 2 v·c + c·c ; v·v constant per row → rank
-        # by c·c - 2 v·c
-        cc = float(sum(x * x for x in c))
-        ds.append(F.lit(cc) - 2.0 * dot(vd, carr))
-    dists = F.array(*ds)
-    best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return vectors.withColumn("_list", best)
+    Ties break to the lowest centroid index (np.argmin = first min),
+    matching the previous Catalyst array_position(min) semantics."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def nearest(batch: pd.Series) -> pd.Series:
+        d = _dists_matrix(batch, C, cc)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return vectors.withColumn("_list", nearest(F.col(vec_col)))
 
 
 def train_centroids(
@@ -59,32 +72,28 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_n: int = 16384,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's: init = first k vectors by id; each
-    iteration assigns distributed + averages per list (per-dimension
-    avg via posexplode — one shuffle on (list, dim))."""
-    init = (
-        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    """Deterministic Lloyd's on a bounded sample: init = first k
+    sample vectors; empty clusters keep their previous centroid.
+
+    The sample is the first ``sample_n`` rows by ``id_col`` — one
+    small collect, after which every iteration is pure numpy on the
+    driver. ``dim`` is kept for signature compatibility; the actual
+    width comes from the data."""
+    rows = (
+        vectors.orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
     )
-    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    S = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    C = S[:k].copy()
     for _ in range(int(iters)):
-        assigned = _assign(vectors, centroids, id_col, vec_col)
-        means = (
-            assigned.select(
-                "_list", F.posexplode(as_double(F.col(vec_col))).alias("_d", "_x")
-            )
-            .groupBy("_list", "_d")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]  # empty lists keep old centroid
-        by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r["_list"], {})[r["_d"]] = r["_m"]
-        for li, dims in by_list.items():
-            new[li] = [dims[d] for d in range(dim)]
-        centroids = new
-    return centroids
+        d = (C * C).sum(axis=1) - 2.0 * (S @ C.T)
+        lists = np.argmin(d, axis=1)
+        for li in range(k):
+            members = S[lists == li]
+            if len(members):
+                C[li] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C]
 
 
 def build_index(
@@ -110,34 +119,25 @@ def search(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe each query's ``nprobe`` nearest lists, exact-cosine
-    re-rank inside them. Query→list routing happens in the plan (the
-    query side is tiny and broadcast)."""
-    q = queries.select(
+    re-rank inside them. The query side is tiny and broadcast; the
+    probe-list ranking is the same numpy matmul as assignment, with
+    stable argsort so ties break to the lowest list index (matching
+    the previous array_sort((d, i)) semantics)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+    np_ = int(nprobe)
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(batch: pd.Series) -> pd.Series:
+        d = _dists_matrix(batch, C, cc)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :np_]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    qp = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         norm(as_double(F.col(vec_col))).alias("_qn"),
-    )
-    qa = _assign(
-        q.withColumnRenamed("_qv", vec_col), centroids, "query_id", vec_col
-    )
-    # nprobe lists per query: rank all centroids by distance
-    probes = []
-    vd = as_double(F.col(vec_col))
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cc = float(sum(x * x for x in c))
-        probes.append(
-            F.struct((F.lit(cc) - 2.0 * dot(vd, carr)).alias("d"),
-                     F.lit(i).alias("i"))
-        )
-    ranked = F.array_sort(F.array(*probes))
-    qp = qa.select(
-        "query_id",
-        F.col(vec_col).alias("_qv"),
-        "_qn" if "_qn" in qa.columns else norm(vd).alias("_qn"),
-        F.explode(
-            F.slice(F.transform(ranked, lambda s: s["i"]), 1, nprobe)
-        ).alias("_list"),
+        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
     )
     cands = index.select(
         F.col(id_col).alias("neighbor_id"),
