@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 import ceres_spark.catalog as cat
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.series as ser
+import ceres_spark.sources.txn_log as txn
 from ceres_spark.errors import CorruptNode, NodeNotFound
 
 TREE_MARKER = ".ceres-tree"
@@ -57,6 +58,7 @@ class CeresTree:
             raise ValueError(f"{root} is not a ceres tree")
         self.spark = spark
         self.root = root
+        self._log: txn.TransactionLog | None = None
 
     # -- creation (ops #1-2) -------------------------------------------
 
@@ -149,21 +151,32 @@ class CeresTree:
             )
         return self.spark.read.parquet(path)
 
-    def _next_arrival_seq(self, step: int) -> int:
-        """Monotone write-order stamp from a tree-local counter file —
-        O(1), no table scan. (The streaming path uses batchId instead;
-        a multi-writer cluster deployment would use its coordination
-        service or accept per-writer (writer_id, local_seq) pairs —
-        LWW only needs a total order, not density.)"""
-        seq_file = os.path.join(self.root, TREE_MARKER, f"seq_{int(step)}")
-        last = 0
-        if os.path.exists(seq_file):
-            with open(seq_file) as f:
-                last = int(f.read().strip() or 0)
-        nxt = last + 1
-        with open(seq_file, "w") as f:
-            f.write(str(nxt))
-        return nxt
+    def log(self) -> txn.TransactionLog:
+        """The tree's transaction log (created on first use). Legacy
+        counter files seed the floor so arrival_seq stays monotone
+        for trees written before the log existed."""
+        if self._log is None:
+            marker = os.path.join(self.root, TREE_MARKER)
+            floor = 0
+            if os.path.isdir(marker):
+                for name in os.listdir(marker):
+                    if name.startswith("seq_"):
+                        with open(os.path.join(marker, name)) as f:
+                            floor = max(floor, int(f.read().strip() or 0))
+            self._log = txn.TransactionLog(self.root, floor=floor)
+        return self._log
+
+    def _next_arrival_seq(self, step: int, **meta) -> int:
+        """Monotone write-order stamp = a transaction-log commit —
+        multi-writer safe (atomic put-if-absent claims the version;
+        losers retry), O(1), no table scan. (The streaming path uses
+        batchId instead — one sequencer per table, never both.)"""
+        return self.log().commit(step=int(step), **meta)
+
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame, newest first (the Delta
+        DESCRIBE HISTORY analogue)."""
+        return self.log().history(self.spark)
 
     def store(self, node_path: str, datapoints: DataFrame) -> None:
         """Op #18 (CeresTree.store ≈L295) → node.write. ``datapoints``
@@ -332,7 +345,9 @@ class CeresNode:
         in-place overwrite (CeresSlice.write ≈L790). Arbitrary
         lateness is accepted, exactly like the reference."""
         step = self.time_step
-        seq = self.tree._next_arrival_seq(step)
+        seq = self.tree._next_arrival_seq(
+            step, action="write", metric=self.node_path
+        )
         batch = (
             cp.compact(
                 datapoints.select(
@@ -354,14 +369,22 @@ class CeresNode:
 
     # -- read (op #10) ---------------------------------------------------
 
-    def read(self, from_time: int, until_time: int) -> DataFrame:
+    def read(
+        self, from_time: int, until_time: int, as_of: int | None = None
+    ) -> DataFrame:
         """Dense fetch at the node's own timeStep/aggregationMethod.
-        Cross-batch LWW dedup happens here (max_by arrival_seq)."""
+        Cross-batch LWW dedup happens here (max_by arrival_seq).
+
+        ``as_of``: time travel — see the table exactly as of that
+        transaction-log version (arrival_seq <= as_of, since the
+        commit version IS the batch's arrival_seq)."""
         step = self.time_step
         # metric filter BEFORE dedup so it reaches the parquet scan;
         # the ts-range filter inside read_series is on a group key and
         # Catalyst pushes it through the dedup aggregate too
         mine = self.tree.points(step).filter(F.col("metric") == self.node_path)
+        if as_of is not None:
+            mine = mine.filter(F.col("arrival_seq") <= int(as_of))
         pts = cp.lww_dedup(mine)
         metrics = self.tree.spark.createDataFrame(
             [(self.node_path,)], "metric string"
