@@ -25,6 +25,7 @@ import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.ivf as ivf
+import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
 import ceres_spark.operators.resolution as res
 import ceres_spark.operators.retention as ret
@@ -355,6 +356,31 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: documents →
+    binary asset table (payload + typed metadata) → mapInPandas
+    decode/feature pass → per-asset metadata. The float feature
+    vector is exercised in pytest; the oracle checks the Arrow
+    round-trip via byte count + sha256 content hash."""
+    assets = mm.assets_from_documents(tbl.load(spark, "documents", sf_dir))
+    return mm.extract_features(assets).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.col("content_sha256").alias("content_hash"),
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: sample timestamps exploded from
+    metadata only — no byte decode in the plan (decode happens late,
+    after the frame list is pruned)."""
+    assets = mm.assets_from_documents(tbl.load(spark, "documents", sf_dir))
+    return mm.frame_sample(assets, every_ms=1000).select(
+        "asset_id", F.col("sample_ms").cast("long").alias("sample_ms")
+    )
+
+
 def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: JSON props extraction + aggregation per event_type."""
     return win.props_extract_agg(tbl.load(spark, "events", sf_dir))
@@ -547,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
         # relational pack (SURVEY.md §2.2)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -899,6 +927,20 @@ WITH e AS (
 SELECT metric, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY metric
+""",
+        "multimodal_features": """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents
+""",
+        "multimodal_frames": """
+SELECT doc_id AS asset_id,
+       unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000))
+           AS sample_ms
+FROM documents WHERE doc_id % 3 = 2
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -56,6 +56,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("content_sha1", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -111,6 +112,9 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     ).astype("int32"),
                     "content_sha1": payloads.map(
                         lambda b: hashlib.sha1(b or b"").hexdigest()
+                    ),
+                    "content_sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "features": payloads.map(_stub_features),
                 }
