@@ -356,6 +356,13 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting (north-star text
+    analysis). The regex is lookahead-free so Java and RE2 engines
+    count identical matches — oracle-exact by construction."""
+    return text.token_counts(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end to end: documents →
     binary asset table (payload + typed metadata) → mapInPandas
@@ -573,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
+        "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         # relational pack (SURVEY.md §2.2)
@@ -927,6 +935,14 @@ WITH e AS (
 SELECT metric, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY metric
+""",
+        "token_counts": """
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+           AS INT) AS n_bpe_tokens
+FROM documents
 """,
         "multimodal_features": """
 SELECT doc_id AS asset_id,

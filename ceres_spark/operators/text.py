@@ -46,6 +46,29 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer regex (contraction suffixes, letter runs,
+#: digit runs, punctuation runs, whitespace). Deliberately NO
+#: lookahead — Java regex (Spark) and RE2 (DuckDB/Go) then count the
+#: same non-overlapping matches, so the count is engine-portable.
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting both ways the north star asks for: whitespace
+    words and a BPE-ish pre-tokenizer match count (the cheap
+    LLM-cost/length estimator — counts subword UNITS, not bytes,
+    without shipping a tokenizer model to executors)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_PATTERN)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame, min_tokens: int = 20) -> DataFrame:
     """Heuristic quality scoring: length gate + lexical diversity +
     long-token share. One deterministic double per doc in [0, 1]."""
