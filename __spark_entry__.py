@@ -30,6 +30,7 @@ import ceres_spark.operators.relational as rel
 import ceres_spark.operators.resolution as res
 import ceres_spark.operators.retention as ret
 import ceres_spark.operators.series as ser
+import ceres_spark.operators.sketches as sk
 import ceres_spark.operators.similarity as sim
 import ceres_spark.operators.text as text
 import ceres_spark.operators.windows as win
@@ -356,6 +357,28 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
 
 
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct users per event_type, computed the way
+    a warehouse would: per-day sketches unioned per type (rows-only:
+    DuckDB's approx sketch differs by construction; accuracy vs exact
+    and merge-exactness are pytest's job — tests/test_sketches.py)."""
+    ev = tbl.load(spark, "events", sf_dir)
+    return sk.approx_distinct_reagg(
+        ev, "event_type", "user_id",
+        F.to_date(F.timestamp_seconds(F.col("ts") / 1_000_000_000)),
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing any 3-gram
+    with the (deterministically chosen) eval slice. Eval gram set is
+    broadcast; the corpus side never shuffles its grams."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.contamination(rest, ev, shingle_k=3)
+
+
 def _q_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first_value/ntile in one windowed pass (see
     relational.order_value_analytics for the scale caveat on the
@@ -587,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
+        "contamination": _q_contamination,
+        "approx_distinct_users": _q_approx_distinct,
         "order_analytics": _q_order_analytics,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
@@ -943,6 +968,23 @@ WITH e AS (
 SELECT metric, COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY metric
+""",
+        "contamination": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 3
+           THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tok
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+src AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, COUNT(DISTINCT src.gram) AS n_contaminated_grams
+FROM src JOIN ev USING (gram) GROUP BY doc_id
 """,
         "order_analytics": """
 SELECT o_custkey, o_orderkey, o_totalprice,

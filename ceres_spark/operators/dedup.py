@@ -111,6 +111,31 @@ def jaccard_pairs(
     )
 
 
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus docs contain any
+    k-gram that also appears in the eval set — the standard
+    train/test decontamination pass of an LLM data pipeline.
+
+    Scale shape: the eval set is tiny next to the corpus, so its
+    distinct gram set is BROADCAST — the corpus side streams through
+    a map-side hash join with no shuffle of the 100 TB side; the only
+    shuffle is the per-doc count aggregate (map-side combinable)."""
+    g = shingles(shingle_k)
+    ev = (
+        eval_docs.select(F.explode(g).alias("gram")).distinct()
+    )
+    d = docs.select("doc_id", F.explode(g).alias("gram"))
+    return (
+        d.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
+
+
 # ---------------------------------------------------------- minhash
 
 def minhash_signature(
