@@ -575,6 +575,30 @@ def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.top_parts_by_size(spark, sf_dir)
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q4_order_priority(spark, sf_dir)
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q14_promo_revenue(spark, sf_dir)
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q18_large_volume_customers(spark, sf_dir)
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q19_disjunctive_revenue(spark, sf_dir)
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q22_idle_rich_customers(spark, sf_dir)
+
+
+def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.except_custkeys(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -633,6 +657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": _q_running_totals,
         "rank_window": _q_rank_window,
         "top_parts": _q_top_parts,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "except_custkeys": _q_except,
     }
 
 
@@ -1194,5 +1224,83 @@ SELECT p_partkey, p_name, p_retailprice, p_size
 FROM part
 ORDER BY p_retailprice DESC, p_partkey
 LIMIT 25
+""",
+        "tpch_q4": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 120 DAY
+  )
+GROUP BY o_orderpriority
+""",
+        "tpch_q14": """
+SELECT 100.0
+  * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR)
+             AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 200.0
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "tpch_q19": """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+        "tpch_q22": """
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS VARCHAR)
+             AS DOUBLE) / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+""",
+        "except_custkeys": """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
 """,
     }

@@ -1,0 +1,117 @@
+"""Corpus-construction operators for LLM training-data pipelines
+(north-star §2.2 — not in the ceres reference, which has no text or
+relational surface at all; SURVEY.md §2 "operators ceres does NOT
+have").
+
+Three pipeline stages every large-scale training-data build needs:
+
+- ``stratified_split``: deterministic content-hash train/val/test
+  assignment. Hashing the *normalized content* (not the doc_id) means
+  the assignment survives re-crawls, re-sharding, and id reassignment,
+  and exact duplicates always land in the same split — no eval
+  leakage from dup pairs straddling the boundary.
+- ``vocab_top_n``: corpus vocabulary with occurrence + document
+  frequencies (the input to tokenizer training).
+- ``tfidf_top_terms``: per-document characteristic terms. The score
+  is ``tf * N / df`` in exact BIGINT ppm arithmetic rather than a
+  float ``log`` idf — order-independent, partitioning-independent,
+  and bit-identical on any engine (a float log would be libm- and
+  summation-order-dependent; see docs on oracle determinism).
+
+Scale notes (100 TB): the split is a pure per-row map — no shuffle.
+vocab/tf-idf shuffle on token resp. (doc_id, token); both benefit
+from partial aggregation (map-side combine) so the exchange carries
+one row per distinct key per task, not one per occurrence. The df
+side of the tf-idf join is a vocabulary — small relative to the
+corpus — and is broadcast, so the tf table shuffles only once for the
+final per-document window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ceres_spark.operators.text import tokens
+
+#: hex-first-char boundaries: 0-b = 12/16 = 75% train, c-d = 12.5%
+#: val, e-f = 12.5% test. md5 is uniform on the first nibble.
+_TRAIN_MAX = "b"
+_VAL_MAX = "d"
+
+
+def content_bucket(col: str = "text") -> F.Column:
+    """First hex nibble of md5 over space-normalized lowercase text —
+    the same normalization as text.fingerprint, so exact dups share a
+    bucket by construction."""
+    normalized = F.regexp_replace(F.lower(F.col(col)), " +", " ")
+    return F.substring(F.md5(normalized), 1, 1)
+
+
+def stratified_split(docs: DataFrame) -> DataFrame:
+    """Assign each document to train/val/test by content hash.
+
+    Deterministic, idempotent, and stable under re-ingestion; the
+    per-language stratification is inherent (the hash is independent
+    of ``lang``, so each language subdivides ~75/12.5/12.5 too).
+    """
+    b = content_bucket()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(b <= _TRAIN_MAX, F.lit("train"))
+        .when(b <= _VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def vocab_top_n(docs: DataFrame, n: int = 100) -> DataFrame:
+    """Top-``n`` corpus vocabulary by occurrence count (ties broken
+    by token text — fully deterministic).
+
+    The explode is map-side; partial aggregation collapses each
+    task's occurrences before the single token-keyed shuffle. The
+    final global top-n sorts only the distinct vocabulary (bounded,
+    tiny next to the corpus).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), "token").limit(n)
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by exact-integer
+    tf-idf: ``score_ppm = (tf * 1_000_000 * N) div df``.
+
+    Plan: one (doc_id, token) aggregation for tf; df + N derived from
+    it (vocab-sized, broadcast back); per-document window for the
+    top-k. The fact-sized tf table is shuffled once for tf and once
+    for the doc_id window — the df join adds no exchange.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_ppm", F.expr("tf * 1000000L * n_docs div df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
+    )

@@ -300,3 +300,138 @@ def top_parts_by_size(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFram
         .limit(k)
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (fixture has no l_commitdate/l_receiptdate):
+    orders placed in 1997H1 with at least one line shipped more than
+    120 days after the order date, counted per priority. The EXISTS
+    becomes a LEFT SEMI join: the fact side shuffles once on
+    l_orderkey; the non-equi lateness predicate rides on the same
+    join, so no second pass over lineitem."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    li = tbl.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    sem = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 120 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for September 1997. part is a
+    dimension -> broadcast; lineitem never shuffles (the aggregate is
+    global, map-side partials only)."""
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = tbl.load(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        (
+            F.lit(100.0)
+            * _dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / _dec_sum(rev)
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, threshold: float = 200.0
+) -> DataFrame:
+    """TPC-H Q18: customers with orders whose total quantity exceeds
+    `threshold` (fixture p90 is 180). The HAVING subquery is one
+    groupBy on the fact's natural key (l_orderkey), then the
+    surviving handful of orderkeys joins orders and broadcast
+    customer — the second join is tiny by construction."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir)
+    customer = tbl.load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        "total_qty",
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no p_container): revenue from three
+    brand/size/quantity bands OR-ed together. One broadcast hash join
+    on p_partkey carries all three disjuncts; Catalyst keeps the
+    common equi-key and evaluates the residual OR as a post-join
+    filter — no union-of-three-scans."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    part = tbl.load(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    j = j.filter(
+        arm("Brand#12", 15, 1, 21) | arm("Brand#23", 20, 10, 30) | arm("Brand#34", 30, 20, 50)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        _dec_sum(rev).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone): customers with above-average
+    positive balance and no 1998+ orders, totalled per market
+    segment. The scalar AVG subquery is a 1-row broadcast; the NOT
+    EXISTS is a LEFT ANTI join against the date-pruned orders scan."""
+    customer = tbl.load(spark, "customer", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir)
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        _dec_avg(F.col("c_acctbal")).alias("_avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, customer["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers who ordered in 1997 but not in 1998
+    (EXCEPT distinct semantics, the dual of intersect_custkeys)."""
+    orders = tbl.load(spark, "orders", sf_dir)
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y98 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y97.subtract(y98)  # EXCEPT (distinct) semantics
