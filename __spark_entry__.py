@@ -23,6 +23,7 @@ import ceres_spark.operators.aggregate as agg
 import ceres_spark.operators.asof as asof
 import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
+import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.multimodal as mm
@@ -599,6 +600,26 @@ def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.except_custkeys(spark, sf_dir)
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 training-pipeline: deterministic content-hash
+    train/val/test split (75/12.5/12.5). Content-keyed so exact dups
+    never straddle the eval boundary."""
+    return corp.stratified_split(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_vocab_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 training-pipeline: top-100 vocabulary with occurrence +
+    document frequencies (tokenizer-training input)."""
+    return corp.vocab_top_n(tbl.load(spark, "documents", sf_dir), n=100)
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 training-pipeline: per-doc characteristic terms via
+    exact-BIGINT tf-idf (tf*1e6*N div df) — no float log, so the
+    score is engine- and partitioning-independent."""
+    return corp.tfidf_top_terms(tbl.load(spark, "documents", sf_dir), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -663,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "except_custkeys": _q_except,
+        "stratified_split": _q_stratified_split,
+        "vocab_top_n": _q_vocab_top_n,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -1302,5 +1326,52 @@ EXCEPT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+        "stratified_split": """
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 1)
+             AS hc
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN hc <= 'b' THEN 'train'
+            WHEN hc <= 'd' THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+        "vocab_top_n": """
+SELECT token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+""",
+        "tfidf_top_terms": """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  )
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         (tf.tf * 1000000 * n.n_docs) // df.df AS score_ppm
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, score_ppm, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_ppm DESC, token
+  ) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
     }

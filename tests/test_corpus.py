@@ -1,0 +1,85 @@
+"""Corpus-construction pipeline ops (split / vocab / tf-idf) —
+invariants the SQL oracle doesn't pin: split determinism and
+dup-consistency, vocab ordering, tf-idf integer-score semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.corpus as corp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_assigns_every_doc_once(spark, docs):
+    out = corp.stratified_split(docs)
+    assert out.count() == docs.count()
+    assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+
+def test_split_is_deterministic_and_content_keyed(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in corp.stratified_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in corp.stratified_split(docs).collect()}
+    assert a == b
+    # exact duplicates land in the same split: duplicate a doc under a
+    # new id and check it follows its twin
+    twin = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = {
+        r["doc_id"]: r["split"]
+        for r in corp.stratified_split(docs.limit(5).union(twin)).collect()
+    }
+    for doc_id in list(out):
+        if doc_id >= 1_000_000:
+            assert out[doc_id] == out[doc_id - 1_000_000]
+
+
+def test_split_fractions_roughly_75_12_12(spark, docs):
+    counts = {
+        r["split"]: r["n"]
+        for r in corp.stratified_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    # md5 nibble is uniform; at n=100 allow wide tolerance
+    assert counts.get("train", 0) / total > 0.55
+    assert counts.get("val", 0) / total < 0.30
+    assert counts.get("test", 0) / total < 0.30
+
+
+def test_vocab_ordering_and_df_bound(spark, docs):
+    rows = corp.vocab_top_n(docs, n=20).collect()
+    occ = [r["n_occurrences"] for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    n_docs = docs.count()
+    for r in rows:
+        assert 1 <= r["n_docs"] <= min(n_docs, r["n_occurrences"])
+
+
+def test_tfidf_rare_term_beats_common_term(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha common"),
+            (2, "beta common common"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corp.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    # 'common' appears in every doc (df=3) so the df=1 terms win
+    assert top[1] == "alpha"
+    assert top[2] == "beta"
+    # doc 3 has only 'common'
+    assert top[3] == "common"
+    # exact integer score: tf=2, N=3, df=1 -> 2*1e6*3/1 = 6_000_000
+    alpha = [r for r in out if r["token"] == "alpha"][0]
+    assert alpha["score_ppm"] == 6_000_000
