@@ -580,6 +580,19 @@ def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.except_custkeys(spark, sf_dir)
 
 
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles per event_type (error ≤
+    bin width; merge-exact by construction, unlike t-digest). The
+    scale path for percentiles when the exact sort-based
+    `percentiles` query is too expensive."""
+    ev = tbl.load(spark, "events", sf_dir).select(
+        F.col("event_type").alias("metric"), "value"
+    )
+    return sk.histogram_quantiles(
+        ev, "metric", "value", qs=(0.5, 0.95), bin_width=1.0
+    )
+
+
 def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 training-pipeline: deterministic content-hash
     train/val/test split (75/12.5/12.5). Content-keyed so exact dups
@@ -664,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "except_custkeys": _q_except,
+        "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1306,6 +1320,26 @@ EXCEPT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+        "histogram_quantiles": """
+WITH e AS (SELECT event_type AS metric, value FROM events),
+hist AS (
+  SELECT metric, CAST(floor(value / 1.0) AS BIGINT) AS bin,
+         COUNT(*) AS bin_count
+  FROM e GROUP BY 1, 2
+),
+cum AS (
+  SELECT metric, bin, bin_count,
+         SUM(bin_count) OVER (PARTITION BY metric ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bin_count) OVER (PARTITION BY metric) AS n
+  FROM hist
+)
+SELECT metric,
+  (MIN(CASE WHEN cum * 1.0 >= 0.5 * n THEN bin END) + 1) * 1.0 AS p50_est,
+  (MIN(CASE WHEN cum * 1.0 >= 0.95 * n THEN bin END) + 1) * 1.0 AS p95_est,
+  MAX(n) AS n_points
+FROM cum GROUP BY metric
 """,
         "stratified_split": """
 WITH h AS (

@@ -19,6 +19,7 @@ tests/test_sketches.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 
@@ -53,4 +54,63 @@ def approx_distinct_reagg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
             "approx_distinct"
         )
+    )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch: (group, bin) → count.
+
+    The warehouse primitive behind approximate quantiles at 100 TB:
+    per-partition histograms merge by summing counts (associative,
+    exact), so partial aggregation does almost all the work map-side
+    and re-aggregation across days/tables costs no accuracy — the
+    same two-level shape as :func:`approx_distinct_reagg`."""
+    b = F.floor(F.col(value_col) / F.lit(float(bin_width))).alias("bin")
+    return df.groupBy(F.col(group_col), b).agg(
+        F.count("*").alias("bin_count")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Approximate quantiles from the histogram sketch with error
+    bounded by ``bin_width`` (the estimate is the chosen bin's upper
+    edge). All arithmetic is integer counts + one exact multiply —
+    deterministic and oracle-expressible, unlike t-digest/KLL whose
+    estimates depend on merge order.
+
+    Per group: cumulative bin counts (tiny window — one row per
+    OCCUPIED bin, not per point), then the first bin whose cumulative
+    count reaches ⌈q·n⌉ yields the estimate."""
+    hist = histogram_sketch(df, group_col, value_col, bin_width)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("bin_count").over(w)).withColumn(
+        "n", F.sum("bin_count").over(Window.partitionBy(group_col))
+    )
+    out_cols = []
+    for q in qs:
+        name = f"p{int(round(q * 100)):02d}_est"
+        hit = F.when(
+            F.col("cum") * F.lit(1.0) >= F.lit(float(q)) * F.col("n"),
+            F.col("bin"),
+        )
+        out_cols.append(
+            ((F.min(hit) + 1) * F.lit(float(bin_width))).alias(name)
+        )
+    return cum.groupBy(group_col).agg(
+        *out_cols, F.max("n").alias("n_points")
     )

@@ -114,3 +114,37 @@ def windowed_rollup_stream(
             "sum_value",
         )
     )
+
+
+def session_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Watermarked session windows over a live event stream (§2.2):
+    ``F.session_window`` merges events separated by < ``gap`` into one
+    growing window per key; the watermark bounds state — a session
+    closes (and emits, in append mode) once the watermark passes its
+    end + gap. The batch twin is operators/windows.session_window_agg;
+    same output shape so the two paths are diff-able."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            key_col,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -49,3 +49,56 @@ def test_partitioning_independent(spark, events):
         events.repartition(7, "user_id"), "event_type", "user_id"
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    import ceres_spark.operators.sketches as sk
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("metric"), "value"
+    )
+    est = {
+        r["metric"]: (r["p50_est"], r["p95_est"])
+        for r in sk.histogram_quantiles(
+            ev, "metric", "value", qs=(0.5, 0.95), bin_width=1.0
+        ).collect()
+    }
+    # the sketch targets the CDF-inverse quantile (smallest v whose
+    # cumulative count reaches q·n) — error ≤ bin_width vs THAT order
+    # statistic. (The interpolated `percentile` can sit in a data gap
+    # wider than a bin, so it is not the right yardstick.)
+    import math
+
+    by_metric = {}
+    for r in ev.collect():
+        by_metric.setdefault(r["metric"], []).append(r["value"])
+    for m, vals in by_metric.items():
+        vals.sort()
+        n = len(vals)
+        for q, got in zip((0.5, 0.95), est[m]):
+            v_rank = vals[math.ceil(q * n) - 1]
+            assert got == math.floor(v_rank) + 1.0, (m, q)
+            assert abs(got - v_rank) <= 1.0, (m, q)
+
+
+def test_histogram_sketch_is_merge_exact(spark):
+    import ceres_spark.operators.sketches as sk
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("metric"), "value",
+        F.timestamp_seconds(F.col("ts") / 1_000_000_000).alias("t"),
+    )
+    # direct histogram == union of per-day histograms re-summed
+    direct = {
+        (r["metric"], r["bin"]): r["bin_count"]
+        for r in sk.histogram_sketch(ev, "metric", "value").collect()
+    }
+    daily = ev.withColumn("day", F.to_date("t"))
+    per_day = daily.groupBy(
+        "metric", "day", F.floor(F.col("value") / 1.0).alias("bin")
+    ).agg(F.count("*").alias("c"))
+    merged = {
+        (r["metric"], r["bin"]): r["bc"]
+        for r in per_day.groupBy("metric", "bin").agg(
+            F.sum("c").alias("bc")
+        ).collect()
+    }
+    assert direct == merged

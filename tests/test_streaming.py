@@ -122,3 +122,41 @@ def test_windowed_rollup_stream(spark, tmp_path):
     # append mode emits only watermark-closed windows; with availableNow
     # the final watermark closes all but possibly the last window
     assert got.get(0) == (10, sum(range(0, 300, 30)) * 1.0)
+
+
+def test_session_stream_merges_and_splits_on_gap(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    # user 1: two bursts 40 min apart (-> 2 sessions with 30-min gap);
+    # user 2: one burst. A final late marker row advances the watermark
+    # far enough to close every session in append mode.
+    rows = [
+        (1, 0, 1.0), (1, 600, 2.0),           # session A: [0, 600]
+        (1, 3000, 4.0),                        # session B (gap 2400s > 1800)
+        (2, 100, 8.0), (2, 200, 16.0),         # user 2 single session
+        (9, 100000, 0.0),                      # watermark pusher
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, epoch long, value double"
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    agg = ing.session_stream(stream, gap="30 minutes", lateness="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess").collect()
+    }
+    assert got[(1, 0)] == (2, 3.0)
+    assert got[(1, 3000)] == (1, 4.0)
+    assert got[(2, 100)] == (2, 24.0)
