@@ -580,6 +580,23 @@ def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.except_custkeys(spark, sf_dir)
 
 
+def _q_series_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite-function-library transforms (derivative / moving
+    average / integral) over the hourly-averaged deduped series —
+    one window shuffle computes all three."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.series_functions(hourly, ma_points=5)
+
+
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags (|z| ≥ 2) on the hourly series —
+    decimal-accumulated mean/variance, broadcast stats join."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.anomaly_zscore(hourly, z=2.0)
+
+
 def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-sketch quantiles per event_type (error ≤
     bin width; merge-exact by construction, unlike t-digest). The
@@ -677,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "except_custkeys": _q_except,
+        "series_functions": _q_series_functions,
+        "anomaly_zscore": _q_anomaly_zscore,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
@@ -1320,6 +1339,55 @@ EXCEPT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+        "series_functions": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  value - lag(value) OVER w AS derivative,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      PARTITION BY metric ORDER BY ts
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+    / COUNT(value) OVER (PARTITION BY metric ORDER BY ts
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      PARTITION BY metric ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_integral
+FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "anomaly_zscore": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value
+  FROM deduped GROUP BY 1, 2
+),
+stats AS (
+  SELECT metric,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+        / COUNT(value) AS _mean,
+    CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS VARCHAR)
+        AS DOUBLE) / COUNT(value) AS _ex2
+  FROM b GROUP BY metric
+)
+SELECT metric, ts, value,
+       (value - _mean) / sqrt(_ex2 - _mean * _mean) AS zscore
+FROM b JOIN stats USING (metric)
+WHERE abs((value - _mean) / sqrt(_ex2 - _mean * _mean)) >= 2.0
 """,
         "histogram_quantiles": """
 WITH e AS (SELECT event_type AS metric, value FROM events),

@@ -145,3 +145,69 @@ def has_data_for_interval(
     if from_time is not None:
         cond = cond & (F.col("max_ts") >= F.lit(int(from_time)))
     return extents.select("metric", cond.alias("has_data"))
+
+
+def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
+    """Graphite-function-library analytics over a bucketed series
+    (``metric, ts, value``): per-step derivative (lag diff),
+    ``ma_points``-point trailing moving average, and running integral
+    — the everyday monitoring transforms layered on a ceres fetch
+    (graphite-web's derivative/movingAverage/integral; the storage
+    reference itself has no function library, SURVEY.md §2).
+
+    One window spec, three frames — a single per-metric sort/shuffle
+    computes all three columns. At scale the partition key is the
+    metric, so state per task is one series run, never the corpus.
+
+    Determinism: the moving average divides a DECIMAL window sum by
+    the window row count; the integral is a DECIMAL running sum —
+    both order-pinned by the (ts) ordering, no float re-association.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy("ts")
+    w_ma = w.rowsBetween(-(ma_points - 1), 0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("value").cast("decimal(30,10)")
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("derivative"),
+        (
+            F.sum(dec).over(w_ma).cast("string").cast("double")
+            / F.count("value").over(w_ma)
+        ).alias("moving_avg"),
+        F.sum(dec).over(w_run).cast("string").cast("double").alias(
+            "running_integral"
+        ),
+    )
+
+
+def anomaly_zscore(buckets: DataFrame, z: float = 3.0) -> DataFrame:
+    """Z-score anomaly detection per metric: flag buckets whose value
+    deviates ≥ ``z`` population standard deviations from the metric's
+    mean — the alerting primitive monitoring stacks bolt onto a ceres
+    fetch.
+
+    Mean and variance come from DECIMAL Σx / Σx² accumulators
+    (order-independent → partitioning-independent), combined with the
+    textbook E[x²] − E[x]² identity in plain IEEE double ops — the
+    oracle reproduces the identical expression, so the z threshold
+    cuts bit-identically. Stats are a per-metric aggregate (tiny) and
+    re-join the buckets broadcast: the series never shuffles twice.
+    """
+    dec = lambda c: F.sum(c.cast("decimal(30,10)")).cast("string").cast("double")
+    stats = buckets.groupBy("metric").agg(
+        (dec(F.col("value")) / F.count("value")).alias("_mean"),
+        (
+            dec(F.col("value") * F.col("value")) / F.count("value")
+        ).alias("_ex2"),
+    )
+    j = buckets.join(F.broadcast(stats), "metric")
+    var = F.col("_ex2") - F.col("_mean") * F.col("_mean")
+    zscore = (F.col("value") - F.col("_mean")) / F.sqrt(var)
+    return (
+        j.select("metric", "ts", "value", zscore.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= F.lit(float(z)))
+    )

@@ -120,3 +120,26 @@ def test_has_data_for_interval(spark):
     assert not probe(201, None)
     assert not probe(None, 100)  # min_ts < until is strict
     assert probe(200, 999)  # max_ts >= from is inclusive
+
+
+def test_series_functions_on_known_sequence(spark):
+    import ceres_spark.operators.series as ser
+    rows = [("m", t, float(v)) for t, v in zip(range(0, 500, 100), [1, 3, 6, 10, 15])]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r["ts"]: r for r in ser.series_functions(df, ma_points=2).collect()}
+    assert got[0]["derivative"] is None
+    assert got[100]["derivative"] == 2.0
+    assert got[400]["derivative"] == 5.0
+    assert got[100]["moving_avg"] == 2.0          # (1+3)/2
+    assert got[400]["moving_avg"] == 12.5         # (10+15)/2
+    assert got[400]["running_integral"] == 35.0   # 1+3+6+10+15
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    import ceres_spark.operators.series as ser
+    base = [("m", t, 10.0) for t in range(0, 2000, 100)]
+    rows = base + [("m", 2000, 1000.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    flagged = ser.anomaly_zscore(df, z=3.0).collect()
+    assert [r["ts"] for r in flagged] == [2000]
+    assert flagged[0]["zscore"] > 4.0
