@@ -399,6 +399,13 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize geometry over image assets: fit-inside aspect math from
+    metadata only (decode deferred, like frame sampling)."""
+    assets = mm.assets_from_documents(tbl.load(spark, "documents", sf_dir))
+    return mm.resize(assets, 32, 32).drop("payload")
+
+
 def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: JSON props extraction + aggregation per event_type."""
     return win.props_extract_agg(tbl.load(spark, "events", sf_dir))
@@ -671,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         # relational pack (SURVEY.md §2.2)
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1078,6 +1086,21 @@ SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        sha256(text) AS content_hash
 FROM documents
+""",
+        "multimodal_resize": """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CAST(16 + n_chars % 97 AS INT) AS in_w,
+         CAST(16 + (n_chars * 7) % 83 AS INT) AS in_h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id, in_w, in_h,
+  GREATEST(CAST(floor(in_w * least(32.0 / in_w, 32.0 / in_h)) AS INT), 1)
+      AS out_w,
+  GREATEST(CAST(floor(in_h * least(32.0 / in_w, 32.0 / in_h)) AS INT), 1)
+      AS out_h,
+  least(32.0 / in_w, 32.0 / in_h) AS scale
+FROM a
 """,
         "multimodal_frames": """
 SELECT doc_id AS asset_id,

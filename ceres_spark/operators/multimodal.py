@@ -74,8 +74,9 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
+            # content-derived dims so geometry ops have real variety
+            (F.lit(16) + F.col("n_chars") % 97).cast("int").alias("width"),
+            (F.lit(16) + (F.col("n_chars") * 7) % 83).cast("int").alias("height"),
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
@@ -136,4 +137,42 @@ def frame_sample(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(int(every_ms)),
             )
         ).alias("sample_ms"),
+    )
+
+
+def resize(
+    assets: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    preserve_aspect: bool = True,
+) -> DataFrame:
+    """Image-resize plumbing (§2.2 multimodal: decode / feature /
+    **resize** / frame-sample). The geometry — fit-inside aspect
+    math, even-dimension rounding — is real and computed JVM-side
+    from metadata alone; the pixel resample is the stubbed decode
+    step (``decode_real``), exactly like ``extract_features``: plan
+    and prune on metadata, touch bytes last.
+
+    Output carries the payload through untouched (a real kernel
+    would map it batch-wise in the same mapInPandas slot), so
+    downstream stages see the final schema today."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    if preserve_aspect:
+        # scale = min(tw/w, th/h), exact in doubles for sane dims
+        scale = F.least(
+            F.lit(float(target_w)) / w, F.lit(float(target_h)) / h
+        )
+        out_w = F.greatest(F.floor(w * scale).cast("int"), F.lit(1))
+        out_h = F.greatest(F.floor(h * scale).cast("int"), F.lit(1))
+    else:
+        scale = F.lit(None).cast("double")
+        out_w, out_h = F.lit(target_w), F.lit(target_h)
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id",
+        w.alias("in_w"),
+        h.alias("in_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        scale.alias("scale"),
+        "payload",
     )
