@@ -90,3 +90,70 @@ def test_column_pruning_reaches_scan(spark):
 def test_topk_uses_take_ordered(spark):
     plan = plan_of(rel.top_parts_by_size(spark, SF))
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_q18_broadcasts_aggregated_big_orders(spark):
+    # the HAVING-subquery side (tiny after its agg) must be the build
+    # side, never the fact table
+    plan = plan_of(rel.q18_large_volume_customers(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q4_semi_join_no_second_lineitem_pass(spark):
+    # EXISTS compiles to ONE LeftSemi join carrying the non-equi
+    # lateness predicate — lineitem is scanned exactly once
+    plan = plan_of(rel.q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_stratified_split_is_map_only(spark):
+    import ceres_spark.operators.corpus as corp
+    plan = plan_of(corp.stratified_split(tbl.load(spark, "documents", SF)))
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    import ceres_spark.operators.corpus as corp
+    plan = plan_of(corp.tfidf_top_terms(tbl.load(spark, "documents", SF)))
+    # both the vocabulary (df) join and the 1-row N join broadcast;
+    # the fact-sized tf table must not be on any build side
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+    # partial aggregation before the (doc_id, token) shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_anomaly_stats_join_is_broadcast(spark):
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.anomaly_zscore(hourly))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_series_functions_single_sort_exchange(spark):
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.series_functions(hourly))
+    # all three window frames share one partitionBy(metric) sort: the
+    # window stage adds exactly one Exchange beyond the groupBy's
+    # (formatted explain lists each node twice — count detail headers)
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_exchanges <= 2, plan
+    assert n_windows == 1, plan
+
+
+def test_histogram_quantiles_partial_agg(spark):
+    import ceres_spark.operators.sketches as sk
+    ev = tbl.load(spark, "events", SF).select(
+        F.col("event_type").alias("metric"), "value"
+    )
+    plan = plan_of(sk.histogram_quantiles(ev, "metric", "value"))
+    assert "partial_count" in plan, plan  # map-side histogram combine
