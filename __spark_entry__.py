@@ -174,6 +174,25 @@ def _q_rollup_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.rollup(deduped, "average", 60, 3600, x_files_factor=0.05)
 
 
+#: FIXTURES-style per-node retention steps (paired with
+#: METHOD_BY_METRIC): each metric rolls up to its own archive step.
+STEP_BY_METRIC = {
+    "click": 300,
+    "error": 600,
+    "purchase": 300,
+    "signup": 3600,
+    "view": 600,
+}
+
+
+def _q_rollup_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops #21+#23: the whole maintenance walk as ONE plan — every
+    metric downsampled to its own retention step with its own
+    aggregation method (CASE-driven; one shuffle for all nodes)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ret.rollup_per_node(deduped, STEP_BY_METRIC, METHOD_BY_METRIC)
+
+
 def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op #13: cross-resolution read. Data older than day 20 lives only
     in a 300 s rollup archive; newer data in the 60 s table. A fetch of
@@ -651,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_series": _q_merge,
         "fetch_per_node_method": _q_fetch_per_node_method,
         "rollup_xff": _q_rollup_xff,
+        "rollup_per_node": _q_rollup_per_node,
         "multi_resolution": _q_multi_resolution,
         "has_data_for_interval": _q_has_data,
         "find_glob": _q_find_glob,
@@ -814,6 +834,34 @@ deduped AS (
 SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
 FROM deduped GROUP BY 1, 2
 HAVING count(value) / 60.0 >= 0.05
+""",
+        "rollup_per_node": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric,
+         ts - (ts % CASE metric
+             WHEN 'click' THEN 300 WHEN 'error' THEN 600
+             WHEN 'purchase' THEN 300 WHEN 'signup' THEN 3600
+             WHEN 'view' THEN 600 ELSE 3600 END) AS ts,
+         {DEC_AVG} AS _avg, {DEC_SUM} AS _sum,
+         arg_max(value, ts) AS _last,
+         max(value) AS _max, min(value) AS _min
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts,
+  CASE metric
+    WHEN 'click' THEN _avg
+    WHEN 'error' THEN _sum
+    WHEN 'purchase' THEN _last
+    WHEN 'signup' THEN _max
+    WHEN 'view' THEN _min
+    ELSE _avg
+  END AS value
+FROM b
 """,
         "multi_resolution": f"""
 WITH {POINTS_CTE},

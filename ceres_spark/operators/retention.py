@@ -120,3 +120,50 @@ def compact_files(spark, path: str, target_partitions: int | None = None) -> Non
 
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def rollup_per_node(
+    deduped: DataFrame,
+    step_by_metric: dict[str, int],
+    method_by_metric: dict[str, str],
+    default_step: int = 3600,
+    default_method: str = "average",
+) -> DataFrame:
+    """Catalog-driven rollup: every metric downsampled to ITS OWN
+    retention step with ITS OWN aggregation method, in one pass.
+
+    This is the reference's maintenance walk (bin/ceres-maintenance →
+    rollup.py node_found, one node at a time reading that node's
+    ``retentions``/``aggregationMethod`` metadata) collapsed into a
+    single declarative plan: the per-node config becomes a pair of
+    CASE expressions, so 10 million nodes cost one shuffle — not 10
+    million filesystem walks. All five method aggregates are computed
+    per bucket (they're cheap partial aggs on the same groupBy); the
+    CASE projects each metric's own.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    step = F.lit(int(default_step))
+    for m, s in sorted(step_by_metric.items()):
+        step = F.when(F.col("metric") == m, F.lit(int(s))).otherwise(step)
+    bucket = (F.col("ts") - F.col("ts") % step).cast("long")
+    per_bucket = deduped.groupBy("metric", bucket.alias("ts")).agg(
+        agg_expr("average").alias("_avg"),
+        agg_expr("sum").alias("_sum"),
+        agg_expr("last").alias("_last"),
+        agg_expr("max").alias("_max"),
+        agg_expr("min").alias("_min"),
+    )
+    col_of = {
+        "average": "_avg",
+        "sum": "_sum",
+        "last": "_last",
+        "max": "_max",
+        "min": "_min",
+    }
+    value = F.col(col_of[default_method])
+    for m, meth in sorted(method_by_metric.items()):
+        value = F.when(F.col("metric") == m, F.col(col_of[meth])).otherwise(
+            value
+        )
+    return per_bucket.select("metric", "ts", value.alias("value"))
