@@ -199,6 +199,11 @@ def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     days 18-22 reconciles at the coarsest step touched (300 s),
     finest data winning where both cover a bucket."""
     horizon = T0 + 20 * DAY
+    # deduped fans out into three consumers (fine, coarse, metric
+    # list). NOT persisted: a persist() barrier wins ~0.5 s on warm
+    # re-runs but pays ~1.5 s materialization on a cold single run
+    # (the driver's bench shape); at warehouse scale the staged
+    # rollup TABLE (operators/retention.py) plays that role instead.
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     fine = deduped.filter(F.col("ts") >= horizon)
     coarse = ret.rollup(
