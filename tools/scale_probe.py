@@ -71,11 +71,53 @@ def time_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def synthesize_docs(spark, base_dir: str, mult: int, out: str) -> int:
+    """N× documents as id-shifted copies with DISTINCT source/label
+    block keys per copy: block COUNT scales, block size stays fixed —
+    the dimension blocked pairwise ops must scale along (within-block
+    work is quadratic by design; more corpus = more blocks)."""
+    docs = tbl.load(spark, "documents", base_dir)
+    n = docs.count()
+    parts = []
+    for i in range(mult):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                "text",
+                "lang",
+                F.concat(F.col("source"), F.lit(f"#{i}")).alias("source"),
+                "n_chars",
+            )
+        )
+    allp = parts[0]
+    for q in parts[1:]:
+        allp = allp.unionByName(q)
+    allp.write.mode("overwrite").parquet(out)
+    return n * mult
+
+
+def time_text_pipeline(spark, sf_dir: str) -> dict[str, float]:
+    import ceres_spark.operators.dedup as dd
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    dd.jaccard_pairs_vectorized(docs, threshold=0.8).count()
+    t["jaccard_blocked"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    dd.contamination(rest, ev, shingle_k=3).count()
+    t["contamination"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
     base = "/root/testdata/sf0.1"
     time_pipeline(spark, base)  # warm up JVM/codegen before timing
+    time_text_pipeline(spark, base)  # + python worker pool
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -89,7 +131,11 @@ def main() -> None:
                 dst = f"{td}/{name}.parquet"
                 if name != "events" and not os.path.exists(dst):
                     os.symlink(src, dst)
+            docs_out = f"{td}/documents.parquet"
+            os.unlink(docs_out)  # replace the symlink with N× data
+            synthesize_docs(spark, base, m, docs_out)
             timings = time_pipeline(spark, td)
+            timings.update(time_text_pipeline(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
