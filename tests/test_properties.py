@@ -174,3 +174,48 @@ def test_compact_matches_reference(spark, points, step):
         else:
             assert got[bucket] == pytest.approx(v, rel=1e-12)
     assert set(got) == set(want)
+
+
+# ---------------------------------------------- shingles (HOF form)
+
+def ref_shingles(text: str, k: int = 3) -> set[str]:
+    """Reference k-token shingling: distinct space-joined k-grams of
+    the lowercased whitespace-split tokens; whole text if < k tokens."""
+    toks = text.lower().split(" ")
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # spaces + tiny alphabet
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_shingles_zipwith_matches_reference(spark, texts, k):
+    """The zip_with/slice reformulation (perf fix) must be
+    set-equivalent to the naive definition on arbitrary text,
+    including texts with repeated/empty tokens and < k tokens."""
+    import ceres_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["g"])
+        for r in df.select("doc_id", dd.shingles(k).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_shingles(t, k), (t, k)
