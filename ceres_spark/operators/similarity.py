@@ -260,6 +260,7 @@ def neardup_pairs_blocked(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shards: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key, scored
     by one Arrow-batched numpy pass per block (``applyInPandas``).
@@ -274,10 +275,14 @@ def neardup_pairs_blocked(
     2.1 s → ~0.3 s on sf0.1 vs the expression-tree join.
 
     Scale shape: one task per block; a block must fit in executor
-    memory (n×n doubles). For 100 TB runs with large blocks, shard
-    the block key (salt) and union the per-shard triangles, or fall
-    back to :func:`embedding_neardup_pairs` (LSH) for unblocked
-    discovery.
+    memory (n×n doubles). For oversized blocks pass ``shards=S``:
+    triangle sharding — each row lands in the S shard-pair groups it
+    participates in, each group holds ~2n/S rows, and every pair is
+    scored in EXACTLY one group (same-shard pairs in the diagonal
+    group, cross-shard pairs in their (a,b) group). S(S+1)/2 tasks of
+    (2n/S)² work ≈ 2× the unsharded flops, but peak task memory drops
+    S×/2 — the knob that keeps the exact path alive at 100 TB before
+    falling back to :func:`embedding_neardup_pairs` (LSH).
     """
     schema = "id_a long, id_b long, cosine_sim double"
 
@@ -302,6 +307,15 @@ def neardup_pairs_blocked(
         cos = gram / np.outer(nrm, nrm)
         ia, ib = np.triu_indices(n, 1)
         keep = cos[ia, ib] >= threshold
+        if "_ga" in pdf.columns:
+            # triangle sharding: emit a pair only in ITS shard-pair
+            # group, so no pair is scored twice across groups
+            ga = int(pdf["_ga"].iloc[0])
+            gb = int(pdf["_gb"].iloc[0])
+            shs = pdf["_sh"].to_numpy()
+            lo = np.minimum(shs[ia], shs[ib])
+            hi = np.maximum(shs[ia], shs[ib])
+            keep &= (lo == ga) & (hi == gb)
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
@@ -310,6 +324,34 @@ def neardup_pairs_blocked(
             }
         )
 
-    return embeddings.select(block_col, id_col, vec_col).groupBy(
-        block_col
-    ).applyInPandas(score_block, schema)
+    base = embeddings.select(block_col, id_col, vec_col)
+    if shards <= 1:
+        return base.groupBy(block_col).applyInPandas(score_block, schema)
+    S = int(shards)
+    sh = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(S)).cast("int")
+    groups = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_sh"), F.lit(t)).alias("ga"),
+                    F.greatest(F.col("_sh"), F.lit(t)).alias("gb"),
+                )
+                for t in range(S)
+            ]
+        )
+    )
+    sharded = (
+        base.withColumn("_sh", sh)
+        .withColumn("_gp", F.explode(groups))
+        .select(
+            block_col,
+            id_col,
+            vec_col,
+            "_sh",
+            F.col("_gp.ga").alias("_ga"),
+            F.col("_gp.gb").alias("_gb"),
+        )
+    )
+    return sharded.groupBy(block_col, "_ga", "_gb").applyInPandas(
+        score_block, schema
+    )

@@ -160,3 +160,14 @@ def test_neardup_vectorized_bit_identical_to_declarative(spark, emb):
     ka = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in decl)
     kb = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in vec)
     assert ka == kb and len(ka) > 0
+
+
+def test_neardup_triangle_sharding_bit_identical(spark, emb):
+    """shards=S must produce the exact same pair set and scores as
+    the unsharded path (each pair scored in exactly one shard-pair
+    group; per-pair dot depends only on its own two rows)."""
+    a = sim.neardup_pairs_blocked(emb, threshold=0.25).collect()
+    b = sim.neardup_pairs_blocked(emb, threshold=0.25, shards=3).collect()
+    ka = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in a)
+    kb = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in b)
+    assert ka == kb and len(ka) > 0
