@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import ceres_spark.operators.sharding as sharding
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -310,12 +312,7 @@ def neardup_pairs_blocked(
         if "_ga" in pdf.columns:
             # triangle sharding: emit a pair only in ITS shard-pair
             # group, so no pair is scored twice across groups
-            ga = int(pdf["_ga"].iloc[0])
-            gb = int(pdf["_gb"].iloc[0])
-            shs = pdf["_sh"].to_numpy()
-            lo = np.minimum(shs[ia], shs[ib])
-            hi = np.maximum(shs[ia], shs[ib])
-            keep &= (lo == ga) & (hi == gb)
+            keep &= sharding.owned_pair_mask(pdf, ia, ib)
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
@@ -327,31 +324,8 @@ def neardup_pairs_blocked(
     base = embeddings.select(block_col, id_col, vec_col)
     if shards <= 1:
         return base.groupBy(block_col).applyInPandas(score_block, schema)
-    S = int(shards)
-    sh = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(S)).cast("int")
-    groups = F.array_distinct(
-        F.array(
-            *[
-                F.struct(
-                    F.least(F.col("_sh"), F.lit(t)).alias("ga"),
-                    F.greatest(F.col("_sh"), F.lit(t)).alias("gb"),
-                )
-                for t in range(S)
-            ]
-        )
-    )
-    sharded = (
-        base.withColumn("_sh", sh)
-        .withColumn("_gp", F.explode(groups))
-        .select(
-            block_col,
-            id_col,
-            vec_col,
-            "_sh",
-            F.col("_gp.ga").alias("_ga"),
-            F.col("_gp.gb").alias("_gb"),
-        )
-    )
-    return sharded.groupBy(block_col, "_ga", "_gb").applyInPandas(
-        score_block, schema
+    return (
+        sharding.triangle_shard(base, id_col, shards)
+        .groupBy(block_col, "_ga", "_gb")
+        .applyInPandas(score_block, schema)
     )

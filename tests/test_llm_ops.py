@@ -171,3 +171,11 @@ def test_neardup_triangle_sharding_bit_identical(spark, emb):
     ka = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in a)
     kb = sorted((x["id_a"], x["id_b"], x["cosine_sim"]) for x in b)
     assert ka == kb and len(ka) > 0
+
+
+def test_jaccard_triangle_sharding_bit_identical(spark, docs):
+    a = dd.jaccard_pairs_vectorized(docs, threshold=0.5).collect()
+    b = dd.jaccard_pairs_vectorized(docs, threshold=0.5, shards=3).collect()
+    ka = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in a)
+    kb = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in b)
+    assert ka == kb and len(ka) > 0
