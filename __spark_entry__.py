@@ -620,6 +620,33 @@ def _q_series_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.series_functions(hourly, ma_points=5)
 
 
+def _q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (vs the ROWS frames elsewhere): 3-hour
+    trailing sum/count per metric over the hourly series — correct
+    even when buckets are missing (a ROWS frame would silently span
+    gaps; the RANGE frame is bounded by the ts VALUE)."""
+    from pyspark.sql.window import Window
+
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rangeBetween(-10800, 0)
+    )
+    return hourly.select(
+        "metric",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("trailing_3h_sum"),
+        F.count("value").over(w).alias("trailing_3h_n"),
+    )
+
+
 def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly flags (|z| ≥ 2) on the hourly series —
     decimal-accumulated mean/variance, broadcast stats join."""
@@ -728,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _q_tpch_q22,
         "except_custkeys": _q_except,
         "series_functions": _q_series_functions,
+        "range_frame_sum": _q_range_frame_sum,
         "anomaly_zscore": _q_anomaly_zscore,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
@@ -1439,6 +1467,28 @@ SELECT metric, ts, value,
       PARTITION BY metric ORDER BY ts
       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_integral
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "range_frame_sum": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      PARTITION BY metric ORDER BY ts
+      RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW) AS VARCHAR)
+      AS DOUBLE) AS trailing_3h_sum,
+  COUNT(value) OVER (
+      PARTITION BY metric ORDER BY ts
+      RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW) AS trailing_3h_n
+FROM b
 """,
         "anomaly_zscore": f"""
 WITH {POINTS_CTE},
