@@ -148,3 +148,42 @@ def session_stream(
             "sum_value",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    lateness: str = "1 hour",
+    ts_col: str = "ts",
+):
+    """Watermarked stream-stream join (§2.2): pair each left event
+    with right events for the same key that happened in the trailing
+    ``within`` interval. Both sides carry watermarks AND the join has
+    a time-range conjunct — the two things Structured Streaming needs
+    to bound join state (it can drop buffered rows once the watermark
+    passes the range), so state stays O(window), not O(stream).
+    """
+    l = left.select(
+        F.col(key_col).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", lateness)
+    r = right.select(
+        F.col(key_col).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", lateness)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key_col),
+        "l_ts",
+        "r_ts",
+        "l_value",
+        "r_value",
+    )

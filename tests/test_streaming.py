@@ -160,3 +160,41 @@ def test_session_stream_merges_and_splits_on_gap(spark, tmp_path):
     assert got[(1, 0)] == (2, 3.0)
     assert got[(1, 3000)] == (1, 4.0)
     assert got[(2, 100)] == (2, 24.0)
+
+
+def test_stream_stream_join_pairs_within_interval(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "ssl"), str(tmp_path / "ssr")
+    # left: clicks at t=3600, 7200 for user 1
+    # right: errors at t=100 (too old for 7200, in range for 3600? no -
+    #   3600-3600=0 <= 100 <= 3600 yes), 7000 (in range for 7200 only)
+    spark.createDataFrame(
+        [(1, 3600, 1.0), (1, 7200, 2.0)],
+        "user_id long, epoch long, value double",
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value") \
+        .write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, 100, 10.0), (1, 7000, 20.0), (2, 3600, 99.0)],
+        "user_id long, epoch long, value double",
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value") \
+        .write.parquet(rsrc)
+    ls = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(lsrc)
+    rs = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(rsrc)
+    j = ing.stream_stream_join(ls, rs, within="1 hour")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], int(r["l_ts"].timestamp()), int(r["r_ts"].timestamp()))
+        for r in spark.sql("select * from ssj").collect()
+    )
+    assert got == [(1, 3600, 100), (1, 7200, 7000)], got
