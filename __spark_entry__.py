@@ -611,6 +611,26 @@ def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.except_custkeys(spark, sf_dir)
 
 
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q7_volume_shipping(spark, sf_dir)
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q8_market_share(spark, sf_dir)
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q13_customer_distribution(spark, sf_dir)
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q15_top_supplier(spark, sf_dir)
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q17_small_quantity_revenue(spark, sf_dir)
+
+
 def _q_series_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graphite-function-library transforms (derivative / moving
     average / integral) over the hourly-averaged deduped series —
@@ -753,6 +773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "except_custkeys": _q_except,
         "series_functions": _q_series_functions,
         "range_frame_sum": _q_range_frame_sum,
@@ -1434,6 +1459,96 @@ WHERE c_acctbal > avg_bal.a
       AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
   )
 GROUP BY c_mktsegment
+""",
+        "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY 1, 2, 3
+""",
+        "tpch_q8": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS mkt_share,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+        "tpch_q13": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+        "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+             AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+""",
+        "tpch_q17": """
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'
+),
+avgq AS (
+  SELECT l_partkey AS pk,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR)
+             AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+  FROM pl GROUP BY 1
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM pl JOIN avgq ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
 """,
         "except_custkeys": """
 SELECT o_custkey FROM orders

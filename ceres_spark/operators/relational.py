@@ -435,3 +435,163 @@ def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     ).select("o_custkey")
     return y97.subtract(y98)  # EXCEPT (distinct) semantics
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per year. The
+    two-nation filter is pushed into each broadcast nation dim BEFORE
+    the join, so the fact-side rows that survive the supplier/customer
+    joins are already restricted to the two nations; the residual OR
+    only picks the direction. One shuffle (orders⋈lineitem)."""
+    nation = tbl.load(spark, "nation", sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n_supp = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = tbl.load(spark, "supplier", sf_dir)
+    cust = tbl.load(spark, "customer", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir)
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(_dec_sum(volume).alias("revenue"))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (bare p_type categories): NATION_1's share of
+    ECONOMY-part revenue sold into AMERICA, per order year. Market
+    share is a ratio of two exact-decimal sums (numerator CASE-gated),
+    both materialized via-string so the double division is
+    bit-identical to the oracle. Dims broadcast; one fact shuffle."""
+    region = tbl.load(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")
+    nation = tbl.load(spark, "nation", sf_dir)
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = tbl.load(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    supp = tbl.load(spark, "supplier", sf_dir)
+    cust = tbl.load(spark, "customer", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tbl.load(spark, "lineitem", sf_dir)
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target_vol = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (_dec_sum(target_vol) / _dec_sum(volume)).alias("mkt_share"),
+            _dec_sum(volume).alias("total_volume"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 adapted (no o_comment; the NOT-LIKE filter becomes a
+    priority exclusion): distribution of customers by order count,
+    including zero-order customers via LEFT join. Two shuffles by
+    construction (customer⋈orders on custkey, then regroup by count)
+    — the second groups a customer-cardinality input, not the fact."""
+    customer = tbl.load(spark, "customer", sf_dir).select("c_custkey")
+    orders = (
+        tbl.load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    max and the equality test both stay in exact DECIMAL(30,10) —
+    comparing doubles here would make the tie-set partitioning-
+    dependent. The 1-row max and the supplier dim are broadcast."""
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,10)"
+            )
+        ).alias("_rev_dec")
+    )
+    max_rev = rev.agg(F.max("_rev_dec").alias("_max_rev"))
+    supp = tbl.load(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("_rev_dec") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_dec").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (no p_container; brand+type pick the part
+    class): yearly-averaged revenue from orders whose quantity is
+    under 20% of the part's average. The per-part average reuses the
+    part-filtered fact subset (computed once, self-joined on
+    l_partkey); the 0.2× threshold is evaluated in doubles on an
+    exact-decimal average so both engines see the same boundary."""
+    part = tbl.load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = tbl.load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = pl.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        _dec_avg(F.col("l_quantity")).alias("_avg_qty")
+    )
+    return (
+        pl.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )

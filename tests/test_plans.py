@@ -150,6 +150,41 @@ def test_series_functions_single_sort_exchange(spark):
     assert n_windows == 1, plan
 
 
+def test_q7_broadcasts_all_dims_one_fact_shuffle(spark):
+    # supplier/customer/nation×2 broadcast; the only shuffled join is
+    # orders⋈lineitem; the nation-pair filter must not degrade the
+    # equi-joins into a nested loop
+    plan = plan_of(rel.q7_volume_shipping(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark):
+    plan = plan_of(rel.q8_market_share(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_left_join_preserves_zero_order_customers(spark):
+    plan = plan_of(rel.q13_customer_distribution(spark, SF))
+    assert "LeftOuter" in plan, plan
+    # priority exclusion reaches the orders parquet scan
+    assert "o_orderpriority" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_q15_broadcasts_max_and_supplier(spark):
+    # the 1-row MAX and the supplier dim are both build sides; the
+    # revenue agg (supplier-cardinality) is never the probe target
+    plan = plan_of(rel.q15_top_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q17_broadcasts_part_and_avg(spark):
+    plan = plan_of(rel.q17_small_quantity_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_histogram_quantiles_partial_agg(spark):
     import ceres_spark.operators.sketches as sk
     ev = tbl.load(spark, "events", SF).select(
