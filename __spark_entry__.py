@@ -284,6 +284,31 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction. The fixture corpus is PII-free word soup, so the
+    query plants one email/IP/phone per document (deterministically
+    derived from doc_id, mirrored exactly in the oracle SQL) — the
+    scrub is then verified against non-trivial matches, not vacuous
+    zero counts."""
+    docs = tbl.load(spark, "documents", sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel 555-123-4567"),
+        ),
+    )
+    return text.pii_scrub(docs)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document."""
+    return text.repetition_stats(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-set Jaccard near-dup pairs blocked by source — the
     incidence-matrix numpy path (bit-identical to the declarative
@@ -675,6 +700,45 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.anomaly_zscore(hourly, z=2.0)
 
 
+def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keepLastValue over a dense day-1 fetch: gaps inherit the most
+    recent value; leading gaps stay NULL."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    return ser.forward_fill(dense)
+
+
+def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perSecond counter rate over the hourly series — gap-correct
+    (divides by actual elapsed seconds) and reset-safe (negative
+    delta → NULL)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.per_second(hourly)
+
+
+def _q_time_shift_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeShift + self-join alignment: each hourly bucket against the
+    same metric one hour earlier (hour-over-hour delta). The shift is
+    a projection; the join realigns on (metric, ts)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    shifted = ser.time_shift(hourly, 3600).withColumnRenamed(
+        "value", "value_prev"
+    )
+    return (
+        hourly.join(shifted, ["metric", "ts"])
+        .select(
+            "metric",
+            "ts",
+            "value",
+            "value_prev",
+            (F.col("value") - F.col("value_prev")).alias("delta"),
+        )
+    )
+
+
 def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-sketch quantiles per event_type (error ≤
     bin width; merge-exact by construction, unlike t-digest). The
@@ -733,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "corpus_pipeline": _q_corpus_pipeline,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,
@@ -782,6 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_functions": _q_series_functions,
         "range_frame_sum": _q_range_frame_sum,
         "anomaly_zscore": _q_anomaly_zscore,
+        "forward_fill": _q_forward_fill,
+        "per_second_rate": _q_per_second,
+        "time_shift_join": _q_time_shift_join,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
@@ -1030,6 +1099,54 @@ SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS content_key,
        count(*) AS n_copies
 FROM documents
 GROUP BY 1
+""",
+        "pii_scrub": r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 tel 555-123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\+?\d{3}[- .]\d{3}[- .]\d{4}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
+      '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<phone>', 'g')) AS scrubbed_md5
+FROM d
+""",
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CASE WHEN len(toks) >= 2 THEN
+      1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+    END AS dup_bigram_frac
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bi
+    FROM tok
+  )
+),
+uni AS (
+  SELECT doc_id, t AS tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+),
+m AS (SELECT doc_id, MAX(c) AS max_c FROM uni GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       CAST(max_c AS DOUBLE) / n_tokens AS top_token_share,
+       dup_bigram_frac
+FROM base b JOIN m ON b.doc_id = m.doc_id
 """,
         "corpus_pipeline": """
 WITH q AS (
@@ -1629,6 +1746,59 @@ SELECT metric, ts, value,
        (value - _mean) / sqrt(_ex2 - _mean * _mean) AS zscore
 FROM b JOIN stats USING (metric)
 WHERE abs((value - _mean) / sqrt(_ex2 - _mean * _mean)) >= 2.0
+""",
+        "forward_fill": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {t1}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0}, {t1}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+)
+SELECT metric, ts, value,
+       last_value(value IGNORE NULLS) OVER (
+           PARTITION BY metric ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM dense
+""",
+        "per_second_rate": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  CASE WHEN value - lag(value) OVER w >= 0
+       THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
+  END AS per_second
+FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "time_shift_join": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, b.value AS value, p.value AS value_prev,
+       b.value - p.value AS delta
+FROM b JOIN (SELECT metric, ts + 3600 AS ts, value FROM b) p
+  USING (metric, ts)
 """,
         "histogram_quantiles": """
 WITH e AS (SELECT event_type AS metric, value FROM events),

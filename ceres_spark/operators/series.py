@@ -184,6 +184,66 @@ def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
     )
 
 
+def forward_fill(dense: DataFrame) -> DataFrame:
+    """keepLastValue: carry the most recent non-NULL value forward
+    into NULL gaps of a dense series (graphite-web's keepLastValue
+    over a ceres fetch; the storage reference returns the gaps as
+    None and leaves filling to the function layer).
+
+    One window over (metric, ts) — ``last(ignorenulls)`` with an
+    unbounded-preceding ROWS frame is Spark's running "latest seen";
+    leading NULLs (no value seen yet) stay NULL, like the reference's
+    left padding. Per-metric partitioning keeps window state at one
+    series run per task regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "metric",
+        "ts",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def per_second(buckets: DataFrame) -> DataFrame:
+    """perSecond / nonNegativeDerivative: convert a monotonic counter
+    series to a rate. Negative deltas (counter reset/wrap) yield NULL
+    instead of a bogus negative rate; the first point of each metric
+    has no predecessor and is NULL too.
+
+    delta-value and delta-ts come from the same lag window, so the
+    rate is gap-correct: a point after a 2-bucket hole divides by the
+    actual elapsed seconds, not the nominal step.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy("ts")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts") - F.lag("ts").over(w)
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.when(dv >= 0, dv / dt).alias("per_second"),
+    )
+
+
+def time_shift(buckets: DataFrame, seconds: int) -> DataFrame:
+    """timeShift: relabel a series ``seconds`` forward (positive) or
+    back (negative) — the alignment primitive for week-over-week /
+    hour-over-hour comparisons. Pure projection: no shuffle; a
+    subsequent self-join on (metric, ts) aligns shifted vs live."""
+    return buckets.withColumn(
+        "ts", (F.col("ts") + F.lit(int(seconds))).cast("long")
+    )
+
+
 def anomaly_zscore(buckets: DataFrame, z: float = 3.0) -> DataFrame:
     """Z-score anomaly detection per metric: flag buckets whose value
     deviates ≥ ``z`` population standard deviations from the metric's

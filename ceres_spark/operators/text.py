@@ -131,6 +131,89 @@ def enrich(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PII patterns, deliberately restricted to syntax BOTH Java regex
+#: (Spark) and RE2 (DuckDB oracle) interpret identically: no
+#: lookaround, no backreferences, ASCII classes only. Replacement is
+#: applied alphabetically (email, ipv4, phone); the patterns are
+#: shape-disjoint so order can't change the result.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{3}[- .]\d{3}[- .]\d{4}",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before anything else. Counts each PII class and
+    replaces matches with ``<class>`` placeholders; returns the md5 of
+    the scrubbed text (join-key-sized proof of the exact output,
+    instead of shipping megabytes of scrubbed text back).
+
+    Pure per-row projection: JVM regex inside whole-stage codegen, no
+    Python, no shuffle — at 100 TB this runs at scan speed.
+    """
+    col = F.col(text_col)
+    counts = [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in sorted(PII_PATTERNS.items())
+    ]
+    scrubbed = col
+    for name, pat in sorted(PII_PATTERNS.items()):
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    return docs.select(
+        "doc_id", *counts, F.md5(scrubbed).alias("scrubbed_md5")
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition quality signals (the Gopher/C4-style filters):
+    top-token share (max unigram frequency / token count) and
+    duplicate-bigram fraction. High values flag boilerplate and
+    degenerate repetition.
+
+    The bigram fraction is map-only (array ops per row). The unigram
+    mode needs a per-(doc, token) count — explode + two-level
+    aggregation with map-side partial combine. The two branches are
+    kept SEPARATE and joined on doc_id: Catalyst has no let-binding,
+    so a computed HOF column carried through the explode would be
+    re-evaluated once per exploded token (~n_tokens× per doc — a
+    measured 60× slowdown; see memory: catalyst-no-let-binding).
+    n_tokens is recovered as Σ counts, so the explode branch carries
+    nothing but (doc_id, tok).
+    """
+    t = tokens()
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_bigram_frac = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+    )
+    per_doc = docs.select(
+        "doc_id", dup_bigram_frac.alias("dup_bigram_frac")
+    )
+    uni = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_c").alias("_max_c"),
+            F.sum("_c").cast("long").alias("n_tokens"),
+        )
+    )
+    return uni.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_max_c") / F.col("n_tokens")).alias("top_token_share"),
+        "dup_bigram_frac",
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text. (The reference-free analogue of a rolling hash: stable,

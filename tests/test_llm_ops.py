@@ -179,3 +179,45 @@ def test_jaccard_triangle_sharding_bit_identical(spark, docs):
     ka = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in a)
     kb = sorted((r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in b)
     assert ka == kb and len(ka) > 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org ip 10.0.0.1 tel 555-123-4567"),
+            (2, "no pii here at all"),
+            (3, "phone +1 555 123 4567 and 999-888-7777 twice"),
+        ],
+        "doc_id long, text string",
+    )
+    import ceres_spark.operators.text as text
+
+    rows = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 1, 1)
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[3]["n_phone"] == 2
+    # redaction changes the hash only when something matched
+    import hashlib
+
+    assert rows[2]["scrubbed_md5"] == hashlib.md5(
+        b"no pii here at all"
+    ).hexdigest()
+
+
+def test_repetition_stats_degenerate_and_varied(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # all one token
+            (2, "a b c d"),                     # all distinct
+            (3, "solo"),                        # 1 token → no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    import ceres_spark.operators.text as text
+
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert rows[1]["top_token_share"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 1.0 - 1.0 / 3.0   # 3 bigrams, 1 distinct
+    assert rows[2]["top_token_share"] == 0.25
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["dup_bigram_frac"] is None               # guarded, not 0/0

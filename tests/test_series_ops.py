@@ -143,3 +143,46 @@ def test_anomaly_zscore_flags_planted_outlier(spark):
     flagged = ser.anomaly_zscore(df, z=3.0).collect()
     assert [r["ts"] for r in flagged] == [2000]
     assert flagged[0]["zscore"] > 4.0
+
+
+def test_forward_fill_carries_last_value_leading_nulls_stay(spark):
+    dense = spark.createDataFrame(
+        [
+            ("m", 0, None), ("m", 60, 1.0), ("m", 120, None),
+            ("m", 180, None), ("m", 240, 4.0),
+            ("n", 0, None), ("n", 60, None),
+        ],
+        "metric string, ts long, value double",
+    )
+    out = {
+        (r["metric"], r["ts"]): r["filled"]
+        for r in ser.forward_fill(dense).collect()
+    }
+    assert out[("m", 0)] is None          # nothing seen yet → left pad stays
+    assert out[("m", 120)] == 1.0         # gap inherits last value
+    assert out[("m", 180)] == 1.0
+    assert out[("m", 240)] == 4.0         # real value wins over carry
+    assert out[("n", 0)] is None and out[("n", 60)] is None
+
+
+def test_per_second_gap_correct_and_reset_safe(spark):
+    b = spark.createDataFrame(
+        [("c", 0, 100.0), ("c", 60, 160.0), ("c", 240, 178.0), ("c", 300, 5.0)],
+        "metric string, ts long, value double",
+    )
+    out = {r["ts"]: r["per_second"] for r in ser.per_second(b).collect()}
+    assert out[0] is None                  # no predecessor
+    assert out[60] == 1.0                  # 60 over 60 s
+    assert out[240] == 0.1                 # 18 over 180 s — gap-correct
+    assert out[300] is None                # counter reset → NULL, not negative
+
+
+def test_time_shift_relabels_only(spark):
+    b = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 60, 2.0)], "metric string, ts long, value double"
+    )
+    shifted = ser.time_shift(b, 3600)
+    assert [r["ts"] for r in shifted.orderBy("ts").collect()] == [3600, 3660]
+    # negative shift allowed (timeShift back in time)
+    back = ser.time_shift(b, -60)
+    assert [r["ts"] for r in back.orderBy("ts").collect()] == [-60, 0]
