@@ -25,6 +25,7 @@ import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
+import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
@@ -307,6 +308,33 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition signals per document."""
     return text.repetition_stats(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: jaccard pairs → connected
+    components → every document labelled with its cluster (min doc_id
+    reachable; singletons label themselves) + cluster size. The
+    keep/drop decision is then `doc_id == component` (keep one per
+    cluster) — checked against a recursive-CTE closure in the oracle."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    pairs = dd.jaccard_pairs_vectorized(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    comp = gr.connected_components(pairs, "doc_a", "doc_b")
+    base = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component")
+    return base.select(
+        "doc_id", "component", F.count("*").over(w).alias("cluster_size")
+    )
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "neardup_clusters": _q_neardup_clusters,
         "corpus_pipeline": _q_corpus_pipeline,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,
@@ -1120,6 +1149,40 @@ SELECT doc_id,
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
       '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<phone>', 'g')) AS scrubbed_md5
 FROM d
+""",
+        "neardup_clusters": """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(lower(text), ' ')) AS g
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+  SELECT s AS node, LEAST(s, MIN(t)) AS component FROM reach GROUP BY s
+),
+lab AS (
+  SELECT doc_id, COALESCE(component, doc_id) AS component
+  FROM documents LEFT JOIN comp ON doc_id = comp.node
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM lab
 """,
         "repetition_stats": """
 WITH tok AS (
