@@ -405,6 +405,13 @@ def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix over the embeddings table:
+    posexplode → exact per-dim median → ordered reassembly → pairwise
+    cosine on the (tiny) label set."""
+    return sim.label_centroid_similarity(tbl.load(spark, "embeddings", sf_dir))
+
+
 def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: 1h windows sliding by 30min per event_type."""
     return win.sliding_window_agg(tbl.load(spark, "events", sf_dir))
@@ -836,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_lsh": _q_topk_cosine_lsh,
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "embedding_neardup": _q_embedding_neardup,
+        "label_centroid_sim": _q_label_centroids,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
@@ -1270,6 +1278,24 @@ SELECT query_id, neighbor_id, label, cosine_sim, rank FROM (
   ) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "label_centroid_sim": f"""
+WITH ex AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+),
+per AS (
+  SELECT label, dim, quantile_cont(x, 0.5) AS c
+  FROM ex GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM per GROUP BY 1
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       {_cos('a.centroid', 'b.centroid')} AS cosine_sim
+FROM cent a JOIN cent b ON a.label < b.label
 """,
         "embedding_neardup": f"""
 WITH e AS (

@@ -329,3 +329,58 @@ def neardup_pairs_blocked(
         .groupBy(block_col, "_ga", "_gb")
         .applyInPandas(score_block, schema)
     )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Component-wise MEDIAN centroid per label: posexplode the
+    vector, exact median of each (label, dim) cell, reassemble
+    ordered by dim.
+
+    The explode makes this a plain distributed aggregation — (labels
+    × dims) cells, no vectors collected anywhere. `array_sort` on
+    (dim, value) structs pins re-assembly order, so the centroid
+    array is deterministic.
+
+    Median, not mean, deliberately: robust to outlier vectors AND
+    bit-exact across engines (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, a sort-based order statistic — verified
+    identical). A decimal-accumulated mean was tried first and drifts
+    ~1e-10 on float32-derived doubles: Spark rounds double→decimal
+    via the shortest-string BigDecimal, DuckDB via scaled-double
+    arithmetic, and the two disagree below the 10th decimal.
+    """
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    per = ex.groupBy("label", "dim").agg(
+        F.expr("percentile(CAST(x AS DOUBLE), 0.5)").alias("c")
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Inter-label centroid cosine matrix (upper triangle): how close
+    the label clusters sit in embedding space — the corpus-curation
+    readout for 'are these labels separable / worth keeping apart'.
+    Labels are few, so the pairwise stage is trivially small; all the
+    work is the distributed centroid aggregation."""
+    cent = label_centroids(emb)
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine(F.col("ca"), F.col("cb")).alias("cosine_sim"),
+        )
+    )

@@ -221,3 +221,22 @@ def test_repetition_stats_degenerate_and_varied(spark):
     assert rows[2]["top_token_share"] == 0.25
     assert rows[2]["dup_bigram_frac"] == 0.0
     assert rows[3]["dup_bigram_frac"] is None               # guarded, not 0/0
+
+
+def test_label_centroids_median_and_dim_order(spark):
+    import ceres_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 10.0]),
+            ("a", [3.0, 30.0]),
+            ("a", [100.0, 20.0]),   # outlier in dim 0 — median shrugs
+            ("b", [0.0, 1.0]),
+        ],
+        "label string, embedding array<float>",
+    )
+    cents = {r["label"]: r["centroid"] for r in sim.label_centroids(emb).collect()}
+    assert cents["a"] == [3.0, 20.0]       # per-dim median, dim order kept
+    assert cents["b"] == [0.0, 1.0]
+    out = sim.label_centroid_similarity(emb).collect()
+    assert len(out) == 1 and out[0]["label_a"] == "a"
