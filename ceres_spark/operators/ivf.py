@@ -96,6 +96,34 @@ def train_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+#: trained coarse quantizers, keyed by caller-supplied identity.
+#: Centroids are an INDEX ARTIFACT: in a deployed engine they're
+#: trained once at index-build time and persisted next to the
+#: partitioned lists, not re-trained per query. This cache is the
+#: session-scope analogue (training is deterministic, so a cache hit
+#: is bit-identical to a retrain).
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def train_centroids_cached(
+    vectors: DataFrame,
+    cache_key: str,
+    k: int = 16,
+    iters: int = 3,
+    **kw,
+) -> list[list[float]]:
+    """Memoized :func:`train_centroids`. ``cache_key`` must identify
+    the underlying table (e.g. its path) — the DataFrame object
+    itself can't be the key because logically-equal plans hash
+    differently."""
+    key = (cache_key, k, iters, kw.get("sample_n", 16384))
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = train_centroids(
+            vectors, k=k, iters=iters, **kw
+        )
+    return _CENTROID_CACHE[key]
+
+
 def build_index(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -62,3 +62,14 @@ def test_full_probe_equals_brute(spark, emb, centroids):
         for r in ivf.search(idx, queries, centroids, k=10, nprobe=8).collect()
     }
     assert full == brute
+
+
+def test_centroid_cache_hit_is_identical(spark, emb):
+    import ceres_spark.operators.ivf as ivf
+
+    ivf._CENTROID_CACHE.clear()
+    a = ivf.train_centroids_cached(emb, "k1", k=4, iters=1)
+    b = ivf.train_centroids_cached(emb, "k1", k=4, iters=1)
+    assert a is b                       # second call: no Spark job at all
+    c = ivf.train_centroids_cached(emb, "k1", k=8, iters=1)
+    assert len(c) == 8                  # different params → distinct entry
