@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 import ceres_spark.catalog as cat
 import ceres_spark.operators.aggregate as agg
+import ceres_spark.operators.analytics as ana
 import ceres_spark.operators.asof as asof
 import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
@@ -421,6 +422,30 @@ def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: 30min-gap session windows per user."""
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with first-touch
+    attribution: each stage joins user-cardinality reach times, never
+    the raw stream against itself."""
+    return ana.funnel(tbl.load(spark, "events", sf_dir))
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort = week of first event;
+    integer grid math throughout)."""
+    return ana.cohort_retention(tbl.load(spark, "events", sf_dir))
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture downsampling audit: hash-threshold
+    keep decision per (source, doc_id), per-source achieved
+    fractions."""
+    weights = {f"src{i}": 1.0 for i in range(5)}
+    weights.update({f"src{i}": 0.5 for i in range(5, 10)})
+    return corp.mixture_sample(
+        tbl.load(spark, "documents", sf_dir), weights, default_weight=0.25
+    )
 
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
         "contamination": _q_contamination,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "mixture_sample": _q_mixture_sample,
         "approx_distinct_users": _q_approx_distinct,
         "order_analytics": _q_order_analytics,
         "token_counts": _q_token_counts,
@@ -1158,6 +1186,64 @@ SELECT doc_id,
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
       '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<phone>', 'g')) AS scrubbed_md5
 FROM d
+""",
+        "funnel": """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND t >= t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1
+)
+SELECT 1 AS step_idx, 'view' AS step,
+       (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+""",
+        "cohort_retention": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(t) - (MIN(t) % 604800) AS cw FROM e GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id, t - (t % 604800) AS w FROM e
+)
+SELECT cw AS cohort_start, (w - cw) // 604800 AS week_offset,
+       COUNT(*) AS n_active
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+        "mixture_sample": """
+WITH d AS (
+  SELECT source,
+         CASE
+           WHEN substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 4)
+                < (CASE
+                     WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 'g'
+                     WHEN source IN ('src5','src6','src7','src8','src9')
+                       THEN '8000'
+                     ELSE '4000'
+                   END)
+           THEN 1 ELSE 0 END AS k
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_total, SUM(k) AS n_kept,
+       SUM(k) / COUNT(*) AS kept_frac
+FROM d GROUP BY 1
 """,
         "neardup_clusters": """
 WITH RECURSIVE d AS (

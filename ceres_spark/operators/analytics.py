@@ -1,0 +1,90 @@
+"""Event-sequence analytics over the ``events`` stream (north-star
+§2.2 generalization of the read path): funnel stage conversion and
+cohort retention — the two queries every product-analytics deployment
+runs on a time-series store, and deliberately ORDER-aware (ceres
+itself has no notion of event ordering beyond the timestamp grid).
+
+Scale shape: both ops reduce the raw stream to USER-cardinality
+aggregates first (map-side combinable min/distinct), and every
+subsequent join is between user-cardinality sides keyed on user_id —
+the raw fact table is scanned once per funnel step and never joined
+against itself at event cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ceres_spark.operators.windows import event_time
+
+WEEK = 7 * 86400
+
+
+def _event_secs(events: DataFrame) -> Column:
+    """Epoch-second BIGINT event time (integer math end-to-end)."""
+    import pyspark.sql.types as T
+
+    dtype = events.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):  # nanosAsLong read path
+        return F.expr("ts DIV 1000000000")
+    return F.unix_timestamp(event_time(events)).cast("long")
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: a user reaches step i+1 with an event of that
+    type AT OR AFTER their first step-i reach time (first-touch
+    attribution; ties at the same second count, matching the oracle's
+    ``t >= t_prev``).
+
+    Returns one row per step: ``step_idx, step, n_users``.
+    """
+    base = events.select(
+        "user_id", "event_type", _event_secs(events).alias("t")
+    )
+    out = None
+    reach = None
+    for i, step in enumerate(steps):
+        hits = base.filter(F.col("event_type") == step)
+        if reach is not None:
+            hits = hits.join(reach, "user_id").filter(
+                F.col("t") >= F.col("t_reach")
+            ).drop("t_reach")
+        reach = hits.groupBy("user_id").agg(F.min("t").alias("t_reach"))
+        row = reach.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(events: DataFrame, period_s: int = WEEK) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    first event; one row per (cohort, period offset) counting users
+    active again in that period.
+
+    ``(cohort_start, week_offset, n_active)`` — offset 0 is the cohort
+    size. All period math is integer quantization (``t - t % period``),
+    the same grid arithmetic as the ceres read path.
+    """
+    p = int(period_s)
+    base = events.select("user_id", _event_secs(events).alias("t"))
+    first = base.groupBy("user_id").agg(F.min("t").alias("_ft"))
+    cohort = first.select(
+        "user_id", (F.col("_ft") - F.col("_ft") % p).alias("_cw")
+    )
+    active = base.select(
+        "user_id", (F.col("t") - F.col("t") % p).alias("_w")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("_cw").alias("cohort_start"),
+            F.expr(f"(_w - _cw) DIV {p}").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

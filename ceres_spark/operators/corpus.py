@@ -115,3 +115,59 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling toward a target mixture:
+    a doc survives when the first 4 hex digits of md5('source#doc_id')
+    sort below its source's weight threshold. Hex-lexical compare is
+    engine-portable (md5 hex is identical everywhere; no hex→int
+    conversion, which DuckDB 1.0 lacks — same trick as
+    :func:`stratified_split`).
+
+    Keying the hash on (source, doc_id) — not content — makes the
+    sample independent of text edits and uniform within a source;
+    determinism means re-running ingestion keeps the same docs
+    (append-only pipelines can't tolerate resampling churn).
+
+    Returns per-source ``n_total, n_kept, kept_frac`` — the mixture
+    audit a pipeline logs; the kept rows themselves are
+    ``docs.filter(mixture_keep(...))`` at scale (scan-speed, no
+    shuffle).
+    """
+    def thr(w: float) -> str:
+        # weight ≥ 1.0 → 'g': sorts after every 4-hex-digit string, so
+        # the keep-all threshold stays a valid LEXICAL compare (a
+        # 5-digit '10000' would sort BEFORE most hashes)
+        t = max(0, int(w * 65536))
+        return "g" if t >= 65536 else format(t, "04x")
+
+    b = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    expr = None
+    for src, w in sorted(weights.items()):
+        c = F.when(F.col("source") == src, b < F.lit(thr(w)))
+        expr = c if expr is None else expr.when(
+            F.col("source") == src, b < F.lit(thr(w))
+        )
+    kept = (
+        expr.otherwise(b < F.lit(thr(default_weight)))
+        if expr is not None
+        else (b < F.lit(thr(default_weight)))
+    )
+    return (
+        docs.select("source", kept.cast("int").alias("_k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("_k").cast("long").alias("n_kept"),
+        )
+        .withColumn("kept_frac", F.col("n_kept") / F.col("n_total"))
+    )

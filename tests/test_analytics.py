@@ -1,0 +1,56 @@
+"""Funnel / cohort / mixture-sampling semantics on hand-built data."""
+
+from pyspark.sql import functions as F
+
+import ceres_spark.operators.analytics as ana
+import ceres_spark.operators.corpus as corp
+
+EV = "user_id long, event_type string, ts long"
+NS = 1_000_000_000  # events.ts is epoch-nanos long under nanosAsLong
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, t * NS) for u, e, t in rows], EV
+    )
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),  # full
+        (2, "click", 10), (2, "view", 20),                       # click BEFORE view
+        (3, "view", 10), (3, "click", 10),                       # same-second tie counts
+        (4, "purchase", 5),                                      # purchase w/o funnel
+    ]
+    out = {r["step"]: r["n_users"] for r in ana.funnel(ev(spark, rows)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    W = ana.WEEK
+    rows = [
+        (1, "view", 0), (1, "view", W + 5), (1, "view", 3 * W),  # offsets 0,1,3
+        (2, "view", 0),                                           # cohort 0 only
+        (3, "view", W),                                           # week-1 cohort
+    ]
+    out = {
+        (r["cohort_start"], r["week_offset"]): r["n_active"]
+        for r in ana.cohort_retention(ev(spark, rows)).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (W, 0): 1}
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    full = corp.mixture_sample(docs, {"a": 1.0, "b": 1.0})
+    assert all(r["n_kept"] == r["n_total"] for r in full.collect())
+    half = {r["source"]: r for r in corp.mixture_sample(docs, {"a": 0.5, "b": 0.1}).collect()}
+    assert 0.3 < half["a"]["kept_frac"] < 0.7      # ~50% of 200
+    assert half["b"]["n_kept"] < half["a"]["n_kept"]
+    again = {r["source"]: r for r in corp.mixture_sample(docs, {"a": 0.5, "b": 0.1}).collect()}
+    assert {s: r["n_kept"] for s, r in half.items()} == {
+        s: r["n_kept"] for s, r in again.items()
+    }
