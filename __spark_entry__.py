@@ -779,6 +779,22 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_as_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asPercent: per-metric share of each hour's total (broadcast
+    per-ts totals, one series shuffle)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.as_percent(hourly)
+
+
+def _q_top_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highestCurrent: top-3 metrics by latest hourly value (max_by
+    current + TakeOrderedAndProject top-k)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.top_series(hourly, k=3)
+
+
 def _q_time_shift_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timeShift + self-join alignment: each hourly bucket against the
     same metric one hour earlier (hour-over-hour delta). The shift is
@@ -917,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": _q_forward_fill,
         "per_second_rate": _q_per_second,
         "time_shift_join": _q_time_shift_join,
+        "as_percent": _q_as_percent,
+        "top_series": _q_top_series,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
@@ -1960,6 +1978,39 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "as_percent": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+totals AS (
+  SELECT ts, {DEC_SUM} AS total FROM b GROUP BY 1
+)
+SELECT metric, b.ts AS ts, value, 100.0 * value / total AS pct
+FROM b JOIN totals USING (ts)
+""",
+        "top_series": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, arg_max(value, ts) AS current_value,
+       MAX(ts) AS current_ts
+FROM b WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY current_value DESC, metric
+LIMIT 3
 """,
         "time_shift_join": f"""
 WITH {POINTS_CTE},

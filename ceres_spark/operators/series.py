@@ -271,3 +271,49 @@ def anomaly_zscore(buckets: DataFrame, z: float = 3.0) -> DataFrame:
         j.select("metric", "ts", "value", zscore.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= F.lit(float(z)))
     )
+
+
+def as_percent(buckets: DataFrame) -> DataFrame:
+    """asPercent: each metric's share of the per-timestamp total
+    (graphite's asPercent(series, sumSeries(*))). The denominator is a
+    bucket-cardinality aggregate rejoined broadcast — the series
+    table shuffles once for its own bucketing and never again.
+
+    Share = value / total in plain double division over two
+    decimal-accumulated operands, mirrored verbatim in the oracle.
+    """
+    totals = buckets.groupBy("ts").agg(
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("_total")
+    )
+    return (
+        buckets.join(F.broadcast(totals), "ts")
+        .select(
+            "metric",
+            "ts",
+            "value",
+            (F.lit(100.0) * F.col("value") / F.col("_total")).alias("pct"),
+        )
+    )
+
+
+def top_series(buckets: DataFrame, k: int = 3) -> DataFrame:
+    """highestCurrent: the k metrics whose LATEST bucket value is
+    highest (graphite's highestCurrent/topK selector — the dashboard
+    'show me the worst offenders' primitive).
+
+    The current value per metric is max_by(value, ts) — one map-side-
+    combinable aggregate over the whole series table; the global
+    top-k of that tiny per-metric result compiles to
+    TakeOrderedAndProject (no global sort). Ties break by metric name
+    for determinism.
+    """
+    current = buckets.filter(F.col("value").isNotNull()).groupBy("metric").agg(
+        F.max_by("value", "ts").alias("current_value"),
+        F.max("ts").alias("current_ts"),
+    )
+    return current.orderBy(
+        F.desc("current_value"), F.asc("metric")
+    ).limit(int(k))

@@ -192,3 +192,42 @@ def test_histogram_quantiles_partial_agg(spark):
     )
     plan = plan_of(sk.histogram_quantiles(ev, "metric", "value"))
     assert "partial_count" in plan, plan  # map-side histogram combine
+
+
+def test_as_percent_totals_join_is_broadcast(spark):
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.as_percent(hourly))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_series_uses_take_ordered(spark):
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.top_series(hourly))
+    assert "TakeOrderedAndProject" in plan, plan   # no global sort
+    assert "partial_max_by" in plan or "partial_" in plan, plan
+
+
+def test_mixture_sample_single_scan_partial_agg(spark):
+    import ceres_spark.operators.corpus as corp
+    plan = plan_of(corp.mixture_sample(
+        tbl.load(spark, "documents", SF), {"src0": 0.5}
+    ))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    # only the two needed columns reach the scan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in rs, rs
+
+
+def test_funnel_joins_user_cardinality_sides(spark):
+    import ceres_spark.operators.analytics as ana
+    plan = plan_of(ana.funnel(tbl.load(spark, "events", SF)))
+    # each stage filter reaches the events scan (no full-stream join)
+    assert "PushedFilters" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
