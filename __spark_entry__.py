@@ -24,6 +24,7 @@ import ceres_spark.operators.analytics as ana
 import ceres_spark.operators.asof as asof
 import ceres_spark.operators.range_join as rjoin
 import ceres_spark.operators.compact as cp
+import ceres_spark.operators.chunking as chk
 import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.graph as gr
@@ -422,6 +423,20 @@ def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: 30min-gap session windows per user."""
     return win.session_window_agg(tbl.load(spark, "events", sf_dir))
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, stride 48 (16-token
+    overlap). Map-only; the chunk array is the explode input, built
+    once per document."""
+    return chk.chunk_documents(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: running-token-count bins of 256
+    per source, deterministic contiguous fill."""
+    chunks = chk.chunk_documents(tbl.load(spark, "documents", sf_dir))
+    return chk.pack_sequences(chunks, ctx=256)
 
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
         "contamination": _q_contamination,
+        "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "mixture_sample": _q_mixture_sample,
@@ -1204,6 +1221,43 @@ SELECT doc_id,
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g'),
       '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<phone>', 'g')) AS scrubbed_md5
 FROM d
+""",
+        "doc_chunks": """
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, source,
+  unnest(range(0, len(range(1, len(toks) + 1, 48)))) AS chunk_idx,
+  unnest(list_transform(range(1, len(toks) + 1, 48),
+         s -> array_to_string(toks[s:s + 63], ' '))) AS chunk_text,
+  unnest(list_transform(range(1, len(toks) + 1, 48),
+         s -> least(64, len(toks) - s + 1))) AS n_chunk_tokens
+FROM d
+""",
+        "packed_sequences": """
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+    unnest(range(0, len(range(1, len(toks) + 1, 48)))) AS chunk_idx,
+    unnest(list_transform(range(1, len(toks) + 1, 48),
+           s -> least(64, len(toks) - s + 1))) AS n_chunk_tokens
+  FROM d
+),
+b AS (
+  SELECT source, n_chunk_tokens,
+    SUM(n_chunk_tokens) OVER (
+        PARTITION BY source ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+)
+SELECT source, (cum - n_chunk_tokens) // 256 AS bin,
+       COUNT(*) AS n_chunks, SUM(n_chunk_tokens) AS n_tokens,
+       SUM(n_chunk_tokens) / 256 AS fill_frac
+FROM b GROUP BY 1, 2
 """,
         "funnel": """
 WITH e AS (

@@ -1,0 +1,87 @@
+"""Context-window preparation (north-star §2.2 training pipeline):
+split documents into overlapping token-window chunks, then pack
+chunks into fixed-size training sequences.
+
+Both stages are the shapes a 100 TB tokenization job needs:
+- chunking is map-only — the chunk list is built as ONE array column
+  and exploded (the array is the explode input, so it is evaluated
+  once per document; sibling computed columns would be re-evaluated
+  per chunk — the Catalyst no-let-binding trap, see
+  text.repetition_stats).
+- packing is one window pass per source partition: a running token
+  count assigns each chunk to ``floor(preceding_total / ctx)`` — the
+  deterministic contiguous-fill packing (concatenate in order, cut
+  every ctx tokens). First-fit-decreasing would pack ~equally well
+  but is order-sensitive and therefore partitioning-dependent; a
+  deterministic result is worth more than the last few percent of
+  fill here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ceres_spark.operators.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token windows: chunk i covers tokens
+    ``[1 + i·stride, 1 + i·stride + size)`` (1-based); the tail chunk
+    may be short. ``stride < size`` gives ``size - stride`` tokens of
+    overlap — the standard trick so no span falls on a chunk
+    boundary.
+
+    Returns ``doc_id, source, chunk_idx, chunk_text, n_chunk_tokens``.
+    """
+    t = tokens()
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(int(stride)))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(t, s, int(size))).alias("chunk_text"),
+            F.least(F.lit(int(size)), F.size(t) - s + 1).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def pack_sequences(chunks: DataFrame, ctx: int = 256) -> DataFrame:
+    """Assign chunks to fixed-``ctx`` training bins by running token
+    count within each source (ordered by doc_id, chunk_idx — a total
+    order, so the packing is deterministic). Returns per-bin fill
+    stats: ``source, bin, n_chunks, n_tokens, fill_frac``.
+
+    All arithmetic is integer until the final fill ratio, so the
+    result is partitioning-independent.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = int(ctx)
+    binned = chunks.withColumn(
+        "_cum", F.sum("n_chunk_tokens").over(w).cast("long")
+    ).withColumn("bin", F.expr(f"(_cum - n_chunk_tokens) DIV {c}"))
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("fill_frac", F.col("n_tokens") / F.lit(c))
+    )

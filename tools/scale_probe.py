@@ -68,6 +68,11 @@ def time_pipeline(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     agg.aggregate_series(cp.compact(pts, 60), "average", 3600).count()
     t["rollup_1h"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    import ceres_spark.operators.analytics as ana
+
+    ana.funnel(tbl.load(spark, "events", sf_dir)).collect()
+    t["funnel"] = round(time.perf_counter() - t0, 2)
     return t
 
 
@@ -109,6 +114,19 @@ def time_text_pipeline(spark, sf_dir: str) -> dict[str, float]:
     rest = docs.filter(F.col("doc_id") % 97 != 0)
     dd.contamination(rest, ev, shingle_k=3).count()
     t["contamination"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    import ceres_spark.operators.text as text
+
+    text.repetition_stats(docs).count()
+    t["repetition"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    import ceres_spark.operators.graph as gr
+
+    pairs = dd.jaccard_pairs_vectorized(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    gr.connected_components(pairs, "doc_a", "doc_b").count()
+    t["neardup_cc"] = round(time.perf_counter() - t0, 2)
     return t
 
 
