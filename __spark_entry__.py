@@ -794,6 +794,15 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops #16/#17 run-splitting as an audit query: the contiguous
+    runs (gap > MAX_SLICE_GAP=80 steps starts a new one) the reference
+    would store as separate slice files — the defrag job's small-file
+    inventory."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return cp.slice_runs(deduped, 60)
+
+
 def _q_as_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asPercent: per-metric share of each hour's total (broadcast
     per-ts totals, one series shuffle)."""
@@ -952,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_shift_join": _q_time_shift_join,
         "as_percent": _q_as_percent,
         "top_series": _q_top_series,
+        "slice_runs": _q_slice_runs,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
@@ -2032,6 +2042,29 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "slice_runs": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT metric, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts) > 4800
+         THEN 1 ELSE 0 END AS nr
+  FROM deduped
+),
+n AS (
+  SELECT metric, ts,
+    SUM(nr) OVER (PARTITION BY metric ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS run_id
+  FROM m
+)
+SELECT metric, run_id, MIN(ts) AS run_start, MAX(ts) AS run_end,
+       COUNT(*) AS n_points
+FROM n GROUP BY 1, 2
 """,
         "as_percent": f"""
 WITH {POINTS_CTE},

@@ -85,3 +85,49 @@ def compact(
         .withColumnRenamed("_q_ts", ts_col)
     )
     return out
+
+
+MAX_SLICE_GAP = 80  # reference: ceres.py ≈L45
+
+
+def slice_runs(
+    deduped: DataFrame,
+    time_step: int,
+    max_gap: int = MAX_SLICE_GAP,
+) -> DataFrame:
+    """Contiguous-run detection (gaps-and-islands): split each
+    metric's quantized points into the runs the reference would store
+    as separate slice files — a new run starts when the gap to the
+    previous point exceeds ``max_gap`` steps (``CeresNode.write``
+    ≈L640: ``SliceGapTooLarge`` → ``CeresSlice.create``; ``compact``
+    ≈L460 splits at any gap, write-path routing merges gaps ≤ 80).
+
+    Classic two-window pass: a lag marks run starts (1/0), a running
+    sum of the marks numbers the runs; both windows share one
+    per-metric sort. Output ``metric, run_start, run_end, n_points``
+    is exactly the slice inventory defrag reasons about — at scale
+    this IS the small-file audit for the compaction job.
+
+    All arithmetic is integer (quantized BIGINT ts), so runs are
+    partitioning-independent.
+    """
+    from pyspark.sql.window import Window
+
+    step = int(time_step)
+    w = Window.partitionBy("metric").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = deduped.withColumn(
+        "_new_run",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w)) > int(max_gap) * step, 1
+        )
+        .otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "run_id", F.sum("_new_run").over(w_run).cast("long")
+    )
+    return numbered.groupBy("metric", "run_id").agg(
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.count("*").alias("n_points"),
+    )

@@ -186,3 +186,22 @@ def test_time_shift_relabels_only(spark):
     # negative shift allowed (timeShift back in time)
     back = ser.time_shift(b, -60)
     assert [r["ts"] for r in back.orderBy("ts").collect()] == [-60, 0]
+
+
+def test_slice_runs_split_on_gap(spark):
+    # step=60, max_gap=2 steps → gap of >120s starts a new run
+    df = spark.createDataFrame(
+        [("m", 0, 1.0), ("m", 60, 1.0), ("m", 180, 1.0),   # gap 120 ≤ 2*60 → same run
+         ("m", 420, 1.0),                                    # gap 240 > 120 → new run
+         ("n", 0, 1.0)],
+        "metric string, ts long, value double",
+    )
+    out = {
+        (r["metric"], r["run_id"]): (r["run_start"], r["run_end"], r["n_points"])
+        for r in cp.slice_runs(df, 60, max_gap=2).collect()
+    }
+    assert out == {
+        ("m", 0): (0, 180, 3),
+        ("m", 1): (420, 420, 1),
+        ("n", 0): (0, 0, 1),
+    }
