@@ -794,6 +794,13 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """movingMedian: 5-bucket trailing exact median per metric."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.moving_median(hourly, points=5)
+
+
 def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #16/#17 run-splitting as an audit query: the contiguous
     runs (gap > MAX_SLICE_GAP=80 steps starts a new one) the reference
@@ -961,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_shift_join": _q_time_shift_join,
         "as_percent": _q_as_percent,
         "top_series": _q_top_series,
+        "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
@@ -2042,6 +2050,22 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "moving_median": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  quantile_cont(value, 0.5) OVER (
+      PARTITION BY metric ORDER BY ts
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
+FROM b
 """,
         "slice_runs": f"""
 WITH {POINTS_CTE},

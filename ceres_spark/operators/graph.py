@@ -62,6 +62,17 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(df: DataFrame) -> int:
+        # labels only ever DECREASE, so Σcomp strictly decreases iff
+        # any label changed — one cheap aggregate replaces a
+        # join+filter+count convergence probe (decimal: immune to
+        # int64 overflow at billion-node × large-id scale)
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -79,15 +90,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -317,3 +317,28 @@ def top_series(buckets: DataFrame, k: int = 3) -> DataFrame:
     return current.orderBy(
         F.desc("current_value"), F.asc("metric")
     ).limit(int(k))
+
+
+def moving_median(buckets: DataFrame, points: int = 5) -> DataFrame:
+    """movingMedian: exact trailing median over the last ``points``
+    buckets per metric — the robust smoother (movingAverage chases
+    spikes; the median ignores them).
+
+    Windowed exact percentile is a per-frame sort of ≤ ``points``
+    values — O(points log points) per row with per-metric partitioning,
+    constant state per task. Bit-portable: Spark `percentile` ≡ DuckDB
+    `quantile_cont` over the identical ROWS frame.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(-(int(points) - 1), 0)
+    )
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.percentile(F.col("value"), F.lit(0.5)).over(w).alias("moving_median"),
+    )

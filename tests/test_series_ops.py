@@ -205,3 +205,14 @@ def test_slice_runs_split_on_gap(spark):
         ("m", 1): (420, 420, 1),
         ("n", 0): (0, 0, 1),
     }
+
+
+def test_moving_median_ignores_spike(spark):
+    df = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate([1.0, 1.0, 100.0, 1.0, 1.0])],
+        "metric string, ts long, value double",
+    )
+    out = [r["moving_median"] for r in
+           ser.moving_median(df, points=3).orderBy("ts").collect()]
+    # trailing 3-frame: [1], [1,1], [1,1,100], [1,100,1], [100,1,1]
+    assert out == [1.0, 1.0, 1.0, 1.0, 1.0]   # spike never surfaces
