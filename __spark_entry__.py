@@ -794,6 +794,66 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join as a first-class query: events (hot keys
+    — 5 event types over 100k rows) ⋈ a per-type weight dim with the
+    hot side salted 8 ways. The ORACLE is the plain unsalted join —
+    proving the salt+explode machinery is result-invariant."""
+    import ceres_spark.operators.join_strategies as js
+
+    ev = tbl.load(spark, "events", sf_dir).select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    j = js.salted_join(ev, dim, "event_type", salt=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("weighted_sum"),
+    )
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table in ONE aggregate
+    pass: row/null/distinct counts and value/time extents — the
+    expectation-check a pipeline runs before trusting an input drop."""
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = F.expr("ts DIV 1000000000")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("value_nulls"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min(sec).alias("min_ts"),
+        F.max(sec).alias("max_ts"),
+    )
+
+
+def _q_melt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→tall unpivot (melt): the per-metric aggregate row unpivots
+    into (metric, stat, value) — Spark's native unpivot node, checked
+    against a UNION-ALL oracle."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    wide = deduped.groupBy("metric").agg(
+        agg.agg_expr("average").alias("avg"),
+        agg.agg_expr("sum").alias("sum"),
+        agg.agg_expr("max").alias("max"),
+        agg.agg_expr("min").alias("min"),
+    )
+    return wide.unpivot(
+        ids=["metric"],
+        values=["avg", "sum", "max", "min"],
+        variableColumnName="stat",
+        valueColumnName="value",
+    )
+
+
 def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """movingMedian: 5-bucket trailing exact median per metric."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
@@ -970,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
+        "salted_join": _q_salted_join,
+        "table_profile": _q_table_profile,
+        "melt_stats": _q_melt_stats,
         "histogram_quantiles": _q_histogram_quantiles,
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
@@ -2050,6 +2113,43 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "salted_join": """
+WITH w(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+         ('signup', 5.0), ('error', 0.0)
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value * CAST(weight AS DOUBLE) AS DECIMAL(30,10)))
+      AS VARCHAR) AS DOUBLE) AS weighted_sum
+FROM events JOIN w USING (event_type)
+GROUP BY 1
+""",
+        "table_profile": """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(value) AS value_nulls,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts
+FROM events
+""",
+        "melt_stats": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+wide AS (
+  SELECT metric, {DEC_AVG} AS a, {DEC_SUM} AS s,
+         MAX(value) AS mx, MIN(value) AS mn
+  FROM deduped GROUP BY 1
+)
+SELECT metric, 'avg' AS stat, a AS value FROM wide
+UNION ALL SELECT metric, 'sum', s FROM wide
+UNION ALL SELECT metric, 'max', mx FROM wide
+UNION ALL SELECT metric, 'min', mn FROM wide
 """,
         "moving_median": f"""
 WITH {POINTS_CTE},

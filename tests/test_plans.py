@@ -231,3 +231,20 @@ def test_funnel_joins_user_cardinality_sides(spark):
     # each stage filter reaches the events scan (no full-stream join)
     assert "PushedFilters" in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["salted_join"](spark, SF))
+    # the join key must be (event_type, _salt) — the hot key spread
+    assert "_salt" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_melt_uses_native_expand(spark):
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["melt_stats"](spark, SF))
+    # unpivot compiles to one Expand over the aggregated row — the
+    # deduped input is scanned/aggregated once, not once per stat
+    assert "Expand" in plan, plan
+    assert plan.count("events.parquet") == 1, plan
