@@ -219,3 +219,75 @@ def test_shingles_zipwith_matches_reference(spark, texts, k):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref_shingles(t, k), (t, k)
+
+
+# ------------------------------------------------ slice_runs / chunking
+
+def ref_slice_runs(ts_list, step, max_gap):
+    """Run-splitting (CeresNode.write ≈L640): new run when the gap to
+    the previous quantized ts exceeds max_gap steps."""
+    runs = []
+    for t in sorted(set(ts_list)):
+        if runs and t - runs[-1][-1] <= max_gap * step:
+            runs[-1].append(t)
+        else:
+            runs.append([t])
+    return {
+        i: (r[0], r[-1], len(r)) for i, r in enumerate(runs)
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    max_gap=st.integers(min_value=1, max_value=10),
+)
+def test_slice_runs_matches_reference(spark, steps, max_gap):
+    ts_list = [s * 60 for s in steps]
+    df = spark.createDataFrame(
+        [("m", t, 1.0) for t in sorted(set(ts_list))],
+        "metric string, ts long, value double",
+    )
+    got = {
+        r["run_id"]: (r["run_start"], r["run_end"], r["n_points"])
+        for r in cp.slice_runs(df, 60, max_gap=max_gap).collect()
+    }
+    assert got == ref_slice_runs(ts_list, 60, max_gap)
+
+
+def ref_chunks(tokens_list, size, stride):
+    out = []
+    for i, s in enumerate(range(0, len(tokens_list), stride)):
+        out.append((i, " ".join(tokens_list[s : s + size]),
+                    min(size, len(tokens_list) - s)))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    size=st.integers(min_value=1, max_value=20),
+    stride=st.integers(min_value=1, max_value=20),
+)
+def test_chunking_matches_reference(spark, n_tokens, size, stride):
+    import ceres_spark.operators.chunking as chk
+
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame(
+        [(1, "s", " ".join(toks))], "doc_id long, source string, text string"
+    )
+    got = [
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chk.chunk_documents(df, size=size, stride=stride)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == ref_chunks(toks, size, stride)
