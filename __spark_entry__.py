@@ -794,6 +794,21 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stdev: 5-bucket trailing population stddev per metric."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.moving_stddev(hourly, points=5)
+
+
+def _q_series_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumSeries/diffSeries: per-ts total over all metrics and
+    click − view, one conditional aggregation."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.series_arithmetic(hourly, "click", "view")
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join as a first-class query: events (hot keys
     — 5 event types over 100k rows) ⋈ a per-type weight dim with the
@@ -1030,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
+        "moving_stddev": _q_moving_stddev,
+        "series_arithmetic": _q_series_arithmetic,
         "salted_join": _q_salted_join,
         "table_profile": _q_table_profile,
         "melt_stats": _q_melt_stats,
@@ -2113,6 +2130,48 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "moving_stddev": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  sqrt(greatest(
+    CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) OVER w
+        AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w
+    - (CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+        AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w)
+      * (CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+        AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w)
+  , 0.0)) AS moving_stddev
+FROM b WINDOW w AS (
+  PARTITION BY metric ORDER BY ts
+  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "series_arithmetic": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+      AS sum_all,
+  CAST(CAST(SUM(CAST(CASE WHEN metric = 'click' THEN value END
+      AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+  - CAST(CAST(SUM(CAST(CASE WHEN metric = 'view' THEN value END
+      AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS click_minus_view
+FROM b GROUP BY 1
 """,
         "salted_join": """
 WITH w(event_type, weight) AS (

@@ -342,3 +342,69 @@ def moving_median(buckets: DataFrame, points: int = 5) -> DataFrame:
         "value",
         F.percentile(F.col("value"), F.lit(0.5)).over(w).alias("moving_median"),
     )
+
+
+def moving_stddev(buckets: DataFrame, points: int = 5) -> DataFrame:
+    """stdev: trailing population standard deviation over the last
+    ``points`` buckets per metric (graphite's stdev — the local-
+    volatility readout).
+
+    Same determinism recipe as anomaly_zscore, but windowed: decimal
+    Σx and Σx² per frame, E[x²]−E[x]² in plain double ops, sqrt
+    correctly rounded — mirrored verbatim in the oracle. One window
+    sort serves both frames.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(-(int(points) - 1), 0)
+    )
+    dec = lambda c: (
+        F.sum(c.cast("decimal(30,10)")).over(w).cast("string").cast("double")
+    )
+    n = F.count("value").over(w)
+    mean = dec(F.col("value")) / n
+    ex2 = dec(F.col("value") * F.col("value")) / n
+    # E[x²]−E[x]² can round to −ε on near-constant frames (the two
+    # decimal quantizations differ below the 10th digit); clamp —
+    # mirrored in the oracle, where DuckDB would otherwise ERROR on
+    # sqrt(negative) while Spark silently yields NaN
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.sqrt(var).alias("moving_stddev"),
+    )
+
+
+def series_arithmetic(buckets: DataFrame, a: str, b: str) -> DataFrame:
+    """sumSeries / diffSeries: cross-series arithmetic aligned on ts —
+    the total across ALL metrics plus the difference ``a − b``, in one
+    conditional aggregation (no self-join, no pivot shuffle beyond
+    the groupBy).
+
+    Missing points behave like graphite: the total sums whatever
+    metrics exist at each ts; the diff is NULL when either side is
+    missing (NULL-propagating subtraction).
+    """
+    dsum = lambda c: (
+        F.sum(c.cast("decimal(30,10)")).cast("string").cast("double")
+    )
+    va = F.when(F.col("metric") == a, F.col("value"))
+    vb = F.when(F.col("metric") == b, F.col("value"))
+    return (
+        buckets.groupBy("ts")
+        .agg(
+            dsum(F.col("value")).alias("sum_all"),
+            dsum(va).alias("_a"),
+            dsum(vb).alias("_b"),
+        )
+        .select(
+            "ts",
+            "sum_all",
+            (F.col("_a") - F.col("_b")).alias(f"{a}_minus_{b}"),
+        )
+    )

@@ -216,3 +216,26 @@ def test_moving_median_ignores_spike(spark):
            ser.moving_median(df, points=3).orderBy("ts").collect()]
     # trailing 3-frame: [1], [1,1], [1,1,100], [1,100,1], [100,1,1]
     assert out == [1.0, 1.0, 1.0, 1.0, 1.0]   # spike never surfaces
+
+
+def test_moving_stddev_constant_series_is_zero(spark):
+    df = spark.createDataFrame(
+        [("m", i * 60, 7.0) for i in range(5)],
+        "metric string, ts long, value double",
+    )
+    out = [r["moving_stddev"] for r in
+           ser.moving_stddev(df, points=3).orderBy("ts").collect()]
+    assert out == [0.0] * 5          # clamped, never NaN
+
+
+def test_series_arithmetic_null_propagation(spark):
+    df = spark.createDataFrame(
+        [("click", 0, 3.0), ("view", 0, 1.0), ("click", 60, 5.0)],
+        "metric string, ts long, value double",
+    )
+    out = {r["ts"]: r for r in
+           ser.series_arithmetic(df, "click", "view").collect()}
+    assert out[0]["sum_all"] == 4.0
+    assert out[0]["click_minus_view"] == 2.0
+    assert out[60]["sum_all"] == 5.0
+    assert out[60]["click_minus_view"] is None   # view missing → NULL
