@@ -383,6 +383,19 @@ class CeresNode:
         # the ts-range filter inside read_series is on a group key and
         # Catalyst pushes it through the dedup aggregate too
         mine = self.tree.points(step).filter(F.col("metric") == self.node_path)
+        # ts row-group stats bound I/O but NOT the file listing: the
+        # date PARTITION column must be filtered explicitly or a 1-day
+        # fetch over years of history still lists/opens every date
+        # directory. Quantize exactly as read_series will, so the
+        # pruned range covers every bucket it can return.
+        from_q = int(from_time) - (int(from_time) % step)
+        until_q = int(until_time) - (int(until_time) % step)
+        mine = mine.filter(
+            (F.col("date")
+             >= F.to_date(F.timestamp_seconds(F.lit(from_q))))
+            & (F.col("date")
+               <= F.to_date(F.timestamp_seconds(F.lit(max(until_q - 1, from_q)))))
+        )
         if as_of is not None:
             mine = mine.filter(F.col("arrival_seq") <= int(as_of))
         pts = cp.lww_dedup(mine)

@@ -248,3 +248,20 @@ def test_melt_uses_native_expand(spark):
     # deduped input is scanned/aggregated once, not once per stat
     assert "Expand" in plan, plan
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_node_read_prunes_date_partitions(spark, tmp_path):
+    from ceres_spark.tree import CeresTree
+
+    tree = CeresTree.create_tree(spark, str(tmp_path / "wh"))
+    node = tree.create_node("m.cpu", timeStep=60)
+    pts = spark.createDataFrame(
+        [(t, 1.0) for t in range(1704067200, 1704067200 + 3 * 86400, 7200)],
+        "ts long, value double",
+    )
+    node.write(pts)
+    plan = plan_of(node.read(1704067200, 1704067200 + 3600))
+    # the date PARTITION filter must appear — ts stats alone still
+    # list every date directory at scale
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "date" in pf and "isnotnull" in pf.replace(" ", "").lower(), plan
