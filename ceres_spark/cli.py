@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--from", dest="from_time", type=int, default=None)
     f.add_argument("--until", dest="until_time", type=int, default=None)
 
+    s = sub.add_parser("slicecheck")
+    s.add_argument("root")
+    s.add_argument("--step", type=int, default=60)
+    s.add_argument(
+        "--legacy", action="store_true",
+        help="check reference-format .slice files instead of parquet",
+    )
+
     m = sub.add_parser("maintenance")
     m.add_argument("root")
     m.add_argument("--plugin", choices=("rollup", "defrag"), required=True)
@@ -102,6 +110,23 @@ def main(argv: list[str] | None = None) -> int:
         tree = CeresTree(spark, args.root)
         for node in tree.find(args.pattern, args.from_time, args.until_time):
             print(node.node_path)
+    elif args.cmd == "slicecheck":
+        if args.legacy:
+            from ceres_spark.sources.slice_format import slicecheck
+
+            problems = slicecheck(args.root)
+            for pr in problems:
+                print(f"{pr['file']}: {pr['problem']}")
+            print(f"{len(problems)} problem(s)")
+            return 1 if problems else 0
+        tree = CeresTree(spark, args.root)
+        row = tree.check(args.step).collect()[0]
+        print(
+            f"rows={row['n_rows']} misaligned={row['n_misaligned']} "
+            f"nan={row['n_nan']} dups={row['n_dups']}"
+        )
+        bad = row["n_misaligned"] + row["n_nan"] + row["n_dups"]
+        return 1 if bad else 0
     elif args.cmd == "maintenance":
         tree = CeresTree(spark, args.root)
         if args.plugin == "rollup":

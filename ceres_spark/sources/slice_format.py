@@ -163,3 +163,63 @@ def migrate_tree(
         "date", F.to_date(F.timestamp_seconds(F.col("ts")))
     )
     pts.write.mode("append").partitionBy("date").parquet(target_points_path)
+
+
+def slicecheck(root: str) -> list[dict]:
+    """bin/slicecheck parity (op #9): validate a legacy slice tree's
+    file-level invariants — driver-side fsck over file METADATA (the
+    reference tool is a local script; point it at one node or a whole
+    tree). Checks per ``*.slice``:
+
+    - name parses as ``<startTime>@<timeStep>.slice``
+    - body size is a multiple of 8 (whole big-endian float64 points)
+    - startTime sits on the timeStep grid (the write path quantizes
+      every timestamp, ceres.py ≈L470, so a misaligned start means
+      corruption)
+    - same-step slices within a node must not overlap
+      (``start + n_points*step`` ≤ next start — CeresNode.read
+      assumes disjoint, newest-first slices)
+
+    Returns a list of ``{"file": ..., "problem": ...}`` (empty =
+    clean), like the reference prints one line per problem.
+    """
+    problems: list[dict] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        per_step: dict[int, list[tuple[int, int, str]]] = {}
+        for name in sorted(filenames):
+            if not name.endswith(".slice"):
+                continue
+            fp = os.path.join(dirpath, name)
+            m = SLICE_NAME.match(name)
+            if not m:
+                problems.append({"file": fp, "problem": "unparseable name"})
+                continue
+            start, step = int(m.group(1)), int(m.group(2))
+            size = os.path.getsize(fp)
+            if step <= 0:
+                problems.append({"file": fp, "problem": "timeStep <= 0"})
+                continue
+            ok = True
+            if size % 8:
+                problems.append(
+                    {"file": fp, "problem": f"size {size} not a multiple of 8"}
+                )
+                ok = False
+            if start % step:
+                problems.append(
+                    {"file": fp, "problem": "startTime off the timeStep grid"}
+                )
+                ok = False
+            if ok:  # invalid slices are reported once, not cascaded
+                per_step.setdefault(step, []).append((start, size // 8, fp))
+        for step, slices in per_step.items():
+            slices.sort()
+            for (s1, n1, f1), (s2, _n2, f2) in zip(slices, slices[1:]):
+                if s1 + n1 * step > s2:
+                    problems.append(
+                        {
+                            "file": f2,
+                            "problem": f"overlaps {os.path.basename(f1)}",
+                        }
+                    )
+    return problems

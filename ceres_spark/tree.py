@@ -151,6 +151,34 @@ class CeresTree:
             )
         return self.spark.read.parquet(path)
 
+    def check(self, step: int = DEFAULT_TIMESTEP) -> DataFrame:
+        """slicecheck for the parquet warehouse (op #9, the engine-
+        native analogue of :func:`slice_format.slicecheck`): one
+        distributed aggregate over a step table counting invariant
+        violations — timestamps off the step grid, NaN values (the
+        engine's null is SQL NULL; NaN means a boundary conversion
+        was skipped), and duplicate (metric, ts, arrival_seq) rows
+        (same batch may never write one bucket twice — cross-batch
+        duplicates are legal and resolved by LWW).
+
+        Returns one row: ``n_rows, n_misaligned, n_nan, n_dups``.
+        """
+        pts = self.points(step)
+        dups = (
+            pts.groupBy("metric", "ts", "arrival_seq")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_dups"))
+        )
+        stats = pts.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("ts") % F.lit(int(step)) != 0).cast("long")
+            ).alias("n_misaligned"),
+            F.sum(F.isnan("value").cast("long")).alias("n_nan"),
+        )
+        return stats.join(dups)
+
     def log(self) -> txn.TransactionLog:
         """The tree's transaction log (created on first use). Legacy
         counter files seed the floor so arrival_seq stays monotone

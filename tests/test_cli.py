@@ -24,3 +24,53 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert cli.main(["maintenance", root, "--plugin", "rollup",
                      "--new-step", "300"]) == 0
     assert cli.main(["maintenance", root, "--plugin", "defrag"]) == 0
+
+
+def test_slicecheck_legacy_finds_problems(tmp_path):
+    import ceres_spark.sources.slice_format as sf
+
+    node = tmp_path / "metrics" / "cpu"
+    node.mkdir(parents=True)
+    (node / ".ceres-node").write_text("{}")
+    sf.write_slice(str(node), 0, 60, [1.0, 2.0, 3.0])        # clean
+    sf.write_slice(str(node), 120, 60, [9.0])                # overlaps (0..180)
+    (node / "77@60.slice").write_bytes(b"\x00" * 8)          # off-grid start
+    (node / "600@60.slice").write_bytes(b"\x00" * 9)         # ragged size
+    (node / "junk.slice").write_bytes(b"")                   # bad name
+    probs = sf.slicecheck(str(tmp_path))
+    assert len(probs) == 4
+    assert any("unparseable" in p["problem"] for p in probs)
+    assert any("multiple of 8" in p["problem"] for p in probs)
+    assert any("off the timeStep grid" in p["problem"] for p in probs)
+    # overlap reported against the valid 0@60 slice, on the later file
+    assert any(
+        p["problem"] == "overlaps 0@60.slice"
+        and p["file"].endswith("120@60.slice")
+        for p in probs
+    )
+
+
+def test_slicecheck_legacy_clean_tree(tmp_path):
+    import ceres_spark.sources.slice_format as sf
+
+    node = tmp_path / "m"
+    node.mkdir()
+    sf.write_slice(str(node), 0, 60, [1.0, None, 3.0])
+    sf.write_slice(str(node), 600, 60, [4.0])   # disjoint
+    sf.write_slice(str(node), 0, 300, [7.0])    # other step: no conflict
+    assert sf.slicecheck(str(tmp_path)) == []
+
+
+def test_slicecheck_warehouse_cli(spark, tmp_path, capsys):
+    from ceres_spark.cli import main
+    from ceres_spark.tree import CeresTree
+
+    root = str(tmp_path / "wh")
+    tree = CeresTree.create_tree(spark, root)
+    node = tree.create_node("a.b", timeStep=60)
+    node.write(spark.createDataFrame(
+        [(0, 1.0), (60, 2.0)], "ts long, value double"
+    ))
+    assert main(["slicecheck", root]) == 0
+    out = capsys.readouterr().out
+    assert "rows=2 misaligned=0 nan=0 dups=0" in out
