@@ -408,6 +408,13 @@ def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def _q_topk_cosine_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force top-k: exact BIGINT dot products
+    (associative — no accumulation-order caveats), one double
+    division at the end. The 4×-smaller-vectors serving path."""
+    return sim.topk_cosine_quantized(tbl.load(spark, "embeddings", sf_dir))
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-label centroid cosine matrix over the embeddings table:
     posexplode → exact per-dim median → ordered reassembly → pairwise
@@ -992,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "label_centroid_sim": _q_label_centroids,
+        "topk_cosine_q8": _q_topk_cosine_q8,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "props_extract": _q_props_extract,
@@ -1532,6 +1540,38 @@ WITH e AS (
 SELECT query_id, neighbor_id, label, cosine_sim, rank FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+        "topk_cosine_q8": """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label,
+    list_transform(v, x -> CAST(floor(
+        x / list_max(list_transform(v, y -> abs(y))) * 127) AS BIGINT))
+        AS q
+  FROM e
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT qs.query_id, qz.vec_id AS neighbor_id, qz.label,
+    list_reduce(list_transform(list_zip(qq, q), p -> p[1] * p[2]),
+                (x, y) -> x + y)
+    / (sqrt(CAST(list_reduce(list_transform(list_zip(qq, qq),
+             p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE))
+       * sqrt(CAST(list_reduce(list_transform(list_zip(q, q),
+             p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)))
+    AS cosine_sim_q8
+  FROM qz JOIN qs ON qz.vec_id != qs.query_id
+)
+SELECT query_id, neighbor_id, label, cosine_sim_q8, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim_q8 DESC, neighbor_id
   ) AS rank
   FROM scored
 ) WHERE rank <= 10

@@ -240,3 +240,32 @@ def test_label_centroids_median_and_dim_order(spark):
     assert cents["b"] == [0.0, 1.0]
     out = sim.label_centroid_similarity(emb).collect()
     assert len(out) == 1 and out[0]["label_a"] == "a"
+
+
+def test_q8_topk_recall_vs_float_brute(spark, emb):
+    import ceres_spark.operators.similarity as sim
+
+    brute = sim.topk_brute(emb, emb.filter(emb["vec_id"] < 5), k=10)
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_cosine_quantized(emb, k=10).collect()
+    }
+    # int8 error ~1/127/component: ranking mostly survives
+    assert len(want & got) / len(want) >= 0.8
+
+
+def test_q8_quantization_range(spark, emb):
+    import ceres_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    q = sim.quantize_embeddings(emb)
+    bad = q.filter(
+        F.exists("q", lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+    # max-|x| component maps to ±127 exactly
+    hit = q.filter(F.array_max("q") == 127).count() + q.filter(
+        F.array_min("q") == -127
+    ).count()
+    assert hit > 0
