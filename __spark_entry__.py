@@ -801,6 +801,29 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_group_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByNode over dotted paths: events keyed as
+    ``srv<user_id%4>.<event_type>`` (the tree data model's hierarchy),
+    hourly-averaged per full path, then fanned-in on path component 1
+    with method=sum — graphite's groupByNode(…, 1, 'sum')."""
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = F.expr("ts DIV 1000000000")
+    pts = ev.select(
+        F.concat(
+            F.lit("srv"),
+            (F.col("user_id") % 4).cast("string"),
+            F.lit("."),
+            F.col("event_type"),
+        ).alias("metric"),
+        sec.cast("long").alias("ts"),
+        "value",
+        F.col("event_id").alias("arrival_seq"),
+    )
+    deduped = cp.compact(pts, 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.group_by_node(hourly, 1, "sum")
+
+
 def _q_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stdev: 5-bucket trailing population stddev per metric."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
@@ -1055,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_runs": _q_slice_runs,
         "moving_stddev": _q_moving_stddev,
         "series_arithmetic": _q_series_arithmetic,
+        "group_by_node": _q_group_by_node,
         "salted_join": _q_salted_join,
         "table_profile": _q_table_profile,
         "melt_stats": _q_melt_stats,
@@ -2170,6 +2194,24 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "group_by_node": f"""
+WITH p2 AS (
+  SELECT 'srv' || CAST(user_id % 4 AS VARCHAR) || '.' || event_type
+             AS metric,
+         x - (x % 60) AS ts, value, event_id AS arrival_seq
+  FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS x FROM events)
+),
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM p2 WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT split_part(metric, '.', 2) AS node, ts, {DEC_SUM} AS value
+FROM b GROUP BY 1, 2
 """,
         "moving_stddev": f"""
 WITH {POINTS_CTE},

@@ -408,3 +408,23 @@ def series_arithmetic(buckets: DataFrame, a: str, b: str) -> DataFrame:
             (F.col("_a") - F.col("_b")).alias(f"{a}_minus_{b}"),
         )
     )
+
+
+def group_by_node(
+    buckets: DataFrame, node_idx: int, method: str = "sum"
+) -> DataFrame:
+    """groupByNode: collapse dot-delimited metric paths onto one path
+    component and aggregate the rest away — graphite's hierarchy
+    rollup (``groupByNode(servers.*.cpu, 1, 'sum')`` sums each
+    server's series). The reference's tree data model implies exactly
+    this fan-in; the engine does it as one groupBy on
+    ``(split(metric)[idx], ts)`` with the same null-skipping decimal
+    aggregate methods as op #19.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    key = F.split(F.col("metric"), r"\.").getItem(int(node_idx))
+    return (
+        buckets.groupBy(key.alias("node"), "ts")
+        .agg(agg_expr(method).alias("value"))
+    )

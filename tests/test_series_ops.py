@@ -239,3 +239,22 @@ def test_series_arithmetic_null_propagation(spark):
     assert out[0]["click_minus_view"] == 2.0
     assert out[60]["sum_all"] == 5.0
     assert out[60]["click_minus_view"] is None   # view missing → NULL
+
+
+def test_group_by_node_fans_in_component(spark):
+    df = spark.createDataFrame(
+        [("srv0.cpu", 0, 1.0), ("srv1.cpu", 0, 2.0),
+         ("srv0.mem", 0, 10.0), ("srv1.cpu", 60, 4.0)],
+        "metric string, ts long, value double",
+    )
+    out = {
+        (r["node"], r["ts"]): r["value"]
+        for r in ser.group_by_node(df, 1, "sum").collect()
+    }
+    assert out == {("cpu", 0): 3.0, ("mem", 0): 10.0, ("cpu", 60): 4.0}
+    # component 0 groups the other way
+    by_srv = {
+        (r["node"], r["ts"]): r["value"]
+        for r in ser.group_by_node(df, 0, "max").collect()
+    }
+    assert by_srv[("srv0", 0)] == 10.0
