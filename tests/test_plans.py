@@ -265,3 +265,31 @@ def test_node_read_prunes_date_partitions(spark, tmp_path):
     # list every date directory at scale
     pf = plan.split("PartitionFilters")[1][:200]
     assert "date" in pf and "isnotnull" in pf.replace(" ", "").lower(), plan
+
+
+def test_q8_topk_broadcasts_queries(spark):
+    import ceres_spark.operators.similarity as sim
+    emb = tbl.load(spark, "embeddings", SF)
+    plan = plan_of(sim.topk_cosine_quantized(emb))
+    # the 5-query side is the broadcast build side; candidates stream
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_by_node_partial_agg(spark):
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.group_by_node(hourly, 0, "sum"))
+    assert "partial_sum" in plan, plan
+
+
+def test_moving_median_single_window_sort(spark):
+    import re
+    import ceres_spark.operators.series as ser
+    hourly = tbl.points(spark, SF).groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.avg("value").alias("value"))
+    plan = plan_of(ser.moving_median(hourly))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
