@@ -312,6 +312,12 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs on 24-char prefixes, blocked by
+    source (exact integer Levenshtein — tolerance-free oracle)."""
+    return dd.fuzzy_pairs(tbl.load(spark, "documents", sf_dir), max_dist=12)
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: jaccard pairs → connected
     components → every document labelled with its cluster (min doc_id
@@ -1012,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "corpus_pipeline": _q_corpus_pipeline,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1446,6 +1453,17 @@ WITH d AS (
 SELECT source, COUNT(*) AS n_total, SUM(k) AS n_kept,
        SUM(k) / COUNT(*) AS kept_frac
 FROM d GROUP BY 1
+""",
+        "fuzzy_pairs": """
+WITH d AS (
+  SELECT doc_id, source,
+         substr(regexp_replace(lower(text), ' +', ' ', 'g'), 1, 24) AS pre
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.pre, b.pre) AS edit_dist
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 12
 """,
         "neardup_clusters": """
 WITH RECURSIVE d AS (

@@ -480,3 +480,44 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    prefix_len: int = 24,
+    max_dist: int = 6,
+    block_col: str = "source",
+) -> DataFrame:
+    """Edit-distance near-match pairs (entity-resolution flavor of
+    near-dup): documents in the same block whose normalized text
+    PREFIXES are within ``max_dist`` Levenshtein edits.
+
+    Scale shape mirrors jaccard_pairs: never all-pairs — the block
+    join bounds candidates to Σ block², and the O(p²) Levenshtein DP
+    runs on fixed-length prefixes, not full documents (prefix distance
+    lower-bounds full-text distance for prefix-preserved edits; the
+    standard recall/cost dial is ``prefix_len``). Edit distance is an
+    exact integer metric, so the oracle comparison is tolerance-free.
+    """
+    pre = F.substring(F.regexp_replace(F.lower(F.col("text")), " +", " "), 1, int(prefix_len))
+    d = docs.select(
+        "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "_blk", F.col("_pre").alias("_pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "_blk", F.col("_pre").alias("_pb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # plain (unbanded) levenshtein deliberately: Spark's
+        # threshold variant promises a banded DP but measures 1.5×
+        # SLOWER here (6.0 s vs 4.0 s on 625k pairs at sf0.1) — the
+        # banded implementation's per-call overhead exceeds the
+        # saved cells at p=24. Re-evaluate if prefix_len grows.
+        .withColumn("edit_dist", F.levenshtein(F.col("_pa"), F.col("_pb")))
+        .filter(F.col("edit_dist") <= int(max_dist))
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -269,3 +269,20 @@ def test_q8_quantization_range(spark, emb):
         F.array_min("q") == -127
     ).count()
     assert hit > 0
+
+
+def test_fuzzy_pairs_finds_planted_typo(spark):
+    import ceres_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "the quick brown fox jumps over"),
+            (2, "s", "the quick brwon fox jumps over"),   # transposition
+            (3, "s", "completely different text here now"),
+            (4, "t", "the quick brown fox jumps over"),   # other block
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+           for r in dd.fuzzy_pairs(docs, prefix_len=24, max_dist=3).collect()}
+    assert out == {(1, 2): 2}   # typo pair found; cross-block excluded
