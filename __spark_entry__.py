@@ -807,6 +807,14 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize hourly values into each metric's exact [p5, p95]
+    band (broadcast band join, projection clamp)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.winsorize(hourly)
+
+
 def _q_group_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupByNode over dotted paths: events keyed as
     ``srv<user_id%4>.<event_type>`` (the tree data model's hierarchy),
@@ -1086,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_stddev": _q_moving_stddev,
         "series_arithmetic": _q_series_arithmetic,
         "group_by_node": _q_group_by_node,
+        "winsorize": _q_winsorize,
         "salted_join": _q_salted_join,
         "table_profile": _q_table_profile,
         "melt_stats": _q_melt_stats,
@@ -2212,6 +2221,25 @@ SELECT metric, ts, value,
        THEN (value - lag(value) OVER w) / (ts - lag(ts) OVER w)
   END AS per_second
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        "winsorize": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+bands AS (
+  SELECT metric, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM b GROUP BY 1
+)
+SELECT metric, ts, value,
+       least(greatest(value, lo), hi) AS clipped
+FROM b JOIN bands USING (metric)
 """,
         "group_by_node": f"""
 WITH p2 AS (

@@ -428,3 +428,31 @@ def group_by_node(
         buckets.groupBy(key.alias("node"), "ts")
         .agg(agg_expr(method).alias("value"))
     )
+
+
+def winsorize(
+    buckets: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Winsorize: clamp each metric's values into its own exact
+    [p_lo, p_hi] band — the outlier-taming pass run before training
+    statistics (clipping, unlike dropping, keeps the grid dense).
+
+    Per-metric percentiles are one sort-based aggregate (tiny result,
+    broadcast back); the clamp itself is a projection. Spark
+    `percentile` ≡ DuckDB `quantile_cont` bit-exactly, so the band
+    edges — and therefore every clamped value — are oracle-identical.
+    """
+    bands = buckets.groupBy("metric").agg(
+        F.percentile(F.col("value"), F.lit(float(lo))).alias("_lo"),
+        F.percentile(F.col("value"), F.lit(float(hi))).alias("_hi"),
+    )
+    return (
+        buckets.join(F.broadcast(bands), "metric")
+        .select(
+            "metric",
+            "ts",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+            .alias("clipped"),
+        )
+    )

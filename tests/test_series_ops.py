@@ -258,3 +258,16 @@ def test_group_by_node_fans_in_component(spark):
         for r in ser.group_by_node(df, 0, "max").collect()
     }
     assert by_srv[("srv0", 0)] == 10.0
+
+
+def test_winsorize_clamps_to_band(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate(vals)],
+        "metric string, ts long, value double",
+    )
+    out = {r["value"]: r["clipped"] for r in
+           ser.winsorize(df, lo=0.0, hi=0.75).collect()}
+    assert out[100.0] == 4.0      # p75 of [1,2,3,4,100] = 4.0 exact
+    assert out[1.0] == 1.0        # lo=min → untouched
+    assert out[3.0] == 3.0
