@@ -98,3 +98,110 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction — the
+    O(log² n)-round connected components of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SOCC'14).
+
+    Same contract as :func:`connected_components` (``node, comp`` with
+    ``comp`` = min node id of the component) but rounds grow with
+    log² n instead of graph diameter: the right variant when the
+    workload can feed HIGH-DIAMETER graphs (chains of borderline
+    near-dups), where min-label's O(diameter) rounds would stall.
+    Near-dup blobs (diameter 2–4) should keep using min-label — fewer,
+    cheaper rounds.
+
+    Each round is two groupBy-min + join passes over the current edge
+    multiset; edges only ever point "downhill" toward smaller ids, and
+    at the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum id.
+
+    large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    small-star(u): over Γ≤(u) = {v ∈ Γ(u): v < u}: m = min(Γ≤ ∪ {u});
+                   emit (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
+    """
+    # symmetrize once; drop self-loops (they carry no information and
+    # would survive every round)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # remember every vertex: star rounds may contract a node away from
+    # the edge list entirely once it points straight at the root
+    vertices = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def checksum(df: DataFrame):
+        # order-free fingerprint of the edge multiset: stable iff the
+        # edge set stopped changing (xxhash collisions can't produce a
+        # FALSE fixpoint two rounds in a row on a shrinking-sum lattice;
+        # cheap vs. a subtract+count)
+        return df.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star (on the symmetrized current graph: after
+        # round 1 `e` holds only downhill u→v edges) ----
+        se = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = se.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            se.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over the large-star output ----
+        le = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        down = le.filter(F.col("v") < F.col("u"))
+        smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        # (v, m) for each small neighbor v, plus (u, m) for u itself
+        small = (
+            down.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        cur = checksum(e)
+        if prev is not None and (cur["s"], cur["n"]) == (
+            prev["s"],
+            prev["n"],
+        ):
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint: e is (node → root) stars; roots label themselves
+    labels = vertices.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+    return labels

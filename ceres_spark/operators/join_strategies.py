@@ -52,7 +52,21 @@ def write_bucketed(
 ) -> None:
     """Materialize a fact table bucketed (and optionally sorted) by
     the join key. Subsequent equi-joins between tables bucketed the
-    same way need no exchange — and with sorted buckets, no sort."""
+    same way need no exchange — and with sorted buckets, no sort.
+
+    Idempotent across SESSIONS, not just runs: the in-memory catalog
+    forgets managed tables when a session ends but their warehouse
+    directories persist, and `mode("overwrite")` on an uncatalogued
+    table raises LOCATION_ALREADY_EXISTS — so drop both the catalog
+    entry and any stale directory first."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh and wh.startswith(("file:", "/")):
+        loc = wh.removeprefix("file:").rstrip("/")
+        shutil.rmtree(f"{loc}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

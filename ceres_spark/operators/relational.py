@@ -291,6 +291,50 @@ def order_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_quartiles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe quartile path promised in
+    :func:`order_value_analytics`'s scale note: instead of
+    ``ntile(4)`` over a global ordering (a single-partition sort by
+    definition), compute the three exact interpolated quartile
+    boundaries with one `percentile` aggregate (distributed — partial
+    per-partition value maps, merged map-side; no row shuffle), then
+    assign buckets with a broadcast of the 1-row boundary frame and a
+    scan-parallel projection.
+
+    Bucket semantics differ from ntile only at exact-boundary ties
+    (here: value ≤ boundary → lower bucket; ntile: fixed bucket
+    SIZES). The oracle computes the identical rule with
+    ``quantile_cont`` (≡ Spark `percentile`, bit-exact — the same
+    equivalence winsorize relies on), so this query is fully
+    hash-checked, not rows-only. Plan shape asserted in
+    tests/test_plans.py: no single-partition Exchange, one
+    BroadcastNestedLoopJoin of a 1-row side.
+    """
+    orders = tbl.load(spark, "orders", sf_dir)
+    bounds = orders.agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.25)).alias("_b1"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.50)).alias("_b2"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.75)).alias("_b3"),
+    )
+    quartile = (
+        F.when(F.col("o_totalprice") <= F.col("_b1"), F.lit(1))
+        .when(F.col("o_totalprice") <= F.col("_b2"), F.lit(2))
+        .when(F.col("o_totalprice") <= F.col("_b3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(quartile.alias("price_quartile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
 def top_parts_by_size(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """Global top-k with tie-safe ordering — Spark turns
     orderBy+limit into TakeOrderedAndProject (no full sort at scale)."""

@@ -36,3 +36,46 @@ def test_non_convergence_raises(spark):
     chain = [(i, i + 1) for i in range(11)]
     with pytest.raises(RuntimeError, match="converge"):
         gr.connected_components(edges(spark, chain), max_iter=2)
+
+
+# ---- large-star/small-star contraction (the high-diameter variant) ----
+
+
+def test_star_matches_minlabel_on_small_graphs(spark):
+    cases = [
+        [(2, 1), (2, 3), (3, 4), (10, 11)],          # chain + disjoint
+        [(1, 2), (2, 3), (1, 3), (7, 8)],            # triangle + edge
+        [(5, 7)],                                    # single edge
+        [(1, 2), (3, 4), (2, 3)],                    # merged chains
+    ]
+    for pairs in cases:
+        e = edges(spark, pairs)
+        a = sorted(map(tuple, gr.connected_components(e).collect()))
+        b = sorted(map(tuple, gr.connected_components_star(e).collect()))
+        assert a == b, pairs
+
+
+def test_star_matches_minlabel_on_random_graph(spark):
+    # deterministic pseudo-random sparse graph: 120 nodes, 90 edges
+    pairs = [((i * 37) % 120, (i * 53 + 11) % 120) for i in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = edges(spark, pairs)
+    a = sorted(map(tuple, gr.connected_components(e).collect()))
+    b = sorted(map(tuple, gr.connected_components_star(e).collect()))
+    assert a == b
+
+
+def test_star_handles_high_diameter_chain(spark):
+    # a 600-node path has diameter 599: min-label needs ~600 rounds
+    # (far past its max_iter) while star contraction needs O(log^2 n).
+    # This is exactly the workload the variant exists for.
+    n = 600
+    chain = [(i, i + 1) for i in range(n - 1)]
+    out = {
+        r["node"]: r["comp"]
+        for r in gr.connected_components_star(
+            edges(spark, chain), max_iter=25
+        ).collect()
+    }
+    assert len(out) == n
+    assert set(out.values()) == {0}

@@ -293,3 +293,23 @@ def test_moving_median_single_window_sort(spark):
     ).agg(F.avg("value").alias("value"))
     plan = plan_of(ser.moving_median(hourly))
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+
+
+def test_order_quartiles_scaled_no_global_sort(spark):
+    # the whole point of the scale path: NO single-partition Exchange
+    # (the exact-ntile variant necessarily has one) and the 1-row
+    # boundary frame joined via broadcast, not shuffle
+    import re
+    import ceres_spark.operators.relational as rel
+    plan = plan_of(rel.order_quartiles_scaled(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert not re.search(r"Exchange rangepartitioning", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_order_quartiles_exact_has_global_sort(spark):
+    # the exact-ntile oracle variant is KNOWN single-partition — pin
+    # that contrast so the two paths don't silently drift together
+    import ceres_spark.operators.relational as rel
+    plan = plan_of(rel.order_value_analytics(spark, SF))
+    assert "Exchange SinglePartition" in plan, plan

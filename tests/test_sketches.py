@@ -36,7 +36,9 @@ def test_merged_daily_equals_direct(spark, events):
     direct = sk.approx_distinct(events, "event_type", "user_id")
     merged = sk.approx_distinct_reagg(
         events, "event_type", "user_id",
-        F.to_date(F.timestamp_seconds(F.col("ts") / 1_000_000_000)),
+        F.to_date(F.timestamp_seconds(
+            tbl.epoch_seconds(events.schema["ts"].dataType)
+        )),
     )
     d = {r["event_type"]: r["approx_distinct"] for r in direct.collect()}
     m = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
@@ -82,9 +84,12 @@ def test_histogram_quantiles_error_bounded_by_bin_width(spark):
 
 def test_histogram_sketch_is_merge_exact(spark):
     import ceres_spark.operators.sketches as sk
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = raw.select(
         F.col("event_type").alias("metric"), "value",
-        F.timestamp_seconds(F.col("ts") / 1_000_000_000).alias("t"),
+        F.timestamp_seconds(
+            tbl.epoch_seconds(raw.schema["ts"].dataType)
+        ).alias("t"),
     )
     # direct histogram == union of per-day histograms re-summed
     direct = {

@@ -22,26 +22,54 @@ from ceres_spark.sources.tables import TABLES
 
 
 def _norm(rows, cols):
+    """Canonicalize rows to (typename, repr) pairs per value.
+
+    Type-strict on purpose: the driver hashes canonical value reprs, so
+    318 (long) vs 318.0 (double) MUST fail here too — Python `==` would
+    hide exactly that dtype drift (the round-1 packed_sequences /
+    mixture_sample failure mode). numpy / pandas scalars are folded to
+    plain Python first so engine-side container types don't false-fail.
+    """
+    import datetime
+
     import numpy as np
+
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        pd = None
 
     out = []
     for row in rows:
         vals = []
         for c in cols:
             v = row[c]
-            # canonicalize numpy scalars so repr/sort keys are stable
+            # canonicalize container scalars so type tags are engine-neutral
             if isinstance(v, np.floating):
                 v = float(v)
             elif isinstance(v, np.integer):
                 v = int(v)
             elif isinstance(v, np.bool_):
                 v = bool(v)
+            elif isinstance(v, np.ndarray):
+                v = v.tolist()
+            elif pd is not None and isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            if isinstance(v, np.datetime64):
+                v = v.astype("datetime64[us]").item()
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                vals.append(None)
+                vals.append(("null", "None"))
+            elif isinstance(v, datetime.datetime):
+                vals.append(("datetime", v.isoformat()))
+            elif isinstance(v, datetime.date):
+                vals.append(("date", v.isoformat()))
+            elif isinstance(v, list):
+                vals.append(("list", repr(v)))
             else:
-                vals.append(v)  # exact — determinism is the contract
+                # exact AND dtype-kind-strict — determinism is the contract
+                vals.append((type(v).__name__, repr(v)))
         out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(out)
 
 
 def main() -> int:
