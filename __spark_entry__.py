@@ -314,8 +314,24 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-match pairs on 24-char prefixes, blocked by
-    source (exact integer Levenshtein — tolerance-free oracle)."""
+    source (exact integer Levenshtein — tolerance-free oracle).
+
+    max_dist=12 on 24-char prefixes is the loose-threshold regime
+    where no sound filter can prune (d/p = 0.5), so the blocked
+    Σ block² join IS the right plan; the tight-threshold scale path is
+    :func:`_q_fuzzy_pairs_banded`."""
     return dd.fuzzy_pairs(tbl.load(spark, "documents", sf_dir), max_dist=12)
+
+
+def _q_fuzzy_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin-style segment-banded edit-distance pairs (d=6): the
+    lossless sub-quadratic candidate generator — segment pigeonhole
+    keys, not a Σ block² self-join — verified with exact Levenshtein.
+    Output is bit-identical to the quadratic path at the same dials
+    (pytest-asserted), so the same quadratic SQL is the oracle."""
+    return dd.fuzzy_pairs_banded(
+        tbl.load(spark, "documents", sf_dir), max_dist=6
+    )
 
 
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +722,14 @@ def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q4_order_priority(spark, sf_dir)
 
 
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q12_shipmode_priority(spark, sf_dir)
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q21_waiting_supplier(spark, sf_dir)
+
+
 def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q14_promo_revenue(spark, sf_dir)
 
@@ -1055,6 +1079,19 @@ def _q_vocab_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.vocab_top_n(tbl.load(spark, "documents", sf_dir), n=100)
 
 
+def _q_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span duplication: fraction of each document's
+    distinct 8-token spans that occur in ≥2 documents. Linear plan —
+    span-count aggregate + join-back, no pairwise join anywhere."""
+    return dd.span_dup_ratio(tbl.load(spark, "documents", sf_dir), k=8)
+
+
+def _q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: exact-integer document-frequency ppm
+    stats (min / sum / hapax count / mean) per document."""
+    return corp.token_rarity(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 training-pipeline: per-doc characteristic terms via
     exact-BIGINT tf-idf (tf*1e6*N div df) — no float log, so the
@@ -1081,12 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": _q_range_band_join,
         "percentiles": _q_percentiles,
         "cube_orders": _q_cube,
-        "intersect_custkeys": _q_intersect,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
-        "pivot_status": _q_pivot,
-        "anti_join": _q_anti_join,
         "running_totals": _q_running_totals,
         "rank_window": _q_rank_window,
         "top_parts": _q_top_parts,
@@ -1100,7 +1134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
-        "except_custkeys": _q_except,
         "series_functions": _q_series_functions,
         "range_frame_sum": _q_range_frame_sum,
         "anomaly_zscore": _q_anomaly_zscore,
@@ -1126,11 +1159,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "mixture_sample": _q_mixture_sample,
         # --- changed this round (scale-path rewrites / new ops) ---
-        "fuzzy_pairs": _q_fuzzy_pairs,
+        "fuzzy_pairs_banded": _q_fuzzy_pairs_banded,
         "bucketed_join": _q_bucketed_join,
         "order_quartiles_scaled": _q_order_quartiles_scaled,
         "neardup_clusters_star": _q_neardup_clusters_star,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q21": _q_tpch_q21,
+        "span_dup_ratio": _q_span_dup_ratio,
+        "token_rarity": _q_token_rarity,
+        # --- locally-nailed simple set/pivot ops rotated out to make
+        # prefix room for the new entries above; they re-enter the
+        # prefix in a later round (still covered by check_oracle) ---
+        "intersect_custkeys": _q_intersect,
+        "anti_join": _q_anti_join,
+        "pivot_status": _q_pivot,
+        "except_custkeys": _q_except,
         # --- driver-green in r1: parked behind the 50-entry cap ---
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
         "quantize_lww": _q_quantize_lww,
         "agg_methods": _q_agg_methods,
@@ -1549,6 +1594,19 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.pre, b.pre) AS edit_dist
 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pre, b.pre) <= 12
+""",
+        # banded path is lossless (segment pigeonhole + exact verify),
+        # so the quadratic SQL at the same dials is its exact oracle
+        "fuzzy_pairs_banded": """
+WITH d AS (
+  SELECT doc_id, source,
+         substr(regexp_replace(lower(text), ' +', ' ', 'g'), 1, 24) AS pre
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.pre, b.pre) AS edit_dist
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 6
 """,
         "neardup_clusters": """
 WITH RECURSIVE d AS (
@@ -2032,6 +2090,48 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate > o_orderdate + INTERVAL 120 DAY
   )
 GROUP BY o_orderpriority
+""",
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+        "tpch_q21": """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+po AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY 1
+),
+sole AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN po USING (l_orderkey)
+  WHERE j.late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
         "tpch_q14": """
 SELECT 100.0
@@ -2544,6 +2644,48 @@ FROM (
 GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 100
+""",
+        "span_dup_ratio": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 8
+           THEN [array_to_string(tk[i:i+7], ' ')
+                 for i in range(1, len(tk) - 6)]
+           ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tok
+),
+pg AS (SELECT gram, COUNT(*) AS nd FROM grams GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS dup_ratio
+FROM grams JOIN pg USING (gram)
+GROUP BY doc_id
+""",
+        "token_rarity": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  )
+), dft AS (
+  SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       MIN((df * 1000000) // n_docs) AS min_df_ppm,
+       CAST(SUM((df * 1000000) // n_docs) AS BIGINT) AS sum_df_ppm,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(SUM((df * 1000000) // n_docs) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
+FROM tok JOIN dft USING (token) CROSS JOIN n
+GROUP BY doc_id
 """,
         "tfidf_top_terms": """
 WITH tf AS (

@@ -117,6 +117,44 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def token_rarity(docs: DataFrame) -> DataFrame:
+    """Per-document token-rarity profile from corpus-level document
+    frequencies — the unigram-LM quality proxy: documents whose
+    tokens are mostly hapax/rare are gibberish-or-OCR candidates;
+    documents of only ultra-common tokens are boilerplate candidates.
+
+    All scores are exact integers (``df_ppm = df * 1e6 div N``, the
+    tf-idf trick at corpus.py:tfidf_top_terms) so the result is
+    engine- and partitioning-independent: min/sum of BIGINTs, one
+    final double division for the mean.
+
+    Plan: one distinct-token explode, one token-keyed df aggregate,
+    join back on the same key (no extra exchange under AQE), one
+    doc-keyed aggregate. Linear, no windows.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+    )
+    dft = tok.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tok.join(dft, "token")
+        .join(F.broadcast(n))
+        .withColumn("_df_ppm", F.expr("df * 1000000L div n_docs"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.min("_df_ppm").alias("min_df_ppm"),
+            F.sum("_df_ppm").alias("sum_df_ppm"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .withColumn(
+            "mean_df_ppm",
+            F.col("sum_df_ppm") / F.col("n_distinct_tokens"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],

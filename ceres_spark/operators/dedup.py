@@ -405,6 +405,44 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
 
 
+def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact-substring duplication metric (the ExactSubstr/RefinedWeb
+    signal, at span granularity): for every document, the fraction of
+    its distinct k-token spans that also occur in at least one OTHER
+    document. Filtering on ``dup_ratio`` removes boilerplate-heavy
+    documents that near-dup pair metrics miss (they share spans with
+    MANY docs without being a near-dup of any single one).
+
+    Plan shape: spans are carried as xxhash64 values (counts only —
+    a 64-bit collision merges two span counts with odds ~n²/2⁶⁴, the
+    same argument as jaccard_pairs); one token-keyed aggregation for
+    span document-counts, joined back on the SAME key (AQE reuses the
+    partitioning), then one doc_id aggregation. Never materializes a
+    pairwise join — linear in corpus size, the only 100 TB-safe shape
+    for substring-level dedup.
+    """
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(k), lambda s: F.xxhash64(s))
+        ).alias("gram"),
+    )
+    per_gram = g.groupBy("gram").agg(F.count("*").alias("_n_docs"))
+    return (
+        g.join(per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_n_docs") >= 2).cast("bigint")).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_spans") / F.col("n_spans")
+        )
+    )
+
+
 # ----------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -452,26 +490,75 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bands(col: Column, n_bands: int) -> list[Column]:
+    """Split a 64-bit fingerprint into ``n_bands`` disjoint bit-bands
+    (widths as even as possible), low bits first. Pure bit arithmetic
+    — shiftrightunsigned + mask — so it stays in whole-stage codegen."""
+    sizes = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    out, off = [], 0
+    for s in sizes:
+        out.append(
+            F.shiftrightunsigned(col, off).bitwiseAND(F.lit((1 << s) - 1))
+        )
+        off += s
+    return out
+
+
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 8, block_col: str = "source"
+    docs: DataFrame,
+    max_hamming: int = 8,
+    block_col: str | None = "source",
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a blocking key (at scale, block
-    on simhash prefix bands instead — same LSH idea as MinHash)."""
-    # persist: the 64 per-bit vote expressions would otherwise be
-    # recomputed on both sides of the self-join (see minhash note)
-    s = simhash(docs).join(docs.select("doc_id", block_col), "doc_id").persist()
-    a = s.select(
+    """SimHash near-dup pairs via Hamming prefix-band LSH.
+
+    Pigeonhole candidate generation: split the 64-bit fingerprint into
+    ``b = max_hamming + 1`` disjoint bit-bands; a pair within
+    ``max_hamming`` Hamming distance has fewer differing bits than
+    bands, so it agrees EXACTLY on at least one band. Bucket-joining on
+    ``(band_id, band_value)`` is therefore a LOSSLESS candidate
+    generator (unlike MinHash banding, which is probabilistic), and the
+    exact ``hamming64 <= max_hamming`` verify keeps output identical to
+    a brute-force pairing.
+
+    Scale shape: candidates are Σ bucket² over (band_id, band_value
+    [, block]) buckets — never a Σ block² self-join. Expected bucket
+    population is N/2^(64/b) per band under uniform fingerprints, so
+    smaller ``max_hamming`` (wider bands) prunes harder; ``block_col``
+    further subdivides buckets and preserves the blocked semantics
+    (pass None for corpus-global pairing).
+    """
+    b = n_bands if n_bands is not None else max_hamming + 1
+    if b <= max_hamming:
+        raise ValueError("n_bands must exceed max_hamming (pigeonhole)")
+    # persist: the per-bit vote UDF would otherwise run on both sides
+    # of the self-join (see minhash note)
+    s = simhash(docs)
+    if block_col is not None:
+        s = s.join(docs.select("doc_id", F.col(block_col).alias("_blk")), "doc_id")
+    else:
+        s = s.withColumn("_blk", F.lit(0))
+    s = s.persist()
+    keyed = s.select(
+        "doc_id",
+        "simhash",
+        "_blk",
+        F.posexplode(F.array(*simhash_bands(F.col("simhash"), b))).alias(
+            "_band_id", "_band_val"
+        ),
+    )
+    a = keyed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("_ha"),
-        F.col(block_col).alias("_blk"),
+        "_blk", "_band_id", "_band_val",
     )
-    b = s.select(
+    bb = keyed.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("_hb"),
-        F.col(block_col).alias("_blk"),
+        "_blk", "_band_id", "_band_val",
     )
     return (
-        a.join(b, "_blk")
+        a.join(bb, ["_blk", "_band_id", "_band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -479,6 +566,9 @@ def simhash_pairs(
             hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair sharing k bands surfaces k times; hamming is a pure
+        # function of the pair so any copy is the canonical row
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -521,3 +611,168 @@ def fuzzy_pairs(
         .filter(F.col("edit_dist") <= int(max_dist))
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+def fuzzy_pairs_banded(
+    docs: DataFrame,
+    prefix_len: int = 24,
+    max_dist: int = 6,
+    block_col: str = "source",
+) -> DataFrame:
+    """Edit-distance near-match pairs with SUB-QUADRATIC candidate
+    generation (PassJoin-style segment pigeonhole), output identical
+    to :func:`fuzzy_pairs` at the same dials.
+
+    Pigeonhole: partition each normalized prefix ``s`` into
+    ``m = max_dist + 1`` contiguous segments. Any string ``r`` with
+    ``ed(r, s) <= max_dist`` must contain at least one segment of
+    ``s`` EXACTLY, starting within ``±max_dist`` of its position in
+    ``s`` (each edit shifts downstream characters by at most one). So:
+
+      1. index side: each doc emits its m segments, keyed by
+         (block, |s|, slot, segment-text);
+      2. probe side: each doc emits, for every indexed length
+         ``Ls ∈ [L-d, L]`` present in its block (broadcast-joined
+         distinct-length dimension — lengths, not docs) and every
+         slot, the substrings at the ≤ 2d+1 admissible positions;
+      3. equi-join on the key → candidates; exact ``levenshtein``
+         verify keeps only true pairs.
+
+    Candidates are Σ bucket² over (block, len, slot, gram) buckets —
+    never the Σ block² self-join of :func:`fuzzy_pairs`. The filter is
+    LOSSLESS (superset of qualifying pairs), so the verified output is
+    bit-identical to the quadratic path.
+
+    Regime note: pruning power comes from segment length
+    ``≈ prefix_len / (max_dist+1)``. For tight thresholds
+    (``max_dist ≲ prefix_len/4``) segments are 3+ chars and buckets
+    are sparse; at very loose thresholds (e.g. d=12 on 24-char
+    prefixes) segments degenerate to 1–2 chars and NO sound filter
+    can prune — use :func:`fuzzy_pairs` (optimal there) or MinHash on
+    character shingles (probabilistic) instead.
+
+    Strings shorter than ``m`` chars cannot be segment-indexed; they
+    take a catch-all path (all-pairs against blocks' ≤ 2d-char
+    strings — degenerate by construction, broadcast-sized).
+    """
+    d = int(max_dist)
+    m = d + 1
+    pre = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), " +", " "), 1, int(prefix_len)
+    )
+    base = docs.select(
+        "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
+    ).withColumn("_L", F.length("_pre"))
+    main = base.filter(F.col("_L") >= m)
+
+    # ---- index side: the m segments of every string (even partition)
+    segs = []
+    for i in range(m):
+        st = F.expr(f"({i} * _L) div {m}")
+        en = F.expr(f"({i + 1} * _L) div {m}")
+        segs.append(
+            F.struct(
+                F.lit(i).alias("slot"),
+                F.substring(F.col("_pre"), st + F.lit(1), en - st).alias("seg"),
+            )
+        )
+    idx = main.select(
+        F.col("doc_id").alias("_id_s"),
+        "_blk",
+        F.col("_pre").alias("_ps"),
+        F.col("_L").alias("_Ls"),
+        F.explode(F.array(*segs)).alias("_k"),
+    ).select(
+        "_id_s", "_blk", "_ps", "_Ls",
+        F.col("_k.slot").alias("_slot"), F.col("_k.seg").alias("_seg"),
+    )
+
+    # ---- probe side: substrings that could match an Ls-layout
+    # segment. The distinct-length dimension is tiny (≤ prefix_len
+    # rows per block) → broadcast; it bounds probe keys to lengths
+    # that actually occur.
+    lens = main.select("_blk", F.col("_L").alias("_Ls")).distinct()
+    probe0 = (
+        main.join(F.broadcast(lens), "_blk")
+        .filter(
+            (F.col("_Ls") <= F.col("_L"))
+            & (F.col("_Ls") >= F.col("_L") - d)
+        )
+    )
+    key_arrays = []
+    for i in range(m):
+        st = F.expr(f"({i} * _Ls) div {m}")
+        ln = F.expr(f"(({i + 1} * _Ls) div {m}) - (({i} * _Ls) div {m})")
+        lo = F.greatest(F.lit(0), st - d)
+        hi = F.least(F.col("_L") - ln, st + d)
+        pos = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        def _key_struct(i: int, ln: Column):
+            return lambda p: F.struct(
+                F.lit(i).alias("slot"), p.alias("pos"), ln.alias("ln")
+            )
+
+        key_arrays.append(F.transform(pos, _key_struct(i, ln)))
+    probe = probe0.select(
+        F.col("doc_id").alias("_id_r"),
+        "_blk",
+        F.col("_pre").alias("_pr"),
+        "_Ls",
+        F.explode(F.flatten(F.array(*key_arrays))).alias("_k"),
+    ).select(
+        "_id_r", "_blk", "_pr", "_Ls",
+        F.col("_k.slot").alias("_slot"),
+        F.substring(
+            F.col("_pr"), (F.col("_k.pos") + F.lit(1)).cast("int"),
+            F.col("_k.ln").cast("int"),
+        ).alias("_seg"),
+    )
+
+    cand = probe.join(idx, ["_blk", "_Ls", "_slot", "_seg"]).filter(
+        F.col("_id_s") != F.col("_id_r")
+    )
+    swap = F.col("_id_s") < F.col("_id_r")
+    pairs = cand.select(
+        F.least("_id_s", "_id_r").alias("doc_a"),
+        F.greatest("_id_s", "_id_r").alias("doc_b"),
+        F.when(swap, F.col("_ps")).otherwise(F.col("_pr")).alias("_pa"),
+        F.when(swap, F.col("_pr")).otherwise(F.col("_ps")).alias("_pb"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    out = (
+        pairs.withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_dist") <= d)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+    # ---- catch-all for degenerate-short strings (L < m): partner
+    # length is ≤ L + d < 2d+1, so both sides are bounded-short.
+    shorts = base.filter(F.col("_L") < m)
+    partners = base.filter(F.col("_L") <= 2 * d)
+    extra = (
+        F.broadcast(
+            shorts.select(
+                F.col("doc_id").alias("_id_s"), "_blk",
+                F.col("_pre").alias("_ps"),
+            )
+        )
+        .join(
+            partners.select(
+                F.col("doc_id").alias("_id_r"), "_blk",
+                F.col("_pre").alias("_pr"),
+            ),
+            "_blk",
+        )
+        .filter(F.col("_id_s") != F.col("_id_r"))
+        .select(
+            F.least("_id_s", "_id_r").alias("doc_a"),
+            F.greatest("_id_s", "_id_r").alias("doc_b"),
+            F.when(swap, F.col("_ps")).otherwise(F.col("_pr")).alias("_pa"),
+            F.when(swap, F.col("_pr")).otherwise(F.col("_ps")).alias("_pb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_dist") <= d)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+    return out.unionByName(extra)

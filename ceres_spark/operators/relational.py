@@ -466,6 +466,104 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (fixture has no l_shipmode/l_commitdate —
+    same adaptation family as q4): for lines shipped more than 90
+    days after their order date during 1997, count high-priority vs
+    low-priority orders per line status.
+
+    Scale shape: both sides are facts, so this is one shuffle join on
+    the order key; the date/lateness predicates are evaluated on the
+    joined row (lateness needs both sides), while the shipdate year
+    filter prunes lineitem at the scan. The aggregate is 2-group —
+    map-side partials collapse it to nothing."""
+    orders = tbl.load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = tbl.load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q21_waiting_supplier(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 adapted (no l_commitdate/l_receiptdate): suppliers in
+    EUROPE who were the SOLE late shipper (>100 days after order date)
+    on a multi-supplier order, ranked by how often.
+
+    The reference EXISTS / NOT EXISTS pair is re-expressed as one
+    per-order aggregate — n_suppliers and n_late_suppliers via two
+    count-distincts — joined back to the late lines: 'exists another
+    supplier' ⇔ n_suppliers >= 2, 'not exists another late supplier'
+    ⇔ n_late_suppliers == 1. Both the aggregate and the join-back
+    shuffle on the SAME key (l_orderkey), so AQE reuses the
+    partitioning; supplier⋈nation is a broadcast dim."""
+    orders = tbl.load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    ).filter(F.col("o_orderstatus") == "F")
+    li = tbl.load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
+        "_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+        ).cast("int"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late") == 1, F.col("l_suppkey"))
+        ).alias("_n_late_supp"),
+    )
+    sole_late = (
+        j.filter(F.col("_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = tbl.load(spark, "supplier", sf_dir)
+    nation = tbl.load(spark, "nation", sf_dir)
+    region = tbl.load(spark, "region", sf_dir)
+    dim = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    region.filter(F.col("r_name") == "EUROPE"),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(F.broadcast(dim), sole_late["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
 def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: customers who ordered in 1997 but not in 1998
     (EXCEPT distinct semantics, the dual of intersect_custkeys)."""

@@ -286,3 +286,110 @@ def test_fuzzy_pairs_finds_planted_typo(spark):
     out = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
            for r in dd.fuzzy_pairs(docs, prefix_len=24, max_dist=3).collect()}
     assert out == {(1, 2): 2}   # typo pair found; cross-block excluded
+
+
+def test_fuzzy_banded_equals_quadratic(spark, docs):
+    # the segment-pigeonhole candidate filter is lossless, so the
+    # verified output must be bit-identical to the Σ block² path
+    quad = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in dd.fuzzy_pairs(docs, max_dist=6).collect()}
+    band = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in dd.fuzzy_pairs_banded(docs, max_dist=6).collect()}
+    assert quad == band and len(band) > 0
+
+
+def test_fuzzy_banded_finds_planted_typo(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "the quick brown fox jumps over"),
+            (2, "s", "the quick brwon fox jumps over"),   # transposition
+            (3, "s", "completely different text here now"),
+            (4, "t", "the quick brown fox jumps over"),   # other block
+            (5, "s", "tiny"),                             # short-string path
+            (6, "s", "tinny"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+           for r in dd.fuzzy_pairs_banded(
+               docs, prefix_len=24, max_dist=3).collect()}
+    assert out == {(1, 2): 2, (5, 6): 1}
+
+
+def test_fuzzy_banded_joins_on_segments_not_block(spark, docs):
+    # the candidate join must key on the segment gram, not only the
+    # block column — that's the whole sub-quadratic claim
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dd.fuzzy_pairs_banded(docs, max_dist=6).explain("formatted")
+    plan = buf.getvalue()
+    assert "_seg" in plan, plan
+
+
+def test_span_dup_ratio_semantics(spark):
+    # doc 2 repeats doc 1's text → every span duplicated in both;
+    # doc 3 is unrelated → zero duplicated spans
+    shared = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, "s", shared), (2, "s", shared),
+         (3, "s", "z y x w v u t s r q p o")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.span_dup_ratio(docs, k=8).collect()}
+    assert out[1]["dup_ratio"] == 1.0 and out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[1]["n_spans"] == 12 - 8 + 1
+
+
+def test_token_rarity_hapax(spark):
+    import ceres_spark.operators.corpus as corp
+    docs = spark.createDataFrame(
+        [(1, "en", "s", "common words here"),
+         (2, "en", "s", "common words there"),
+         (3, "en", "s", "common unique")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in corp.token_rarity(docs).collect()}
+    # 'common' df=3 → ppm 1_000_000; 'unique' df=1 → ppm 333_333
+    assert out[3]["min_df_ppm"] == 333_333
+    assert out[3]["n_hapax"] == 1
+    assert out[1]["n_distinct_tokens"] == 3
+    assert out[1]["sum_df_ppm"] == 1_000_000 + 666_666 + 333_333
+
+
+def test_simhash_banded_equals_brute(spark, docs):
+    # pigeonhole bands (b = max_hamming+1) are a LOSSLESS candidate
+    # generator: banded output == brute-force blocked pairing
+    s = dd.simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("_ha"),
+                 F.col("source").alias("_blk"))
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("_hb"),
+                 F.col("source").alias("_blk"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                dd.hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+        .collect()
+    }
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in dd.simhash_pairs(docs, max_hamming=12).collect()}
+    assert brute == banded and len(banded) > 0
+    # global (unblocked) pairing is a superset of any blocked pairing
+    n_global = dd.simhash_pairs(docs, max_hamming=12,
+                                block_col=None).count()
+    assert n_global >= len(banded)
+
+
+def test_simhash_banded_joins_on_bands_not_block(spark, docs):
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dd.simhash_pairs(docs, max_hamming=12).explain("formatted")
+    plan = buf.getvalue()
+    assert "_band_val" in plan, plan
