@@ -561,6 +561,20 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize(assets, 32, 32).drop("payload")
 
 
+def _q_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read flatten of the JSON props column: every key
+    becomes a typed props_<key> column with a single JVM-side
+    from_json pass (inference on a bounded driver sample)."""
+    flat = win.props_flatten(tbl.load(spark, "events", sf_dir))
+    return flat.select("event_id", "user_id", "event_type", "props_k")
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (domain balancing) —
+    md5-ordered exact top-k per source."""
+    return corp.cap_per_source(tbl.load(spark, "documents", sf_dir), k=10)
+
+
 def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: JSON props extraction + aggregation per event_type."""
     return win.props_extract_agg(tbl.load(spark, "events", sf_dir))
@@ -1007,6 +1021,25 @@ def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.moving_median(hourly, points=5)
 
 
+def _q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA (graphite exponentialMovingAverage). Recursive
+    state → applyInPandas; rows-only (no SQL oracle — the recurrence
+    has no closed SQL form), exactness pinned in pytest against the
+    hand-rolled recurrence (tests/test_series_ops.py)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.ewma(hourly, alpha=0.3)
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt forecast + confidence bands + aberration (graphite
+    holtWinters* family, non-seasonal). Rows-only; exact replay of the
+    recurrence is pytest-asserted."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.holt_winters(hourly)
+
+
 def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #16/#17 run-splitting as an audit query: the contiguous
     runs (gap > MAX_SLICE_GAP=80 steps starts a new one) the reference
@@ -1117,13 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- checked prefix: no driver row yet (r1 checked only 1..50) ---
         "range_band_join": _q_range_band_join,
         "percentiles": _q_percentiles,
-        "cube_orders": _q_cube,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "grouping_sets": _q_grouping_sets,
         "running_totals": _q_running_totals,
         "rank_window": _q_rank_window,
-        "top_parts": _q_top_parts,
         "tpch_q4": _q_tpch_q4,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
@@ -1167,6 +1198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _q_tpch_q21,
         "span_dup_ratio": _q_span_dup_ratio,
         "token_rarity": _q_token_rarity,
+        "props_flatten": _q_props_flatten,
+        "cap_per_source": _q_cap_per_source,
+        # --- rows-only by design (recursive state, no SQL oracle;
+        # exactness pytest-pinned) — placed right after the checked
+        # prefix since a driver row adds only a row count for these ---
+        "ewma_series": _q_ewma_series,
+        "holt_winters_bands": _q_holt_winters,
         # --- locally-nailed simple set/pivot ops rotated out to make
         # prefix room for the new entries above; they re-enter the
         # prefix in a later round (still covered by check_oracle) ---
@@ -1174,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "pivot_status": _q_pivot,
         "except_custkeys": _q_except,
+        "cube_orders": _q_cube,
+        "top_parts": _q_top_parts,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -1827,6 +1867,21 @@ SELECT user_id, CAST(min(t) // 1000000 AS BIGINT) AS session_start,
        CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "props_flatten": """
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+""",
+        "cap_per_source": """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 10
 """,
         "props_extract": """
 WITH e AS (

@@ -117,6 +117,29 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def cap_per_source(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Deterministic per-domain cap (domain balancing): keep at most
+    ``k`` documents per source, chosen by a content-independent
+    pseudo-random order (md5 of doc_id) so the kept set is stable
+    across runs and engines and unbiased by ingestion order.
+
+    Exact-k requires ranking within each source: one shuffle on
+    source + per-group sort. A single pathologically hot source
+    cannot be split across tasks by a window — for that skew regime
+    use :func:`mixture_sample` (hash-threshold, scan-speed,
+    approximate-k) instead; this is the exact-k path for the normal
+    many-domains shape.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
 def token_rarity(docs: DataFrame) -> DataFrame:
     """Per-document token-rarity profile from corpus-level document
     frequencies — the unigram-LM quality proxy: documents whose

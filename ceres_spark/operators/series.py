@@ -26,6 +26,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -181,6 +183,112 @@ def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
         F.sum(dec).over(w_run).cast("string").cast("double").alias(
             "running_integral"
         ),
+    )
+
+
+def ewma(buckets: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Exponentially weighted moving average per series (graphite-web
+    ``exponentialMovingAverage``/``ewma`` over a ceres fetch; the
+    storage reference has no function library, SURVEY.md §2).
+
+    The recurrence ``e_i = α·v_i + (1-α)·e_{i-1}`` is genuinely
+    recursive — no Catalyst window frame expresses it, and the
+    closed-form power expansion overflows for long series — so this
+    is the documented applyInPandas case: one Arrow batch per metric,
+    one linear numpy pass, state = a single float. Scale shape: the
+    only exchange is the groupBy(metric) shuffle; each task holds one
+    series run, never the corpus. NULL points carry the previous EWMA
+    forward (graphite semantics: gaps don't decay the average).
+    """
+    a = float(alpha)
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        vals = pdf["value"].to_numpy(dtype=float)
+        out = np.empty_like(vals)
+        state = np.nan
+        for i, v in enumerate(vals):
+            if not np.isnan(v):
+                state = v if np.isnan(state) else a * v + (1 - a) * state
+            out[i] = state
+        pdf["ewma"] = out
+        return pdf[["metric", "ts", "value", "ewma"]]
+
+    return buckets.select("metric", "ts", "value").groupBy(
+        "metric"
+    ).applyInPandas(_f, "metric string, ts bigint, value double, ewma double")
+
+
+def holt_winters(
+    buckets: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    dev_scale: float = 3.0,
+) -> DataFrame:
+    """Holt double-exponential smoothing with deviation bands per
+    series — the graphite ``holtWintersForecast`` /
+    ``holtWintersConfidenceBands`` / ``holtWintersAberration`` family
+    (non-seasonal Holt here: the fixture spans hours, not the multi-
+    day horizon graphite's daily season needs; the season dial slots
+    into the same per-series pass).
+
+    Per step: forecast = level + trend (one-step-ahead), then level/
+    trend update from the observation, deviation as an EWM of
+    |residual|; bands = forecast ± dev_scale·dev; aberration = how
+    far the observation escapes the band. Same applyInPandas shape as
+    :func:`ewma` — recursive state, one linear pass per series, the
+    metric shuffle is the only exchange.
+    """
+    a, b, s = float(alpha), float(beta), float(dev_scale)
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        vals = pdf["value"].to_numpy(dtype=float)
+        n = len(vals)
+        fc = np.full(n, np.nan)
+        dev = np.full(n, np.nan)
+        level, trend, d = np.nan, 0.0, 0.0
+        for i, v in enumerate(vals):
+            if np.isnan(level):
+                if not np.isnan(v):
+                    level = v
+                fc[i], dev[i] = v, 0.0
+                continue
+            f = level + trend
+            fc[i] = f
+            # one-step-ahead semantics: the band at step i is built
+            # from deviations observed BEFORE i (else a spike widens
+            # its own band and never registers as an aberration)
+            dev[i] = d
+            if not np.isnan(v):
+                d = a * abs(v - f) + (1 - a) * d
+                new_level = a * v + (1 - a) * (level + trend)
+                trend = b * (new_level - level) + (1 - b) * trend
+                level = new_level
+        pdf["forecast"] = fc
+        pdf["upper"] = fc + s * dev
+        pdf["lower"] = fc - s * dev
+        with np.errstate(invalid="ignore"):
+            ab = np.where(
+                vals > pdf["upper"].to_numpy(), vals - pdf["upper"].to_numpy(),
+                np.where(
+                    vals < pdf["lower"].to_numpy(),
+                    vals - pdf["lower"].to_numpy(),
+                    0.0,
+                ),
+            )
+        pdf["aberration"] = np.where(np.isnan(vals), 0.0, ab)
+        return pdf[
+            ["metric", "ts", "value", "forecast", "upper", "lower",
+             "aberration"]
+        ]
+
+    return buckets.select("metric", "ts", "value").groupBy(
+        "metric"
+    ).applyInPandas(
+        _f,
+        "metric string, ts bigint, value double, forecast double, "
+        "upper double, lower double, aberration double",
     )
 
 

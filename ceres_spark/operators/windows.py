@@ -85,6 +85,42 @@ def session_window_agg(
     )
 
 
+def props_flatten(events: DataFrame, sample: int = 100) -> DataFrame:
+    """Schema-on-read FULL flatten of the JSON ``props`` column into
+    typed top-level ``props_<key>`` columns — no named-key list
+    required (the named-key fast path is :func:`props_extract_agg`).
+
+    Schema inference runs on a bounded driver-side sample (``limit
+    (sample)`` — bounded like the IVF training sample, not a table
+    collect), merged by Spark's JSON schema inference; the full-table
+    parse is then ONE JVM-side ``from_json`` with the fixed schema —
+    distributed, codegen'd, no Python in the hot path. Keys seen only
+    outside the sample parse as NULL (the standard schema-on-read
+    contract; raise ``sample`` for long-tail key spaces).
+    """
+    spark = events.sparkSession
+    rows = (
+        events.select("props")
+        .filter(F.col("props").isNotNull())
+        .limit(int(sample))
+        .collect()
+    )
+    exemplars = [r[0] for r in rows]
+    if not exemplars:
+        return events.select("event_id")
+    schema = spark.read.json(
+        spark.sparkContext.parallelize(exemplars)
+    ).schema
+    parsed = events.withColumn("_p", F.from_json("props", schema))
+    flat = [
+        F.col(f"_p.{f.name}").alias(f"props_{f.name}")
+        for f in schema.fields
+        if not f.name.startswith("_corrupt")
+    ]
+    keep = [c for c in events.columns if c != "props"]
+    return parsed.select(*keep, *flat)
+
+
 def props_extract_agg(events: DataFrame) -> DataFrame:
     """JSON props extraction (multimodal/typed-metadata pattern):
     pull ``$.k`` out of the JSON string column, aggregate per

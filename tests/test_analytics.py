@@ -54,3 +54,38 @@ def test_mixture_sample_deterministic_and_monotone(spark):
     assert {s: r["n_kept"] for s, r in half.items()} == {
         s: r["n_kept"] for s, r in again.items()
     }
+
+
+def test_cap_per_source_exact_k_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 300 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = corp.cap_per_source(docs, k=50)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 50, "b": 50}
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in corp.cap_per_source(docs, k=50).collect()}
+    assert a == b   # md5 order → stable kept set
+
+
+def test_props_flatten_schema_on_read(spark):
+    import ceres_spark.operators.windows as win
+    ev = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "x"}'),
+            (2, '{"k": 7}'),
+            (3, None),
+            (4, '{"tag": "y", "extra": 1.5}'),
+        ],
+        "event_id long, props string",
+    )
+    flat = win.props_flatten(ev)
+    cols = set(flat.columns)
+    assert {"props_k", "props_tag", "props_extra"} <= cols
+    rows = {r["event_id"]: r for r in flat.collect()}
+    assert rows[1]["props_k"] == 5 and rows[1]["props_tag"] == "x"
+    assert rows[2]["props_tag"] is None
+    assert rows[4]["props_extra"] == 1.5
+    assert rows[3]["props_k"] is None

@@ -271,3 +271,69 @@ def test_winsorize_clamps_to_band(spark):
     assert out[100.0] == 4.0      # p75 of [1,2,3,4,100] = 4.0 exact
     assert out[1.0] == 1.0        # lo=min → untouched
     assert out[3.0] == 3.0
+
+
+def test_ewma_matches_reference_recurrence(spark):
+    rows = [("m", t * 60, v, 0) for t, v in
+            enumerate([1.0, 2.0, None, 4.0, 0.0, 10.0])]
+    out = {r["ts"]: r["ewma"]
+           for r in ser.ewma(pts(spark, rows), alpha=0.5).collect()}
+    # hand-rolled recurrence: NULL carries state forward, no decay
+    e = {0: 1.0, 60: 0.5 * 2 + 0.5 * 1}
+    e[120] = e[60]                       # gap: carry
+    e[180] = 0.5 * 4 + 0.5 * e[60]
+    e[240] = 0.5 * 0 + 0.5 * e[180]
+    e[300] = 0.5 * 10 + 0.5 * e[240]
+    assert all(abs(out[t] - v) < 1e-12 for t, v in e.items())
+
+
+def test_holt_winters_bands_and_aberration(spark):
+    import math
+    vals = [10.0, 10.0, 10.0, 10.0, 50.0, 10.0]
+    rows = [("m", t * 60, v, 0) for t, v in enumerate(vals)]
+    out = {r["ts"]: r for r in
+           ser.holt_winters(pts(spark, rows), alpha=0.5, beta=0.1,
+                            dev_scale=2.0).collect()}
+    # flat prefix → forecast locks to 10, zero deviation, no aberration
+    assert abs(out[180]["forecast"] - 10.0) < 1e-9
+    assert out[180]["aberration"] == 0.0
+    # the 50 spike escapes the (tight) band upward
+    assert out[240]["aberration"] > 0.0
+    # python reference replay for the spike step
+    level, trend, d, a, b = 10.0, 0.0, 0.0, 0.5, 0.1
+    for v in vals[1:4]:
+        f = level + trend
+        d = a * abs(v - f) + (1 - a) * d
+        nl = a * v + (1 - a) * (level + trend)
+        trend = b * (nl - level) + (1 - b) * trend
+        level = nl
+    f = level + trend
+    assert abs(out[240]["forecast"] - f) < 1e-9
+    # band at the spike step uses PRE-spike deviation (one-step-ahead)
+    assert abs(out[240]["upper"] - (f + 2.0 * d)) < 1e-9
+    assert abs(out[240]["aberration"] - (50.0 - (f + 2.0 * d))) < 1e-9
+
+
+def test_holt_winters_reference_replay_exact(spark):
+    import numpy as np
+    vals = [3.0, 7.0, 5.0, None, 9.0, 2.0, 2.0, 8.0]
+    rows = [("m", t * 60, v, 0) for t, v in enumerate(vals)]
+    out = {r["ts"]: r for r in
+           ser.holt_winters(pts(spark, rows), alpha=0.3, beta=0.05,
+                            dev_scale=3.0).collect()}
+    level, trend, d = None, 0.0, 0.0
+    a, b = 0.3, 0.05
+    for i, v in enumerate(vals):
+        ts = i * 60
+        if level is None:
+            if v is not None:
+                level = v
+            continue
+        f = level + trend
+        assert abs(out[ts]["forecast"] - f) < 1e-12
+        assert abs(out[ts]["upper"] - (f + 3.0 * d)) < 1e-12
+        if v is not None:
+            d = a * abs(v - f) + (1 - a) * d
+            nl = a * v + (1 - a) * (level + trend)
+            trend = b * (nl - level) + (1 - b) * trend
+            level = nl
