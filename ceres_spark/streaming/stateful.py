@@ -75,6 +75,114 @@ def _update(
     )
 
 
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("dev", DoubleType()),
+        StructField("inited", LongType()),
+    ]
+)
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("forecast", DoubleType()),
+        StructField("upper", DoubleType()),
+        StructField("lower", DoubleType()),
+        StructField("aberration", DoubleType()),
+    ]
+)
+
+
+def holt_winters_stream(
+    stream: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    dev_scale: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`ceres_spark.operators.series
+    .holt_winters`: the (level, trend, deviation) recurrence carried
+    across micro-batches as explicit state, emitting forecast/band/
+    aberration for every observation as it arrives — the online
+    anomaly-detection shape (graphite holtWintersAberration as a
+    live stream instead of a nightly batch).
+
+    Equivalence with the batch operator on identically-ordered input
+    is pytest-asserted (tests/test_stateful.py): same series fed in
+    two micro-batches must produce bit-identical rows. Requires
+    per-series batches to arrive in time order (the file/Kafka source
+    contract used by the ingest path; late data belongs to the
+    backfill route, streaming/ingest.py).
+    """
+    import math
+
+    a, b, s = float(alpha), float(beta), float(dev_scale)
+
+    def _update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (metric,) = key
+        if state.exists:
+            level, trend, d, inited = state.get
+        else:
+            level, trend, d, inited = math.nan, 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype=float)
+            n = len(vals)
+            import numpy as np
+
+            fc = np.full(n, np.nan)
+            dev = np.full(n, np.nan)
+            for i, v in enumerate(vals):
+                if not inited:
+                    if not np.isnan(v):
+                        level = v
+                        inited = 1
+                    fc[i], dev[i] = v, 0.0
+                    continue
+                f = level + trend
+                fc[i] = f
+                dev[i] = d
+                if not np.isnan(v):
+                    d = a * abs(v - f) + (1 - a) * d
+                    nl = a * v + (1 - a) * (level + trend)
+                    trend = b * (nl - level) + (1 - b) * trend
+                    level = nl
+            upper = fc + s * dev
+            lower = fc - s * dev
+            with np.errstate(invalid="ignore"):
+                ab = np.where(
+                    vals > upper, vals - upper,
+                    np.where(vals < lower, vals - lower, 0.0),
+                )
+            yield pd.DataFrame(
+                {
+                    "metric": metric,
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "forecast": fc,
+                    "upper": upper,
+                    "lower": lower,
+                    "aberration": np.where(np.isnan(vals), 0.0, ab),
+                }
+            )
+        state.update(
+            (float(level), float(trend), float(d), int(inited))
+        )
+
+    return stream.groupBy("metric").applyInPandasWithState(
+        _update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_stats_stream(stream: DataFrame) -> DataFrame:
     """Attach the stateful running-stats operator to a streaming
     DataFrame with columns (metric string, ts long, value double).

@@ -44,3 +44,50 @@ def test_running_stats_accumulate_across_batches(spark, tmp_path):
     # state persisted across at least 2 micro-batches for metric m
     m_emissions = [r for r in rows if r["metric"] == "m"]
     assert len(m_emissions) >= 2
+
+
+def test_holt_stream_equals_batch(spark, tmp_path):
+    import math
+    import ceres_spark.operators.series as ser
+
+    vals = [3.0, 7.0, 5.0, None, 9.0, 2.0, 2.0, 8.0]
+    rows = [("m", i * 60, v) for i, v in enumerate(vals)]
+    # two micro-batches: state must carry the recurrence across them
+    src = str(tmp_path / "src")
+    for chunk in (rows[:4], rows[4:]):
+        spark.createDataFrame(
+            chunk, "metric string, ts long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        import time
+        time.sleep(1.1)   # distinct mtimes → deterministic batch order
+
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.holt_winters_stream(
+        stream, alpha=0.3, beta=0.05, dev_scale=3.0
+    ).writeStream.format("memory").queryName("hw").outputMode(
+        "append"
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ck2")
+    ).start()
+    q.awaitTermination(120)
+    got = {r["ts"]: r for r in spark.sql("select * from hw").collect()}
+
+    batch_in = spark.createDataFrame(
+        [(m, t, v, 0) for m, t, v in rows],
+        "metric string, ts long, value double, arrival_seq long",
+    )
+    want = {r["ts"]: r for r in ser.holt_winters(
+        batch_in, alpha=0.3, beta=0.05, dev_scale=3.0).collect()}
+
+    assert set(got) == set(want)
+    for ts in want:
+        for c in ("forecast", "upper", "lower", "aberration"):
+            g, w = got[ts][c], want[ts][c]
+            assert (g == w) or (
+                g is not None and w is not None
+                and math.isnan(g) == math.isnan(w)
+                and (math.isnan(g) or abs(g - w) < 1e-12)
+            ) or (g is None and (w is None or math.isnan(w))) \
+              or (w is None and (g is None or math.isnan(g))), (ts, c, g, w)
