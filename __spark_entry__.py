@@ -744,6 +744,26 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q21_waiting_supplier(spark, sf_dir)
 
 
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q2_min_cost_supplier(spark, sf_dir)
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q9_product_profit(spark, sf_dir)
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q11_important_stock(spark, sf_dir)
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q16_supplier_part_counts(spark, sf_dir)
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q20_excess_stock_suppliers(spark, sf_dir)
+
+
 def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q14_promo_revenue(spark, sf_dir)
 
@@ -1152,9 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
-        "grouping_sets": _q_grouping_sets,
-        "running_totals": _q_running_totals,
-        "rank_window": _q_rank_window,
         "tpch_q4": _q_tpch_q4,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
@@ -1166,12 +1183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "series_functions": _q_series_functions,
-        "range_frame_sum": _q_range_frame_sum,
         "anomaly_zscore": _q_anomaly_zscore,
         "forward_fill": _q_forward_fill,
         "per_second_rate": _q_per_second,
         "time_shift_join": _q_time_shift_join,
-        "as_percent": _q_as_percent,
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
@@ -1200,6 +1215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": _q_token_rarity,
         "props_flatten": _q_props_flatten,
         "cap_per_source": _q_cap_per_source,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
         # --- rows-only by design (recursive state, no SQL oracle;
         # exactness pytest-pinned) — placed right after the checked
         # prefix since a driver row adds only a row count for these ---
@@ -1214,6 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_custkeys": _q_except,
         "cube_orders": _q_cube,
         "top_parts": _q_top_parts,
+        "running_totals": _q_running_totals,
+        "rank_window": _q_rank_window,
+        "grouping_sets": _q_grouping_sets,
+        "range_frame_sum": _q_range_frame_sum,
+        "as_percent": _q_as_percent,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2187,6 +2212,114 @@ WHERE r_name = 'EUROPE'
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
+""",
+        # q2/q9/q11/q16/q20 share the deterministic arithmetic
+        # partsupp construction (relational.PARTSUPP_SQL) — both
+        # engines derive the identical relation, see partsupp_view
+        "tpch_q2": f"""
+WITH {rel.PARTSUPP_SQL},
+dim AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eu AS (
+  SELECT * FROM partsupp
+  JOIN (SELECT p_partkey, p_type FROM part
+        WHERE p_size = 15) p
+    ON ps_partkey = p_partkey
+  JOIN dim ON ps_suppkey = s_suppkey
+),
+mc AS (SELECT p_partkey, MIN(ps_supplycost) AS min_cost
+       FROM eu GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, eu.p_partkey AS p_partkey,
+       p_type, ps_supplycost
+FROM eu JOIN mc ON eu.p_partkey = mc.p_partkey
+    AND eu.ps_supplycost = mc.min_cost
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+""",
+        "tpch_q9": f"""
+WITH {rel.PARTSUPP_SQL},
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+sn AS (SELECT s_suppkey, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             - ps_supplycost * l_quantity AS DECIMAL(30,10)))
+           AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN red ON l_partkey = red.p_partkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN sn ON l_suppkey = sn.s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+        "tpch_q11": f"""
+WITH {rel.PARTSUPP_SQL},
+nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+nat_ps AS (
+  SELECT ps_partkey, ps_cents * ps_availqty AS cents
+  FROM partsupp JOIN nat_supp ON ps_suppkey = s_suppkey
+),
+per_part AS (
+  SELECT ps_partkey, CAST(SUM(cents) AS BIGINT) / 100.0 AS stock_value
+  FROM nat_ps GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) / 100.0 AS total FROM nat_ps
+)
+SELECT ps_partkey, stock_value
+FROM per_part CROSS JOIN tot
+WHERE stock_value > total * 0.01
+ORDER BY stock_value DESC, ps_partkey
+""",
+        "tpch_q16": f"""
+WITH {rel.PARTSUPP_SQL}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 23, 31, 42, 49)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "tpch_q20": f"""
+WITH {rel.PARTSUPP_SQL},
+blue AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+             AS VARCHAR) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+qualifying AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN blue ON ps_partkey = blue.p_partkey
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_availqty > 0.5 * qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+ORDER BY s_name
 """,
         "tpch_q14": """
 SELECT 100.0

@@ -564,6 +564,301 @@ def q21_waiting_supplier(
     )
 
 
+def partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``partsupp`` derived from part × supplier-count
+    with pure modular arithmetic — the fixture ships no partsupp
+    table, and this construction is reproducible bit-identically in
+    any engine, so TPC-H Q2/Q9/Q11/Q16/Q20 become fully
+    oracle-checkable rather than unimplementable.
+
+    Each part gets 4 candidate (supplier, availqty, supplycost) rows:
+      ps_suppkey        = (p_partkey·7 + i·13) mod S + 1
+      ps_availqty       = (p_partkey·31 + i·17) mod 9999 + 1
+      cost_cents        = (p_partkey·53 + i·19) mod 100000 + 100
+      ps_supplycost     = cost_cents / 100.0   (single division)
+    collapsed by (partkey, suppkey) with MIN on both measures when two
+    i values collide on the same supplier. All integer arithmetic —
+    engine-portable; the one division is exact (cents/100).
+
+    Scale: 4×|part| rows built scan-side from the part table; the
+    supplier count is a 1-row broadcast. No data is materialized —
+    it's a view composed into each query's plan.
+    """
+    part = tbl.load(spark, "part", sf_dir).select("p_partkey")
+    s_cnt = tbl.load(spark, "supplier", sf_dir).agg(
+        F.count("*").alias("_S")
+    )
+    ps0 = (
+        part.join(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "_S",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") * 7 + F.col("_i") * 13) % F.col("_S")
+                + 1
+            ).alias("ps_suppkey"),
+            (
+                (F.col("p_partkey") * 31 + F.col("_i") * 17) % 9999 + 1
+            ).alias("_qty"),
+            (
+                (F.col("p_partkey") * 53 + F.col("_i") * 19) % 100000
+                + 100
+            ).alias("_cents"),
+        )
+    )
+    return ps0.groupBy("ps_partkey", "ps_suppkey").agg(
+        F.min("_qty").alias("ps_availqty"),
+        F.min("_cents").alias("ps_cents"),
+        (F.min("_cents") / F.lit(100.0)).alias("ps_supplycost"),
+    )
+
+
+# the same construction as a SQL CTE prefix for the DuckDB oracles
+PARTSUPP_SQL = """
+s_cnt AS (SELECT COUNT(*) AS S FROM supplier),
+ps0 AS (
+  SELECT p_partkey,
+         (p_partkey*7 + i*13) % S + 1 AS ps_suppkey,
+         (p_partkey*31 + i*17) % 9999 + 1 AS qty,
+         (p_partkey*53 + i*19) % 100000 + 100 AS cents
+  FROM part CROSS JOIN s_cnt
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey, ps_suppkey,
+         MIN(qty) AS ps_availqty, MIN(cents) AS ps_cents,
+         MIN(cents)/100.0 AS ps_supplycost
+  FROM ps0 GROUP BY 1, 2
+)
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for size-15 parts, the EUROPE supplier(s) offering
+    the minimum supply cost. The correlated MIN subquery becomes a
+    per-part min over the region-filtered partsupp join, joined back
+    on equality — one aggregate + one join-back on the same key, the
+    standard decorrelation. Supplier⋈nation⋈region is a broadcast
+    dim."""
+    ps = partsupp_view(spark, sf_dir)
+    part = tbl.load(spark, "part", sf_dir).filter(
+        F.col("p_size") == 15
+    )
+    supplier = tbl.load(spark, "supplier", sf_dir)
+    nation = tbl.load(spark, "nation", sf_dir)
+    region = tbl.load(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dim = supplier.join(
+        F.broadcast(
+            nation.join(
+                region, nation["n_regionkey"] == region["r_regionkey"]
+            ).select("n_nationkey", "n_name")
+        ),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu_ps = ps.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        ps["ps_partkey"] == F.col("p_partkey"),
+    ).join(F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"])
+    min_cost = eu_ps.groupBy(
+        F.col("p_partkey").alias("_pk")
+    ).agg(F.min("ps_supplycost").alias("_min_cost"))
+    return (
+        eu_ps.join(
+            F.broadcast(min_cost),
+            on=(F.col("p_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            "p_type", "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on 'red' parts per nation and order year:
+    SUM(l_extendedprice·(1-l_discount) − ps_supplycost·l_quantity).
+    partsupp and part are broadcast dims against the lineitem fact;
+    the only fact shuffle is the orderkey join to orders for the
+    year, then the small (nation, year) aggregate."""
+    ps = partsupp_view(spark, sf_dir)
+    part = tbl.load(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    li = tbl.load(spark, "lineitem", sf_dir)
+    orders = tbl.load(spark, "orders", sf_dir).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supplier = tbl.load(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = tbl.load(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(ps),
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    supplier["s_nationkey"] == nation["n_nationkey"],
+                ).select("s_suppkey", "n_name")
+            ),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(_dec_sum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.01
+) -> DataFrame:
+    """TPC-H Q11: parts whose NATION_3 stock value
+    (SUM ps_supplycost·ps_availqty) exceeds ``fraction`` of that
+    nation's total. The scalar total is a 1-row broadcast against the
+    per-part aggregate — no second pass over partsupp."""
+    ps = partsupp_view(spark, sf_dir)
+    supplier = tbl.load(spark, "supplier", sf_dir)
+    nation = tbl.load(spark, "nation", sf_dir).filter(
+        F.col("n_name") == "NATION_3"
+    )
+    nat_ps = ps.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation),
+                supplier["s_nationkey"] == nation["n_nationkey"],
+            ).select("s_suppkey")
+        ),
+        ps["ps_suppkey"] == F.col("s_suppkey"),
+    )
+    # stock value in integer CENTS: cents·qty is exact BIGINT, so the
+    # sums are engine-identical; the single /100.0 at the end is the
+    # only float op (cents/100 doubles sit exactly on decimal rounding
+    # boundaries, where double→DECIMAL rounding differs across engines)
+    value_cents = F.col("ps_cents") * F.col("ps_availqty")
+    per_part = nat_ps.groupBy("ps_partkey").agg(
+        (F.sum(value_cents) / F.lit(100.0)).alias("stock_value")
+    )
+    total = nat_ps.agg(
+        (F.sum(value_cents) / F.lit(100.0)).alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("stock_value") > F.col("_total") * F.lit(float(fraction))
+        )
+        .select("ps_partkey", "stock_value")
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no s_comment complaints — negative account
+    balance stands in for the excluded-supplier predicate): distinct
+    supplier count per (brand, type, size) for non-PROMO, non-Brand#1
+    parts in the probe sizes. Anti-join of the excluded suppliers
+    rides the broadcast; the count-distinct is the only shuffle."""
+    ps = partsupp_view(spark, sf_dir)
+    part = tbl.load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 42, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = tbl.load(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    j = ps.join(
+        F.broadcast(part), ps["ps_partkey"] == part["p_partkey"]
+    ).join(
+        F.broadcast(bad_supp),
+        ps["ps_suppkey"] == bad_supp["s_suppkey"],
+        "left_anti",
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20: EUROPE suppliers holding stock of a 'blue' part
+    exceeding half of what they shipped of it during 1997 (region
+    rather than single nation — the fixture has only 4 suppliers per
+    nation). The correlated 0.5·SUM(l_quantity) subquery decorrelates
+    into one (partkey, suppkey) aggregate of the date-pruned lineitem
+    scan, joined to partsupp on the same composite key — a LEFT SEMI
+    from supplier finishes the EXISTS."""
+    ps = partsupp_view(spark, sf_dir)
+    part = tbl.load(spark, "part", sf_dir).filter(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    li = tbl.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        _dec_sum(F.col("l_quantity")).alias("_qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = tbl.load(spark, "supplier", sf_dir)
+    nation = tbl.load(spark, "nation", sf_dir)
+    region = tbl.load(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_nations = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey")
+    return (
+        supplier.join(
+            F.broadcast(eu_nations),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(
+            qualifying,
+            supplier["s_suppkey"] == qualifying["ps_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: customers who ordered in 1997 but not in 1998
     (EXCEPT distinct semantics, the dual of intersect_custkeys)."""
