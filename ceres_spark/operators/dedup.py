@@ -497,8 +497,11 @@ def simhash_bands(col: Column, n_bands: int) -> list[Column]:
     sizes = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     out, off = [], 0
     for s in sizes:
+        # s == 64 (single band): the all-ones mask doesn't fit a
+        # signed JVM long as (1<<64)-1 — it IS -1 in two's complement
+        mask = (1 << s) - 1 if s < 64 else -1
         out.append(
-            F.shiftrightunsigned(col, off).bitwiseAND(F.lit((1 << s) - 1))
+            F.shiftrightunsigned(col, off).bitwiseAND(F.lit(mask))
         )
         off += s
     return out

@@ -661,16 +661,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         supplier["s_nationkey"] == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # filtered part and the supplier dim scale with data — unhinted
     eu_ps = ps.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         ps["ps_partkey"] == F.col("p_partkey"),
-    ).join(F.broadcast(dim), ps["ps_suppkey"] == dim["s_suppkey"])
+    ).join(dim, ps["ps_suppkey"] == dim["s_suppkey"])
     min_cost = eu_ps.groupBy(
         F.col("p_partkey").alias("_pk")
     ).agg(F.min("ps_supplycost").alias("_min_cost"))
     return (
         eu_ps.join(
-            F.broadcast(min_cost),
+            min_cost,
             on=(F.col("p_partkey") == F.col("_pk"))
             & (F.col("ps_supplycost") == F.col("_min_cost")),
         )
@@ -706,20 +707,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
+    # part/partsupp/supplier scale WITH the data (4x|part| rows etc.)
+    # so no broadcast hints — AQE broadcasts them at small SF and
+    # falls back to shuffle joins at scale; only nation (bounded) is
+    # hinted
     j = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(
-            F.broadcast(ps),
+            ps,
             (li["l_partkey"] == ps["ps_partkey"])
             & (li["l_suppkey"] == ps["ps_suppkey"]),
         )
         .join(
-            F.broadcast(
-                supplier.join(
-                    F.broadcast(nation),
-                    supplier["s_nationkey"] == nation["n_nationkey"],
-                ).select("s_suppkey", "n_name")
-            ),
+            supplier.join(
+                F.broadcast(nation),
+                supplier["s_nationkey"] == nation["n_nationkey"],
+            ).select("s_suppkey", "n_name"),
             li["l_suppkey"] == F.col("s_suppkey"),
         )
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -788,10 +791,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = tbl.load(spark, "supplier", sf_dir).filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
+    # part/bad_supp scale with the data — unhinted, AQE decides
     j = ps.join(
-        F.broadcast(part), ps["ps_partkey"] == part["p_partkey"]
+        part, ps["ps_partkey"] == part["p_partkey"]
     ).join(
-        F.broadcast(bad_supp),
+        bad_supp,
         ps["ps_suppkey"] == bad_supp["s_suppkey"],
         "left_anti",
     )
@@ -826,7 +830,7 @@ def q20_excess_stock_suppliers(
         _dec_sum(F.col("l_quantity")).alias("_qty")
     )
     qualifying = (
-        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        ps.join(part, ps["ps_partkey"] == part["p_partkey"])
         .join(
             shipped,
             (ps["ps_partkey"] == shipped["l_partkey"])

@@ -317,3 +317,33 @@ def test_order_quartiles_exact_has_global_sort(spark):
     import ceres_spark.operators.relational as rel
     plan = plan_of(rel.order_value_analytics(spark, SF))
     assert "SinglePartition" in plan, plan
+
+
+def test_q20_pushes_shipdate_filter(spark):
+    import ceres_spark.operators.relational as rel
+    plan = plan_of(rel.q20_excess_stock_suppliers(spark, SF))
+    # the lineitem scan (one of several) must carry the date range
+    pushed = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_shipdate" in seg for seg in pushed), plan
+
+
+def test_new_tpch_no_unbounded_cartesian(spark):
+    # partsupp construction cross-joins a 1-ROW count — fine; anything
+    # else cartesian would be a planning bug
+    import re
+    import ceres_spark.operators.relational as rel
+    for fn in (rel.q2_min_cost_supplier, rel.q9_product_profit,
+               rel.q11_important_stock, rel.q16_supplier_part_counts,
+               rel.q20_excess_stock_suppliers):
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_partsupp_view_deterministic(spark):
+    import ceres_spark.operators.relational as rel
+    a = sorted(map(tuple, rel.partsupp_view(spark, SF).collect()))
+    b = sorted(map(tuple, rel.partsupp_view(spark, SF).collect()))
+    assert a == b and len(a) > 0
+    # composite key is unique after the MIN collapse
+    keys = [(r[0], r[1]) for r in a]
+    assert len(keys) == len(set(keys))

@@ -291,3 +291,74 @@ def test_chunking_matches_reference(spark, n_tokens, size, stride):
         .collect()
     ]
     assert got == ref_chunks(toks, size, stride)
+
+
+# ------------------------------------------ banded dedup losslessness
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_fuzzy_banded_lossless_on_random_corpora(spark, texts, d):
+    """The PassJoin segment filter must be LOSSLESS on arbitrary
+    strings — including empties, shorter-than-m prefixes, and
+    high-collision two-letter alphabets — not just on fixtures."""
+    import ceres_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    quad = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in dd.fuzzy_pairs(docs, prefix_len=24,
+                                    max_dist=d).collect()}
+    band = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in dd.fuzzy_pairs_banded(docs, prefix_len=24,
+                                           max_dist=d).collect()}
+    assert quad == band
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=40),
+        min_size=2, max_size=10,
+    ),
+    st.integers(min_value=0, max_value=16),
+)
+def test_simhash_banded_lossless_on_random_corpora(spark, texts, h):
+    import ceres_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    s = dd.simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("_ha"),
+                 F.col("source").alias("_blk"))
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("_hb"),
+                 F.col("source").alias("_blk"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                dd.hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
+        .filter(F.col("hamming") <= h).collect()
+    }
+    band = {(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, max_hamming=h).collect()}
+    assert brute == band
