@@ -29,6 +29,7 @@ import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
+import ceres_spark.operators.pq as pqmod
 import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
 import ceres_spark.operators.resolution as res
@@ -419,6 +420,15 @@ def _q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search(
         idx, emb.filter(F.col("vec_id") < 5), centroids, k=10, nprobe=4
     )
+
+
+def _q_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only): 8-byte codes (32x
+    compression at d=64 float32), ADC table-lookup scan, exact
+    cosine re-rank of the top-50. refine >= corpus == brute is
+    pytest-pinned; training is a cached bounded-sample artifact."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return pqmod.topk_cosine_pq(emb, k=10, refine=50, cache_key=sf_dir)
 
 
 def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix since a driver row adds only a row count for these ---
         "ewma_series": _q_ewma_series,
         "holt_winters_bands": _q_holt_winters,
+        "topk_cosine_pq": _q_topk_cosine_pq,
         # --- locally-nailed simple set/pivot ops rotated out to make
         # prefix room for the new entries above; they re-enter the
         # prefix in a later round (still covered by check_oracle) ---

@@ -73,3 +73,58 @@ def test_centroid_cache_hit_is_identical(spark, emb):
     assert a is b                       # second call: no Spark job at all
     c = ivf.train_centroids_cached(emb, "k1", k=8, iters=1)
     assert len(c) == 8                  # different params → distinct entry
+
+
+# ----------------------------------------------------------- PQ-ADC
+
+def test_pq_full_refine_equals_brute(spark):
+    import ceres_spark.operators.pq as pq
+    import ceres_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq.topk_cosine_pq(
+            emb, q, k=10, refine=n, cache_key="t_full"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.topk_brute(emb, q, k=10).collect()
+    }
+    # refine >= corpus ⇒ exact re-rank covers everything ⇒ brute-equal
+    assert got == want
+
+
+def test_pq_recall_with_small_refine(spark):
+    import ceres_spark.operators.pq as pq
+    import ceres_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.topk_cosine_pq(
+            emb, q, k=10, refine=50, cache_key="t_small"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_brute(emb, q, k=10).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5
+
+
+def test_pq_codes_are_m_bytes_and_deterministic(spark):
+    import ceres_spark.operators.pq as pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq.train_pq(emb, m=8, k_sub=16)
+    a = {r["vec_id"]: r["codes"] for r in pq.encode_pq(emb, books).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq.encode_pq(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 8 for c in a.values())
