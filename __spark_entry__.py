@@ -1051,6 +1051,14 @@ def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.moving_median(hourly, points=5)
 
 
+def _q_series_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linearRegression: per-series least-squares slope (per hour) and
+    fitted end value, from exact narrow-decimal sums."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.series_linreg(hourly)
+
+
 def _q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series EWMA (graphite exponentialMovingAverage). Recursive
     state → applyInPandas; rows-only (no SQL oracle — the recurrence
@@ -1179,7 +1187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- checked prefix: no driver row yet (r1 checked only 1..50) ---
         "range_band_join": _q_range_band_join,
-        "percentiles": _q_percentiles,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "tpch_q4": _q_tpch_q4,
@@ -1225,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": _q_token_rarity,
         "props_flatten": _q_props_flatten,
         "cap_per_source": _q_cap_per_source,
+        "series_linreg": _q_series_linreg,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1250,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "range_frame_sum": _q_range_frame_sum,
         "as_percent": _q_as_percent,
+        "percentiles": _q_percentiles,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2633,6 +2642,47 @@ b AS (
 )
 SELECT split_part(metric, '.', 2) AS node, ts, {DEC_SUM} AS value
 FROM b GROUP BY 1, 2
+""",
+        "series_linreg": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+s AS (
+  SELECT metric, COUNT(*) AS n_points,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))) AS st,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
+             * CAST(value AS DECIMAL(20,10))) AS stv,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
+             * CAST(ts - 1700000000 AS DECIMAL(9,0))) AS stt,
+         MAX(ts - 1700000000) AS t_end
+  FROM b WHERE value IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT metric, n_points, t_end,
+         CAST(n_points AS DOUBLE) AS nd,
+         CAST(CAST(st AS VARCHAR) AS DOUBLE) AS std,
+         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+         CAST(CAST(stv AS VARCHAR) AS DOUBLE) AS stvd,
+         CAST(CAST(stt AS VARCHAR) AS DOUBLE) AS sttd
+  FROM s
+),
+e AS (
+  SELECT *, CASE WHEN (nd*sttd - std*std) <> 0.0
+                 THEN (nd*stvd - std*svd) / (nd*sttd - std*std)
+            END AS slope
+  FROM d
+)
+SELECT metric, n_points,
+       slope * 3600.0 AS slope_per_hour,
+       ((svd - slope*std) / nd) + slope * t_end AS fit_end
+FROM e
 """,
         "moving_stddev": f"""
 WITH {POINTS_CTE},

@@ -186,6 +186,58 @@ def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
     )
 
 
+def series_linreg(buckets: DataFrame) -> DataFrame:
+    """Per-series least-squares trend (graphite-web
+    ``linearRegression``): slope per hour and the fitted value at the
+    series' last timestamp, from one aggregation pass.
+
+    Determinism contract: every sum is exact. Timestamps are rebased
+    by a CONSTANT epoch (slope and fitted values are shift-invariant)
+    so t fits DECIMAL(9,0) and t·t fits an int64-backed DECIMAL(18,0)
+    — DuckDB multiplies narrow decimals in their operand storage
+    class and raw epoch-seconds squared overflows it, while wide
+    operands would make Spark's 38-digit cap rescale (and round) the
+    product. Valid for ts < ~2.7e9 (year 2055); widen the base/types
+    together beyond that. The closed-form slope
+    [(nΣtv − ΣtΣv) / (nΣt² − (Σt)²)] then divides exact decimal sums
+    converted to double via the string route (_dec-sum trick,
+    relational.py:27), with identical IEEE operation order on the
+    oracle side — bit-equal results. NULL points are skipped (ceres
+    aggregate semantics); series with < 2 distinct points emit NULL
+    slope.
+    """
+    t = (F.col("ts") - F.lit(1_700_000_000)).cast("decimal(9,0)")
+    v = F.col("value").cast("decimal(20,10)")
+    pts = buckets.filter(F.col("value").isNotNull())
+    agg_df = pts.groupBy("metric").agg(
+        F.count("*").alias("n_points"),
+        F.sum(t).alias("_st"),
+        F.sum(v).alias("_sv"),
+        F.sum(t * v).alias("_stv"),
+        F.sum(t * t).alias("_stt"),
+        F.max(F.col("ts") - F.lit(1_700_000_000)).alias("_t_end"),
+    )
+    # each SUM is exact decimal → correctly-rounded double (string
+    # route); the closed form then runs in IEEE doubles with the SAME
+    # operation order on the oracle side — multiplying the wide sums
+    # as decimals instead would hit the 38-digit cap, where the two
+    # engines rescale differently
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    nd = F.col("n_points").cast("double")
+    std, svd = as_d(F.col("_st")), as_d(F.col("_sv"))
+    stvd, sttd = as_d(F.col("_stv")), as_d(F.col("_stt"))
+    num = nd * stvd - std * svd
+    den = nd * sttd - std * std
+    slope = F.when(den != 0.0, num / den)
+    intercept = (svd - slope * std) / nd
+    return agg_df.select(
+        "metric",
+        "n_points",
+        (slope * F.lit(3600.0)).alias("slope_per_hour"),
+        (intercept + slope * F.col("_t_end")).alias("fit_end"),
+    )
+
+
 def ewma(buckets: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Exponentially weighted moving average per series (graphite-web
     ``exponentialMovingAverage``/``ewma`` over a ceres fetch; the

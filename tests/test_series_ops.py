@@ -337,3 +337,17 @@ def test_holt_winters_reference_replay_exact(spark):
             nl = a * v + (1 - a) * (level + trend)
             trend = b * (nl - level) + (1 - b) * trend
             level = nl
+
+
+def test_series_linreg_exact_line(spark):
+    # y = 2x + 10 on an exact grid → slope recovered exactly
+    base = 1_700_000_000
+    rows = [("m", base + i * 3600, 10.0 + 2.0 * i, 0) for i in range(6)]
+    rows += [("flat", base, 5.0, 0)]        # single point → NULL slope
+    out = {r["metric"]: r for r in
+           ser.series_linreg(pts(spark, rows)).collect()}
+    # slope is per HOUR; one step = 1h and y rises 2.0 per step
+    assert abs(out["m"]["slope_per_hour"] - 2.0) < 1e-9
+    assert abs(out["m"]["fit_end"] - 20.0) < 1e-9   # value at last point
+    assert out["m"]["n_points"] == 6
+    assert out["flat"]["slope_per_hour"] is None
