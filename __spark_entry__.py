@@ -1051,6 +1051,26 @@ def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.moving_median(hourly, points=5)
 
 
+def _q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-Saving heavy hitters. At capacity >= distinct items the
+    sketch is provably exact (count_min == count_max == true count),
+    which is what the oracle checks; under-capacity bound containment
+    is pytest's job (test_sketches)."""
+    import ceres_spark.operators.sketches as sk
+    return sk.frequent_items(
+        tbl.load(spark, "events", sf_dir), "event_type",
+        k=10, capacity=1024,
+    )
+
+
+def _q_series_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale/offset/transformNull + countSeries/rangeOfSeries/
+    averageSeries — the per-ts combinator surface, one aggregation."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.series_transform(hourly)
+
+
 def _q_series_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """linearRegression: per-series least-squares slope (per hour) and
     fitted end value, from exact narrow-decimal sums."""
@@ -1201,9 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "series_functions": _q_series_functions,
         "anomaly_zscore": _q_anomaly_zscore,
-        "forward_fill": _q_forward_fill,
         "per_second_rate": _q_per_second,
-        "time_shift_join": _q_time_shift_join,
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
@@ -1233,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_flatten": _q_props_flatten,
         "cap_per_source": _q_cap_per_source,
         "series_linreg": _q_series_linreg,
+        "series_transform": _q_series_transform,
+        "frequent_items": _q_frequent_items,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1259,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_sum": _q_range_frame_sum,
         "as_percent": _q_as_percent,
         "percentiles": _q_percentiles,
+        "time_shift_join": _q_time_shift_join,
+        "forward_fill": _q_forward_fill,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2642,6 +2664,32 @@ b AS (
 )
 SELECT split_part(metric, '.', 2) AS node, ts, {DEC_SUM} AS value
 FROM b GROUP BY 1, 2
+""",
+        "frequent_items": """
+SELECT event_type AS item,
+       COUNT(*) AS count_min, COUNT(*) AS count_max
+FROM events GROUP BY 1
+ORDER BY count_max DESC, item
+LIMIT 10
+""",
+        "series_transform": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT ts,
+       COUNT(value) AS count_series,
+       MAX(value) - MIN(value) AS range_of_series,
+       CAST(CAST(SUM(CAST(COALESCE(value * 2.0 + 10.0, 0.0)
+            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         AS avg_transformed
+FROM b GROUP BY ts
+ORDER BY ts
 """,
         "series_linreg": f"""
 WITH {POINTS_CTE},

@@ -186,6 +186,37 @@ def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
     )
 
 
+def series_transform(
+    buckets: DataFrame, scale: float = 2.0, offset: float = 10.0
+) -> DataFrame:
+    """The remaining graphite value-transform + series-combinator
+    surface in one pass: per timestamp across all series —
+    ``countSeries`` (non-null series count), ``rangeOfSeries``
+    (max − min), ``averageSeries`` over ``transformNull(0)`` of
+    ``scale()``+``offset()`` applied per point.
+
+    One conditional aggregation, map-side combinable; scale/offset
+    are scan-speed column math. Determinism: the average accumulates
+    in DECIMAL (the _dec-sum trick); max/min/count are exact.
+    """
+    v = F.col("value") * F.lit(float(scale)) + F.lit(float(offset))
+    v0 = F.coalesce(v, F.lit(0.0))  # transformNull(0) AFTER transform
+    return (
+        buckets.groupBy("ts")
+        .agg(
+            F.count("value").alias("count_series"),
+            (F.max("value") - F.min("value")).alias("range_of_series"),
+            (
+                F.sum(v0.cast("decimal(30,10)"))
+                .cast("string")
+                .cast("double")
+                / F.count("*")
+            ).alias("avg_transformed"),
+        )
+        .orderBy("ts")
+    )
+
+
 def series_linreg(buckets: DataFrame) -> DataFrame:
     """Per-series least-squares trend (graphite-web
     ``linearRegression``): slope per hour and the fitted value at the

@@ -114,3 +114,89 @@ def histogram_quantiles(
     return cum.groupBy(group_col).agg(
         *out_cols, F.max("n").alias("n_points")
     )
+
+
+def frequent_items(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = 64
+) -> DataFrame:
+    """Distributed Space-Saving heavy hitters — the mergeable
+    frequent-items sketch completing the sketch family (HLL distinct,
+    histogram quantiles, + this): per-partition capacity-``C``
+    summaries, one item-keyed merge, PROVABLE count bounds.
+
+    Per partition (mapInPandas, batch-vectorized: value_counts per
+    Arrow batch, then a deterministic sorted merge into the table):
+    every item's true in-partition count lies in [est − err, est],
+    and any item occurring more than n_partition/C times is
+    guaranteed tracked. At merge: for item i,
+      count_max = Σ_tracked est_p(i) + (Σ_all θ_p − Σ_tracked θ_p)
+      count_min = Σ_tracked (est_p(i) − err_p(i))
+    where θ_p is partition p's eviction floor (min est when full,
+    else 0) — an untracked partition can hide at most θ_p
+    occurrences. Output: top-``k`` by count_max (item tie-break),
+    with the [count_min, count_max] interval exposed so callers SEE
+    the uncertainty instead of a point lie.
+
+    Scale shape: emitted state is ≤ capacity+1 rows per partition —
+    independent of partition size; the merge aggregates
+    O(partitions × capacity) rows. With capacity ≥ per-partition
+    distinct counts the sketch is EXACT (err 0, θ 0) — pytest pins
+    that against a plain groupBy count.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+
+    def scan(batches):
+        table: dict = {}          # item -> [est, err]
+        for pdf in batches:
+            vc = pdf[key_col].value_counts().sort_index()
+            for item, cnt in vc.items():
+                cnt = int(cnt)
+                if item in table:
+                    table[item][0] += cnt
+                elif len(table) < cap:
+                    table[item] = [cnt, 0]
+                else:
+                    # evict the deterministic minimum (est, then item)
+                    evict = min(
+                        table, key=lambda x: (table[x][0], str(x))
+                    )
+                    theta = table[evict][0]
+                    del table[evict]
+                    table[item] = [theta + cnt, theta]
+        theta_p = (
+            min(v[0] for v in table.values()) if len(table) >= cap else 0
+        )
+        rows = [
+            {"item": it, "est": v[0], "err": v[1], "theta": theta_p}
+            for it, v in table.items()
+        ]
+        rows.append({"item": None, "est": 0, "err": 0, "theta": theta_p})
+        yield pd.DataFrame(rows)
+
+    sk = df.select(key_col).mapInPandas(
+        scan, f"item string, est long, err long, theta long"
+    )
+    total_theta = sk.filter(F.col("item").isNull()).agg(
+        F.sum("theta").alias("_total_theta")
+    )
+    merged = (
+        sk.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.sum("est").alias("_est"),
+            F.sum(F.col("est") - F.col("err")).alias("count_min"),
+            F.sum("theta").alias("_tracked_theta"),
+        )
+        .join(F.broadcast(total_theta))
+        .withColumn(
+            "count_max",
+            F.col("_est") + F.col("_total_theta") - F.col("_tracked_theta"),
+        )
+    )
+    return (
+        merged.select("item", "count_min", "count_max")
+        .orderBy(F.desc("count_max"), "item")
+        .limit(int(k))
+    )

@@ -107,3 +107,36 @@ def test_histogram_sketch_is_merge_exact(spark):
         ).collect()
     }
     assert direct == merged
+
+
+def test_frequent_items_exact_at_capacity(spark):
+    import ceres_spark.operators.sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r["item"]: (r["count_min"], r["count_max"])
+           for r in sk.frequent_items(ev, "event_type", k=10,
+                                      capacity=1000).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count("*").alias("n")).collect()}
+    # capacity >= distinct ⇒ sketch degenerates to exact counts
+    assert got == {it: (n, n) for it, n in want.items()}
+
+
+def test_frequent_items_bounds_contain_truth_under_pressure(spark):
+    import ceres_spark.operators.sketches as sk
+    from pyspark.sql import functions as F
+
+    # 3 heavy items + long tail, tiny capacity
+    rows = ([("hot%d" % i,) for i in range(3) for _ in range(200)]
+            + [("tail%d" % i,) for i in range(150)])
+    df = spark.createDataFrame(rows, "item_key string").repartition(4)
+    out = {r["item"]: (r["count_min"], r["count_max"])
+           for r in sk.frequent_items(df, "item_key", k=5,
+                                      capacity=8).collect()}
+    # guarantee: every item with freq > n/capacity is tracked and its
+    # true count lies inside [count_min, count_max]
+    for i in range(3):
+        lo, hi = out["hot%d" % i]
+        assert lo <= 200 <= hi, out
