@@ -1051,6 +1051,17 @@ def _q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.moving_median(hourly, points=5)
 
 
+def _q_bucketed_series_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_functions over a metric-bucketed warehouse table: the
+    per-series Window runs with ZERO Exchange (plan-asserted); the
+    oracle is the identical unbucketed computation — bucketing must
+    be result-invariant."""
+    import ceres_spark.operators.join_strategies as js
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return js.bucketed_series_windows(spark, hourly, table="bp_points_q")
+
+
 def _q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-Saving heavy hitters. At capacity >= distinct items the
     sketch is provably exact (count_min == count_max == true count),
@@ -1220,7 +1231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "series_functions": _q_series_functions,
-        "anomaly_zscore": _q_anomaly_zscore,
         "per_second_rate": _q_per_second,
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_linreg": _q_series_linreg,
         "series_transform": _q_series_transform,
         "frequent_items": _q_frequent_items,
+        "bucketed_series_windows": _q_bucketed_series_windows,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1281,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "time_shift_join": _q_time_shift_join,
         "forward_fill": _q_forward_fill,
+        "anomaly_zscore": _q_anomaly_zscore,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2518,6 +2530,30 @@ EXCEPT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+""",
+        "bucketed_series_windows": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+  value - lag(value) OVER w AS derivative,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      PARTITION BY metric ORDER BY ts
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+    / COUNT(value) OVER (PARTITION BY metric ORDER BY ts
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      PARTITION BY metric ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_integral
+FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
 """,
         "series_functions": f"""
 WITH {POINTS_CTE},

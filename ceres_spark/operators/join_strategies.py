@@ -79,3 +79,26 @@ def bucketed_join(
     """Join two same-bucketed tables — the plan should show
     SortMergeJoin with NO Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def bucketed_series_windows(
+    spark: SparkSession, points: DataFrame, table: str = "bp_points"
+) -> DataFrame:
+    """The time-series-warehouse version of the bucketing payoff:
+    points written bucketed by ``metric`` satisfy every
+    ``Window.partitionBy(metric)`` distribution requirement, so the
+    per-series function library (derivative / moving average /
+    running integral — series.series_functions) runs with ZERO
+    Exchange at query time. At 100 TB this is the difference between
+    re-shuffling the whole corpus per dashboard query and paying the
+    shuffle once at ingest; the write is the same one the streaming
+    ingest path already performs per micro-batch.
+
+    Result-invariance is the oracle contract (same rows as the
+    unbucketed plan); the no-Exchange-before-Window property is
+    plan-asserted in tests/test_plans.py.
+    """
+    from ceres_spark.operators.series import series_functions
+
+    write_bucketed(points, table, "metric", buckets=8, sort=False)
+    return series_functions(spark.table(table))

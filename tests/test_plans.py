@@ -347,3 +347,18 @@ def test_partsupp_view_deterministic(spark):
     # composite key is unique after the MIN collapse
     keys = [(r[0], r[1]) for r in a]
     assert len(keys) == len(set(keys))
+
+
+def test_bucketed_series_windows_zero_exchange(spark):
+    import re
+    import ceres_spark.operators.join_strategies as js
+    import ceres_spark.operators.compact as cp
+    import ceres_spark.operators.aggregate as agg
+    deduped = cp.compact(tbl.points(spark, SF), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    plan = plan_of(js.bucketed_series_windows(spark, hourly,
+                                              table="bp_points_t"))
+    # the whole point: bucketed-by-metric scan satisfies the Window's
+    # distribution — no Exchange anywhere in the read plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    assert re.findall(r"^\(\d+\) Window", plan, re.M), plan
