@@ -76,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--method", default="average")
     m.add_argument("--xff", type=float, default=0.0)
 
+    e = sub.add_parser(
+        "explain",
+        help="print the physical plan of a registry query "
+        "(EXPLAIN surface; list names with 'explain --list')",
+    )
+    e.add_argument("query", nargs="?")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument("--list", action="store_true")
+
     args = p.parse_args(argv)
     from ceres_spark.tree import CeresTree
 
@@ -150,6 +159,21 @@ def main(argv: list[str] | None = None) -> int:
 
             ret.compact_files(spark, tree.points_path(60))
             print("defragmented step=60")
+    elif args.cmd == "explain":
+        # EXPLAIN surface over the whole query registry — the ceres
+        # CLI never had one because it had no planner; this one is how
+        # a user audits pushdown/broadcast/shuffle before a 100 TB run
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.list or not args.query:
+            for name in qs:
+                print(name)
+            return 0
+        if args.query not in qs:
+            print(f"unknown query {args.query!r} (try: explain --list)")
+            return 1
+        qs[args.query](spark, args.sf_dir).explain("formatted")
     return 0
 
 

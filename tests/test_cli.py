@@ -74,3 +74,17 @@ def test_slicecheck_warehouse_cli(spark, tmp_path, capsys):
     assert main(["slicecheck", root]) == 0
     out = capsys.readouterr().out
     assert "rows=2 misaligned=0 nan=0 dups=0" in out
+
+
+def test_cli_explain_lists_and_prints_plan(capsys):
+    from ceres_spark.cli import main
+
+    assert main(["explain", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "tpch_q6" in names and len(names) > 100
+
+    assert main(["explain", "tpch_q6"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+    assert main(["explain", "nope_not_a_query"]) == 1
