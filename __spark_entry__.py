@@ -58,10 +58,10 @@ points AS (
 """
 
 DEC_AVG = (
-    "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
     " / COUNT(value)"
 )
-DEC_SUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+DEC_SUM = "CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
 
 # DuckDB cosine matching operators/similarity.py's zip_with+aggregate
 # evaluation: double-cast before multiply, left-to-right accumulation
@@ -666,7 +666,7 @@ def _q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = rjoin.range_join(ev, bands, "value", bin_width=50.0)
     return joined.groupBy("band").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(30,10)"))
+        F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
         .cast("string")
         .cast("double")
         .alias("sum_value"),
@@ -841,7 +841,7 @@ def _q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "ts",
         "value",
-        F.sum(F.col("value").cast("decimal(30,10)"))
+        F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
         .over(w)
         .cast("string")
         .cast("double")
@@ -1921,7 +1921,7 @@ WITH e AS (
   SELECT metric, x - (x % 1800) - 1800 AS ts, value FROM e
 )
 SELECT metric, ts, COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sum_value
 FROM w GROUP BY 1, 2
 """,
@@ -1943,7 +1943,7 @@ WITH e AS (
 )
 SELECT user_id, CAST(min(t) // 1000000 AS BIGINT) AS session_start,
        COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sum_value
 FROM s GROUP BY user_id, sid
 """,
@@ -2107,7 +2107,7 @@ WITH bands(band, lo, hi) AS (
   VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 250.0)
 )
 SELECT band, COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sum_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY 1
@@ -2539,18 +2539,18 @@ deduped AS (
 ),
 b AS (
   SELECT metric, ts - (ts % 3600) AS ts,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(value) AS value
   FROM deduped GROUP BY 1, 2
 )
 SELECT metric, ts, value,
   value - lag(value) OVER w AS derivative,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
       PARTITION BY metric ORDER BY ts
       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
     / COUNT(value) OVER (PARTITION BY metric ORDER BY ts
       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
       PARTITION BY metric ORDER BY ts
       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_integral
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
@@ -2563,18 +2563,18 @@ deduped AS (
 ),
 b AS (
   SELECT metric, ts - (ts % 3600) AS ts,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(value) AS value
   FROM deduped GROUP BY 1, 2
 )
 SELECT metric, ts, value,
   value - lag(value) OVER w AS derivative,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
       PARTITION BY metric ORDER BY ts
       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
     / COUNT(value) OVER (PARTITION BY metric ORDER BY ts
       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
       PARTITION BY metric ORDER BY ts
       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_integral
 FROM b WINDOW w AS (PARTITION BY metric ORDER BY ts)
@@ -2587,12 +2587,12 @@ deduped AS (
 ),
 b AS (
   SELECT metric, ts - (ts % 3600) AS ts,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(value) AS value
   FROM deduped GROUP BY 1, 2
 )
 SELECT metric, ts, value,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
       PARTITION BY metric ORDER BY ts
       RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW) AS VARCHAR)
       AS DOUBLE) AS trailing_3h_sum,
@@ -2609,15 +2609,15 @@ deduped AS (
 ),
 b AS (
   SELECT metric, ts - (ts % 3600) AS ts,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(value) AS value
   FROM deduped GROUP BY 1, 2
 ),
 stats AS (
   SELECT metric,
-    CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
         / COUNT(value) AS _mean,
-    CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS VARCHAR)
+    CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR)
         AS DOUBLE) / COUNT(value) AS _ex2
   FROM b GROUP BY metric
 )
@@ -2780,11 +2780,11 @@ b AS (
 )
 SELECT metric, ts, value,
   sqrt(greatest(
-    CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) OVER w
+    CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(30,10))) OVER w
         AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w
-    - (CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+    - (CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER w
         AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w)
-      * (CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+      * (CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER w
         AS VARCHAR) AS DOUBLE) / COUNT(value) OVER w)
   , 0.0)) AS moving_stddev
 FROM b WINDOW w AS (
@@ -2802,7 +2802,7 @@ b AS (
   FROM deduped GROUP BY 1, 2
 )
 SELECT ts,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
       AS sum_all,
   CAST(CAST(SUM(CAST(CASE WHEN metric = 'click' THEN value END
       AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)

@@ -53,10 +53,10 @@ def agg_expr(method: str, value_col: str = "value", ts_col: str = "ts") -> Colum
         # int128/10^scale in float arithmetic: off by 1 ulp); every
         # engine parses decimal strings correctly rounded.
         return _dec_to_double(
-            F.sum(F.col(value_col).cast("decimal(30,10)"))
+            F.sum(F.col(value_col).cast("string").cast("decimal(30,10)"))
         ) / F.count(F.col(value_col))
     if method == "sum":
-        return _dec_to_double(F.sum(F.col(value_col).cast("decimal(30,10)")))
+        return _dec_to_double(F.sum(F.col(value_col).cast("string").cast("decimal(30,10)")))
     if method == "last":
         # last non-null value by timestamp; max_by skips rows where the
         # value is NULL only if we pre-filter, so guard with a when().

@@ -26,7 +26,17 @@ import ceres_spark.sources.tables as tbl
 
 def _dec_sum(col):
     # decimal→string→double: decimal→double is off-by-1-ulp in some
-    # engines (DuckDB); string parse is correctly rounded everywhere
+    # engines (DuckDB); string parse is correctly rounded everywhere.
+    #
+    # Cast-INTO-decimal policy: money inputs here are short decimals
+    # (2–4 fractional digits exactly representable to within ~1e-12),
+    # far from any 10th-digit rounding boundary relative to double
+    # error, so the direct double→decimal cast agrees across engines.
+    # Derived FULL-mantissa doubles (squares, running means) do hit
+    # boundaries where Spark (shortest-repr) and DuckDB (binary
+    # expansion) round differently — those sites route the cast
+    # through a string on BOTH sides instead (surfaced at sf0.1 in
+    # anomaly_zscore/moving_stddev; see operators/series.py).
     return F.sum(col.cast("decimal(30,10)")).cast("string").cast("double")
 
 

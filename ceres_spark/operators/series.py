@@ -170,7 +170,8 @@ def series_functions(buckets: DataFrame, ma_points: int = 5) -> DataFrame:
     w = Window.partitionBy("metric").orderBy("ts")
     w_ma = w.rowsBetween(-(ma_points - 1), 0)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
-    dec = F.col("value").cast("decimal(30,10)")
+    # string-routed cast into decimal — see anomaly_zscore note
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
     return buckets.select(
         "metric",
         "ts",
@@ -448,7 +449,15 @@ def anomaly_zscore(buckets: DataFrame, z: float = 3.0) -> DataFrame:
     cuts bit-identically. Stats are a per-metric aggregate (tiny) and
     re-join the buckets broadcast: the series never shuffles twice.
     """
-    dec = lambda c: F.sum(c.cast("decimal(30,10)")).cast("string").cast("double")
+    # the cast INTO decimal routes through a string: both engines
+    # round the same shortest-repr decimal literal instead of the raw
+    # binary double, whose 10th-decimal rounding differs between
+    # engines on boundary values (surfaces at sf0.1 row counts)
+    dec = lambda c: (
+        F.sum(c.cast("string").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+    )
     stats = buckets.groupBy("metric").agg(
         (dec(F.col("value")) / F.count("value")).alias("_mean"),
         (
@@ -474,7 +483,7 @@ def as_percent(buckets: DataFrame) -> DataFrame:
     decimal-accumulated operands, mirrored verbatim in the oracle.
     """
     totals = buckets.groupBy("ts").agg(
-        F.sum(F.col("value").cast("decimal(30,10)"))
+        F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
         .cast("string")
         .cast("double")
         .alias("_total")
@@ -552,8 +561,12 @@ def moving_stddev(buckets: DataFrame, points: int = 5) -> DataFrame:
         .orderBy("ts")
         .rowsBetween(-(int(points) - 1), 0)
     )
+    # string-routed cast into decimal — see anomaly_zscore note
     dec = lambda c: (
-        F.sum(c.cast("decimal(30,10)")).over(w).cast("string").cast("double")
+        F.sum(c.cast("string").cast("decimal(30,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
     )
     n = F.count("value").over(w)
     mean = dec(F.col("value")) / n
@@ -582,7 +595,9 @@ def series_arithmetic(buckets: DataFrame, a: str, b: str) -> DataFrame:
     missing (NULL-propagating subtraction).
     """
     dsum = lambda c: (
-        F.sum(c.cast("decimal(30,10)")).cast("string").cast("double")
+        F.sum(c.cast("string").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
     )
     va = F.when(F.col("metric") == a, F.col("value"))
     vb = F.when(F.col("metric") == b, F.col("value"))

@@ -43,7 +43,7 @@ def sliding_window_agg(
         events.groupBy(F.col(key).alias("metric"), w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,10)"))
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
             .cast("string")
             .cast("double")
             .alias("sum_value"),
@@ -71,7 +71,7 @@ def session_window_agg(
         events.groupBy(F.col(key), sw.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,10)"))
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
             .cast("string")
             .cast("double")
             .alias("sum_value"),
