@@ -1214,6 +1214,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in the checked prefix; entries already driver-green in a prior
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
+
+    ROTATION NOTE FOR ROUND 3: after CORRECTNESS_r02 lands, rotate the
+    r2 prefix out and rotate IN (a) anything r02 shows red, (b) the
+    parked never-checked simple ops (intersect/anti_join/pivot/except/
+    cube/top_parts/running_totals/rank_window/grouping_sets/
+    range_frame_sum/as_percent/percentiles/time_shift_join/
+    forward_fill/anomaly_zscore — rotated out during r2 to make room),
+    then (c) oldest r1 greens. Everything stays covered locally by
+    tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
+    position (the sf0.1 pass is stricter — it caught the decimal-cast
+    boundary bug the sf0.01 gate missed).
     """
     return {
         # --- checked prefix: no driver row yet (r1 checked only 1..50) ---
