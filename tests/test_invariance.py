@@ -1,0 +1,51 @@
+"""Partitioning-independence: the determinism contract the oracle
+gate relies on, checked directly. Every oracle-paired result must be
+bit-identical no matter how the cluster partitions the work — that is
+what makes a 1000-executor run reproduce local[32], and what makes
+decimal accumulation + string-routed casts + order-pinned kernels
+worth their cost. Representative queries (decimal sums, windowed
+stats, exact-integer scores, vectorized numpy kernels) run under two
+different shuffle-partition settings and once with the input
+pre-repartitioned; all three result sets must match exactly.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# float/decimal-heavy or kernel-backed queries — the ones where
+# partitioning COULD leak into results if the contract were broken
+QUERIES = [
+    "tpch_q1",            # decimal money sums + decimal averages
+    "tpch_q9",            # partsupp profit (derived doubles)
+    "anomaly_zscore",     # string-routed Σx² (the sf0.1 regression)
+    "moving_stddev",      # windowed string-routed sums
+    "series_linreg",      # narrow-decimal closed form
+    "series_functions",   # windowed decimal MA/integral
+    "span_dup_ratio",     # hashed span counts + double ratio
+    "token_rarity",       # exact-integer ppm
+    "jaccard_pairs",      # vectorized incidence matmul
+    "embedding_neardup",  # order-pinned numpy cosine
+    "topk_cosine_q8",     # exact-integer int8 dots
+    "quantize_lww",       # LWW max_by
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_partitioning(spark, name):
+    fn = entrymod.queries()[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = _rows(fn(spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        b = _rows(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: results changed with shuffle partitioning"
