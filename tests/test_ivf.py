@@ -128,3 +128,29 @@ def test_pq_codes_are_m_bytes_and_deterministic(spark):
     b = {r["vec_id"]: r["codes"] for r in pq.encode_pq(emb, books).collect()}
     assert a == b
     assert all(len(c) == 8 for c in a.values())
+
+
+def test_ivf_lists_prune_as_partitions(spark, tmp_path):
+    """The IVF scale claim made concrete: lists written as parquet
+    partitions, a probe of nprobe lists reads ONLY those partitions
+    (PartitionFilters in the scan, not a full-table filter)."""
+    import io, contextlib
+    import ceres_spark.operators.ivf as ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = ivf.train_centroids(emb, k=8, iters=1)
+    idx = ivf.build_index(emb, centroids)
+    path = str(tmp_path / "ivf_index")
+    idx.write.mode("overwrite").partitionBy("_list").parquet(path)
+
+    probe = spark.read.parquet(path).filter("_list IN (0, 3)")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "_list" in seg, plan
+    # and the pruned read returns exactly those lists' vectors
+    lists = {r["_list"] for r in probe.select("_list").distinct().collect()}
+    assert lists <= {0, 3}
