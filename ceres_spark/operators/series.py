@@ -283,6 +283,11 @@ def ewma(buckets: DataFrame, alpha: float = 0.3) -> DataFrame:
     only exchange is the groupBy(metric) shuffle; each task holds one
     series run, never the corpus. NULL points carry the previous EWMA
     forward (graphite semantics: gaps don't decay the average).
+
+    Streaming: ``streaming.stateful.holt_winters_stream`` with
+    ``beta=0`` IS the online EWMA — with zero initial trend the level
+    update collapses to ``a·v + (1−a)·level`` and the emitted
+    forecast is the one-step-behind EWMA.
     """
     a = float(alpha)
 
