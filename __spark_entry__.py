@@ -1181,6 +1181,12 @@ def _q_vocab_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.vocab_top_n(tbl.load(spark, "documents", sf_dir), n=100)
 
 
+def _q_corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style quality gate: length/repetition/substring
+    flags + keep verdict, one oracle-checkable pass."""
+    return corp.corpus_filter_gate(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style span duplication: fraction of each document's
     distinct 8-token spans that occur in ≥2 documents. Linear plan —
@@ -1243,7 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "series_functions": _q_series_functions,
         "per_second_rate": _q_per_second,
-        "top_series": _q_top_series,
         "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
         "moving_stddev": _q_moving_stddev,
@@ -1275,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_transform": _q_series_transform,
         "frequent_items": _q_frequent_items,
         "bucketed_series_windows": _q_bucketed_series_windows,
+        "corpus_filter_gate": _q_corpus_filter_gate,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1304,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_shift_join": _q_time_shift_join,
         "forward_fill": _q_forward_fill,
         "anomaly_zscore": _q_anomaly_zscore,
+        "top_series": _q_top_series,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2988,6 +2995,43 @@ FROM (
 GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 100
+""",
+        "corpus_filter_gate": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+rep AS (
+  SELECT t.doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tk) >= 2 THEN
+           1.0 - len(list_distinct([tk[i] || ' ' || tk[i+1]
+                                    for i in range(1, len(tk))]))
+                 * 1.0 / (len(tk) - 1)
+         END AS dup_bigram_frac
+  FROM tok t
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 8
+           THEN [array_to_string(tk[i:i+7], ' ')
+                 for i in range(1, len(tk) - 6)]
+           ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tok
+),
+pg AS (SELECT gram, COUNT(*) AS nd FROM grams GROUP BY 1),
+spans AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS dup_ratio
+  FROM grams JOIN pg USING (gram) GROUP BY doc_id
+)
+SELECT rep.doc_id, n_tokens,
+       n_tokens < 20 AS flag_short,
+       COALESCE(dup_bigram_frac > 0.06, FALSE) AS flag_repetitive,
+       dup_ratio > 0.5 AS flag_boilerplate,
+       NOT (n_tokens < 20 OR COALESCE(dup_bigram_frac > 0.06, FALSE)
+            OR dup_ratio > 0.5) AS keep
+FROM rep JOIN spans ON rep.doc_id = spans.doc_id
 """,
         "span_dup_ratio": """
 WITH tok AS (

@@ -117,6 +117,48 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def corpus_filter_gate(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_dup_bigram: float = 0.06,
+    max_span_dup: float = 0.5,
+) -> DataFrame:
+    """The C4/Gopher-style composite quality gate as ONE query: the
+    length, repetition, and exact-substring signals joined per
+    document into named flags and a final keep verdict — the shape a
+    production filter job takes (filter reasons preserved for audit,
+    not collapsed into a bare boolean).
+
+    Composition: repetition_stats (explode + map-only branches) ⋈
+    span_dup_ratio (span-count aggregate) on doc_id — both
+    doc-cardinality, AQE-coalesced. All signals are deterministic
+    doubles (exact divisions of counts), so threshold comparisons cut
+    identically in any engine — the gate is oracle-checkable
+    end-to-end.
+    """
+    from ceres_spark.operators.dedup import span_dup_ratio
+    from ceres_spark.operators.text import repetition_stats
+
+    rep = repetition_stats(docs)
+    spans = span_dup_ratio(docs).select("doc_id", "dup_ratio")
+    j = rep.join(spans, "doc_id")
+    flag_short = F.col("n_tokens") < int(min_tokens)
+    flag_repetitive = F.coalesce(
+        F.col("dup_bigram_frac") > float(max_dup_bigram), F.lit(False)
+    )
+    flag_boilerplate = F.col("dup_ratio") > float(max_span_dup)
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        flag_short.alias("flag_short"),
+        flag_repetitive.alias("flag_repetitive"),
+        flag_boilerplate.alias("flag_boilerplate"),
+        (~(flag_short | flag_repetitive | flag_boilerplate)).alias(
+            "keep"
+        ),
+    )
+
+
 def cap_per_source(docs: DataFrame, k: int = 25) -> DataFrame:
     """Deterministic per-domain cap (domain balancing): keep at most
     ``k`` documents per source, chosen by a content-independent

@@ -83,3 +83,21 @@ def test_tfidf_rare_term_beats_common_term(spark):
     # exact integer score: tf=2, N=3, df=1 -> 2*1e6*3/1 = 6_000_000
     alpha = [r for r in out if r["token"] == "alpha"][0]
     assert alpha["score_ppm"] == 6_000_000
+
+
+def test_corpus_filter_gate_flags(spark):
+    long_clean = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s", long_clean),                      # keep
+            (2, "en", "s", "tiny doc"),                      # short
+            (3, "en", "s", "spam ham " * 30),                # repetitive
+            (4, "en", "s", long_clean),                      # dup of 1 → boilerplate
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in corp.corpus_filter_gate(docs).collect()}
+    assert out[2]["flag_short"] and not out[2]["keep"]
+    assert out[3]["flag_repetitive"] and not out[3]["keep"]
+    # docs 1 and 4 share every 8-token span → both boilerplate-flagged
+    assert out[1]["flag_boilerplate"] and out[4]["flag_boilerplate"]
