@@ -1181,6 +1181,12 @@ def _q_vocab_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.vocab_top_n(tbl.load(spark, "documents", sf_dir), n=100)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-weighted sampling: md5-derived uniform vs
+    lexical-diversity weight — deterministic, churn-free, scan-speed."""
+    return corp.weighted_sample(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_corpus_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4-style quality gate: length/repetition/substring
     flags + keep verdict, one oracle-checkable pass."""
@@ -1249,7 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "series_functions": _q_series_functions,
         "per_second_rate": _q_per_second,
-        "moving_median": _q_moving_median,
         "slice_runs": _q_slice_runs,
         "moving_stddev": _q_moving_stddev,
         "series_arithmetic": _q_series_arithmetic,
@@ -1281,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": _q_frequent_items,
         "bucketed_series_windows": _q_bucketed_series_windows,
         "corpus_filter_gate": _q_corpus_filter_gate,
+        "weighted_sample": _q_weighted_sample,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1311,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": _q_forward_fill,
         "anomaly_zscore": _q_anomaly_zscore,
         "top_series": _q_top_series,
+        "moving_median": _q_moving_median,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -2995,6 +3002,18 @@ FROM (
 GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 100
+""",
+        "weighted_sample": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           / len(string_split(lower(text), ' ')) AS keep_prob,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS draw
+  FROM documents
+)
+SELECT doc_id, source, keep_prob, draw
+FROM d WHERE draw < keep_prob
 """,
         "corpus_filter_gate": """
 WITH tok AS (

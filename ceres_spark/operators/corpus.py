@@ -117,6 +117,43 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame) -> DataFrame:
+    """Quality-weighted importance sampling (the DSIR-shaped step
+    after hard filtering): each document is kept with probability
+    equal to its lexical diversity (distinct/total tokens ∈ [0,1] —
+    a deterministic, engine-portable quality proxy), decided by a
+    content-independent uniform draw derived from md5(doc_id).
+
+    Both the weight and the uniform are exact deterministic
+    functions, so the kept set is reproducible across runs, engines,
+    and partitionings — re-sampling churn-free like mixture_sample,
+    but per-document rather than per-source. Scan-speed: one
+    projection + filter, no shuffle, no state.
+
+    The uniform is the first 15 hex digits of md5(doc_id) scaled by
+    16^-15 — integer-exact in a BIGINT, one final division, identical
+    in any engine with md5 + hex parsing.
+    """
+    t = tokens()
+    p = F.size(F.array_distinct(t)) / F.size(t)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(float(16 ** 15))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            p.alias("keep_prob"),
+            u.alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("keep_prob"))
+    )
+
+
 def corpus_filter_gate(
     docs: DataFrame,
     min_tokens: int = 20,

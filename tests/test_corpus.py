@@ -101,3 +101,20 @@ def test_corpus_filter_gate_flags(spark):
     assert out[3]["flag_repetitive"] and not out[3]["keep"]
     # docs 1 and 4 share every 8-token span → both boilerplate-flagged
     assert out[1]["flag_boilerplate"] and out[4]["flag_boilerplate"]
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    rich = " ".join(f"u{i}" for i in range(50))       # diversity 1.0
+    poor = "rep " * 50                                 # diversity ~0.02
+    docs = spark.createDataFrame(
+        [(i, "en", "s", rich) for i in range(50)]
+        + [(100 + i, "en", "s", poor.strip()) for i in range(50)],
+        "doc_id long, lang string, source string, text string",
+    )
+    kept = {r["doc_id"] for r in corp.weighted_sample(docs).collect()}
+    again = {r["doc_id"] for r in corp.weighted_sample(docs).collect()}
+    assert kept == again                               # churn-free
+    n_rich = sum(1 for d in kept if d < 100)
+    n_poor = sum(1 for d in kept if d >= 100)
+    assert n_rich == 50                                # p=1.0 keeps all
+    assert n_poor <= 5                                 # p≈0.02 keeps few
