@@ -1181,6 +1181,37 @@ def _q_vocab_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.vocab_top_n(tbl.load(spark, "documents", sf_dir), n=100)
 
 
+def _q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION materialized: near-dup clusters (jaccard →
+    connected components) joined with quality scores; one keeper per
+    cluster — highest quality, doc_id tie-break. The full pipeline a
+    production dedup job ships: doc_id, component, quality, is_kept."""
+    from pyspark.sql.window import Window
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    pairs = dd.jaccard_pairs_vectorized(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    comp = gr.connected_components(pairs, "doc_a", "doc_b")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    base = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    return base.select(
+        "doc_id", "component", "quality",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality-weighted sampling: md5-derived uniform vs
     lexical-diversity weight — deterministic, churn-free, scan-speed."""
@@ -1259,7 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_stddev": _q_moving_stddev,
         "series_arithmetic": _q_series_arithmetic,
         "group_by_node": _q_group_by_node,
-        "winsorize": _q_winsorize,
         "salted_join": _q_salted_join,
         "table_profile": _q_table_profile,
         "melt_stats": _q_melt_stats,
@@ -1287,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_series_windows": _q_bucketed_series_windows,
         "corpus_filter_gate": _q_corpus_filter_gate,
         "weighted_sample": _q_weighted_sample,
+        "dedup_materialize": _q_dedup_materialize,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1318,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _q_anomaly_zscore,
         "top_series": _q_top_series,
         "moving_median": _q_moving_median,
+        "winsorize": _q_winsorize,
         # --- driver-green in r1: parked behind the 50-entry cap ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fetch_dense": _q_fetch_dense,
@@ -3002,6 +3034,55 @@ FROM (
 GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 100
+""",
+        "dedup_materialize": """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(lower(text), ' ')) AS g
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+  SELECT s AS node, LEAST(s, MIN(t)) AS component FROM reach GROUP BY s
+),
+lab AS (
+  SELECT doc_id, COALESCE(component, doc_id) AS component
+  FROM documents LEFT JOIN comp ON doc_id = comp.node
+),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END
+          * (nd / n + nl / n)) / 2.0 AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n,
+           len(list_distinct(string_split(lower(text), ' '))) AS nd,
+           len(list_filter(string_split(lower(text), ' '),
+                           x -> length(x) >= 4)) AS nl
+    FROM documents
+  )
+)
+SELECT lab.doc_id, component, quality,
+       row_number() OVER (
+         PARTITION BY component ORDER BY quality DESC, lab.doc_id
+       ) = 1 AS is_kept
+FROM lab JOIN q ON lab.doc_id = q.doc_id
 """,
         "weighted_sample": """
 WITH d AS (
