@@ -30,6 +30,11 @@ QUERIES = [
     "embedding_neardup",  # order-pinned numpy cosine
     "topk_cosine_q8",     # exact-integer int8 dots
     "quantize_lww",       # LWW max_by
+    "corpus_filter_gate", # composite double thresholds
+    "weighted_sample",    # md5-uniform vs diversity weight
+    "dedup_materialize",  # components + quality window keeper
+    "frequent_items",     # Space-Saving in the exact regime
+    "series_transform",   # per-ts combinators
 ]
 
 
