@@ -422,6 +422,18 @@ def _q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL simhash pairing (no source blocking): the bit-band
+    buckets ARE the blocking, so cross-source near-dups surface too —
+    the unblocked discovery mode blocking-key pairing cannot do.
+    Tight threshold (hamming <= 3); rows-only, losslessness pinned by
+    the property suite."""
+    return dd.simhash_pairs(
+        tbl.load(spark, "documents", sf_dir), max_hamming=3,
+        block_col=None,
+    )
+
+
 def _q_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (rows-only): 8-byte codes (32x
     compression at d=64 float32), ADC table-lookup scan, exact
@@ -1329,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_series": _q_ewma_series,
         "holt_winters_bands": _q_holt_winters,
         "topk_cosine_pq": _q_topk_cosine_pq,
+        "simhash_pairs_global": _q_simhash_pairs_global,
         # --- locally-nailed simple set/pivot ops rotated out to make
         # prefix room for the new entries above; they re-enter the
         # prefix in a later round (still covered by check_oracle) ---
