@@ -2791,8 +2791,8 @@ b AS (
 SELECT ts,
        COUNT(value) AS count_series,
        MAX(value) - MIN(value) AS range_of_series,
-       CAST(CAST(SUM(CAST(COALESCE(value * 2.0 + 10.0, 0.0)
-            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(CAST(COALESCE(value * 2.0 + 10.0, 0.0)
+            AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS avg_transformed
 FROM b GROUP BY ts
 ORDER BY ts
@@ -2810,9 +2810,9 @@ b AS (
 s AS (
   SELECT metric, COUNT(*) AS n_points,
          SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))) AS st,
-         SUM(CAST(value AS DECIMAL(20,10))) AS sv,
+         SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(20,10))) AS sv,
          SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
-             * CAST(value AS DECIMAL(20,10))) AS stv,
+             * CAST(CAST(value AS VARCHAR) AS DECIMAL(20,10))) AS stv,
          SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
              * CAST(ts - 1700000000 AS DECIMAL(9,0))) AS stt,
          MAX(ts - 1700000000) AS t_end

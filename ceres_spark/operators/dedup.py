@@ -375,7 +375,14 @@ def minhash_lsh_pairs(
       4. verify candidates with exact Jaccard on shingle sets and
          filter by ``threshold`` — LSH only proposes, never decides.
     """
-    d = _minhash_bands_pandas(docs, num_hashes, bands, shingle_k).persist()
+    # eager localCheckpoint, not persist(): same compute-once benefit
+    # on both sides of the self-join, but the blocks are reclaimed by
+    # the ContextCleaner once the DataFrame is GC'd — a persist()
+    # here leaks executor storage until someone calls unpersist(),
+    # which a function returning a lazy result can never safely do
+    d = _minhash_bands_pandas(
+        docs, num_hashes, bands, shingle_k
+    ).localCheckpoint(eager=True)
     banded = d.select(
         "doc_id",
         "_g",
@@ -534,14 +541,16 @@ def simhash_pairs(
     b = n_bands if n_bands is not None else max_hamming + 1
     if b <= max_hamming:
         raise ValueError("n_bands must exceed max_hamming (pigeonhole)")
-    # persist: the per-bit vote UDF would otherwise run on both sides
-    # of the self-join (see minhash note)
+    # eager localCheckpoint: the per-bit vote UDF would otherwise run
+    # on both sides of the self-join; unlike persist() the blocks are
+    # reference-counted away after driver GC (no storage leak across
+    # a long-lived session — see minhash note)
     s = simhash(docs)
     if block_col is not None:
         s = s.join(docs.select("doc_id", F.col(block_col).alias("_blk")), "doc_id")
     else:
         s = s.withColumn("_blk", F.lit(0))
-    s = s.persist()
+    s = s.localCheckpoint(eager=True)
     keyed = s.select(
         "doc_id",
         "simhash",

@@ -208,7 +208,7 @@ def series_transform(
             F.count("value").alias("count_series"),
             (F.max("value") - F.min("value")).alias("range_of_series"),
             (
-                F.sum(v0.cast("decimal(30,10)"))
+                F.sum(v0.cast("string").cast("decimal(30,10)"))
                 .cast("string")
                 .cast("double")
                 / F.count("*")
@@ -239,7 +239,10 @@ def series_linreg(buckets: DataFrame) -> DataFrame:
     slope.
     """
     t = (F.col("ts") - F.lit(1_700_000_000)).cast("decimal(9,0)")
-    v = F.col("value").cast("decimal(20,10)")
+    # derived full-mantissa double → DECIMAL must go through a string
+    # on both engines (Spark rounds the shortest decimal repr, DuckDB
+    # the binary expansion — they differ at 10th-digit boundaries)
+    v = F.col("value").cast("string").cast("decimal(20,10)")
     pts = buckets.filter(F.col("value").isNotNull())
     agg_df = pts.groupBy("metric").agg(
         F.count("*").alias("n_points"),

@@ -131,9 +131,12 @@ def frequent_items(
     guaranteed tracked. At merge: for item i,
       count_max = Σ_tracked est_p(i) + (Σ_all θ_p − Σ_tracked θ_p)
       count_min = Σ_tracked (est_p(i) − err_p(i))
-    where θ_p is partition p's eviction floor (min est when full,
-    else 0) — an untracked partition can hide at most θ_p
-    occurrences. Output: top-``k`` by count_max (item tie-break),
+    where θ_p is partition p's eviction floor (min est once an
+    eviction has actually occurred, else 0 — a full-but-unevicted
+    table has seen every item, so it is still exact) — an untracked
+    partition can hide at most θ_p occurrences. NULL keys are counted
+    as a group (``value_counts(dropna=False)``), matching SQL
+    ``GROUP BY``. Output: top-``k`` by count_max (item tie-break),
     with the [count_min, count_max] interval exposed so callers SEE
     the uncertainty instead of a point lie.
 
@@ -146,13 +149,22 @@ def frequent_items(
     import pandas as pd
 
     cap = int(capacity)
+    _NULLKEY = "\x00__null__"  # in-table stand-in for the NULL key
 
     def scan(batches):
         table: dict = {}          # item -> [est, err]
+        evicted = False           # theta is 0 until a real eviction
         for pdf in batches:
-            vc = pdf[key_col].value_counts().sort_index()
-            for item, cnt in vc.items():
-                cnt = int(cnt)
+            # dropna=False: NULL keys are a group, same as SQL GROUP BY
+            vc = pdf[key_col].value_counts(dropna=False)
+            pairs = sorted(
+                (
+                    (_NULLKEY if pd.isna(k) else k, int(c))
+                    for k, c in vc.items()
+                ),
+                key=lambda kv: str(kv[0]),
+            )
+            for item, cnt in pairs:
                 if item in table:
                     table[item][0] += cnt
                 elif len(table) < cap:
@@ -165,24 +177,33 @@ def frequent_items(
                     theta = table[evict][0]
                     del table[evict]
                     table[item] = [theta + cnt, theta]
+                    evicted = True
+        # a full-but-never-evicted table has seen every item: an
+        # untracked item occurred 0 times, so the floor stays 0 —
+        # this is what makes capacity >= distinct EXACT
         theta_p = (
-            min(v[0] for v in table.values()) if len(table) >= cap else 0
+            min(v[0] for v in table.values()) if evicted else 0
         )
         rows = [
-            {"item": it, "est": v[0], "err": v[1], "theta": theta_p}
+            {
+                "item": None if it == _NULLKEY else it,
+                "est": v[0], "err": v[1], "theta": theta_p, "kind": 0,
+            }
             for it, v in table.items()
         ]
-        rows.append({"item": None, "est": 0, "err": 0, "theta": theta_p})
+        rows.append(
+            {"item": None, "est": 0, "err": 0, "theta": theta_p, "kind": 1}
+        )
         yield pd.DataFrame(rows)
 
     sk = df.select(key_col).mapInPandas(
-        scan, f"item string, est long, err long, theta long"
+        scan, "item string, est long, err long, theta long, kind int"
     )
-    total_theta = sk.filter(F.col("item").isNull()).agg(
+    total_theta = sk.filter(F.col("kind") == 1).agg(
         F.sum("theta").alias("_total_theta")
     )
     merged = (
-        sk.filter(F.col("item").isNotNull())
+        sk.filter(F.col("kind") == 0)
         .groupBy("item")
         .agg(
             F.sum("est").alias("_est"),

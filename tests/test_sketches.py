@@ -140,3 +140,29 @@ def test_frequent_items_bounds_contain_truth_under_pressure(spark):
     for i in range(3):
         lo, hi = out["hot%d" % i]
         assert lo <= 200 <= hi, out
+
+
+def test_frequent_items_exact_when_capacity_equals_distinct(spark):
+    # regression: a FULL table with zero evictions must keep theta=0,
+    # i.e. capacity == per-partition distinct is still EXACT
+    import ceres_spark.operators.sketches as sk
+    from pyspark.sql import functions as F
+
+    rows = [("k%d" % (i % 8),) for i in range(400)]
+    df = spark.createDataFrame(rows, "item_key string").repartition(4)
+    got = {r["item"]: (r["count_min"], r["count_max"])
+           for r in sk.frequent_items(df, "item_key", k=8,
+                                      capacity=8).collect()}
+    assert got == {("k%d" % i): (50, 50) for i in range(8)}
+
+
+def test_frequent_items_counts_null_keys(spark):
+    # NULL keys are a group, matching SQL GROUP BY semantics
+    import ceres_spark.operators.sketches as sk
+
+    rows = [("a",)] * 5 + [(None,)] * 7 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "item_key string").repartition(2)
+    got = {r["item"]: (r["count_min"], r["count_max"])
+           for r in sk.frequent_items(df, "item_key", k=5,
+                                      capacity=16).collect()}
+    assert got == {"a": (5, 5), None: (7, 7), "b": (3, 3)}
