@@ -314,14 +314,20 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-match pairs on 24-char prefixes, blocked by
-    source (exact integer Levenshtein — tolerance-free oracle).
+    """Edit-distance near-match pairs through the regime DISPATCHER
+    (exact integer Levenshtein — tolerance-free oracle).
 
-    max_dist=12 on 24-char prefixes is the loose-threshold regime
-    where no sound filter can prune (d/p = 0.5), so the blocked
-    Σ block² join IS the right plan; the tight-threshold scale path is
-    :func:`_q_fuzzy_pairs_banded`."""
-    return dd.fuzzy_pairs(tbl.load(spark, "documents", sf_dir), max_dist=12)
+    p=32/d=4 is the tight regime (4d <= p), so the dispatcher routes
+    to the lossless PassJoin banded plan — no Σ block² self-join
+    anywhere (plan-asserted). Different dials than
+    :func:`_q_fuzzy_pairs_banded` (p=24/d=6) so the two entries
+    exercise different segment layouts. The quadratic body remains as
+    :func:`dd.fuzzy_pairs_quadratic`, the documented loose-regime
+    fallback where segment pigeonholes degenerate and no sound filter
+    prunes."""
+    return dd.fuzzy_pairs(
+        tbl.load(spark, "documents", sf_dir), prefix_len=32, max_dist=4
+    )
 
 
 def _q_fuzzy_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1776,13 +1782,13 @@ FROM d GROUP BY 1
         "fuzzy_pairs": """
 WITH d AS (
   SELECT doc_id, source,
-         substr(regexp_replace(lower(text), ' +', ' ', 'g'), 1, 24) AS pre
+         substr(regexp_replace(lower(text), ' +', ' ', 'g'), 1, 32) AS pre
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.pre, b.pre) AS edit_dist
 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pre, b.pre) <= 12
+WHERE levenshtein(a.pre, b.pre) <= 4
 """,
         # banded path is lossless (segment pigeonhole + exact verify),
         # so the quadratic SQL at the same dials is its exact oracle
@@ -3167,6 +3173,37 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # full from-text fingerprint oracle: the md5-lower64 token hash
+        # (digest bytes 8..16 LE) is DuckDB's md5_number_lower, so the
+        # per-bit votes, the fingerprint word, and the brute-force
+        # hamming pairing are all exactly reproducible in SQL — the
+        # banded Spark plan must emit the identical pair set
+        "simhash_pairs_global": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(lower(COALESCE(text, '')), ' '))) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(
+           SUM(CASE WHEN v > 0 THEN 1::UBIGINT << j END), 0) AS UBIGINT)
+           AS sim
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """,
         "token_rarity": """
 WITH tok AS (

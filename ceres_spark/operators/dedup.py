@@ -461,8 +461,10 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     become one numpy ``unpackbits`` + column sum per doc, replacing 64
     interpreted HOF aggregate lambdas per row (~4x faster measured at
     sf0.1, and the gap widens with document length). The token hash is
-    blake2b-derived \u2014 deterministic across workers and sessions
-    (PYTHONHASHSEED-independent)."""
+    the low 64 bits of md5 (digest bytes 8..16, little-endian) \u2014
+    deterministic across workers and sessions, and bit-identical to
+    DuckDB's ``md5_number_lower``, which is what lets the corpus-global
+    pairing carry a full from-text SQL oracle."""
     from pyspark.sql.types import LongType
 
     if bits != 64:
@@ -479,7 +481,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
                 continue
             hs = np.frombuffer(
                 b"".join(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                    hashlib.md5(tok.encode()).digest()[8:16]
                     for tok in toks
                 ),
                 dtype=np.uint8,
@@ -590,16 +592,42 @@ def fuzzy_pairs(
     max_dist: int = 6,
     block_col: str = "source",
 ) -> DataFrame:
+    """Edit-distance near-match pairs — REGIME DISPATCHER.
+
+    Tight thresholds (``4 * max_dist <= prefix_len``: segments of 3+
+    chars) go to the sub-quadratic PassJoin path
+    (:func:`fuzzy_pairs_banded` — lossless, so the output is
+    bit-identical); looser dials fall back to
+    :func:`fuzzy_pairs_quadratic`, the only sound plan once segment
+    pigeonholes degenerate to 1–2 chars and no filter can prune.
+    Both branches return the same (doc_a, doc_b, edit_dist) rows for
+    the same dials — the dispatch threshold changes the PLAN, never
+    the answer (property-pinned across the boundary).
+    """
+    if 4 * int(max_dist) <= int(prefix_len):
+        return fuzzy_pairs_banded(docs, prefix_len, max_dist, block_col)
+    return fuzzy_pairs_quadratic(docs, prefix_len, max_dist, block_col)
+
+
+def fuzzy_pairs_quadratic(
+    docs: DataFrame,
+    prefix_len: int = 24,
+    max_dist: int = 6,
+    block_col: str = "source",
+) -> DataFrame:
     """Edit-distance near-match pairs (entity-resolution flavor of
     near-dup): documents in the same block whose normalized text
     PREFIXES are within ``max_dist`` Levenshtein edits.
 
-    Scale shape mirrors jaccard_pairs: never all-pairs — the block
-    join bounds candidates to Σ block², and the O(p²) Levenshtein DP
-    runs on fixed-length prefixes, not full documents (prefix distance
-    lower-bounds full-text distance for prefix-preserved edits; the
-    standard recall/cost dial is ``prefix_len``). Edit distance is an
-    exact integer metric, so the oracle comparison is tolerance-free.
+    LOOSE-REGIME FALLBACK: candidates are the blocked Σ block²
+    self-join, which is the right plan only where the PassJoin
+    segment filter provably cannot prune (``max_dist`` a large
+    fraction of ``prefix_len``). For tight thresholds call
+    :func:`fuzzy_pairs` (dispatches to the banded path). The O(p²)
+    Levenshtein DP runs on fixed-length prefixes, not full documents
+    (prefix distance lower-bounds full-text distance for
+    prefix-preserved edits). Edit distance is an exact integer
+    metric, so the oracle comparison is tolerance-free.
     """
     pre = F.substring(F.regexp_replace(F.lower(F.col("text")), " +", " "), 1, int(prefix_len))
     d = docs.select(

@@ -362,3 +362,33 @@ def test_bucketed_series_windows_zero_exchange(spark):
     # distribution — no Exchange anywhere in the read plan
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
     assert re.findall(r"^\(\d+\) Window", plan, re.M), plan
+
+
+def test_fuzzy_pairs_dispatcher_picks_plan_by_regime(spark):
+    # tight dials (4d <= p) must produce the PassJoin segment-keyed
+    # plan; loose dials must fall back to the quadratic body — the
+    # segment index column appearing in the plan is the discriminator
+    import ceres_spark.operators.dedup as dd
+    docs = tbl.load(spark, "documents", SF)
+    tight = plan_of(dd.fuzzy_pairs(docs, prefix_len=32, max_dist=4))
+    assert "_seg#" in tight, tight
+    loose = plan_of(dd.fuzzy_pairs(docs, prefix_len=24, max_dist=12))
+    assert "_seg#" not in loose, loose
+    quad = plan_of(dd.fuzzy_pairs_quadratic(docs, prefix_len=32,
+                                            max_dist=4))
+    assert "_seg#" not in quad, quad
+
+
+def test_fuzzy_pairs_registered_entry_has_no_blockwise_selfjoin(spark):
+    # the registered fuzzy_pairs query must never contain a Σ block²
+    # self-join: every non-broadcast join carries the segment key, and
+    # block-only keyed joins are broadcast (the bounded length dim and
+    # the degenerate-short catch-all)
+    import re
+    import __spark_entry__ as m
+    plan = plan_of(m.queries()["fuzzy_pairs"](spark, SF))
+    assert "_seg#" in plan, plan
+    for sec in re.split(r"\n\(\d+\) ", plan):
+        head = sec.split("\n", 1)[0]
+        if "Join" in head and "Broadcast" not in head:
+            assert "_seg#" in sec, sec

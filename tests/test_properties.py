@@ -316,13 +316,20 @@ def test_fuzzy_banded_lossless_on_random_corpora(spark, texts, d):
         [(i, "s", t) for i, t in enumerate(texts)],
         "doc_id long, source string, text string",
     )
+    # call the quadratic BODY explicitly: fuzzy_pairs is now a regime
+    # dispatcher and would route these tight dials to the banded path,
+    # making the comparison vacuous
     quad = {(r["doc_a"], r["doc_b"], r["edit_dist"])
-            for r in dd.fuzzy_pairs(docs, prefix_len=24,
-                                    max_dist=d).collect()}
+            for r in dd.fuzzy_pairs_quadratic(docs, prefix_len=24,
+                                              max_dist=d).collect()}
     band = {(r["doc_a"], r["doc_b"], r["edit_dist"])
             for r in dd.fuzzy_pairs_banded(docs, prefix_len=24,
                                            max_dist=d).collect()}
     assert quad == band
+    disp = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in dd.fuzzy_pairs(docs, prefix_len=24,
+                                    max_dist=d).collect()}
+    assert disp == quad  # dispatch changes the plan, never the answer
 
 
 @settings(
