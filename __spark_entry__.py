@@ -557,6 +557,26 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: documents → actual PPM/WAV
+    payloads (deterministic content-derived pixels/samples) →
+    pure-numpy header parse + frombuffer decode → content features
+    (channel means / luma / gradient for images, RMS / ZCR / peak for
+    audio). No stub anywhere. Rows-only: the float features have no
+    SQL oracle; codec round-trips and numpy-reference feature values
+    are pytest-pinned (test_llm_ops)."""
+    assets = mm.real_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mm.extract_features(assets, real=True).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 3), 6).alias("feat3"),
+        F.round(F.element_at("features", 6), 6).alias("feat6"),
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end to end: documents →
     binary asset table (payload + typed metadata) → mapInPandas
@@ -1127,6 +1147,21 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.holt_winters(hourly)
 
 
+def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite's actual holtWintersForecast shape: ADDITIVE seasonal
+    (triple) smoothing. 5-min buckets with a 12-step (1-hour) season
+    over the day-long fixture = 24 observed cycles; the seasonal
+    phase is timestamp-anchored so gaps advance it correctly.
+    Rows-only (recursive state); exact recurrence replay, season
+    learning, and the streaming twin's cross-batch bit-equality are
+    pytest-asserted."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    five_min = agg.aggregate_series(deduped, "average", 300)
+    return ser.holt_winters(
+        five_min, season_length=12, gamma=0.1, step=300
+    )
+
+
 def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #16/#17 run-splitting as an audit query: the contiguous
     runs (gap > MAX_SLICE_GAP=80 steps starts a new one) the reference
@@ -1346,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix since a driver row adds only a row count for these ---
         "ewma_series": _q_ewma_series,
         "holt_winters_bands": _q_holt_winters,
+        "holt_winters_seasonal": _q_holt_winters_seasonal,
         "topk_cosine_pq": _q_topk_cosine_pq,
         "simhash_pairs_global": _q_simhash_pairs_global,
         # --- locally-nailed simple set/pivot ops rotated out to make
@@ -1412,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_analytics": _q_order_analytics,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
         "tpch_q1": _q_tpch_q1,

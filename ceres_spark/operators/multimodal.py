@@ -1,13 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-star §2.2).
 
-The container has no image/audio libraries, so the decode kernels are
-STUBS by design: ``decode_stub_features`` produces deterministic fake
-features derived from the bytes; ``decode_real`` raises
-``NotImplementedError`` until a real codec is plugged in. Everything
-*around* the decode — schema, Arrow batching, ``mapInPandas``
-signature, partition sizing — is real and tested, which is the part
-that matters for the Spark plumbing.
+Decode is REAL for uncompressed containers: PPM (P6) images and
+RIFF/PCM16 WAV audio are parsed with numpy alone (header walk +
+``frombuffer``), and ``real_features`` computes content statistics
+from actual pixels/samples. Compressed formats (JPEG/MP3/H.264) need
+codec libraries this container lacks — ``decode_real`` detects them
+and raises ``NotImplementedError`` so a production deployment can
+plug a codec into the same slot; ``_stub_features`` remains as the
+hash-based fallback. Everything *around* the decode — schema, Arrow
+batching, ``mapInPandas`` signature, partition sizing — is the same
+for both paths.
 
 Scale notes: decode is the textbook ``mapInPandas`` case — per-batch
 Python with Arrow transfer, no shuffle; keep binary payloads in their
@@ -20,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,13 +86,170 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, modality: str):
-    """Real decode hook — requires PIL/librosa/av, absent here."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in "
-        "this container; plug a codec in here and keep the "
-        "mapInPandas plumbing unchanged"
+# ---------------------------------------------------------------
+# real codecs: uncompressed containers decodable with numpy alone.
+# PPM (P6) for images and WAV (RIFF/PCM16) for audio — header parse
+# + ``np.frombuffer``, no external libraries. Compressed formats
+# (JPEG/MP3/H.264) still need a codec library and raise cleanly.
+# ---------------------------------------------------------------
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6, maxval 255)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Decode binary PPM (P6, maxval<=255, '#' comments) to (h, w, 3)
+    uint8. Header grammar per the netpbm spec: magic, whitespace-
+    separated width/height/maxval with comment lines, ONE whitespace
+    byte, then raw samples."""
+    if not payload or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    body = payload[pos:pos + need]
+    if len(body) < need:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(
+    samples: "np.ndarray", rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Encode int16 PCM samples (frames × channels, or flat mono) as
+    a canonical 44-byte-header RIFF/WAVE file."""
+    import struct
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, 16
+        )
+        + b"data" + struct.pack("<I", len(data))
     )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Decode RIFF/WAVE PCM16 to ((frames, channels) int16, rate).
+    Walks chunks (so extra LIST/fact chunks are fine); PCM16 only."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 WAV is supported")
+    arr = np.frombuffer(
+        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+    ).reshape(-1, channels)
+    return arr, rate
+
+
+def decode_real(payload: bytes, modality: str):
+    """Real decode: PPM (P6) images and RIFF/PCM16 WAV audio via
+    pure-numpy header parse + ``frombuffer``. Returns
+    ``("image", (h,w,3) uint8)`` or ``("audio", (frames, ch) int16,
+    rate)``. Compressed containers (JPEG/MP3/H.264 — the reference
+    point for a production codec plug-in) are detected and raise
+    ``NotImplementedError`` so callers can route them to a stub or a
+    real codec library when one is present."""
+    head = (payload or b"")[:12]
+    if head[:2] == b"P6":
+        return ("image", decode_ppm(payload))
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        arr, rate = decode_wav(payload)
+        return ("audio", arr, rate)
+    raise NotImplementedError(
+        "no pure-numpy decoder for this container (compressed formats "
+        "need a codec library); PPM and PCM16 WAV decode for real"
+    )
+
+
+def real_features(payload: bytes, modality: str) -> list[float]:
+    """FEATURE_DIM real content features from a decoded asset —
+    deterministic numpy math on actual pixels/samples, the non-stub
+    twin of :func:`_stub_features`.
+
+    image: [w/4096, h/4096, mean R, mean G, mean B, overall std,
+            mean luma (Rec.601), mean |horizontal gradient|] — the
+            last six normalized to [0, 1] by /255.
+    audio: [log10(frames)/10, rate/48000, RMS, zero-crossing rate,
+            mean |x|, peak |x|, std, DC offset] — sample stats on
+            [-1, 1]-scaled PCM."""
+    decoded = decode_real(payload, modality)
+    if decoded[0] == "image":
+        px = decoded[1].astype(np.float64)
+        h, w = px.shape[:2]
+        luma = (
+            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        )
+        grad = (
+            float(np.abs(np.diff(px, axis=1)).mean()) if w > 1 else 0.0
+        )
+        return [
+            w / 4096.0,
+            h / 4096.0,
+            float(px[..., 0].mean()) / 255.0,
+            float(px[..., 1].mean()) / 255.0,
+            float(px[..., 2].mean()) / 255.0,
+            float(px.std()) / 255.0,
+            float(luma.mean()) / 255.0,
+            grad / 255.0,
+        ]
+    _, arr, rate = decoded
+    x = arr.astype(np.float64).mean(axis=1) / 32768.0
+    n = max(len(x), 1)
+    zc = float((np.diff(np.signbit(x)) != 0).sum()) / n if len(x) > 1 else 0.0
+    return [
+        float(np.log10(n)) / 10.0,
+        rate / 48000.0,
+        float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+        zc,
+        float(np.abs(x).mean()) if len(x) else 0.0,
+        float(np.abs(x).max()) if len(x) else 0.0,
+        float(x.std()) if len(x) else 0.0,
+        float(x.mean()) if len(x) else 0.0,
+    ]
 
 
 def _stub_features(payload: bytes) -> list[float]:
@@ -97,13 +258,69 @@ def _stub_features(payload: bytes) -> list[float]:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def real_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build REAL decodable payloads from ``documents``: even doc_id →
+    a P6 PPM image whose pixels tile the utf-8 text bytes (dimensions
+    content-derived), odd doc_id → a PCM16 WAV whose samples map the
+    text bytes onto the full int16 range. Deterministic, so the
+    encode → decode → feature pipeline is reproducible end-to-end;
+    one mapInPandas encode pass, no shuffle."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, modalities = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8
+                )
+                if int(doc_id) % 2 == 0:
+                    w = 16 + len(raw) % 17
+                    h = 16 + (len(raw) * 7) % 13
+                    payloads.append(
+                        encode_ppm(np.resize(raw, (h, w, 3)))
+                    )
+                    modalities.append("image")
+                else:
+                    samples = (
+                        np.resize(raw, 2048).astype(np.int32) * 257
+                        - 32768
+                    ).astype(np.int16)
+                    rate = 8000 + (len(raw) % 9) * 1000
+                    payloads.append(encode_wav(samples, rate=rate))
+                    modalities.append("audio")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": modalities,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc,
+        schema="asset_id long, modality string, payload binary",
+    )
+
+
+def extract_features(
+    assets: DataFrame, batch_hint: int = 1024, real: bool = False
+) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas``: Arrow batches in,
-    Arrow batches out; one Python worker per partition, no shuffle."""
+    Arrow batches out; one Python worker per partition, no shuffle.
+    ``real=True`` decodes the payload (PPM/WAV, pure numpy) and
+    computes content features; the default stub path hashes bytes —
+    same plan, same schema, swappable kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            if real:
+                feats = [
+                    real_features(b, m)
+                    for b, m in zip(payloads, pdf["modality"])
+                ]
+            else:
+                feats = payloads.map(_stub_features)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -117,7 +334,7 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "content_sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "features": payloads.map(_stub_features),
+                    "features": feats,
                 }
             )
 

@@ -316,22 +316,45 @@ def holt_winters(
     alpha: float = 0.1,
     beta: float = 0.0035,
     dev_scale: float = 3.0,
+    season_length: int | None = None,
+    gamma: float = 0.1,
+    step: int | None = None,
 ) -> DataFrame:
-    """Holt double-exponential smoothing with deviation bands per
+    """Holt(-Winters) exponential smoothing with deviation bands per
     series — the graphite ``holtWintersForecast`` /
-    ``holtWintersConfidenceBands`` / ``holtWintersAberration`` family
-    (non-seasonal Holt here: the fixture spans hours, not the multi-
-    day horizon graphite's daily season needs; the season dial slots
-    into the same per-series pass).
+    ``holtWintersConfidenceBands`` / ``holtWintersAberration`` family.
 
-    Per step: forecast = level + trend (one-step-ahead), then level/
-    trend update from the observation, deviation as an EWM of
-    |residual|; bands = forecast ± dev_scale·dev; aberration = how
-    far the observation escapes the band. Same applyInPandas shape as
-    :func:`ewma` — recursive state, one linear pass per series, the
-    metric shuffle is the only exchange.
+    With ``season_length=None`` (default): non-seasonal double
+    smoothing, per step forecast = level + trend (one-step-ahead),
+    then level/trend update from the observation, deviation as an EWM
+    of |residual|; bands = forecast ± dev_scale·dev; aberration = how
+    far the observation escapes the band.
+
+    With ``season_length=L`` (graphite's dial is one day of points):
+    ADDITIVE seasonal (triple) smoothing. The seasonal phase is
+    anchored to the TIMESTAMP — ``j = (ts // step) % L`` — not to the
+    row index, so gaps advance the season correctly, restarts resume
+    in phase, and the streaming twin is bit-equal by construction
+    (``step`` is required in this mode). Per step:
+      forecast = level + trend + s[j]
+      level'   = α·(v − s[j]) + (1−α)·(level + trend)
+      trend'   = β·(level' − level) + (1−β)·trend
+      s[j]'    = γ·(v − level') + (1−γ)·s[j]
+      dev'     = γ·|v − forecast| + (1−γ)·dev   (graphite uses γ)
+    Seasonals start at 0, so the model equals non-seasonal Holt until
+    the first cycle is observed, then learns the shape.
+
+    Same applyInPandas shape as :func:`ewma` — recursive state, one
+    linear pass per series, the metric shuffle is the only exchange;
+    seasonal state is O(L) per series, carried inside the task.
     """
     a, b, s = float(alpha), float(beta), float(dev_scale)
+    g = float(gamma)
+    if season_length is not None and step is None:
+        raise ValueError("seasonal holt_winters requires step= (the "
+                         "bucket width that anchors the phase)")
+    L = int(season_length) if season_length is not None else 0
+    stp = int(step) if step is not None else 0
 
     def _f(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
@@ -340,19 +363,34 @@ def holt_winters(
         fc = np.full(n, np.nan)
         dev = np.full(n, np.nan)
         level, trend, d = np.nan, 0.0, 0.0
+        seas = np.zeros(L) if L else None
+        idxs = (
+            (pdf["ts"].to_numpy(dtype=np.int64) // stp) % L
+            if L else None
+        )
         for i, v in enumerate(vals):
             if np.isnan(level):
                 if not np.isnan(v):
                     level = v
                 fc[i], dev[i] = v, 0.0
                 continue
-            f = level + trend
+            j = int(idxs[i]) if L else 0
+            f = (level + trend + seas[j]) if L else (level + trend)
             fc[i] = f
             # one-step-ahead semantics: the band at step i is built
             # from deviations observed BEFORE i (else a spike widens
             # its own band and never registers as an aberration)
             dev[i] = d
             if not np.isnan(v):
+                if L:
+                    d = g * abs(v - f) + (1 - g) * d
+                    new_level = a * (v - seas[j]) + (1 - a) * (
+                        level + trend
+                    )
+                    trend = b * (new_level - level) + (1 - b) * trend
+                    seas[j] = g * (v - new_level) + (1 - g) * seas[j]
+                    level = new_level
+                    continue
                 d = a * abs(v - f) + (1 - a) * d
                 new_level = a * v + (1 - a) * (level + trend)
                 trend = b * (new_level - level) + (1 - b) * trend

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -178,6 +179,107 @@ def holt_winters_stream(
         _update,
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HOLT_SEASONAL_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("dev", DoubleType()),
+        StructField("inited", LongType()),
+        StructField("seasonals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def holt_winters_seasonal_stream(
+    stream: DataFrame,
+    season_length: int,
+    step: int,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+    dev_scale: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the SEASONAL
+    :func:`ceres_spark.operators.series.holt_winters` (additive
+    triple smoothing): level/trend/deviation plus the O(L) seasonal
+    vector carried as explicit state across micro-batches. The
+    seasonal phase is anchored to the timestamp
+    (``j = (ts // step) % L``), so a restart resumes in phase and the
+    batch operator on identically-ordered input is bit-equal
+    (pytest-asserted, tests/test_stateful.py)."""
+    import math
+
+    import numpy as np
+
+    a, b, g, s = float(alpha), float(beta), float(gamma), float(dev_scale)
+    L, stp = int(season_length), int(step)
+
+    def _upd(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (metric,) = key
+        if state.exists:
+            level, trend, d, inited, seas_l = state.get
+            seas = np.asarray(seas_l, dtype=float)
+        else:
+            level, trend, d, inited = math.nan, 0.0, 0.0, 0
+            seas = np.zeros(L)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype=float)
+            idxs = (pdf["ts"].to_numpy(dtype=np.int64) // stp) % L
+            n = len(vals)
+            fc = np.full(n, np.nan)
+            dev = np.full(n, np.nan)
+            for i, v in enumerate(vals):
+                if not inited:
+                    if not np.isnan(v):
+                        level = v
+                        inited = 1
+                    fc[i], dev[i] = v, 0.0
+                    continue
+                j = int(idxs[i])
+                f = level + trend + seas[j]
+                fc[i] = f
+                dev[i] = d
+                if not np.isnan(v):
+                    d = g * abs(v - f) + (1 - g) * d
+                    nl = a * (v - seas[j]) + (1 - a) * (level + trend)
+                    trend = b * (nl - level) + (1 - b) * trend
+                    seas[j] = g * (v - nl) + (1 - g) * seas[j]
+                    level = nl
+            upper = fc + s * dev
+            lower = fc - s * dev
+            with np.errstate(invalid="ignore"):
+                ab = np.where(
+                    vals > upper, vals - upper,
+                    np.where(vals < lower, vals - lower, 0.0),
+                )
+            yield pd.DataFrame(
+                {
+                    "metric": metric,
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "forecast": fc,
+                    "upper": upper,
+                    "lower": lower,
+                    "aberration": np.where(np.isnan(vals), 0.0, ab),
+                }
+            )
+        state.update(
+            (float(level), float(trend), float(d), int(inited),
+             [float(x) for x in seas])
+        )
+
+    return stream.groupBy("metric").applyInPandasWithState(
+        _upd,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_SEASONAL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -110,9 +110,81 @@ def test_multimodal_feature_extraction(spark, docs):
     assert all(again[r["asset_id"]] == r["features"] for r in rows)
 
 
-def test_multimodal_decode_real_is_stubbed():
+def test_multimodal_decode_real_rejects_compressed_containers():
+    # no pure-numpy decoder exists for JPEG-like payloads: detect and
+    # raise so a codec library can be plugged into the same slot
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"bytes", "image")
+        mm.decode_real(b"\xff\xd8\xff\xe0 not decodable", "image")
+
+
+def test_ppm_golden_bytes_and_roundtrip():
+    import numpy as np
+    # golden: hand-written header with a comment line, 3x2 image
+    golden = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    arr = mm.decode_ppm(golden)
+    assert arr.shape == (2, 3, 3)
+    assert arr.flatten().tolist() == list(range(18))
+    # encode → decode round-trip is the identity on pixels
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (mm.decode_ppm(mm.encode_ppm(img)) == img).all()
+    kind, px = mm.decode_real(mm.encode_ppm(img), "image")
+    assert kind == "image" and (px == img).all()
+
+
+def test_wav_golden_bytes_and_roundtrip():
+    import struct
+    import numpy as np
+    # golden: canonical 44-byte header, 4 mono samples @ 8kHz
+    samples = struct.pack("<4h", -32768, -1, 0, 32767)
+    golden = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 8) + samples
+    )
+    arr, rate = mm.decode_wav(golden)
+    assert rate == 8000
+    assert arr[:, 0].tolist() == [-32768, -1, 0, 32767]
+    # stereo round-trip
+    st = np.arange(-50, 50, dtype=np.int16).reshape(-1, 2)
+    arr2, r2 = mm.decode_wav(mm.encode_wav(st, rate=22050, channels=2))
+    assert r2 == 22050 and (arr2 == st).all()
+
+
+def test_real_features_match_numpy_reference():
+    import numpy as np
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    f = mm.real_features(mm.encode_ppm(img), "image")
+    # constant image: channel means 128/255, std 0, zero gradient
+    assert abs(f[2] - 128 / 255) < 1e-12
+    assert f[5] == 0.0 and f[7] == 0.0
+    # full-scale square wave: RMS == peak == 1, DC ~ 0
+    sq = np.tile([32767, -32767], 512).astype(np.int16)
+    fa = mm.real_features(mm.encode_wav(sq, rate=16000), "audio")
+    assert abs(fa[2] - 32767 / 32768) < 1e-9   # RMS
+    assert abs(fa[5] - 32767 / 32768) < 1e-9   # peak
+    assert abs(fa[7]) < 1e-9                   # DC offset
+
+
+def test_multimodal_real_pipeline_end_to_end(spark, docs):
+    # encode real PPM/WAV payloads from documents, decode them back,
+    # extract content features — no stub anywhere in this path
+    assets = mm.real_assets_from_documents(docs.limit(40))
+    feats = mm.extract_features(assets, real=True).collect()
+    assert len(feats) == 40
+    by_mod = {}
+    for r in feats:
+        by_mod.setdefault(r["modality"], 0)
+        by_mod[r["modality"]] += 1
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert r["n_bytes"] > 44  # real container, not raw text
+    assert by_mod.get("image", 0) > 0 and by_mod.get("audio", 0) > 0
+    # determinism: re-running the pipeline reproduces features
+    again = {
+        r["asset_id"]: r["features"]
+        for r in mm.extract_features(assets, real=True).collect()
+    }
+    assert all(again[r["asset_id"]] == r["features"] for r in feats)
 
 
 def test_frame_sample_plan(spark, docs):

@@ -91,3 +91,54 @@ def test_holt_stream_equals_batch(spark, tmp_path):
                 and (math.isnan(g) or abs(g - w) < 1e-12)
             ) or (g is None and (w is None or math.isnan(w))) \
               or (w is None and (g is None or math.isnan(g))), (ts, c, g, w)
+
+
+def test_holt_seasonal_stream_equals_batch(spark, tmp_path):
+    import math
+    import time
+    import ceres_spark.operators.series as ser
+
+    pattern = [0.0, 4.0, -2.0]
+    vals = [10.0 + 0.2 * i + pattern[i % 3] for i in range(12)]
+    vals[5] = None
+    rows = [("m", i * 60, v) for i, v in enumerate(vals)]
+    src = str(tmp_path / "src")
+    # three micro-batches: seasonal vector must survive two handoffs
+    for chunk in (rows[:4], rows[4:8], rows[8:]):
+        spark.createDataFrame(
+            chunk, "metric string, ts long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.holt_winters_seasonal_stream(
+        stream, season_length=3, step=60, alpha=0.3, beta=0.05,
+        gamma=0.2, dev_scale=3.0,
+    ).writeStream.format("memory").queryName("hws").outputMode(
+        "append"
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ck3")
+    ).start()
+    q.awaitTermination(120)
+    got = {r["ts"]: r for r in spark.sql("select * from hws").collect()}
+
+    batch_in = spark.createDataFrame(
+        [(m, t, v, 0) for m, t, v in rows],
+        "metric string, ts long, value double, arrival_seq long",
+    )
+    want = {r["ts"]: r for r in ser.holt_winters(
+        batch_in, alpha=0.3, beta=0.05, dev_scale=3.0,
+        season_length=3, gamma=0.2, step=60).collect()}
+
+    assert set(got) == set(want)
+    for ts in want:
+        for c in ("forecast", "upper", "lower", "aberration"):
+            g, w = got[ts][c], want[ts][c]
+            assert (g == w) or (
+                g is not None and w is not None
+                and math.isnan(g) == math.isnan(w)
+                and (math.isnan(g) or abs(g - w) < 1e-12)
+            ) or (g is None and (w is None or math.isnan(w))) \
+              or (w is None and (g is None or math.isnan(g))), (ts, c, g, w)
