@@ -29,6 +29,7 @@ import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
 import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
+import ceres_spark.operators.ivfpq as ivfpq
 import ceres_spark.operators.pq as pqmod
 import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
@@ -39,6 +40,7 @@ import ceres_spark.operators.sketches as sk
 import ceres_spark.operators.similarity as sim
 import ceres_spark.operators.text as text
 import ceres_spark.operators.windows as win
+import ceres_spark.sources.slice_format as sfmt
 import ceres_spark.sources.tables as tbl
 
 # events span 2024-01-01 → 2024-01-30 (UTC)
@@ -447,6 +449,18 @@ def _q_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned; training is a cached bounded-sample artifact."""
     emb = tbl.load(spark, "embeddings", sf_dir)
     return pqmod.topk_cosine_pq(emb, k=10, refine=50, cache_key=sf_dir)
+
+
+def _q_topk_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN (rows-only): the production billion-scale
+    index shape — IVF coarse lists of 8-byte residual PQ codes, so a
+    probe touches nprobe/k_lists of the partitions AND each touched
+    row is m byte-lookups. Full-probe + refine >= corpus == brute and
+    partition pruning of the probe are pytest-pinned (test_ivf.py)."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return ivfpq.topk_cosine_ivfpq(
+        emb, k=10, k_lists=8, nprobe=4, refine=50, cache_key=sf_dir
+    )
 
 
 def _q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,6 +1185,27 @@ def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.slice_runs(deduped, 60)
 
 
+def _q_slice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration BOTH directions in one query: canonical points →
+    reference-format slice tree (distributed applyInPandas export,
+    one task per node dir; big-endian float64 '!d' packing, NaN gap
+    padding, MAX_SLICE_GAP run splits — ceres.py ≈L41-45/L640) →
+    binaryFile read-back. float64 survives the byte round-trip
+    bit-exactly, so the result must equal the quantized LWW input —
+    which is exactly what the oracle computes from events directly,
+    making the full export/import cycle oracle-checked."""
+    import tempfile
+
+    pts = cp.lww_dedup(
+        cp.quantize(
+            tbl.points(spark, sf_dir).filter(F.col("value").isNotNull()), 60
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ceres_slice_export_")
+    sfmt.export_slice_tree(spark, pts, root, 60)
+    return sfmt.read_slice_tree(spark, root).select("metric", "ts", "value")
+
+
 def _q_as_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asPercent: per-metric share of each hour's total (broadcast
     per-ts totals, one series shuffle)."""
@@ -1311,19 +1346,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION NOTE FOR ROUND 3: after CORRECTNESS_r02 lands, rotate the
-    r2 prefix out and rotate IN (a) anything r02 shows red, (b) the
-    parked never-checked simple ops (intersect/anti_join/pivot/except/
-    cube/top_parts/running_totals/rank_window/grouping_sets/
-    range_frame_sum/as_percent/percentiles/time_shift_join/
-    forward_fill/anomaly_zscore — rotated out during r2 to make room),
-    then (c) oldest r1 greens. Everything stays covered locally by
+    ROTATION STATE (round 3): the r2 prefix (all 50 green in
+    CORRECTNESS_r02) is parked at the back. The r3 prefix holds, in
+    order: (a) the 23 entries with no driver row in r1 OR r2 — the 18
+    set/window ops rotated out during r2 plus top_series/moving_median/
+    winsorize and the formerly-rows-only group (ewma/holt×2/pq;
+    simhash_pairs_global is now ORACLE-PAIRED via the md5-lower64
+    from-text oracle); (b) the 2 queries NEW this round
+    (topk_cosine_ivfpq, slice_roundtrip); (c) the 7 entries whose
+    semantics changed AFTER their last driver row (fuzzy_pairs regime
+    dispatcher; multimodal_decode real codec; series_transform/
+    series_linreg/frequent_items determinism fixes; minhash/simhash
+    localCheckpoint swap); (d) oldest r1 greens filling to 50. After
+    this round every oracle-expressible query will have had at least
+    one external driver check. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
     """
     return {
-        # --- checked prefix: no driver row yet (r1 checked only 1..50) ---
+        # --- (a) never driver-checked in r1/r2 ---
+        "intersect_custkeys": _q_intersect,
+        "anti_join": _q_anti_join,
+        "pivot_status": _q_pivot,
+        "except_custkeys": _q_except,
+        "cube_orders": _q_cube,
+        "top_parts": _q_top_parts,
+        "running_totals": _q_running_totals,
+        "rank_window": _q_rank_window,
+        "grouping_sets": _q_grouping_sets,
+        "range_frame_sum": _q_range_frame_sum,
+        "as_percent": _q_as_percent,
+        "percentiles": _q_percentiles,
+        "time_shift_join": _q_time_shift_join,
+        "forward_fill": _q_forward_fill,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "top_series": _q_top_series,
+        "moving_median": _q_moving_median,
+        "winsorize": _q_winsorize,
+        "simhash_pairs_global": _q_simhash_pairs_global,
+        # rows-only (recursive state / float argpartition — no SQL
+        # oracle; exactness pytest-pinned): driver row = row count
+        "ewma_series": _q_ewma_series,
+        "holt_winters_bands": _q_holt_winters,
+        "holt_winters_seasonal": _q_holt_winters_seasonal,
+        "topk_cosine_pq": _q_topk_cosine_pq,
+        # --- (b) new this round ---
+        "topk_cosine_ivfpq": _q_topk_cosine_ivfpq,
+        "slice_roundtrip": _q_slice_roundtrip,
+        # --- (c) changed after their last driver row ---
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "multimodal_decode": _q_multimodal_decode,
+        "series_transform": _q_series_transform,
+        "series_linreg": _q_series_linreg,
+        "frequent_items": _q_frequent_items,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        # --- (d) oldest r1 greens, filling the prefix to 50 ---
+        "fetch_dense": _q_fetch_dense,
+        "quantize_lww": _q_quantize_lww,
+        "agg_methods": _q_agg_methods,
+        "aggregate_series": _q_aggregate_series,
+        "merge_series": _q_merge,
+        "fetch_per_node_method": _q_fetch_per_node_method,
+        "rollup_xff": _q_rollup_xff,
+        "rollup_per_node": _q_rollup_per_node,
+        "multi_resolution": _q_multi_resolution,
+        "has_data_for_interval": _q_has_data,
+        "find_glob": _q_find_glob,
+        "delete_before": _q_delete_before,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "pii_scrub": _q_pii_scrub,
+        # ================= entries 51+: parked (driver-green in a
+        # prior round, still covered by check_oracle locally) =======
+        # --- remaining r1 greens ---
+        "repetition_stats": _q_repetition_stats,
+        "neardup_clusters": _q_neardup_clusters,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "topk_cosine_lsh": _q_topk_cosine_lsh,
+        "topk_cosine_ivf": _q_topk_cosine_ivf,
+        "embedding_neardup": _q_embedding_neardup,
+        "label_centroid_sim": _q_label_centroids,
+        "topk_cosine_q8": _q_topk_cosine_q8,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
+        "props_extract": _q_props_extract,
+        "contamination": _q_contamination,
+        "doc_chunks": _q_doc_chunks,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "approx_distinct_users": _q_approx_distinct,
+        "order_analytics": _q_order_analytics,
+        "token_counts": _q_token_counts,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "asof_join": _q_asof_join,
+        # --- r2 greens (CORRECTNESS_r02 50/50) ---
         "range_band_join": _q_range_band_join,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
@@ -1350,10 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "vocab_top_n": _q_vocab_top_n,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        # --- changed this round (r1 hash-red: oracle HUGEINT cast fix) ---
         "packed_sequences": _q_packed_sequences,
         "mixture_sample": _q_mixture_sample,
-        # --- changed this round (scale-path rewrites / new ops) ---
         "fuzzy_pairs_banded": _q_fuzzy_pairs_banded,
         "bucketed_join": _q_bucketed_join,
         "order_quartiles_scaled": _q_order_quartiles_scaled,
@@ -1364,9 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": _q_token_rarity,
         "props_flatten": _q_props_flatten,
         "cap_per_source": _q_cap_per_source,
-        "series_linreg": _q_series_linreg,
-        "series_transform": _q_series_transform,
-        "frequent_items": _q_frequent_items,
         "bucketed_series_windows": _q_bucketed_series_windows,
         "corpus_filter_gate": _q_corpus_filter_gate,
         "weighted_sample": _q_weighted_sample,
@@ -1376,85 +1499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
-        # --- rows-only by design (recursive state, no SQL oracle;
-        # exactness pytest-pinned) — placed right after the checked
-        # prefix since a driver row adds only a row count for these ---
-        "ewma_series": _q_ewma_series,
-        "holt_winters_bands": _q_holt_winters,
-        "holt_winters_seasonal": _q_holt_winters_seasonal,
-        "topk_cosine_pq": _q_topk_cosine_pq,
-        "simhash_pairs_global": _q_simhash_pairs_global,
-        # --- locally-nailed simple set/pivot ops rotated out to make
-        # prefix room for the new entries above; they re-enter the
-        # prefix in a later round (still covered by check_oracle) ---
-        "intersect_custkeys": _q_intersect,
-        "anti_join": _q_anti_join,
-        "pivot_status": _q_pivot,
-        "except_custkeys": _q_except,
-        "cube_orders": _q_cube,
-        "top_parts": _q_top_parts,
-        "running_totals": _q_running_totals,
-        "rank_window": _q_rank_window,
-        "grouping_sets": _q_grouping_sets,
-        "range_frame_sum": _q_range_frame_sum,
-        "as_percent": _q_as_percent,
-        "percentiles": _q_percentiles,
-        "time_shift_join": _q_time_shift_join,
-        "forward_fill": _q_forward_fill,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "top_series": _q_top_series,
-        "moving_median": _q_moving_median,
-        "winsorize": _q_winsorize,
-        # --- driver-green in r1: parked behind the 50-entry cap ---
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "fetch_dense": _q_fetch_dense,
-        "quantize_lww": _q_quantize_lww,
-        "agg_methods": _q_agg_methods,
-        "aggregate_series": _q_aggregate_series,
-        "merge_series": _q_merge,
-        "fetch_per_node_method": _q_fetch_per_node_method,
-        "rollup_xff": _q_rollup_xff,
-        "rollup_per_node": _q_rollup_per_node,
-        "multi_resolution": _q_multi_resolution,
-        "has_data_for_interval": _q_has_data,
-        "find_glob": _q_find_glob,
-        "delete_before": _q_delete_before,
-        "text_stats": _q_text_stats,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "neardup_clusters": _q_neardup_clusters,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "topk_cosine": _q_topk_cosine,
-        "topk_cosine_lsh": _q_topk_cosine_lsh,
-        "topk_cosine_ivf": _q_topk_cosine_ivf,
-        "embedding_neardup": _q_embedding_neardup,
-        "label_centroid_sim": _q_label_centroids,
-        "topk_cosine_q8": _q_topk_cosine_q8,
-        "sliding_window": _q_sliding_window,
-        "session_window": _q_session_window,
-        "props_extract": _q_props_extract,
-        "contamination": _q_contamination,
-        "doc_chunks": _q_doc_chunks,
-        "funnel": _q_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "approx_distinct_users": _q_approx_distinct,
-        "order_analytics": _q_order_analytics,
-        "token_counts": _q_token_counts,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "asof_join": _q_asof_join,
     }
 
 
@@ -1482,6 +1526,15 @@ FROM grid LEFT JOIN agg USING (metric, ts)
 WITH {POINTS_CTE}
 SELECT metric, ts - (ts % 600) AS ts,
        arg_max(value, arrival_seq) AS value
+FROM points WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+        # the export→import cycle is IDENTITY on quantized LWW points
+        # (big-endian float64 round-trips bit-exactly; NaN pad rows
+        # are dropped on read) — so the oracle is the input itself
+        "slice_roundtrip": f"""
+WITH {POINTS_CTE}
+SELECT metric, ts, arg_max(value, arrival_seq) AS value
 FROM points WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,

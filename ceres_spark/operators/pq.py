@@ -44,6 +44,73 @@ from pyspark.sql.window import Window
 
 from ceres_spark.operators.similarity import as_double, cosine_prenorm, norm
 
+#: Hard cap on the query-set size for the driver-materialized ADC
+#: paths (search_pq / ivfpq.search_ivfpq). The ADC tables are
+#: nq × m × k_sub float64 built on the driver and closed into the
+#: scan UDF; an unbounded query set would OOM the driver silently.
+#: Callers with more queries should chunk the query DataFrame and
+#: union the results — each chunk's scan is independent.
+MAX_QUERIES = 4096
+
+
+def bounded_query_rows(queries: DataFrame, cols: list[str],
+                       max_queries: int = MAX_QUERIES) -> list:
+    """Collect the query side under the bounded-query contract.
+
+    Fetches at most ``max_queries + 1`` rows and raises if the extra
+    row shows up — the failure mode is a clear error at the API
+    boundary instead of a silent driver OOM."""
+    rows = queries.select(*cols).limit(int(max_queries) + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds the bounded-query contract "
+            f"(> {max_queries} rows); chunk the query DataFrame and "
+            f"union the per-chunk results"
+        )
+    return rows
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist (query_id,
+    neighbor_id) against the original vectors — the second stage of
+    every two-stage retrieval here (PQ, IVF×PQ). Bit-identical to the
+    brute-force scorer on the same pairs."""
+    vecs = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(as_double(F.col(vec_col))).alias("_cn"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(as_double(F.col(vec_col))).alias("_qn"),
+    )
+    scored = (
+        shortlist.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine_sim",
+            cosine_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
 
 def _normalized_sample(
     vectors: DataFrame, id_col: str, vec_col: str, sample_n: int
@@ -146,15 +213,17 @@ def search_pq(
     refine: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERIES,
 ) -> DataFrame:
     """ADC scan of the code table + exact cosine re-rank of the ADC
     top-``refine`` per query.
 
-    The query set is bounded (the IVF/broadcast contract) — its ADC
-    tables are built driver-side once (nq × m × k_sub floats) and
-    closed over; each Arrow batch of codes scores ALL queries at once
-    via np.take-based gather and emits only its per-query
-    top-``refine`` — the global candidate set is then
+    The query set is bounded (ENFORCED — :func:`bounded_query_rows`
+    raises past ``max_queries`` instead of silently OOMing the
+    driver); its ADC tables are built driver-side once (nq × m ×
+    k_sub floats) and closed over; each Arrow batch of codes scores
+    ALL queries at once via np.take-based gather and emits only its
+    per-query top-``refine`` — the global candidate set is then
     ≤ refine × nq × n_batches rows, re-ranked exactly.
     """
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
@@ -162,7 +231,7 @@ def search_pq(
     sub = B[0].shape[1]
     k_sub = B[0].shape[0]
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = bounded_query_rows(queries, [id_col, vec_col], max_queries)
     qids = np.asarray([r[id_col] for r in qrows])
     Q = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -217,34 +286,7 @@ def search_pq(
         .filter(F.col("_r") <= r)
         .select("query_id", "neighbor_id")
     )
-    vecs = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        norm(as_double(F.col(vec_col))).alias("_cn"),
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        norm(as_double(F.col(vec_col))).alias("_qn"),
-    )
-    scored = (
-        shortlist.join(vecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
-            "cosine_sim",
-            cosine_prenorm(
-                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return exact_rerank(shortlist, vectors, queries, k, id_col, vec_col)
 
 
 def topk_cosine_pq(

@@ -117,41 +117,54 @@ def export_slice_tree(
     materialized as packed NaN ≤ MAX_SLICE_GAP=80 points, larger gaps
     → new slice — ceres.py ≈L45/L640). Returns slices written.
 
-    Driver-side per-metric loop: export targets a POSIX tree, which
-    is inherently single-writer-per-node; fine for migration tooling.
+    DISTRIBUTED: one task per metric node (``applyInPandas`` over
+    ``groupBy(metric)``) — node directories are disjoint, so writers
+    never collide, and a 100 TB export fans out across executors
+    instead of funnelling through a driver collect. Requires ``root``
+    on a filesystem the executors can write (shared mount; trivially
+    true on local[*]). Inside a task the run split + NaN padding is
+    pure numpy (diff/split/scatter), no per-point Python.
+
+    Precondition (same as the reference's write path, which quantizes
+    every timestamp before packing, ceres.py ≈L470): ``ts`` on the
+    ``time_step`` grid. Duplicate (metric, ts) must be resolved
+    upstream (compact/LWW) — the scatter write is last-wins.
     """
     MAX_SLICE_GAP = 80  # ceres.py ≈L45
     step = int(time_step)
-    rows = (
+    root_abs = os.path.abspath(root)
+    os.makedirs(root_abs, exist_ok=True)
+
+    def write_node(pdf: pd.DataFrame) -> pd.DataFrame:
+        metric = pdf["metric"].iloc[0]
+        node_dir = os.path.join(root_abs, *metric.split("."))
+        os.makedirs(node_dir, exist_ok=True)
+        order = np.argsort(pdf["ts"].to_numpy(), kind="stable")
+        ts = pdf["ts"].to_numpy()[order].astype(np.int64)
+        vals = pdf["value"].to_numpy()[order].astype(np.float64)
+        gap_pts = (np.diff(ts) // step) - 1  # whole missing grid slots
+        breaks = np.nonzero(gap_pts > MAX_SLICE_GAP)[0] + 1
+        n = 0
+        for seg in np.split(np.arange(len(ts)), breaks):
+            sts, svals = ts[seg], vals[seg]
+            start = int(sts[0])
+            idx = (sts - start) // step
+            arr = np.full(int(idx[-1]) + 1, np.nan)
+            arr[idx] = svals
+            fname = os.path.join(node_dir, f"{start}@{step}.slice")
+            with open(fname, "wb") as f:
+                f.write(arr.astype(">f8").tobytes())  # '!d' packing
+            n += 1
+        return pd.DataFrame({"metric": [metric], "n_slices": [n]})
+
+    per_node = (
         points.filter(F.col("value").isNotNull())
         .select("metric", "ts", "value")
-        .orderBy("metric", "ts")
-        .collect()
+        .groupBy("metric")
+        .applyInPandas(write_node, "metric string, n_slices long")
     )
-    by_metric: dict[str, list] = {}
-    for r in rows:
-        by_metric.setdefault(r["metric"], []).append((r["ts"], r["value"]))
-    n = 0
-    for metric, pts in by_metric.items():
-        node_dir = os.path.join(root, *metric.split("."))
-        os.makedirs(node_dir, exist_ok=True)
-        run_start, values = None, []
-        for ts, v in pts:
-            if run_start is None:
-                run_start, values = ts, [v]
-                continue
-            gap = (ts - (run_start + (len(values) - 1) * step)) // step - 1
-            if gap > MAX_SLICE_GAP:
-                write_slice(node_dir, run_start, step, values)
-                n += 1
-                run_start, values = ts, [v]
-            else:
-                values.extend([None] * gap)
-                values.append(v)
-        if run_start is not None:
-            write_slice(node_dir, run_start, step, values)
-            n += 1
-    return n
+    total = per_node.agg(F.sum("n_slices")).collect()[0][0]
+    return int(total or 0)
 
 
 def migrate_tree(

@@ -130,6 +130,125 @@ def test_pq_codes_are_m_bytes_and_deterministic(spark):
     assert all(len(c) == 8 for c in a.values())
 
 
+def test_pq_bounded_query_contract_raises(spark):
+    """An oversized query set must FAIL LOUDLY at the API boundary,
+    not silently collect() the driver into OOM (the ADC tables are
+    nq × m × k_sub driver-side floats)."""
+    import ceres_spark.operators.pq as pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq.train_pq_cached(emb, "t_bound", m=8, k_sub=16)
+    codes = pq.encode_pq(emb, books)
+    with pytest.raises(ValueError, match="bounded-query contract"):
+        pq.search_pq(codes, emb, emb, books, k=5, max_queries=10).collect()
+    # at the cap exactly: no raise
+    small = emb.filter(F.col("vec_id") < 3)
+    out = pq.search_pq(codes, emb, small, books, k=5, max_queries=3)
+    assert out.count() > 0
+
+
+# ------------------------------------------------------- IVF × PQ
+
+def test_ivfpq_full_probe_full_refine_equals_brute(spark):
+    """nprobe = all lists and refine >= corpus ⇒ the composed index
+    degrades to exact brute force (every vector reached, exact
+    re-rank covers the whole shortlist)."""
+    import ceres_spark.operators.ivfpq as ivfpq
+    import ceres_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq.topk_cosine_ivfpq(
+            emb, q, k=10, k_lists=8, nprobe=8, refine=n, cache_key="t_full"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.topk_brute(emb, q, k=10).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_with_pruned_probe(spark):
+    import ceres_spark.operators.ivfpq as ivfpq
+    import ceres_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq.topk_cosine_ivfpq(
+            emb, q, k=10, k_lists=8, nprobe=4, refine=50, cache_key="t_rec"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_brute(emb, q, k=10).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5
+
+
+def test_ivfpq_codes_and_lists_deterministic(spark):
+    import ceres_spark.operators.ivfpq as ivfpq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, books = ivfpq.train_ivfpq(emb, k_lists=8, m=8, k_sub=16)
+    a = {
+        r["vec_id"]: (r["_list"], r["codes"])
+        for r in ivfpq.build_ivfpq(emb, cents, books).collect()
+    }
+    b = {
+        r["vec_id"]: (r["_list"], r["codes"])
+        for r in ivfpq.build_ivfpq(emb, cents, books).collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 for _l, c in a.values())
+    assert len({l for l, _c in a.values()}) >= 2  # data spreads over lists
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """The composed-index scale claim: an index written partitionBy
+    ('_list') is probed with parquet PartitionFilters — the search
+    plan reads only the nprobe lists' files."""
+    import contextlib
+    import io
+
+    import ceres_spark.operators.ivfpq as ivfpq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, books = ivfpq.train_ivfpq(emb, k_lists=8, m=8, k_sub=16)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq.build_ivfpq(emb, cents, books).write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(path)
+    idx = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivfpq.search_ivfpq(idx, emb, q, cents, books, k=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "_list" in seg, plan
+    assert out.count() > 0
+
+
+def test_ivfpq_bounded_query_contract_raises(spark):
+    import ceres_spark.operators.ivfpq as ivfpq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, books = ivfpq.train_ivfpq(emb, k_lists=4, m=8, k_sub=16)
+    idx = ivfpq.build_ivfpq(emb, cents, books)
+    with pytest.raises(ValueError, match="bounded-query contract"):
+        ivfpq.search_ivfpq(
+            idx, emb, emb, cents, books, k=5, max_queries=10
+        ).collect()
+
+
 def test_ivf_lists_prune_as_partitions(spark, tmp_path):
     """The IVF scale claim made concrete: lists written as parquet
     partitions, a probe of nprobe lists reads ONLY those partitions
