@@ -1402,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": _q_frequent_items,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "order_analytics": _q_order_analytics,
         # --- (d) oldest r1 greens, filling the prefix to 50 ---
         "fetch_dense": _q_fetch_dense,
         "quantize_lww": _q_quantize_lww,
@@ -1420,10 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
-        "pii_scrub": _q_pii_scrub,
         # ================= entries 51+: parked (driver-green in a
         # prior round, still covered by check_oracle locally) =======
         # --- remaining r1 greens ---
+        "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "neardup_clusters": _q_neardup_clusters,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -1442,7 +1443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "approx_distinct_users": _q_approx_distinct,
-        "order_analytics": _q_order_analytics,
         "token_counts": _q_token_counts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,

@@ -270,25 +270,107 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    key_col: str,
+    n_buckets: int = 4,
+    bucket_name: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(n)`` over a global ordering with NO
+    single-partition sort — the distributed-ranking (TeraSort) shape:
+
+      1. range-exchange on the sort key + sorted runs
+         (``repartitionByRange`` + ``sortWithinPartitions``), pinned
+         with an eager ``localCheckpoint`` so both passes below see
+         the identical split (range bounds come from a sample);
+      2. per-partition row counts — a P-row collect;
+      3. broadcast cumulative offsets; one streaming ``mapInPandas``
+         pass assigns ``global_rank = offset[pid] + local_pos`` and
+         applies the SQL-standard ntile formula (first ``n mod B``
+         buckets get the extra row).
+
+    Cost: one materialization of (key, order cols) + a map pass —
+    what any distributed sort pays — instead of funnelling 100 TB
+    through one task. ``order_cols`` must be a TOTAL order (include a
+    unique tiebreak) or ranks would be partitioning-dependent.
+    Returns ``(key_col, bucket_name)`` for joining back.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = df.sparkSession
+    P = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keep = [key_col] + [c for c in order_cols if c != key_col]
+    sorted_df = (
+        df.select(*keep)
+        .repartitionByRange(P, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()  # eager: pins the sampled range bounds
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in sorted_df.groupBy(
+            F.spark_partition_id().alias("pid")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in range(P):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    base, rem = divmod(n, int(n_buckets))
+
+    def assign(batches):
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            idx = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            cut = rem * (base + 1)  # rows covered by the fat buckets
+            bucket = np.where(
+                idx < cut,
+                idx // (base + 1),
+                rem + (idx - cut) // max(base, 1),
+            )
+            yield pd.DataFrame(
+                {key_col: pdf[key_col], bucket_name: bucket + 1}
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return sorted_df.mapInPandas(
+        assign, f"{key_col} {key_type}, {bucket_name} long"
+    )
+
+
 def order_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The offset/distribution window functions in one pass:
     lag/lead (previous/next order value per customer), first_value
-    (each customer's first-order value), ntile quartile over the
-    global price distribution. One shuffle per distinct partitioning
-    (custkey, global) — Catalyst shares the custkey sort across the
-    three per-customer windows. Every ordering is made total with
-    the unique o_orderkey, so results are partitioning-independent.
-
-    Scale note: ntile over a GLOBAL ordering is a single-partition
-    sort by definition — fine for result-sized frames, wrong for
-    100 TB inputs. At scale replace it with bucketing by
-    approx-percentile boundaries (one pass, no global sort); it is
-    included here because the exact-quartile semantics are what the
-    oracle can check."""
+    (each customer's first-order value), EXACT ntile quartile over
+    the global price distribution. The per-customer windows share one
+    custkey shuffle; the global quartile comes from
+    :func:`global_exact_ntile` — the distributed-ranking shape, so
+    the plan has NO single-partition Exchange (plan-asserted in
+    tests/test_plans.py) while keeping bit-exact ntile semantics the
+    oracle can hash-check. Every ordering is made total with the
+    unique o_orderkey, so results are partitioning-independent."""
     orders = tbl.load(spark, "orders", sf_dir)
     per_cust = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    global_w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    return orders.select(
+    quartiles = global_exact_ntile(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        key_col="o_orderkey",
+        n_buckets=4,
+        bucket_name="price_quartile",
+    )
+    windowed = orders.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
@@ -297,7 +379,10 @@ def order_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value(F.col("o_totalprice")).over(per_cust).alias(
             "first_price"
         ),
-        F.ntile(4).over(global_w).cast("long").alias("price_quartile"),
+    )
+    return windowed.join(quartiles, "o_orderkey").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        "prev_price", "next_price", "first_price", "price_quartile",
     )
 
 

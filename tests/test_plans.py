@@ -311,12 +311,41 @@ def test_order_quartiles_scaled_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
-def test_order_quartiles_exact_has_global_sort(spark):
-    # the exact-ntile oracle variant is KNOWN single-partition — pin
-    # that contrast so the two paths don't silently drift together
+def test_order_analytics_exact_ntile_no_global_sort(spark):
+    # round-3 rewrite: the registered exact-ntile query now uses the
+    # distributed-ranking shape (range exchange + offset broadcast,
+    # relational.global_exact_ntile) — NO single-partition Exchange
+    # anywhere in the plan, and no ntile Window at all
+    import re
     import ceres_spark.operators.relational as rel
     plan = plan_of(rel.order_value_analytics(spark, SF))
-    assert "SinglePartition" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert not re.search(r"ntile", plan, re.I), plan
+
+
+def test_global_exact_ntile_matches_window_ntile(spark):
+    # the distributed formula must be BIT-IDENTICAL to Spark's own
+    # ntile() on the same total order (incl. the n%B fat buckets)
+    from pyspark.sql.window import Window as W
+    import ceres_spark.operators.relational as rel
+    orders = tbl.load(spark, "orders", SF).limit(1003)  # non-divisible n
+    got = {
+        r["o_orderkey"]: r["q"]
+        for r in rel.global_exact_ntile(
+            orders, ["o_totalprice", "o_orderkey"], "o_orderkey",
+            n_buckets=7, bucket_name="q",
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["q"]
+        for r in orders.select(
+            "o_orderkey",
+            F.ntile(7).over(
+                W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+            ).cast("long").alias("q"),
+        ).collect()
+    }
+    assert got == want
 
 
 def test_q20_pushes_shipdate_filter(spark):
