@@ -76,6 +76,23 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--method", default="average")
     m.add_argument("--xff", type=float, default=0.0)
 
+    mi = sub.add_parser(
+        "migrate-in",
+        help="legacy .slice tree → date-partitioned parquet points "
+        "(distributed binaryFile decode)",
+    )
+    mi.add_argument("slice_root")
+    mi.add_argument("points_path")
+
+    mo = sub.add_parser(
+        "migrate-out",
+        help="parquet points → reference-format .slice tree "
+        "(distributed applyInPandas export, one task per node)",
+    )
+    mo.add_argument("points_path")
+    mo.add_argument("slice_root")
+    mo.add_argument("--step", type=int, default=60)
+
     e = sub.add_parser(
         "explain",
         help="print the physical plan of a registry query "
@@ -159,6 +176,26 @@ def main(argv: list[str] | None = None) -> int:
 
             ret.compact_files(spark, tree.points_path(60))
             print("defragmented step=60")
+    elif args.cmd == "migrate-in":
+        from ceres_spark.sources.slice_format import migrate_tree
+
+        migrate_tree(spark, args.slice_root, args.points_path)
+        n = spark.read.parquet(args.points_path).count()
+        print(f"migrated {args.slice_root} -> {args.points_path} ({n} points)")
+    elif args.cmd == "migrate-out":
+        import ceres_spark.operators.compact as cp
+        from ceres_spark.sources.slice_format import export_slice_tree
+
+        pts = cp.lww_dedup(
+            cp.quantize(
+                spark.read.parquet(args.points_path).filter(
+                    F.col("value").isNotNull()
+                ),
+                args.step,
+            )
+        )
+        n = export_slice_tree(spark, pts, args.slice_root, args.step)
+        print(f"exported {n} slice file(s) to {args.slice_root}")
     elif args.cmd == "explain":
         # EXPLAIN surface over the whole query registry — the ceres
         # CLI never had one because it had no planner; this one is how

@@ -76,6 +76,28 @@ def test_slicecheck_warehouse_cli(spark, tmp_path, capsys):
     assert "rows=2 misaligned=0 nan=0 dups=0" in out
 
 
+def test_cli_migrate_roundtrip(spark, tmp_path, capsys):
+    """migrate-in then migrate-out over a legacy tree: both CLI
+    directions drive the distributed slice codec and the cycle is
+    identity on the stored points."""
+    import ceres_spark.sources.slice_format as sf
+
+    legacy = tmp_path / "legacy" / "web" / "cpu"
+    legacy.mkdir(parents=True)
+    sf.write_slice(str(legacy), 600, 60, [1.0, None, 3.0])
+    points = str(tmp_path / "points")
+    assert cli.main(["migrate-in", str(tmp_path / "legacy"), points]) == 0
+    assert "2 points" in capsys.readouterr().out
+    back = str(tmp_path / "back")
+    assert cli.main(["migrate-out", points, back, "--step", "60"]) == 0
+    assert "1 slice file(s)" in capsys.readouterr().out
+    got = {
+        (r["metric"], r["ts"], r["value"])
+        for r in sf.read_slice_tree(spark, back).collect()
+    }
+    assert got == {("web.cpu", 600, 1.0), ("web.cpu", 720, 3.0)}
+
+
 def test_cli_explain_lists_and_prints_plan(capsys):
     from ceres_spark.cli import main
 

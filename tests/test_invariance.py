@@ -35,6 +35,9 @@ QUERIES = [
     "dedup_materialize",  # components + quality window keeper
     "frequent_items",     # Space-Saving in the exact regime
     "series_transform",   # per-ts combinators
+    "order_analytics",    # distributed exact ntile (rank offsets
+                          # must not depend on the range split count)
+    "slice_roundtrip",    # distributed slice export→import identity
 ]
 
 
