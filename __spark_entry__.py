@@ -572,13 +572,13 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end: documents → actual PPM/WAV
-    payloads (deterministic content-derived pixels/samples) →
+    """REAL media decode end-to-end: documents → actual PPM/WAV/Y4M
+    payloads (deterministic content-derived pixels/samples/frames) →
     pure-numpy header parse + frombuffer decode → content features
     (channel means / luma / gradient for images, RMS / ZCR / peak for
-    audio). No stub anywhere. Rows-only: the float features have no
-    SQL oracle; codec round-trips and numpy-reference feature values
-    are pytest-pinned (test_llm_ops)."""
+    audio, motion / detail for video). No stub anywhere. Rows-only:
+    the float features have no SQL oracle; codec round-trips and
+    numpy-reference feature values are pytest-pinned (test_llm_ops)."""
     assets = mm.real_assets_from_documents(
         tbl.load(spark, "documents", sf_dir)
     )
@@ -613,6 +613,23 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = mm.assets_from_documents(tbl.load(spark, "documents", sf_dir))
     return mm.frame_sample(assets, every_ms=1000).select(
         "asset_id", F.col("sample_ms").cast("long").alias("sample_ms")
+    )
+
+
+def _q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling made REAL: Y4M video payloads decoded in the
+    task, every 2nd frame kept, per-frame luma/motion emitted — the
+    actual "sample frames from 100 TB of video" kernel (map-only;
+    payload bytes never leave the task). Rows-only; decode and stats
+    are pytest-pinned (test_llm_ops)."""
+    assets = mm.real_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mm.frame_sample_real(assets, every_n=2).select(
+        "asset_id",
+        "frame_idx",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("motion", 6).alias("motion"),
     )
 
 
@@ -1394,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) new this round ---
         "topk_cosine_ivfpq": _q_topk_cosine_ivfpq,
         "slice_roundtrip": _q_slice_roundtrip,
+        "multimodal_frames_real": _q_multimodal_frames_real,
         # --- (c) changed after their last driver row ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "multimodal_decode": _q_multimodal_decode,
@@ -1420,10 +1438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
         # ================= entries 51+: parked (driver-green in a
         # prior round, still covered by check_oracle locally) =======
         # --- remaining r1 greens ---
+        "dedup_exact": _q_dedup_exact,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "neardup_clusters": _q_neardup_clusters,

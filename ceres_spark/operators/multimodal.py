@@ -185,23 +185,96 @@ def decode_wav(payload: bytes):
     return arr, rate
 
 
+def encode_y4m(
+    frames: "np.ndarray", fps_num: int = 25, fps_den: int = 1
+) -> bytes:
+    """Encode (n, h, w, 3) uint8 YUV frames as YUV4MPEG2 ``C444``
+    (full-resolution planar Y/U/V per frame — the uncompressed video
+    container mplayer/ffmpeg speak; spec is the public yuv4mpeg(5)
+    man page)."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("encode_y4m expects (n, h, w, 3) uint8 YUV")
+    n, h, w = a.shape[:3]
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (
+        w, h, fps_num, fps_den,
+    )
+    parts = [hdr]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        # planar: the whole Y plane, then U, then V
+        parts.append(np.ascontiguousarray(a[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """Decode YUV4MPEG2 ``C444`` to ((n, h, w, 3) uint8 YUV, fps).
+    Header grammar per yuv4mpeg(5): space-separated tagged params
+    after the magic, newline-terminated; each frame is ``FRAME`` (+
+    optional params) newline then raw planes."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = b"C420"  # the spec default when no C tag is present
+    for tag in payload[9:nl].split():
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            fps_num, fps_den = (int(x) for x in tag[1:].split(b":"))
+        elif tag[:1] == b"C":
+            colorspace = tag
+    if w is None or h is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if colorspace != b"C444":
+        raise NotImplementedError(
+            "only C444 (full-res planes) decodes without chroma "
+            "resampling; subsampled streams need the codec plug-in"
+        )
+    frame_bytes = w * h * 3
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = payload.index(b"\n", pos) + 1  # skip frame params
+        body = payload[pos:pos + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError("truncated frame")
+        frames.append(
+            np.frombuffer(body, dtype=np.uint8)
+            .reshape(3, h, w)
+            .transpose(1, 2, 0)
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), (
+        fps_num / fps_den
+    )
+
+
 def decode_real(payload: bytes, modality: str):
-    """Real decode: PPM (P6) images and RIFF/PCM16 WAV audio via
-    pure-numpy header parse + ``frombuffer``. Returns
-    ``("image", (h,w,3) uint8)`` or ``("audio", (frames, ch) int16,
-    rate)``. Compressed containers (JPEG/MP3/H.264 — the reference
-    point for a production codec plug-in) are detected and raise
-    ``NotImplementedError`` so callers can route them to a stub or a
-    real codec library when one is present."""
+    """Real decode: PPM (P6) images, RIFF/PCM16 WAV audio, and
+    YUV4MPEG2 (C444) video via pure-numpy header parse +
+    ``frombuffer``. Returns ``("image", (h,w,3) uint8)``,
+    ``("audio", (frames, ch) int16, rate)``, or ``("video",
+    (n,h,w,3) uint8 YUV, fps)``. Compressed containers (JPEG/MP3/
+    H.264 — the reference point for a production codec plug-in) are
+    detected and raise ``NotImplementedError`` so callers can route
+    them to a stub or a real codec library when one is present."""
     head = (payload or b"")[:12]
     if head[:2] == b"P6":
         return ("image", decode_ppm(payload))
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         arr, rate = decode_wav(payload)
         return ("audio", arr, rate)
+    if head[:9] == b"YUV4MPEG2":
+        frames, fps = decode_y4m(payload)
+        return ("video", frames, fps)
     raise NotImplementedError(
         "no pure-numpy decoder for this container (compressed formats "
-        "need a codec library); PPM and PCM16 WAV decode for real"
+        "need a codec library); PPM, PCM16 WAV and Y4M decode for real"
     )
 
 
@@ -215,8 +288,35 @@ def real_features(payload: bytes, modality: str) -> list[float]:
             last six normalized to [0, 1] by /255.
     audio: [log10(frames)/10, rate/48000, RMS, zero-crossing rate,
             mean |x|, peak |x|, std, DC offset] — sample stats on
-            [-1, 1]-scaled PCM."""
+            [-1, 1]-scaled PCM.
+
+    video: [n_frames/1e3, fps/60, mean Y, std Y, mean U, mean V,
+            mean |temporal diff| (motion proxy), mean |horizontal
+            gradient| of Y (detail proxy)] — the last six /255."""
     decoded = decode_real(payload, modality)
+    if decoded[0] == "video":
+        fr = decoded[1].astype(np.float64)
+        fps = decoded[2]
+        n = fr.shape[0]
+        y = fr[..., 0]
+        tdiff = (
+            float(np.abs(np.diff(fr, axis=0)).mean()) if n > 1 else 0.0
+        )
+        grad = (
+            float(np.abs(np.diff(y, axis=2)).mean())
+            if fr.shape[2] > 1
+            else 0.0
+        )
+        return [
+            n / 1e3,
+            fps / 60.0,
+            float(y.mean()) / 255.0 if n else 0.0,
+            float(y.std()) / 255.0 if n else 0.0,
+            float(fr[..., 1].mean()) / 255.0 if n else 0.0,
+            float(fr[..., 2].mean()) / 255.0 if n else 0.0,
+            tdiff / 255.0,
+            grad / 255.0,
+        ]
     if decoded[0] == "image":
         px = decoded[1].astype(np.float64)
         h, w = px.shape[:2]
@@ -259,12 +359,14 @@ def _stub_features(payload: bytes) -> list[float]:
 
 
 def real_assets_from_documents(docs: DataFrame) -> DataFrame:
-    """Build REAL decodable payloads from ``documents``: even doc_id →
-    a P6 PPM image whose pixels tile the utf-8 text bytes (dimensions
-    content-derived), odd doc_id → a PCM16 WAV whose samples map the
-    text bytes onto the full int16 range. Deterministic, so the
-    encode → decode → feature pipeline is reproducible end-to-end;
-    one mapInPandas encode pass, no shuffle."""
+    """Build REAL decodable payloads from ``documents``: doc_id % 3
+    == 0 → a P6 PPM image whose pixels tile the utf-8 text bytes
+    (dimensions content-derived), == 1 → a PCM16 WAV whose samples
+    map the text bytes onto the full int16 range, == 2 → a YUV4MPEG2
+    C444 video whose frames tile the text bytes (frame count
+    content-derived). Deterministic, so the encode → decode →
+    feature pipeline is reproducible end-to-end; one mapInPandas
+    encode pass, no shuffle."""
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -273,14 +375,15 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                 raw = np.frombuffer(
                     (text or " ").encode("utf-8"), dtype=np.uint8
                 )
-                if int(doc_id) % 2 == 0:
+                sel = int(doc_id) % 3
+                if sel == 0:
                     w = 16 + len(raw) % 17
                     h = 16 + (len(raw) * 7) % 13
                     payloads.append(
                         encode_ppm(np.resize(raw, (h, w, 3)))
                     )
                     modalities.append("image")
-                else:
+                elif sel == 1:
                     samples = (
                         np.resize(raw, 2048).astype(np.int32) * 257
                         - 32768
@@ -288,6 +391,15 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                     rate = 8000 + (len(raw) % 9) * 1000
                     payloads.append(encode_wav(samples, rate=rate))
                     modalities.append("audio")
+                else:
+                    n = 2 + len(raw) % 5
+                    payloads.append(
+                        encode_y4m(
+                            np.resize(raw, (n, 12, 16, 3)),
+                            fps_num=10 + len(raw) % 21,
+                        )
+                    )
+                    modalities.append("video")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
@@ -354,6 +466,49 @@ def frame_sample(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(int(every_ms)),
             )
         ).alias("sample_ms"),
+    )
+
+
+def frame_sample_real(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling made REAL: decode Y4M payloads, keep
+    every ``every_n``-th frame, emit per-frame stats — the actual
+    "sample frames from 100 TB of video" kernel. Decode + sample run
+    in one mapInPandas pass (map-only, no shuffle; payload bytes
+    never leave the task — only the small per-frame stat rows do)."""
+    n_every = int(every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ys, motion = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, _fps = decode_y4m(payload)
+                f = frames.astype(np.float64)
+                for i in range(0, len(f), n_every):
+                    ids.append(int(asset_id))
+                    idxs.append(i)
+                    ys.append(float(f[i, ..., 0].mean()) / 255.0)
+                    motion.append(
+                        float(np.abs(f[i] - f[i - 1]).mean()) / 255.0
+                        if i > 0
+                        else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int64"),
+                    "mean_luma": ys,
+                    "motion": motion,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            run,
+            schema="asset_id long, frame_idx long, "
+            "mean_luma double, motion double",
+        )
     )
 
 

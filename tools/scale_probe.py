@@ -32,16 +32,27 @@ DAY = 86400
 
 
 def synthesize(spark, base_dir: str, mult: int, out: str) -> int:
+    import pyspark.sql.types as T
+
     ev = tbl.load(spark, "events", base_dir)
     n = ev.count()
+    is_nanos = isinstance(ev.schema["ts"].dataType, T.LongType)
     parts = []
     for i in range(mult):
+        # shift each copy by i minutes so timestamps interleave
+        # without colliding (keeps per-bucket density realistic);
+        # ts arrives as epoch-nanos LONG (nanosAsLong read of
+        # TIMESTAMP(NANOS)) or as a real timestamp — handle both
+        # like tables.points does
+        shifted = (
+            F.col("ts") + F.lit(i * 60_000_000_000)
+            if is_nanos
+            else F.col("ts") + F.expr(f"INTERVAL {i * 60} SECONDS")
+        )
         parts.append(
             ev.select(
                 (F.col("event_id") + i * n).alias("event_id"),
-                # shift each copy by i minutes so timestamps interleave
-                # without colliding (keeps per-bucket density realistic)
-                (F.col("ts") + F.lit(i * 60_000_000_000)).alias("ts"),
+                shifted.alias("ts"),
                 "user_id",
                 "event_type",
                 "value",
@@ -130,12 +141,68 @@ def time_text_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def synthesize_emb(spark, base_dir: str, mult: int, out: str) -> int:
+    """N× embeddings as id-shifted copies (same vectors, bigger
+    corpus): ANN search cost must scale with the probed fraction of
+    the index, training stays constant (bounded sample)."""
+    emb = tbl.load(spark, "embeddings", base_dir)
+    n = emb.count()
+    parts = []
+    for i in range(mult):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+        )
+    allp = parts[0]
+    for q in parts[1:]:
+        allp = allp.unionByName(q)
+    allp.write.mode("overwrite").parquet(out)
+    return n * mult
+
+
+def time_new_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Round-3 additions: distributed exact ntile (TeraSort shape),
+    IVF×PQ build+probe, distributed slice export."""
+    import ceres_spark.operators.ivfpq as ivfpq
+    import ceres_spark.operators.relational as rel
+    import ceres_spark.sources.slice_format as sfmt
+
+    t = {}
+    ev = tbl.load(spark, "events", sf_dir)
+    t0 = time.perf_counter()
+    rel.global_exact_ntile(
+        ev, ["value", "event_id"], "event_id", n_buckets=10
+    ).count()
+    t["global_ntile"] = round(time.perf_counter() - t0, 2)
+
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    cents, books = ivfpq.train_ivfpq(emb, k_lists=8, m=8, k_sub=16, iters=1)
+    q5 = emb.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    idx = ivfpq.build_ivfpq(emb, cents, books)
+    ivfpq.search_ivfpq(
+        idx, emb, q5, cents, books, k=10, nprobe=4, refine=50
+    ).count()
+    t["ivfpq_build_search"] = round(time.perf_counter() - t0, 2)
+
+    pts = cp.compact(tbl.points(spark, sf_dir), 60)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        sfmt.export_slice_tree(spark, pts, f"{td}/tree", 60)
+        t["slice_export"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
     base = "/root/testdata/sf0.1"
     time_pipeline(spark, base)  # warm up JVM/codegen before timing
     time_text_pipeline(spark, base)  # + python worker pool
+    time_new_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -152,8 +219,12 @@ def main() -> None:
             docs_out = f"{td}/documents.parquet"
             os.unlink(docs_out)  # replace the symlink with N× data
             synthesize_docs(spark, base, m, docs_out)
+            emb_out = f"{td}/embeddings.parquet"
+            os.unlink(emb_out)
+            synthesize_emb(spark, base, m, emb_out)
             timings = time_pipeline(spark, td)
             timings.update(time_text_pipeline(spark, td))
+            timings.update(time_new_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
