@@ -270,6 +270,26 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ntile_buckets(idx, n: int, n_buckets: int):
+    """Vectorized SQL-standard ntile: 0-indexed global positions →
+    1-indexed buckets. The first ``n mod B`` buckets take
+    ``ceil(n/B)`` rows, the rest ``floor(n/B)`` (SQL:2003 / Spark /
+    DuckDB agree; property-tested vs a row-at-a-time reference)."""
+    import numpy as np
+
+    base, rem = divmod(int(n), int(n_buckets))
+    idx = np.asarray(idx, dtype=np.int64)
+    cut = rem * (base + 1)  # rows covered by the fat buckets
+    return (
+        np.where(
+            idx < cut,
+            idx // (base + 1),
+            rem + (idx - cut) // max(base, 1),
+        )
+        + 1
+    )
+
+
 def global_exact_ntile(
     df: DataFrame,
     order_cols: list[str],
@@ -326,22 +346,17 @@ def global_exact_ntile(
     for pid in range(P):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
-    base, rem = divmod(n, int(n_buckets))
-
     def assign(batches):
         pid = TaskContext.get().partitionId()
         pos = offsets.get(pid, 0)
         for pdf in batches:
             idx = np.arange(pos, pos + len(pdf), dtype=np.int64)
             pos += len(pdf)
-            cut = rem * (base + 1)  # rows covered by the fat buckets
-            bucket = np.where(
-                idx < cut,
-                idx // (base + 1),
-                rem + (idx - cut) // max(base, 1),
-            )
             yield pd.DataFrame(
-                {key_col: pdf[key_col], bucket_name: bucket + 1}
+                {
+                    key_col: pdf[key_col],
+                    bucket_name: ntile_buckets(idx, n, n_buckets),
+                }
             )
 
     key_type = df.schema[key_col].dataType.simpleString()

@@ -323,6 +323,12 @@ def test_order_analytics_exact_ntile_no_global_sort(spark):
     assert not re.search(r"ntile", plan, re.I), plan
 
 
+def test_global_exact_ntile_empty_input(spark):
+    import ceres_spark.operators.relational as rel
+    empty = spark.createDataFrame([], "k long, v double")
+    assert rel.global_exact_ntile(empty, ["v", "k"], "k").count() == 0
+
+
 def test_global_exact_ntile_matches_window_ntile(spark):
     # the distributed formula must be BIT-IDENTICAL to Spark's own
     # ntile() on the same total order (incl. the n%B fat buckets)

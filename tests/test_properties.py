@@ -332,6 +332,29 @@ def test_fuzzy_banded_lossless_on_random_corpora(spark, texts, d):
     assert disp == quad  # dispatch changes the plan, never the answer
 
 
+def ref_ntile(n: int, b: int) -> list[int]:
+    """Row-at-a-time SQL-standard ntile reference: deal rows into b
+    buckets, first (n mod b) buckets get the extra row."""
+    base, rem = divmod(n, b)
+    out = []
+    for bucket in range(1, b + 1):
+        size = base + (1 if bucket <= rem else 0)
+        out.extend([bucket] * size)
+    return out
+
+
+@given(
+    n=st.integers(min_value=0, max_value=2000),
+    b=st.integers(min_value=1, max_value=64),
+)
+@settings(deadline=None, max_examples=200)
+def test_ntile_bucket_formula_matches_reference(n, b):
+    import ceres_spark.operators.relational as rel
+
+    got = list(rel.ntile_buckets(range(n), n, b)) if n else []
+    assert got == ref_ntile(n, b)
+
+
 @settings(
     max_examples=8, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

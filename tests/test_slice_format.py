@@ -64,6 +64,11 @@ def test_export_roundtrip(spark, tmp_path):
     ]
 
 
+def test_export_empty_points_writes_nothing(spark, tmp_path):
+    ep = spark.createDataFrame([], "metric string, ts long, value double")
+    assert sf.export_slice_tree(spark, ep, str(tmp_path / "e"), 60) == 0
+
+
 def test_migrate_tree_to_points(spark, tmp_path):
     node = tmp_path / "legacy" / "m"
     node.mkdir(parents=True)
