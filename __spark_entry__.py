@@ -27,12 +27,14 @@ import ceres_spark.operators.compact as cp
 import ceres_spark.operators.chunking as chk
 import ceres_spark.operators.corpus as corp
 import ceres_spark.operators.dedup as dd
+import ceres_spark.operators.bpe as bpe
 import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.ivfpq as ivfpq
 import ceres_spark.operators.pq as pqmod
 import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
+import ceres_spark.operators.semdedup as sdd
 import ceres_spark.operators.resolution as res
 import ceres_spark.operators.retention as ret
 import ceres_spark.operators.series as ser
@@ -1342,6 +1344,40 @@ def _q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.token_rarity(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) embedding-space near-dup removal:
+    k-means clusters bound the pairwise cosine to Σ|cluster|² in-task
+    GEMMs; one representative (min vec_id) per ≥tau component.
+    Rows-only by design (float cosine threshold graph has no SQL
+    oracle); spec-equality vs a pure-numpy reference and partitioning
+    invariance are pytest-pinned (tests/test_semdedup.py)."""
+    return sdd.semantic_dedup(
+        tbl.load(spark, "embeddings", sf_dir),
+        tau=0.9,
+        k=16,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016): corpus is
+    scanned ONCE into a weighted word vocabulary; each merge round is
+    a vocabulary-sized pair-count aggregate + JVM fold merge.
+    Iterative/argmax-dependent — rows-only by design; the merge table
+    is pytest-pinned bit-equal to a pure-Python reference
+    implementation (tests/test_bpe.py)."""
+    return bpe.bpe_train(
+        tbl.load(spark, "documents", sf_dir), n_merges=10
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality filter: corpus-trained bigram model in
+    exact BIGINT ppm, per-doc transition-probability stats (min / sum
+    / rare-transition count / mean) — no float log anywhere."""
+    return corp.bigram_lm_score(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 training-pipeline: per-doc characteristic terms via
     exact-BIGINT tf-idf (tf*1e6*N div df) — no float log, so the
@@ -1412,6 +1448,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ivfpq": _q_topk_cosine_ivfpq,
         "slice_roundtrip": _q_slice_roundtrip,
         "multimodal_frames_real": _q_multimodal_frames_real,
+        "bigram_lm": _q_bigram_lm,
+        # rows-only: iterative argmax-dependent merge learning — no
+        # SQL oracle; bit-equality to the reference algorithm is
+        # pytest-pinned (tests/test_bpe.py)
+        "bpe_train": _q_bpe_train,
+        # rows-only: float cosine components — no SQL oracle;
+        # numpy-reference equality pytest-pinned (tests/test_semdedup.py)
+        "semantic_dedup": _q_semantic_dedup,
         # --- (c) changed after their last driver row ---
         "fuzzy_pairs": _q_fuzzy_pairs,
         "multimodal_decode": _q_multimodal_decode,
@@ -3331,6 +3375,32 @@ SELECT doc_id,
        CAST(SUM((df * 1000000) // n_docs) AS BIGINT)
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
+GROUP BY doc_id
+""",
+        "bigram_lm": """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(l[1:len(l)-1]) AS w1,
+         unnest(l[2:len(l)])   AS w2
+  FROM d WHERE len(l) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+), p AS (
+  SELECT w1, w2, (c2 * 1000000) // c1 AS ppm
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       MIN(ppm) AS min_ppm,
+       CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+       CAST(SUM(CASE WHEN ppm < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(SUM(ppm) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_ppm
+FROM big JOIN p USING (w1, w2)
 GROUP BY doc_id
 """,
         "tfidf_top_terms": """

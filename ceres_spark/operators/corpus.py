@@ -311,3 +311,64 @@ def mixture_sample(
         )
         .withColumn("kept_frac", F.col("n_kept") / F.col("n_total"))
     )
+
+
+def bigram_lm_score(docs: DataFrame, rare_ppm: int = 1000) -> DataFrame:
+    """Per-document fluency profile under a corpus-trained bigram
+    language model — the classic LM-based quality filter (CCNet /
+    Gopher shape): documents whose token transitions are improbable
+    under the corpus's own bigram statistics are gibberish, OCR
+    noise, or boilerplate-stitching candidates.
+
+    The model is maximum-likelihood ``P(w2|w1) = c(w1,w2)/c(w1·)``
+    held in exact BIGINT ppm (``c2 * 1e6 div c1`` — the tf-idf trick
+    at :func:`tfidf_top_terms`), so every reported statistic is an
+    integer min/sum over BIGINTs: order-independent, partitioning-
+    independent, engine-exact. No float ``log`` ever enters (a real
+    pipeline would threshold on these ppm stats exactly the way it
+    would on log-perplexity — the ranking is monotone-equivalent
+    for the min/rare-count signals).
+
+    Plan (all linear, no windows): one explode into per-occurrence
+    bigrams, one (w1,w2)-keyed count with map-side combine, c(w1·)
+    derived from the *model* table (not a second corpus pass), join
+    model back to occurrences on the same (w1,w2) key, one doc-keyed
+    aggregate. At 100 TB the model table is vocabulary², far smaller
+    than the corpus, and partial aggregation means the exchanges
+    carry distinct keys per task, not occurrences. Documents with
+    fewer than two tokens have no transitions and are excluded (the
+    oracle applies the same rule).
+    """
+    big = (
+        docs.withColumn("_t", tokens())
+        .filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(_t, 1, size(_t) - 1)"),
+                    F.expr("slice(_t, 2, size(_t) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "w1").withColumn(
+        "ppm", F.expr("c2 * 1000000L div c1")
+    )
+    return (
+        big.join(model.select("w1", "w2", "ppm"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.min("ppm").alias("min_ppm"),
+            F.sum("ppm").alias("sum_ppm"),
+            F.sum((F.col("ppm") < int(rare_ppm)).cast("bigint")).alias(
+                "n_rare"
+            ),
+        )
+        .withColumn("mean_ppm", F.col("sum_ppm") / F.col("n_bigrams"))
+    )

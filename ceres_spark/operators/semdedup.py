@@ -1,0 +1,106 @@
+"""Semantic deduplication over embedding columns — the SemDeDup
+shape (Abbas et al. 2023, arXiv:2303.09540, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"; public paper):
+k-means-cluster the embedding space, then find near-duplicate groups
+ONLY within each cluster and keep one representative per group.
+
+This is the embedding-space sibling of the MinHash/SimHash text
+paths in :mod:`ceres_spark.operators.dedup`: clustering plays the
+role LSH banding plays there — it turns the corpus-quadratic
+all-pairs cosine into Σ|cluster|² work, which the operator bounds by
+choosing k (the paper runs 100 TB-class corpora with ~100k clusters
+precisely so each cluster fits a task). Per-cluster work happens
+IN-TASK (one Arrow batch per cluster: normalize → one GEMM →
+union-find), so no pairwise rows are ever shuffled; the only
+exchange is the groupBy on the cluster id.
+
+Determinism: centroids come from
+:func:`ceres_spark.operators.ivf.train_centroids_cached` (bounded
+sample, deterministic Lloyd's); rows are sorted by id inside each
+cluster before the GEMM, so float summation order is fixed and the
+result is partitioning-independent (pytest-pinned against a
+pure-numpy reference — tests/test_semdedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ceres_spark.operators.ivf import _assign, train_centroids_cached
+
+
+def _group_components(ids: np.ndarray, V: np.ndarray, tau: float) -> np.ndarray:
+    """Connected components of the ≥tau cosine graph on one cluster:
+    returns each row's component head (min id reachable). Plain
+    union-find on the dense similarity matrix — the cluster is one
+    task's worth of data by construction."""
+    n = len(ids)
+    if n == 0:
+        return ids
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    U = V / norms[:, None]
+    sim = U @ U.T
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii, jj = np.nonzero(np.triu(sim >= tau, k=1))
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    # ids are sorted ascending, so the root's id IS the min id of the
+    # component (union always keeps the smaller index as root)
+    return ids[roots]
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: float = 0.95,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str = "semantic_dedup",
+) -> DataFrame:
+    """Per-vector semantic-dup verdict: ``vec_id, cluster, group_head,
+    is_kept`` where ``group_head`` is the smallest id in the vector's
+    ≥tau cosine component within its cluster and ``is_kept`` marks
+    the one representative (the head) per group — singletons keep
+    themselves. Downstream: ``docs.join(result.filter('is_kept'))``.
+    """
+    centroids = train_centroids_cached(
+        vectors, cache_key, k=int(k), id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign(vectors, centroids, id_col, vec_col)
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        heads = _group_components(ids, V, float(tau))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["_list"].to_numpy(dtype=np.int32),
+                "group_head": heads,
+                "is_kept": ids == heads,
+            }
+        )
+
+    return (
+        assigned.select(id_col, vec_col, "_list")
+        .groupBy("_list")
+        .applyInPandas(
+            dedup_cluster,
+            "vec_id long, cluster int, group_head long, is_kept boolean",
+        )
+    )
