@@ -38,6 +38,9 @@ QUERIES = [
     "order_analytics",    # distributed exact ntile (rank offsets
                           # must not depend on the range split count)
     "slice_roundtrip",    # distributed slice export→import identity
+    "bigram_lm",          # exact-integer bigram ppm
+    "bpe_train",          # argmax-dependent merge learning
+    "semantic_dedup",     # per-cluster GEMM + union-find
 ]
 
 

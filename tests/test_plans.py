@@ -427,3 +427,33 @@ def test_fuzzy_pairs_registered_entry_has_no_blockwise_selfjoin(spark):
         head = sec.split("\n", 1)[0]
         if "Join" in head and "Broadcast" not in head:
             assert "_seg#" in sec, sec
+
+
+def test_bigram_lm_linear_no_window_no_cartesian(spark):
+    import ceres_spark.operators.corpus as corp
+
+    plan = plan_of(corp.bigram_lm_score(tbl.load(spark, "documents", SF)))
+    # linear agg/join shape: never a window, never an all-pairs join
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    # partial aggregation feeds every exchange (distinct keys per
+    # task cross the wire, not per-occurrence bigrams)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # only doc_id + text are scanned
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_semantic_dedup_single_cluster_exchange(spark):
+    import re
+
+    import ceres_spark.operators.semdedup as sd
+
+    vecs = tbl.load(spark, "embeddings", SF)
+    plan = plan_of(
+        sd.semantic_dedup(vecs, tau=0.9, k=4, cache_key=SF + "/embeddings")
+    )
+    # the ONLY exchange is the groupBy on the cluster id — pairwise
+    # similarity never becomes shuffled rows
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Cartesian" not in plan and "Join" not in plan
