@@ -1344,6 +1344,13 @@ def _q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.token_rarity(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference as one shuffle-free
+    projection: exact BIGINT micro-unit margin over integer-ppm
+    features, keep = margin > 0 — bit-identical on any engine."""
+    return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) embedding-space near-dup removal:
     k-means clusters bound the pairwise cosine to Σ|cluster|² in-task
@@ -1449,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_roundtrip": _q_slice_roundtrip,
         "multimodal_frames_real": _q_multimodal_frames_real,
         "bigram_lm": _q_bigram_lm,
+        "quality_classifier": _q_quality_classifier,
         # rows-only: iterative argmax-dependent merge learning — no
         # SQL oracle; bit-equality to the reference algorithm is
         # pytest-pinned (tests/test_bpe.py)
@@ -3376,6 +3384,27 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "quality_classifier": """
+WITH f AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT)
+           AS lexdiv_ppm,
+         CAST(len(list_filter(l, x -> x IN
+             ('the','a','of','and','to','in','is','on')))
+           * 1000000 // len(l) AS BIGINT) AS stop_ppm
+  FROM f
+)
+SELECT doc_id, n_tokens, lexdiv_ppm, stop_ppm,
+       CAST(-800000 + 5000 * n_tokens + 1 * lexdiv_ppm
+            + (-2) * stop_ppm AS BIGINT) AS margin_micro,
+       (-800000 + 5000 * n_tokens + 1 * lexdiv_ppm
+            + (-2) * stop_ppm) > 0 AS keep
+FROM feat
 """,
         "bigram_lm": """
 WITH d AS (

@@ -372,3 +372,66 @@ def bigram_lm_score(docs: DataFrame, rare_ppm: int = 1000) -> DataFrame:
         )
         .withColumn("mean_ppm", F.col("sum_ppm") / F.col("n_bigrams"))
     )
+
+
+#: integer micro-unit weights for :func:`quality_classifier` — a
+#: trained-elsewhere linear model shipped as constants (the fasttext
+#: -style quality-filter deployment shape: training is offline,
+#: inference is a scan). Units: margin accumulates in "micro" space
+#: so every term is an exact BIGINT product of a BIGINT feature.
+QUALITY_WEIGHTS = {
+    "bias": -800_000,
+    "n_tokens": 5_000,
+    "lexdiv_ppm": 1,
+    "stop_ppm": -2,
+}
+
+#: the feature's stopword inventory (tiny on purpose — the FEATURE is
+#: the ratio, the inventory is a model artifact like the weights)
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Model-based quality filtering — linear-classifier inference
+    over engineered features, the CCNet/fasttext deployment shape
+    done Spark-first: the model is a broadcast-constant weight
+    vector, inference is ONE projection over the scan (no shuffle,
+    no UDF), and the decision margin is exact BIGINT micro-units so
+    the verdict is bit-identical on any engine or partitioning (same
+    integer-ppm discipline as :func:`token_rarity`).
+
+    Features per document: token count, lexical diversity ppm,
+    stopword-ratio ppm. Returns features + ``margin_micro`` +
+    ``keep`` (margin > 0). A real pipeline retrains the weights and
+    redeploys them as constants; sigmoid-calibrated probabilities are
+    monotone in the margin, so thresholding the margin IS
+    thresholding the probability.
+    """
+    w = dict(QUALITY_WEIGHTS)
+    if weights:
+        w.update(weights)
+    t = tokens()
+    feat = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000L"
+            " div size(split(lower(text), ' '))"
+        ).alias("lexdiv_ppm"),
+        F.expr(
+            "size(filter(split(lower(text), ' '), x -> x in "
+            + "("
+            + ", ".join("'" + s + "'" for s in QUALITY_STOPWORDS)
+            + "))) * 1000000L div size(split(lower(text), ' '))"
+        ).alias("stop_ppm"),
+    )
+    return feat.withColumn(
+        "margin_micro",
+        F.lit(int(w["bias"])).cast("bigint")
+        + F.lit(int(w["n_tokens"])).cast("bigint") * F.col("n_tokens")
+        + F.lit(int(w["lexdiv_ppm"])).cast("bigint") * F.col("lexdiv_ppm")
+        + F.lit(int(w["stop_ppm"])).cast("bigint") * F.col("stop_ppm"),
+    ).withColumn("keep", F.col("margin_micro") > 0)

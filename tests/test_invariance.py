@@ -39,6 +39,7 @@ QUERIES = [
                           # must not depend on the range split count)
     "slice_roundtrip",    # distributed slice export→import identity
     "bigram_lm",          # exact-integer bigram ppm
+    "quality_classifier", # integer micro-unit margin
     "bpe_train",          # argmax-dependent merge learning
     "semantic_dedup",     # per-cluster GEMM + union-find
 ]

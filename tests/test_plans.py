@@ -457,3 +457,16 @@ def test_semantic_dedup_single_cluster_exchange(spark):
     # similarity never becomes shuffled rows
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Cartesian" not in plan and "Join" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    import ceres_spark.operators.corpus as corp
+
+    plan = plan_of(
+        corp.quality_classifier(tbl.load(spark, "documents", SF))
+    )
+    # model inference = one projection over the scan: no shuffle,
+    # no join, no UDF
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # stays in whole-stage codegen
