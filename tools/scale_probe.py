@@ -196,6 +196,34 @@ def time_new_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_corpus_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Round-3 corpus additions: bigram-LM scoring (linear agg/join),
+    BPE training (one corpus pass + bounded-vocab learn), semantic
+    dedup (cluster-bounded GEMM), classifier inference (pure scan)."""
+    import ceres_spark.operators.bpe as bpe
+    import ceres_spark.operators.corpus as corp
+    import ceres_spark.operators.semdedup as sdd
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    corp.bigram_lm_score(docs).count()
+    t["bigram_lm"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    corp.quality_classifier(docs).count()
+    t["quality_classifier"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    bpe.bpe_train(docs, n_merges=8).count()
+    t["bpe_train"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    sdd.semantic_dedup(
+        emb, tau=0.9, k=16, cache_key=f"{sf_dir}/embeddings"
+    ).count()
+    t["semantic_dedup"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -203,6 +231,7 @@ def main() -> None:
     time_pipeline(spark, base)  # warm up JVM/codegen before timing
     time_text_pipeline(spark, base)  # + python worker pool
     time_new_ops(spark, base)
+    time_corpus_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -225,6 +254,7 @@ def main() -> None:
             timings = time_pipeline(spark, td)
             timings.update(time_text_pipeline(spark, td))
             timings.update(time_new_ops(spark, td))
+            timings.update(time_corpus_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
