@@ -394,6 +394,7 @@ QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 def quality_classifier(
     docs: DataFrame,
     weights: dict[str, int] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality filtering — linear-classifier inference
     over engineered features, the CCNet/fasttext deployment shape
@@ -416,6 +417,7 @@ def quality_classifier(
     t = tokens()
     feat = docs.select(
         "doc_id",
+        *keep_cols,
         F.size(t).cast("bigint").alias("n_tokens"),
         F.expr(
             "size(array_distinct(split(lower(text), ' '))) * 1000000L"
