@@ -1351,6 +1351,15 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered per-source token-budget fill: exact-integer
+    margin order + BIGINT running token sum decide the training mix —
+    one source-keyed window shuffle."""
+    return corp.token_budget_fill(
+        tbl.load(spark, "documents", sf_dir), budget_per_source=150
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) embedding-space near-dup removal:
     k-means clusters bound the pairwise cosine to Σ|cluster|² in-task
@@ -1457,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames_real": _q_multimodal_frames_real,
         "bigram_lm": _q_bigram_lm,
         "quality_classifier": _q_quality_classifier,
+        "token_budget_fill": _q_token_budget_fill,
         # rows-only: iterative argmax-dependent merge learning — no
         # SQL oracle; bit-equality to the reference algorithm is
         # pytest-pinned (tests/test_bpe.py)
@@ -3384,6 +3394,33 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "token_budget_fill": """
+WITH f AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS l
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(-800000 + 5000 * len(l)
+              + len(list_distinct(l)) * 1000000 // len(l)
+              - 2 * (len(list_filter(l, x -> x IN
+                  ('the','a','of','and','to','in','is','on')))
+                  * 1000000 // len(l)) AS BIGINT) AS margin_micro
+  FROM f
+)
+SELECT doc_id, source, n_tokens, margin_micro,
+       CAST(SUM(n_tokens) OVER (
+         PARTITION BY source
+         ORDER BY margin_micro DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       SUM(n_tokens) OVER (
+         PARTITION BY source
+         ORDER BY margin_micro DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) <= 150 AS selected
+FROM feat
 """,
         "quality_classifier": """
 WITH f AS (

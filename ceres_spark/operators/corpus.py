@@ -437,3 +437,40 @@ def quality_classifier(
         + F.lit(int(w["lexdiv_ppm"])).cast("bigint") * F.col("lexdiv_ppm")
         + F.lit(int(w["stop_ppm"])).cast("bigint") * F.col("stop_ppm"),
     ).withColumn("keep", F.col("margin_micro") > 0)
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    budget_per_source: int = 2000,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Quality-ordered budget fill — the step that turns a scored
+    corpus into a training mix: within each source, take documents in
+    descending classifier-margin order until the source's token
+    budget is spent. Everything is exact integers (the BIGINT
+    micro-unit margin from :func:`quality_classifier`, BIGINT token
+    counts, BIGINT running sum with a doc_id tie-break), so the
+    selected set is identical on any engine or partitioning.
+
+    One window shuffle keyed by source; the running sum is a ROWS
+    frame (no peers ambiguity). A pathologically hot source is the
+    same skew regime as :func:`cap_per_source` — same escape hatch
+    (hash-threshold pre-sampling), same rationale.
+
+    Returns ``doc_id, source, n_tokens, margin_micro, cum_tokens,
+    selected`` — ``selected`` marks docs whose cumulative token count
+    (inclusive) fits the budget.
+    """
+    scored = quality_classifier(docs, weights=weights, keep_cols=("source",))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("margin_micro"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.select("doc_id", "source", "n_tokens", "margin_micro")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "selected", F.col("cum_tokens") <= int(budget_per_source)
+        )
+    )

@@ -118,3 +118,31 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     n_poor = sum(1 for d in kept if d >= 100)
     assert n_rich == 50                                # p=1.0 keeps all
     assert n_poor <= 5                                 # p≈0.02 keeps few
+
+
+def test_token_budget_fill_semantics(spark):
+    import ceres_spark.operators.corpus as corp
+
+    rows = [
+        # (doc_id, text, source): margins order by diversity/length
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+        (2, "alpha alpha alpha alpha alpha alpha alpha alpha", "s1"),
+        (3, "one two three four five six seven eight nine ten", "s1"),
+        (4, "solo document for another source entirely here now", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = {
+        r["doc_id"]: r
+        for r in corp.token_budget_fill(docs, budget_per_source=18).collect()
+    }
+    # s1: docs 1 (8 tokens) and 3 (10 tokens) have full diversity and
+    # outrank the repetitive doc 2; 8+10=18 fits exactly, doc 2 does not
+    assert res[1]["selected"] and res[3]["selected"]
+    assert not res[2]["selected"]
+    assert res[4]["selected"]  # s2's budget is its own
+    # cumulative sums are per-source and inclusive
+    assert res[4]["cum_tokens"] == res[4]["n_tokens"]
+    assert max(res[1]["cum_tokens"], res[3]["cum_tokens"]) == 18
