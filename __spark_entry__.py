@@ -1351,6 +1351,19 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift monitor: top-50 tokens by absolute document-
+    frequency-rate change between two corpus halves (doc_id parity as
+    the deterministic snapshot split) — exact BIGINT ppm rates, full
+    outer vocabulary join, TakeOrdered top-n."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    return corp.vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_n=50,
+    )
+
+
 def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ordered per-source token-budget fill: exact-integer
     margin order + BIGINT running token sum decide the training mix —
@@ -1467,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "quality_classifier": _q_quality_classifier,
         "token_budget_fill": _q_token_budget_fill,
+        "vocab_drift": _q_vocab_drift,
         # rows-only: iterative argmax-dependent merge learning — no
         # SQL oracle; bit-equality to the reference algorithm is
         # pytest-pinned (tests/test_bpe.py)
@@ -3394,6 +3408,38 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "vocab_drift": """
+WITH a AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 2 = 0
+  )
+), b AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 2 = 1
+  )
+), dfa AS (SELECT token, COUNT(*) AS df_a FROM a GROUP BY 1),
+dfb AS (SELECT token, COUNT(*) AS df_b FROM b GROUP BY 1),
+na AS (SELECT COUNT(*) AS n_a FROM documents WHERE doc_id % 2 = 0),
+nb AS (SELECT COUNT(*) AS n_b FROM documents WHERE doc_id % 2 = 1),
+j AS (
+  SELECT token,
+         CAST(COALESCE(df_a, 0) AS BIGINT) AS df_a,
+         CAST(COALESCE(df_b, 0) AS BIGINT) AS df_b,
+         CAST(COALESCE(df_a, 0) * 1000000 // n_a AS BIGINT)
+           AS rate_a_ppm,
+         CAST(COALESCE(df_b, 0) * 1000000 // n_b AS BIGINT)
+           AS rate_b_ppm
+  FROM dfa FULL OUTER JOIN dfb USING (token)
+  CROSS JOIN na CROSS JOIN nb
+)
+SELECT token, df_a, df_b, rate_a_ppm, rate_b_ppm,
+       CAST(abs(rate_a_ppm - rate_b_ppm) AS BIGINT) AS drift_ppm
+FROM j
+ORDER BY drift_ppm DESC, token
+LIMIT 50
 """,
         "token_budget_fill": """
 WITH f AS (

@@ -474,3 +474,55 @@ def token_budget_fill(
             "selected", F.col("cum_tokens") <= int(budget_per_source)
         )
     )
+
+
+def vocab_drift(
+    docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50
+) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots — the
+    check a pipeline runs before mixing a new crawl into an existing
+    training set: which tokens' document-frequency RATES moved most?
+
+    Rates are exact BIGINT ppm (``df * 1e6 div n_docs`` per side), the
+    drift score is their absolute difference — integers end to end, so
+    the ranked report is engine- and partitioning-exact, and a token
+    absent from one side scores its full rate on the other (full outer
+    join, zero-coalesced).
+
+    Plan: one distinct-token explode + token-keyed count per side
+    (map-side combine), one vocabulary-sized full outer join, top-n
+    via TakeOrderedAndProject. The corpora are each touched once; the
+    join never exceeds vocabulary cardinality.
+    """
+    def side(docs: DataFrame, name: str) -> tuple[DataFrame, DataFrame]:
+        tok = docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+        )
+        return (
+            tok.groupBy("token").agg(F.count("*").alias(f"df_{name}")),
+            docs.select(F.count("*").alias(f"n_{name}")),
+        )
+
+    dfa, na = side(docs_a, "a")
+    dfb, nb = side(docs_b, "b")
+    joined = (
+        dfa.join(dfb, "token", "full_outer")
+        .join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .select(
+            "token",
+            F.coalesce("df_a", F.lit(0)).alias("df_a"),
+            F.coalesce("df_b", F.lit(0)).alias("df_b"),
+            F.expr("coalesce(df_a, 0L) * 1000000L div n_a").alias(
+                "rate_a_ppm"
+            ),
+            F.expr("coalesce(df_b, 0L) * 1000000L div n_b").alias(
+                "rate_b_ppm"
+            ),
+        )
+        .withColumn(
+            "drift_ppm",
+            F.abs(F.col("rate_a_ppm") - F.col("rate_b_ppm")),
+        )
+    )
+    return joined.orderBy(F.desc("drift_ppm"), "token").limit(int(top_n))

@@ -146,3 +146,21 @@ def test_token_budget_fill_semantics(spark):
     # cumulative sums are per-source and inclusive
     assert res[4]["cum_tokens"] == res[4]["n_tokens"]
     assert max(res[1]["cum_tokens"], res[3]["cum_tokens"]) == 18
+
+
+def test_vocab_drift_planted(spark):
+    import ceres_spark.operators.corpus as corp
+
+    mk = lambda rows: spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # "new" appears in every B doc and no A doc; "old" the reverse;
+    # "same" is everywhere
+    a = mk([(i, "same old filler words here") for i in range(4)])
+    b = mk([(10 + i, "same new filler words here") for i in range(4)])
+    res = {r["token"]: r for r in corp.vocab_drift(a, b, top_n=10).collect()}
+    assert res["old"]["drift_ppm"] == 1_000_000
+    assert res["new"]["drift_ppm"] == 1_000_000
+    assert res["same"]["drift_ppm"] == 0
+    assert res["new"]["df_a"] == 0 and res["new"]["rate_b_ppm"] == 1_000_000

@@ -40,6 +40,8 @@ QUERIES = [
     "slice_roundtrip",    # distributed slice export→import identity
     "bigram_lm",          # exact-integer bigram ppm
     "quality_classifier", # integer micro-unit margin
+    "token_budget_fill",  # margin-ordered BIGINT running sums
+    "vocab_drift",        # full-outer ppm rates + top-n total order
     "bpe_train",          # argmax-dependent merge learning
     "semantic_dedup",     # per-cluster GEMM + union-find
 ]
