@@ -1434,8 +1434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     set/window ops rotated out during r2 plus top_series/moving_median/
     winsorize and the formerly-rows-only group (ewma/holt×2/pq;
     simhash_pairs_global is now ORACLE-PAIRED via the md5-lower64
-    from-text oracle); (b) the 2 queries NEW this round
-    (topk_cosine_ivfpq, slice_roundtrip); (c) the 7 entries whose
+    from-text oracle); (b) the queries NEW this round
+    (topk_cosine_ivfpq, slice_roundtrip, multimodal_frames_real,
+    bigram_lm, quality_classifier, token_budget_fill, vocab_drift,
+    bpe_train, semantic_dedup); (c) the 7 entries whose
     semantics changed AFTER their last driver row (fuzzy_pairs regime
     dispatcher; multimodal_decode real codec; series_transform/
     series_linreg/frequent_items determinism fixes; minhash/simhash
