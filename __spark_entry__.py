@@ -1351,6 +1351,31 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank authority over the nation-level trade graph (domain-
+    level, the granularity a corpus pipeline ranks) — supplier-nation
+    → customer-nation edges from lineitem⋈orders; decimal-accumulated
+    iterations, proper dangling redistribution. Rows-only (iterative
+    fixpoint); numpy power-iteration equality and partitioning
+    invariance are pytest-pinned (tests/test_graph.py)."""
+    li = tbl.load(spark, "lineitem", sf_dir)
+    o = tbl.load(spark, "orders", sf_dir)
+    s = tbl.load(spark, "supplier", sf_dir)
+    c = tbl.load(spark, "customer", sf_dir)
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return gr.pagerank(edges, n_iter=6).orderBy("node")
+
+
 def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-drift monitor: top-50 tokens by absolute document-
     frequency-rate change between two corpus halves (doc_id parity as
@@ -1483,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "token_budget_fill": _q_token_budget_fill,
         "vocab_drift": _q_vocab_drift,
+        # rows-only: iterative fixpoint — no SQL oracle; power-
+        # iteration equality pytest-pinned (tests/test_graph.py)
+        "nation_pagerank": _q_nation_pagerank,
         # rows-only: iterative argmax-dependent merge learning — no
         # SQL oracle; bit-equality to the reference algorithm is
         # pytest-pinned (tests/test_bpe.py)

@@ -205,3 +205,112 @@ def connected_components_star(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    tol: float = 0.0,
+) -> DataFrame:
+    """PageRank over the DIRECTED graph ``edges`` — the authority
+    score a corpus pipeline hangs off its domain/source link graph
+    (the CommonCrawl-style seed-quality signal). Brin & Page 1998
+    semantics with proper dangling-mass redistribution: every
+    iteration, rank lost at sink nodes is spread uniformly, so ranks
+    sum to 1 at every step.
+
+    Determinism at scale: per-node contribution sums and the dangling
+    mass cross shuffle boundaries as DECIMAL(38,18), not doubles —
+    float addition is order-dependent, so a double sum would make
+    ranks depend on partitioning (the invariance contract every
+    oracle-paired op here keeps; pytest pins partitioning-equality
+    and ≤1e-9 agreement with a numpy power-iteration reference).
+
+    Plan per iteration: one join of the edge list with the current
+    rank vector (rank vector is node-cardinality — broadcast when
+    small, shuffle-keyed when not; AQE decides), one dst-keyed
+    aggregate with map-side combine, one scalar dangling aggregate.
+    Lineage is truncated every few rounds like the CC loops. With
+    ``tol > 0`` iteration stops early when the L1 delta (in decimal)
+    drops below it.
+    """
+    D = "decimal(38,18)"
+    # materialize the edge list ONCE — nodes/degrees/dangling all
+    # derive from it, and the caller's edge construction may be an
+    # expensive join it must not pay three times
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("u").agg(F.count("*").alias("_deg"))
+    e_deg = e.join(deg, "u").localCheckpoint(eager=True)
+    # the dangling SET is static — compute it once; when it is empty
+    # (every node has out-edges) the whole per-iteration dangling
+    # action disappears and iterations stay fully lazy between
+    # checkpoints
+    dangling = nodes.join(
+        deg, nodes["node"] == deg["u"], "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling.limit(1).count())
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n).cast(D))
+    base = (1.0 - float(damping)) / n
+    for it in range(1, int(n_iter) + 1):
+        contrib = (
+            e_deg.join(ranks, e_deg["u"] == ranks["node"])
+            .select(
+                "v",
+                (F.col("rank") / F.col("_deg")).cast(D).alias("_c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("_c").cast(D).alias("_in"))
+        )
+        if has_dangling:
+            dangle = (
+                ranks.join(dangling.select("node"), "node")
+                .agg(F.sum("rank").cast(D).alias("_d"))
+                .collect()[0]["_d"]
+            )
+            dangle_share = float(dangle or 0) / n
+        else:
+            dangle_share = 0.0
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0).cast(D))
+                        + F.lit(dangle_share).cast(D)
+                    )
+                )
+                .cast(D)
+                .alias("rank"),
+            )
+        )
+        if it % 3 == 0 or it == int(n_iter):
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_l1"))
+                .collect()[0]["_l1"]
+            )
+            ranks = new_ranks
+            if float(delta) < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks.select(
+        "node", F.col("rank").cast("double").alias("rank")
+    )

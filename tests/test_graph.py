@@ -79,3 +79,69 @@ def test_star_handles_high_diameter_chain(spark):
     }
     assert len(out) == n
     assert set(out.values()) == {0}
+
+
+def ref_pagerank(edges, n_iter=10, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nr = np.full(n, (1 - d) / n)
+        dangle = sum(r[ix[u]] for u in nodes if deg[u] == 0)
+        nr += d * dangle / n
+        for u, v in edges:
+            nr[ix[v]] += d * r[ix[u]] / deg[u]
+        r = nr
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    import ceres_spark.operators.graph as gr
+
+    # a graph with a hub, a chain, and a dangling sink
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank(df, n_iter=12).collect()
+    }
+    want = ref_pagerank(edges, n_iter=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_partitioning_invariant(spark):
+    import ceres_spark.operators.graph as gr
+
+    edges = [(i, (i * 7) % 23) for i in range(60)] + [(3, 40), (40, 3)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, gr.pagerank(df.repartition(1), n_iter=6).collect()))
+    b = sorted(
+        map(tuple, gr.pagerank(df.repartition(13, "src"), n_iter=6).collect())
+    )
+    assert a == b  # decimal accumulation: bit-equal under repartition
+
+
+def test_pagerank_early_exit_converges(spark):
+    import ceres_spark.operators.graph as gr
+
+    edges = [(1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {
+        r["node"]: r["rank"] for r in gr.pagerank(df, n_iter=40).collect()
+    }
+    tol = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank(df, n_iter=40, tol=1e-12).collect()
+    }
+    for v in full:
+        assert abs(full[v] - tol[v]) < 1e-9
