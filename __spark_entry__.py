@@ -1425,6 +1425,20 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer: learn 10 BPE merges on the corpus, then
+    apply them corpus-wide as M chained JVM fold passes (map-only —
+    no join, no shuffle until nothing). Rows-only (train is
+    iterative); segmentation exactness is pytest-pinned against the
+    reference implementation (tests/test_bpe.py)."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_train(docs, n_merges=10).collect()
+    ]
+    return bpe.bpe_segment(docs, merges)
+
+
 def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped LM quality filter: corpus-trained bigram model in
     exact BIGINT ppm, per-doc transition-probability stats (min / sum
@@ -1515,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL oracle; bit-equality to the reference algorithm is
         # pytest-pinned (tests/test_bpe.py)
         "bpe_train": _q_bpe_train,
+        "bpe_segment": _q_bpe_segment,
         # rows-only: float cosine components — no SQL oracle;
         # numpy-reference equality pytest-pinned (tests/test_semdedup.py)
         "semantic_dedup": _q_semantic_dedup,

@@ -44,6 +44,8 @@ QUERIES = [
     "vocab_drift",        # full-outer ppm rates + top-n total order
     "bpe_train",          # argmax-dependent merge learning
     "semantic_dedup",     # per-cluster GEMM + union-find
+    "nation_pagerank",    # decimal-accumulated rank fixpoint
+    "bpe_segment",        # train + map-only merge application
 ]
 
 
