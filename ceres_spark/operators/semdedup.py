@@ -63,6 +63,13 @@ def _group_components(ids: np.ndarray, V: np.ndarray, tau: float) -> np.ndarray:
     return ids[roots]
 
 
+#: per-cluster row cap: the in-task GEMM is |cluster|² doubles, so
+#: 20k rows ≈ 3.2 GB — the last size that fits a default executor
+#: task. Oversized clusters fail LOUDLY with a re-dial hint instead
+#: of a silent task OOM (same contract as pq.bounded_query_rows).
+MAX_CLUSTER_ROWS = 20_000
+
+
 def semantic_dedup(
     vectors: DataFrame,
     tau: float = 0.95,
@@ -70,6 +77,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str = "semantic_dedup",
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
 ) -> DataFrame:
     """Per-vector semantic-dup verdict: ``vec_id, cluster, group_head,
     is_kept`` where ``group_head`` is the smallest id in the vector's
@@ -83,6 +91,13 @@ def semantic_dedup(
     assigned = _assign(vectors, centroids, id_col, vec_col)
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > int(max_cluster_rows):
+            raise ValueError(
+                f"semantic_dedup cluster has {len(pdf)} rows "
+                f"(> max_cluster_rows={max_cluster_rows}); the in-task "
+                "similarity matrix would not fit a task. Raise k (more, "
+                "smaller clusters) or max_cluster_rows (more task memory)."
+            )
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -113,3 +113,14 @@ def test_planted_dups_dropped(spark, planted):
     for r in res:
         if r["vec_id"] in heads:
             assert r["is_kept"] == (r["vec_id"] == r["group_head"])
+
+
+def test_oversized_cluster_raises(spark, planted):
+    import pytest as _pt
+
+    df, _ = planted
+    with _pt.raises(Exception, match="max_cluster_rows"):
+        sd.semantic_dedup(
+            df, tau=0.95, k=4, cache_key="semdedup-test",
+            max_cluster_rows=3,
+        ).collect()
