@@ -97,3 +97,45 @@ def test_exact_and_near_dups_rejected(spark, tmp_path):
     assert by_id[101]["ingest"] is False  # exact dup (hamming 0)
     assert by_id[100]["ingest"] is False  # near dup
     assert by_id[1]["ingest"] is True  # the original wins
+
+
+def test_state_survives_query_restart(spark, tmp_path):
+    """Stop the stream, append new arrivals, START A NEW QUERY on the
+    same checkpoint: the band state must be restored, so a dup of a
+    doc ingested before the restart is still caught."""
+    rows = _mk_docs()
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once(batch_rows):
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # the FILE sink is the recovery-capable one (memory sink
+        # cannot restore from a checkpoint) — also the production
+        # shape: verdicts land in a table
+        q = (
+            ci.corpus_ingest_stream(stream, max_hamming=3)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once(rows[:6])        # originals ingested, then the query STOPS
+    run_once(rows[6:])        # new query, same checkpoint: dups arrive
+    res = ci.materialize_ingest_batch(spark.read.parquet(out))
+    by_id = {r["doc_id"]: r for r in res.collect()}
+    # docs 100/101 duplicate docs 1/2 from BEFORE the restart — only
+    # restored state can know that
+    assert by_id[100]["ingest"] is False and by_id[100]["dup_of"] == 1
+    assert by_id[101]["ingest"] is False and by_id[101]["dup_of"] == 2
