@@ -1351,6 +1351,19 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval decontamination: flag training vectors with
+    cosine ≥ 0.30 to any of the 25 broadcast eval vectors — the
+    embedding twin of the n-gram contamination gate; fold cosine is
+    bit-equal to the oracle's list_reduce."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return sim.embedding_decontamination(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        tau=0.30,
+    )
+
+
 def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank authority over the nation-level trade graph (domain-
     level, the granularity a corpus pipeline ranks) — supplier-nation
@@ -1522,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "token_budget_fill": _q_token_budget_fill,
         "vocab_drift": _q_vocab_drift,
+        "embedding_decontamination": _q_embedding_decontamination,
         # rows-only: iterative fixpoint — no SQL oracle; power-
         # iteration equality pytest-pinned (tests/test_graph.py)
         "nation_pagerank": _q_nation_pagerank,
@@ -3453,6 +3467,28 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "embedding_decontamination": f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < 25
+), tr AS (
+  SELECT vec_id, v FROM e WHERE vec_id >= 25
+), scored AS (
+  SELECT tr.vec_id, {_cos('tr.v', 'ev.evv')} AS sim
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN sim >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eval_hits,
+       MAX(sim) AS max_eval_sim,
+       SUM(CASE WHEN sim >= 0.30 THEN 1 ELSE 0 END) > 0
+         AS is_contaminated
+FROM scored
+GROUP BY vec_id
 """,
         "vocab_drift": """
 WITH a AS (

@@ -450,3 +450,53 @@ def topk_cosine_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "label", "cosine_sim_q8", "rank")
     )
+
+
+def embedding_decontamination(
+    emb: DataFrame,
+    eval_vectors: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic train/eval decontamination — the embedding-space twin
+    of :func:`ceres_spark.operators.dedup.contamination` (which works
+    on n-grams): flag every training vector whose cosine similarity
+    to ANY benchmark/eval vector reaches ``tau``, so paraphrased or
+    near-verbatim eval leakage is caught even when no n-gram matches.
+
+    Same scale shape as its n-gram twin: the EVAL side is the small
+    one (benchmark suites are thousands of items) and is broadcast,
+    so the corpus streams through one BroadcastNestedLoopJoin +
+    aggregate — the 100 TB side never shuffles. For eval sets too big
+    to broadcast, route through the IVF index instead (probe each
+    eval vector, union the hit lists).
+
+    All arithmetic is the JVM-side fold cosine (similarity.cosine) —
+    bit-identical to the DuckDB oracle's list_reduce fold, like every
+    other cosine entry here. Returns one row per training vector:
+    ``vec_id, n_eval_hits, max_eval_sim, is_contaminated``.
+    """
+    ev = F.broadcast(
+        eval_vectors.select(
+            F.col(id_col).alias("_eval_id"),
+            F.col(vec_col).alias("_eval_vec"),
+        )
+    )
+    sim_col = cosine(F.col(vec_col), F.col("_eval_vec"))
+    return (
+        emb.select(id_col, vec_col)
+        .join(ev)
+        .select(
+            id_col,
+            sim_col.alias("_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("_sim") >= float(tau)).cast("bigint")).alias(
+                "n_eval_hits"
+            ),
+            F.max("_sim").alias("max_eval_sim"),
+        )
+        .withColumn("is_contaminated", F.col("n_eval_hits") > 0)
+    )

@@ -45,6 +45,7 @@ QUERIES = [
     "bpe_train",          # argmax-dependent merge learning
     "semantic_dedup",     # per-cluster GEMM + union-find
     "nation_pagerank",    # decimal-accumulated rank fixpoint
+    "embedding_decontamination",  # fold-cosine threshold counts
     "bpe_segment",        # train + map-only merge application
 ]
 
