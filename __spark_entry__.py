@@ -1351,6 +1351,30 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger 2009): text → exact BIGINT
+    32-dim vectors via portable md5 arithmetic — bridges the document
+    corpus onto the embedding stack with no model and no floats."""
+    return corp.hash_embed(tbl.load(spark, "documents", sf_dir), dim=32)
+
+
+def _q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TEXT semantic dedup: hash-embed the documents, then
+    SemDeDup over the derived vectors (k-means clusters → in-task
+    cosine components). Rows-only (k-means + float cosine); both
+    stages are individually pinned (hash_embed oracle-paired,
+    semantic_dedup numpy-reference pytest)."""
+    vecs = corp.hash_embed(
+        tbl.load(spark, "documents", sf_dir), dim=32
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr("transform(vec, x -> cast(x as double))").alias("embedding"),
+    )
+    return sdd.semantic_dedup(
+        vecs, tau=0.95, k=8, cache_key=f"{sf_dir}/hash_embed"
+    )
+
+
 def _q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic eval decontamination: flag training vectors with
     cosine ≥ 0.30 to any of the 25 broadcast eval vectors — the
@@ -1536,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_fill": _q_token_budget_fill,
         "vocab_drift": _q_vocab_drift,
         "embedding_decontamination": _q_embedding_decontamination,
+        "hash_embed": _q_hash_embed,
+        # rows-only: k-means + float cosine — stages pinned separately
+        "semantic_dedup_docs": _q_semantic_dedup_docs,
         # rows-only: iterative fixpoint — no SQL oracle; power-
         # iteration equality pytest-pinned (tests/test_graph.py)
         "nation_pagerank": _q_nation_pagerank,
@@ -3466,6 +3493,30 @@ SELECT doc_id,
        CAST(SUM((df * 1000000) // n_docs) AS BIGINT)
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
+GROUP BY doc_id
+""",
+        "hash_embed": """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  ) WHERE token != ''
+), b AS (
+  SELECT doc_id, h % 32 AS bucket,
+         CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM tok
+), agg AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+  FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, r.range AS bucket
+  FROM (SELECT DISTINCT doc_id FROM agg) d CROSS JOIN range(0, 32) r
+)
+SELECT doc_id,
+       list(COALESCE(v, 0) ORDER BY bucket) AS vec
+FROM grid LEFT JOIN agg USING (doc_id, bucket)
 GROUP BY doc_id
 """,
         "embedding_decontamination": f"""

@@ -526,3 +526,60 @@ def vocab_drift(
         )
     )
     return joined.orderBy(F.desc("drift_ppm"), "token").limit(int(top_n))
+
+
+def hash_embed(docs: DataFrame, dim: int = 32) -> DataFrame:
+    """Deterministic text featurization — signed feature hashing
+    (the "hashing trick", Weinberger et al. 2009, public ICML paper)
+    into a ``dim``-wide integer vector: every token occurrence adds
+    ±1 to the bucket ``md5(token) mod dim``, sign taken from the next
+    hash bits. No trained model, no float: the embedding is an exact
+    BIGINT vector, identical on any engine (md5 is portable and the
+    arithmetic is integer), which is what makes this entry
+    oracle-checkable — and it bridges the TEXT corpus onto the whole
+    embedding stack (semantic dedup, ANN, decontamination) without
+    shipping a model into the engine.
+
+    Plan: one explode, one (doc, bucket)-keyed aggregate with
+    map-side combine, one doc-keyed map assembly; the dense array is
+    built JVM-side from the sparse map (no pivot, no second shuffle
+    beyond the doc key the caller needs anyway).
+    """
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    # 15 hex digits < 2^60 fit a BIGINT exactly; all further
+    # arithmetic stays integer (div, %) — a double division here
+    # would lose exactness above 2^53
+    hashed = tok.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
+        ).alias("_h"),
+    )
+    buckets = (
+        hashed.select(
+            "doc_id",
+            (F.col("_h") % int(dim)).alias("bucket"),
+            F.when(
+                F.expr(f"_h div {int(dim)}") % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("v"))
+    )
+    return (
+        buckets.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {int(dim) - 1}), "
+                "i -> coalesce(element_at(_m, cast(i as bigint)), 0L))"
+            ).alias("vec"),
+        )
+    )

@@ -164,3 +164,36 @@ def test_vocab_drift_planted(spark):
     assert res["new"]["drift_ppm"] == 1_000_000
     assert res["same"]["drift_ppm"] == 0
     assert res["new"]["df_a"] == 0 and res["new"]["rate_b_ppm"] == 1_000_000
+
+
+def test_hash_embed_properties(spark):
+    import ceres_spark.operators.corpus as corp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", "s", 16),
+            (2, "alpha beta alpha", "en", "s", 16),  # identical text
+            (3, "gamma delta epsilon", "en", "s", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = {r["doc_id"]: r["vec"] for r in corp.hash_embed(docs, dim=16).collect()}
+    assert len(res[1]) == 16
+    assert res[1] == res[2]          # content-determined
+    assert res[1] != res[3]
+
+    # exact mirror of the spec: bucket = md5_int60 % dim, sign from
+    # the next hash bits, per token OCCURRENCE
+    import hashlib
+
+    def ref_vec(text, dim=16):
+        v = [0] * dim
+        for t in text.lower().split(" "):
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            v[h % dim] += 1 if (h // dim) % 2 == 0 else -1
+        return v
+
+    for d, text in ((1, "alpha beta alpha"), (3, "gamma delta epsilon")):
+        assert list(res[d]) == ref_vec(text), d
