@@ -929,6 +929,15 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.anomaly_zscore(hourly, z=2.0)
 
 
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM mean-shift detector on the hourly series: exact
+    windowed-decimal running sums minus t·mean — the sustained-drift
+    alarm z-scores can't raise."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.cusum_changepoints(hourly, threshold=50.0)
+
+
 def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """keepLastValue over a dense day-1 fetch: gaps inherit the most
     recent value; leading gaps stay NULL."""
@@ -1561,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": _q_vocab_drift,
         "embedding_decontamination": _q_embedding_decontamination,
         "hash_embed": _q_hash_embed,
+        "cusum_changepoints": _q_cusum,
         # rows-only: k-means + float cosine — stages pinned separately
         "semantic_dedup_docs": _q_semantic_dedup_docs,
         # rows-only: iterative fixpoint — no SQL oracle; power-
@@ -2971,6 +2981,41 @@ SELECT metric, ts, value,
        (value - _mean) / sqrt(_ex2 - _mean * _mean) AS zscore
 FROM b JOIN stats USING (metric)
 WHERE abs((value - _mean) / sqrt(_ex2 - _mean * _mean)) >= 2.0
+""",
+        "cusum_changepoints": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts,
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value
+  FROM deduped GROUP BY 1, 2
+),
+stats AS (
+  SELECT metric,
+    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+        / COUNT(value) AS _mean
+  FROM b GROUP BY metric
+),
+runs AS (
+  SELECT metric, ts, value,
+    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) OVER (
+        PARTITION BY metric ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS VARCHAR) AS DOUBLE) AS _rsum,
+    CAST(COUNT(value) OVER (
+        PARTITION BY metric ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS _rn
+  FROM b
+)
+SELECT metric, ts, value,
+       _rsum - _rn * _mean AS cusum,
+       abs(_rsum - _rn * _mean) >= 50.0 AS is_changepoint
+FROM runs JOIN stats USING (metric)
 """,
         "forward_fill": f"""
 WITH {POINTS_CTE},

@@ -708,3 +708,53 @@ def winsorize(
             .alias("clipped"),
         )
     )
+
+
+def cusum_changepoints(
+    buckets: DataFrame, threshold: float = 50.0
+) -> DataFrame:
+    """Page's CUSUM changepoint detector per metric: the running sum
+    of deviations from the series mean, flagged where ``|cusum|``
+    exceeds ``threshold`` (in value units). A level shift makes the
+    cusum ramp linearly — the standard mean-shift detector monitoring
+    stacks run next to z-score alerting (which only catches POINT
+    outliers; CUSUM catches sustained drifts z-scores miss).
+
+    Exactness discipline: the running Σvalue is a windowed DECIMAL
+    accumulation (exact at any partitioning), the mean is the
+    string-routed decimal mean of :func:`anomaly_zscore`, and
+    ``cusum_t = Σ_{i≤t} v_i − t·mean`` is then two IEEE double ops —
+    identical in any engine, so the threshold cuts bit-identically.
+    One window shuffle on metric; the stats join is broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    dec = lambda c: (
+        F.sum(c.cast("string").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+    )
+    stats = buckets.groupBy("metric").agg(
+        (dec(F.col("value")) / F.count("value")).alias("_mean")
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_sum = (
+        F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    run_n = F.count("value").over(w)
+    j = buckets.join(F.broadcast(stats), "metric")
+    cusum = run_sum - run_n.cast("double") * F.col("_mean")
+    return j.select(
+        "metric",
+        "ts",
+        "value",
+        cusum.alias("cusum"),
+        (F.abs(cusum) >= F.lit(float(threshold))).alias("is_changepoint"),
+    )

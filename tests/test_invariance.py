@@ -46,6 +46,8 @@ QUERIES = [
     "semantic_dedup",     # per-cluster GEMM + union-find
     "nation_pagerank",    # decimal-accumulated rank fixpoint
     "embedding_decontamination",  # fold-cosine threshold counts
+    "hash_embed",         # md5-integer signed hashing
+    "cusum_changepoints", # windowed decimal running sums
     "bpe_segment",        # train + map-only merge application
 ]
 

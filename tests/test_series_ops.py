@@ -438,3 +438,27 @@ def test_holt_winters_seasonal_requires_step(spark):
     with pytest.raises(ValueError):
         ser.holt_winters(pts(spark, [("m", 0, 1.0, 0)]),
                          season_length=4)
+
+
+def test_cusum_detects_level_shift(spark):
+    import ceres_spark.operators.series as ser
+
+    # flat at 10 for 20 points, then shifts to 20: the cusum ramps
+    # after the shift and the flat prefix stays unflagged
+    rows = [("m", t * 60, 10.0) for t in range(20)] + [
+        ("m", (20 + t) * 60, 20.0) for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    res = sorted(
+        ser.cusum_changepoints(df, threshold=30.0).collect(),
+        key=lambda r: r["ts"],
+    )
+    # mean = 15; prefix cusum descends to -100, suffix climbs back to 0
+    assert res[0]["cusum"] == -5.0
+    assert min(r["cusum"] for r in res) == -100.0
+    assert abs(res[-1]["cusum"]) < 1e-9
+    flagged_ts = [r["ts"] for r in res if r["is_changepoint"]]
+    # the deepest ramp around the shift is flagged, the edges are not
+    # first flag at t=5: cusum = 6·(−5) = −30 hits the threshold
+    assert flagged_ts and min(flagged_ts) == 5 * 60
+    assert not res[0]["is_changepoint"] and not res[-1]["is_changepoint"]
