@@ -93,6 +93,23 @@ def main(argv: list[str] | None = None) -> int:
     mo.add_argument("slice_root")
     mo.add_argument("--step", type=int, default=60)
 
+    c = sub.add_parser(
+        "corpus",
+        help="run one corpus-pipeline stage over a documents parquet "
+        "and write the result as parquet (the batch-job surface of "
+        "the training-data operators)",
+    )
+    c.add_argument(
+        "stage",
+        choices=[
+            "gate", "classify", "budget-fill", "bigram-lm",
+            "hash-embed", "drift",
+        ],
+    )
+    c.add_argument("docs_path")
+    c.add_argument("out_path")
+    c.add_argument("--budget", type=int, default=100_000)
+
     e = sub.add_parser(
         "explain",
         help="print the physical plan of a registry query "
@@ -196,6 +213,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = export_slice_tree(spark, pts, args.slice_root, args.step)
         print(f"exported {n} slice file(s) to {args.slice_root}")
+    elif args.cmd == "corpus":
+        import ceres_spark.operators.corpus as corp
+
+        docs = spark.read.parquet(args.docs_path)
+        if args.stage == "gate":
+            out = corp.corpus_filter_gate(docs)
+        elif args.stage == "classify":
+            out = corp.quality_classifier(docs)
+        elif args.stage == "budget-fill":
+            out = corp.token_budget_fill(
+                docs, budget_per_source=args.budget
+            )
+        elif args.stage == "bigram-lm":
+            out = corp.bigram_lm_score(docs)
+        elif args.stage == "hash-embed":
+            out = corp.hash_embed(docs)
+        else:  # drift: doc_id-parity halves as the snapshot split
+            out = corp.vocab_drift(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        out.write.mode("overwrite").parquet(args.out_path)
+        n = spark.read.parquet(args.out_path).count()
+        print(f"{args.stage}: wrote {n} rows to {args.out_path}")
     elif args.cmd == "explain":
         # EXPLAIN surface over the whole query registry — the ceres
         # CLI never had one because it had no planner; this one is how

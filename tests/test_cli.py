@@ -110,3 +110,22 @@ def test_cli_explain_lists_and_prints_plan(capsys):
     assert "Physical Plan" in out and "Scan parquet" in out
 
     assert main(["explain", "nope_not_a_query"]) == 1
+
+
+def test_cli_corpus_stage(spark, tmp_path, capsys):
+    import ceres_spark.cli as cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s1", 22),
+            (2, "one two three four five", "en", "s2", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(src)
+    out = str(tmp_path / "scored")
+    rc = cli.main(["corpus", "classify", src, out])
+    assert rc == 0
+    assert "wrote 2 rows" in capsys.readouterr().out
+    cols = set(spark.read.parquet(out).columns)
+    assert {"doc_id", "margin_micro", "keep"} <= cols
