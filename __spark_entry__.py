@@ -1360,6 +1360,15 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.quality_classifier(tbl.load(spark, "documents", sf_dir))
 
 
+def _q_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG data path, oracle-checked WHOLE: overlapping
+    chunks → exact signed-hash embeddings → fold-cosine top-5 per
+    query chunk (queries = chunks of doc_id < 2, broadcast)."""
+    return chk.chunk_retrieval(
+        tbl.load(spark, "documents", sf_dir), query_docs_below=2, k=5
+    )
+
+
 def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (Weinberger 2009): text → exact BIGINT
     32-dim vectors via portable md5 arithmetic — bridges the document
@@ -1571,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": _q_embedding_decontamination,
         "hash_embed": _q_hash_embed,
         "cusum_changepoints": _q_cusum,
+        "chunk_retrieval": _q_chunk_retrieval,
         # rows-only: k-means + float cosine — stages pinned separately
         "semantic_dedup_docs": _q_semantic_dedup_docs,
         # rows-only: iterative fixpoint — no SQL oracle; power-
@@ -3539,6 +3549,73 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "chunk_retrieval": f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+    unnest(range(0, len(range(1, len(toks) + 1, 48)))) AS chunk_idx,
+    unnest(list_transform(range(1, len(toks) + 1, 48),
+           s -> array_to_string(toks[s:s + 63], ' '))) AS chunk_text
+  FROM d
+),
+ck AS (
+  SELECT doc_id * 1000000 + chunk_idx AS ckey, doc_id, chunk_idx,
+         chunk_text
+  FROM c
+),
+tok AS (
+  SELECT ckey, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT ckey, unnest(string_split(lower(chunk_text), ' ')) AS token
+    FROM ck
+  ) WHERE token != ''
+),
+bkt AS (
+  SELECT ckey, h % 32 AS bucket,
+         CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM tok
+),
+aggb AS (
+  SELECT ckey, bucket, CAST(SUM(sign) AS BIGINT) AS v
+  FROM bkt GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.ckey, r.range AS bucket
+  FROM (SELECT DISTINCT ckey FROM aggb) g CROSS JOIN range(0, 32) r
+),
+vecs AS (
+  SELECT grid.ckey,
+         list(CAST(COALESCE(v, 0) AS DOUBLE) ORDER BY bucket) AS v
+  FROM grid LEFT JOIN aggb USING (ckey, bucket)
+  GROUP BY grid.ckey
+),
+vk AS (
+  SELECT vecs.ckey, ck.doc_id, ck.chunk_idx, v
+  FROM vecs JOIN ck USING (ckey)
+  WHERE {_DOT.format(a='v', b='v')} > 0
+),
+q AS (
+  SELECT ckey AS q_ckey, doc_id AS query_doc,
+         chunk_idx AS query_chunk, v AS qv
+  FROM vk WHERE doc_id < 2
+),
+scored AS (
+  SELECT query_doc, query_chunk, vk.doc_id AS neighbor_doc,
+         vk.chunk_idx AS neighbor_chunk, vk.ckey AS n_ckey, q_ckey,
+         {_cos('qv', 'vk.v')} AS cosine_sim
+  FROM vk JOIN q ON vk.doc_id != q.query_doc
+)
+SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk,
+       cosine_sim, rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_ckey ORDER BY cosine_sim DESC, n_ckey
+  ) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         "hash_embed": """
 WITH tok AS (

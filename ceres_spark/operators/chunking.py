@@ -85,3 +85,80 @@ def pack_sequences(chunks: DataFrame, ctx: int = 256) -> DataFrame:
         )
         .withColumn("fill_frac", F.col("n_tokens") / F.lit(c))
     )
+
+
+def chunk_retrieval(
+    docs: DataFrame,
+    query_docs_below: int = 2,
+    k: int = 5,
+    dim: int = 32,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """End-to-end retrieval over chunks — the RAG data path composed
+    entirely from exact stages: overlapping token chunks
+    (:func:`chunk_documents`) → model-free signed-hash embeddings
+    (:func:`ceres_spark.operators.corpus.hash_embed`, exact BIGINT) →
+    fold-cosine top-k per query chunk. Because every stage is
+    engine-exact, the WHOLE pipeline is oracle-checkable — chunking,
+    featurization and ranking verified end-to-end in one query, not
+    just piecewise.
+
+    Query chunks are the chunks of ``doc_id < query_docs_below``
+    (broadcast — the query side of retrieval is always the small
+    side); corpus chunks never shuffle for the scoring join. Ranking
+    is totally ordered (cosine DESC, then neighbor chunk key), so
+    top-k is deterministic. Same-document chunks are excluded.
+    """
+    from ceres_spark.operators.corpus import hash_embed
+    from ceres_spark.operators.similarity import cosine
+
+    chunks = chunk_documents(docs, size=size, stride=stride)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("ckey"),
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_text").alias("text"),
+    )
+    vecs = (
+        hash_embed(keyed.select(F.col("ckey").alias("doc_id"), "text"),
+                   dim=dim)
+        .select(F.col("doc_id").alias("ckey"),
+                F.expr("transform(vec, x -> cast(x as double))").alias("v"))
+        # a chunk whose signed buckets fully cancel has no direction —
+        # exclude zero-norm vectors (mirrored in the oracle) instead
+        # of dividing by zero
+        .filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x) > 0"))
+        .join(keyed.select("ckey", "doc_id", "chunk_idx"), "ckey")
+    )
+    q = F.broadcast(
+        vecs.filter(F.col("doc_id") < int(query_docs_below)).select(
+            F.col("ckey").alias("q_ckey"),
+            F.col("doc_id").alias("query_doc"),
+            F.col("chunk_idx").alias("query_chunk"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        vecs.join(q, vecs["doc_id"] != q["query_doc"])
+        .select(
+            "q_ckey",
+            "query_doc",
+            "query_chunk",
+            F.col("doc_id").alias("neighbor_doc"),
+            F.col("chunk_idx").alias("neighbor_chunk"),
+            F.col("ckey").alias("n_ckey"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("q_ckey").orderBy(
+        F.desc("cosine_sim"), "n_ckey"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_doc", "query_chunk", "neighbor_doc",
+            "neighbor_chunk", "cosine_sim", "rank",
+        )
+    )

@@ -48,6 +48,7 @@ QUERIES = [
     "embedding_decontamination",  # fold-cosine threshold counts
     "hash_embed",         # md5-integer signed hashing
     "cusum_changepoints", # windowed decimal running sums
+    "chunk_retrieval",    # chunk → hash-embed → fold-cosine top-k
     "bpe_segment",        # train + map-only merge application
 ]
 
