@@ -129,7 +129,15 @@ def chunk_retrieval(
         # exclude zero-norm vectors (mirrored in the oracle) instead
         # of dividing by zero
         .filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x) > 0"))
-        .join(keyed.select("ckey", "doc_id", "chunk_idx"), "ckey")
+        # (doc_id, chunk_idx) come back out of the key ARITHMETICALLY
+        # — no join back to the chunk table, which would recompute the
+        # whole explode a second time
+        .select(
+            "ckey",
+            "v",
+            F.expr("ckey div 1000000").alias("doc_id"),
+            (F.col("ckey") % 1_000_000).alias("chunk_idx"),
+        )
     )
     q = F.broadcast(
         vecs.filter(F.col("doc_id") < int(query_docs_below)).select(
