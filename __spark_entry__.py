@@ -1541,6 +1541,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
+
+    ROTATION PLAN (round 4): after CORRECTNESS_r03, union driver
+    coverage is 138/138. For r4, park the r3 prefix greens and
+    promote (a) anything changed in r4, (b) new r4 entries, (c) the
+    r2-green tail whose last driver row is oldest — start from the
+    "(d) r2 greens" comment below and fill to 50. Keep any entry
+    whose semantics changed in-round inside the prefix (ADVICE r2).
     """
     return {
         # --- (a) never driver-checked in r1/r2 ---
