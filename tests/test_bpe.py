@@ -159,3 +159,26 @@ def test_distributed_path_bit_equal_to_local(spark, words, n_merges):
     assert [tuple(r)[:4] for r in local] == [
         m[:3] + (m[1] + m[2],) for m in ref_bpe(spark_word_weights(rows), n_merges)
     ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+def test_sql_merge_fold_equals_reference(spark, syms, pair):
+    # the pure-SQL aggregate() fold must implement greedy
+    # left-to-right non-overlapping replace EXACTLY, incl. adjacent
+    # repeats ("aaa" under (a,a) -> [aa, a]) and empty arrays
+    left, right = pair
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(bpe._merge_expr(left, right).alias("out")).collect()[0][
+        "out"
+    ]
+    assert tuple(got) == ref_apply(tuple(syms), left, right)
