@@ -296,3 +296,91 @@ def running_stats_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- CUSUM
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_hi", DoubleType()),
+        StructField("s_lo", DoubleType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("s_hi", DoubleType()),
+        StructField("s_lo", DoubleType()),
+        StructField("alarm", StringType()),
+    ]
+)
+
+
+def make_cusum_update(mu0: float, slack: float, h: float):
+    """Page's ONLINE CUSUM recursion (the sequential original — the
+    batch twin at operators/series.cusum_changepoints uses the
+    retrospective whole-series form):
+
+        S⁺ ← max(0, S⁺ + (x − μ₀ − k))
+        S⁻ ← max(0, S⁻ + (μ₀ − k − x))
+        alarm when either exceeds h, then RESET that side
+
+    μ₀ is the in-control reference mean, ``slack`` the k allowance,
+    ``h`` the decision threshold — all deployment dials, exactly how
+    the sequential test is parameterized in the SPC literature.
+    State is three numbers per metric; rows inside a batch are
+    processed in ts order, so replaying the same stream reproduces
+    the same alarms bit-for-bit.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (metric,) = key
+        s_hi, s_lo, last_ts = (
+            state.get if state.exists else (0.0, 0.0, -1)
+        )
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            if value is None or pd.isna(value):
+                continue
+            s_hi = max(0.0, s_hi + (value - mu0 - slack))
+            s_lo = max(0.0, s_lo + (mu0 - slack - value))
+            alarm = ""
+            if s_hi > h:
+                alarm, s_hi = "high", 0.0
+            if s_lo > h:
+                alarm, s_lo = ("low", 0.0) if not alarm else ("both", 0.0)
+            out.append((metric, int(ts), float(value), s_hi, s_lo, alarm))
+            last_ts = int(ts)
+        state.update((float(s_hi), float(s_lo), int(last_ts)))
+        yield pd.DataFrame(
+            out,
+            columns=["metric", "ts", "value", "s_hi", "s_lo", "alarm"],
+        )
+
+    return update
+
+
+def cusum_stream(
+    stream: DataFrame, mu0: float, slack: float = 0.5, h: float = 5.0
+) -> DataFrame:
+    """Online CUSUM over a streaming (metric, ts, value) frame: one
+    (s_hi, s_lo) pair of state per metric, alarms emitted in-stream.
+    The state is O(1) per metric regardless of history length — the
+    property that makes sequential CUSUM the streaming-native form
+    (the batch form needs the whole series for its mean)."""
+    return stream.groupBy("metric").applyInPandasWithState(
+        make_cusum_update(float(mu0), float(slack), float(h)),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -142,3 +142,58 @@ def test_holt_seasonal_stream_equals_batch(spark, tmp_path):
                 and (math.isnan(g) or abs(g - w) < 1e-12)
             ) or (g is None and (w is None or math.isnan(w))) \
               or (w is None and (g is None or math.isnan(g))), (ts, c, g, w)
+
+
+def ref_online_cusum(points, mu0, slack, h):
+    """Replay reference for Page's recursion with post-alarm reset."""
+    s_hi = s_lo = 0.0
+    out = []
+    for ts, v in sorted(points):
+        s_hi = max(0.0, s_hi + (v - mu0 - slack))
+        s_lo = max(0.0, s_lo + (mu0 - slack - v))
+        alarm = ""
+        if s_hi > h:
+            alarm, s_hi = "high", 0.0
+        if s_lo > h:
+            alarm, s_lo = ("low", 0.0) if not alarm else ("both", 0.0)
+        out.append((ts, v, s_hi, s_lo, alarm))
+    return out
+
+
+def test_cusum_stream_matches_replay_across_batches(spark, tmp_path):
+    import ceres_spark.streaming.stateful as st
+
+    # level shift mid-stream, split across TWO micro-batches so the
+    # recursion state must survive the batch boundary
+    pts = [(t * 60, 10.0) for t in range(10)] + [
+        ((10 + t) * 60, 13.0) for t in range(10)
+    ]
+    src = str(tmp_path / "src")
+    for chunk in (pts[:12], pts[12:]):
+        spark.createDataFrame(
+            [("m", ts, v) for ts, v in chunk],
+            "metric string, ts long, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("metric string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.cusum_stream(stream, mu0=10.0, slack=0.5, h=5.0)
+        .writeStream.format("memory")
+        .queryName("cusum_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["ts"], r["value"], r["s_hi"], r["s_lo"], r["alarm"])
+        for r in spark.table("cusum_s").collect()
+    )
+    want = ref_online_cusum(pts, 10.0, 0.5, 5.0)
+    assert got == want
+    # the shift IS detected: at least one high alarm after ts 600
+    assert any(a == "high" and ts >= 600 for ts, _, _, _, a in got)
