@@ -78,13 +78,24 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cache_key: str = "semantic_dedup",
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    target_cluster_rows: int | None = None,
 ) -> DataFrame:
     """Per-vector semantic-dup verdict: ``vec_id, cluster, group_head,
     is_kept`` where ``group_head`` is the smallest id in the vector's
     ≥tau cosine component within its cluster and ``is_kept`` marks
     the one representative (the head) per group — singletons keep
     themselves. Downstream: ``docs.join(result.filter('is_kept'))``.
+
+    ``target_cluster_rows`` is the production dial: when set, ``k``
+    is derived as ``ceil(corpus / target_cluster_rows)`` (one count
+    job) so cluster SIZE — and with it the Σ|cluster|² cost — stays
+    constant as the corpus grows. The 64× probe measured exactly why
+    this matters: fixed k=16 went 78× slower at 64× data; re-dialed
+    k the same input ran sub-linear (docs/SCALING.md).
     """
+    if target_cluster_rows is not None:
+        n = vectors.count()
+        k = max(int(k), -(-n // int(target_cluster_rows)))
     centroids = train_centroids_cached(
         vectors, cache_key, k=int(k), id_col=id_col, vec_col=vec_col
     )

@@ -124,3 +124,20 @@ def test_oversized_cluster_raises(spark, planted):
             df, tau=0.95, k=4, cache_key="semdedup-test",
             max_cluster_rows=3,
         ).collect()
+
+
+def test_target_cluster_rows_scales_k(spark, planted):
+    df, _ = planted  # 60 vectors
+    # target 10 rows/cluster → k = ceil(60/10) = 6 clusters minimum
+    res = sd.semantic_dedup(
+        df, tau=0.95, k=2, cache_key="semdedup-test-dial",
+        target_cluster_rows=10,
+    )
+    n_clusters = res.select("cluster").distinct().count()
+    assert n_clusters >= 4  # 6 trained; some may be empty
+    # and the explicit k still wins when it is larger
+    res2 = sd.semantic_dedup(
+        df, tau=0.95, k=8, cache_key="semdedup-test-dial8",
+        target_cluster_rows=60,
+    )
+    assert res2.select("cluster").distinct().count() >= 5
