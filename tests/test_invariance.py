@@ -49,12 +49,15 @@ QUERIES = [
     "hash_embed",         # md5-integer signed hashing
     "cusum_changepoints", # windowed decimal running sums
     "chunk_retrieval",    # chunk → hash-embed → fold-cosine top-k
+    "corpus_card",        # rollup of exact-integer accumulators
     "bpe_segment",        # train + map-only merge application
 ]
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # repr-keyed sort: total order even with NULL grouping keys
+    # (rollup rows carry None where Python's < would raise)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 @pytest.mark.parametrize("name", QUERIES)
