@@ -1372,8 +1372,20 @@ def _q_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (Weinberger 2009): text → exact BIGINT
     32-dim vectors via portable md5 arithmetic — bridges the document
-    corpus onto the embedding stack with no model and no floats."""
-    return corp.hash_embed(tbl.load(spark, "documents", sf_dir), dim=32)
+    corpus onto the embedding stack with no model and no floats.
+
+    The registry surface serializes the vector to a ``vec_str`` CSV
+    column: the driver's value hasher dies on list-typed cells
+    (pandas hash table, CORRECTNESS_r03), so oracle-paired entries
+    must emit only scalar columns. The dense ``vec`` array stays the
+    operator's own output (semantic_dedup_docs consumes it)."""
+    vecs = corp.hash_embed(tbl.load(spark, "documents", sf_dir), dim=32)
+    return vecs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.expr("transform(vec, x -> cast(x as string))")
+        ).alias("vec_str"),
+    )
 
 
 def _q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3679,7 +3691,8 @@ WITH tok AS (
   FROM (SELECT DISTINCT doc_id FROM agg) d CROSS JOIN range(0, 32) r
 )
 SELECT doc_id,
-       list(COALESCE(v, 0) ORDER BY bucket) AS vec
+       string_agg(CAST(COALESCE(v, 0) AS VARCHAR), ',' ORDER BY bucket)
+         AS vec_str
 FROM grid LEFT JOIN agg USING (doc_id, bucket)
 GROUP BY doc_id
 """,

@@ -34,3 +34,26 @@ def test_driver_prefix_holds_50_entries_with_no_duplicates():
 def test_entry_points_at_flagship(spark):
     df = entrymod.entry(spark)
     assert df.columns  # stable schema, driver collects it
+
+
+def test_oracle_paired_entries_emit_only_scalar_columns(spark):
+    """The driver's value hasher (pandas hash table) cannot hash
+    list/map cells — an oracle-paired entry with an array column
+    errors externally even when values match (CORRECTNESS_r03
+    hash_embed). Pin the contract at schema level so the local gate
+    predicts the driver gate; rows-only entries are exempt."""
+    from pyspark.sql import types as T
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    sf_dir = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in qs.items():
+        if name not in os_:
+            continue
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert bad == [], bad

@@ -72,6 +72,27 @@ def _norm(rows, cols):
     return sorted(out)
 
 
+def _complex_columns(sdf, drows, dcols):
+    """Columns that are list/map/struct-typed on either engine.
+
+    The driver's hasher cannot hash such cells, so an oracle-paired
+    entry containing one WILL error externally even if values match.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    bad = set()
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            bad.add(f.name)
+    for row in drows[:5]:
+        for c in dcols:
+            if isinstance(row.get(c), (list, dict, np.ndarray)):
+                bad.add(c)
+    return sorted(bad)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -97,6 +118,17 @@ def main() -> int:
         dcols = list(ddf.columns)
         drows = ddf.to_dict("records")
         status = []
+        # Harness parity: the driver's value hasher (pandas hash table)
+        # dies on list/dict cells — oracle-paired entries must be
+        # scalar-only on BOTH sides. Hard-fail here so the local gate
+        # predicts the driver gate (CORRECTNESS_r03 hash_embed lesson).
+        complex_cols = _complex_columns(sdf, drows, dcols)
+        if complex_cols:
+            status.append(
+                f"COMPLEX-TYPE cols {complex_cols} — oracle-paired "
+                "entries must emit only scalar columns (driver hasher "
+                "cannot hash list/map cells)"
+            )
         if sorted(scols) != sorted(dcols):
             status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
