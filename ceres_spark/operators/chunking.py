@@ -114,8 +114,30 @@ def chunk_retrieval(
     from ceres_spark.operators.similarity import cosine
 
     chunks = chunk_documents(docs, size=size, stride=stride)
+    # the packed key is only injective for 0 <= chunk_idx < 1e6 and
+    # doc_id >= 0 — a >=48M-token document or a negative id would
+    # silently corrupt retrieval, so fail LOUDLY in-plan instead
+    # (raise_error is JVM-side; the happy path stays codegen)
     keyed = chunks.select(
-        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("ckey"),
+        F.when(
+            (F.col("chunk_idx") < 1_000_000) & (F.col("doc_id") >= 0),
+            F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "chunk_retrieval: packed ckey out of range "
+                        "(need doc_id >= 0 and chunk_idx < 1e6), got "
+                        "doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" chunk_idx="),
+                    F.col("chunk_idx").cast("string"),
+                )
+            )
+        )
+        .alias("ckey"),
         "doc_id",
         "chunk_idx",
         F.col("chunk_text").alias("text"),

@@ -251,6 +251,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list → empty (node, rank) result, matching the
+        # explicit empty-input behavior elsewhere (global_exact_ntile)
+        # instead of ZeroDivisionError at the 1/n init
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
     deg = e.groupBy("u").agg(F.count("*").alias("_deg"))
     e_deg = e.join(deg, "u").localCheckpoint(eager=True)
     # the dangling SET is static — compute it once; when it is empty

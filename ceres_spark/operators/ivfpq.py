@@ -68,6 +68,10 @@ def train_ivfpq(
     """(coarse centroids, residual PQ codebooks), both trained on the
     same bounded deterministic sample (first ``sample_n`` by id, the
     ivf/pq contract: fixed init, no RNG)."""
+    if int(k_sub) > 256:
+        # codes are stored uint8 — a larger codebook would silently
+        # wrap argmin indices at encode time (mirrors the dim % m check)
+        raise ValueError(f"k_sub={k_sub} > 256 cannot fit uint8 codes")
     centroids = ivf.train_centroids(
         vectors, k=k_lists, iters=iters, id_col=id_col, vec_col=vec_col,
         sample_n=sample_n,
@@ -127,6 +131,8 @@ def build_ivfpq(
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(B)
     sub = B[0].shape[1]
+    if any(b.shape[0] > 256 for b in B):
+        raise ValueError("codebook with > 256 centroids cannot fit uint8 codes")
 
     def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

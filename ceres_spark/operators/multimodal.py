@@ -304,7 +304,7 @@ def real_features(payload: bytes, modality: str) -> list[float]:
         )
         grad = (
             float(np.abs(np.diff(y, axis=2)).mean())
-            if fr.shape[2] > 1
+            if n > 0 and fr.shape[2] > 1
             else 0.0
         )
         return [

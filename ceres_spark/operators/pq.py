@@ -137,6 +137,10 @@ def train_pq(
     sample (init = first k_sub sample rows, empty clusters keep their
     centroid — the IVF training contract, m times on d/m-dim slices).
     Returns codebooks[m][k_sub][d/m]."""
+    if int(k_sub) > 256:
+        # codes are stored uint8 — a larger codebook would silently
+        # wrap argmin indices at encode time (mirrors the dim % m check)
+        raise ValueError(f"k_sub={k_sub} > 256 cannot fit uint8 codes")
     S = _normalized_sample(vectors, id_col, vec_col, sample_n)
     d = S.shape[1]
     if d % m != 0:

@@ -476,7 +476,20 @@ def embedding_decontamination(
     bit-identical to the DuckDB oracle's list_reduce fold, like every
     other cosine entry here. Returns one row per training vector:
     ``vec_id, n_eval_hits, max_eval_sim, is_contaminated``.
+
+    Precondition: ``eval_vectors`` must be non-empty — with an empty
+    eval side the inner broadcast join would return ZERO rows (every
+    training vector vanishes), which a caller doing
+    ``docs.join(result)`` could misread as "nothing to keep". The
+    empty case raises loudly instead; the check is a ``limit(1)``
+    count on the (small, broadcastable) eval side only.
     """
+    if eval_vectors.limit(1).count() == 0:
+        raise ValueError(
+            "embedding_decontamination: eval_vectors is empty — every "
+            "training row would vanish from the inner broadcast join. "
+            "Pass a non-empty eval set or skip the gate."
+        )
     ev = F.broadcast(
         eval_vectors.select(
             F.col(id_col).alias("_eval_id"),

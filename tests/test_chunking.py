@@ -46,3 +46,14 @@ def test_packing_is_per_source(spark):
     out = chk.pack_sequences(chunks, ctx=8).collect()
     # each source packs independently from bin 0
     assert sorted((r["source"], r["bin"]) for r in out) == [("a", 0), ("b", 0)]
+
+
+def test_chunk_retrieval_rejects_out_of_range_keys(spark):
+    # ADVICE r3: the packed ckey is only injective for doc_id >= 0 and
+    # chunk_idx < 1e6 — a violating row must fail LOUDLY in-plan, not
+    # silently corrupt retrieval
+    import pytest
+
+    bad = docs(spark, [(-1, "s", "a b c d"), (1, "s", "e f g h")])
+    with pytest.raises(Exception, match="ckey out of range"):
+        chk.chunk_retrieval(bad, query_docs_below=2, k=2).collect()

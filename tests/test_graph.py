@@ -145,3 +145,12 @@ def test_pagerank_early_exit_converges(spark):
     }
     for v in full:
         assert abs(full[v] - tol[v]) < 1e-9
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    # ADVICE r3: n == 0 must yield an empty (node, rank) frame, not
+    # ZeroDivisionError at the 1/n init
+    e = spark.createDataFrame([], "src long, dst long")
+    out = gr.pagerank(e)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

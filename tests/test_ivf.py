@@ -273,3 +273,19 @@ def test_ivf_lists_prune_as_partitions(spark, tmp_path):
     # and the pruned read returns exactly those lists' vectors
     lists = {r["_list"] for r in probe.select("_list").distinct().collect()}
     assert lists <= {0, 3}
+
+
+def test_pq_codebook_size_over_256_raises(spark):
+    # ADVICE r3: uint8 codes — k_sub > 256 would silently wrap argmin
+    # indices at encode time; the trainers must refuse up front
+    import ceres_spark.operators.ivfpq as ivfpq
+    import ceres_spark.operators.pq as pq
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="256"):
+        pq.train_pq(vecs, m=2, k_sub=257)
+    with pytest.raises(ValueError, match="256"):
+        ivfpq.train_ivfpq(vecs, k_lists=2, m=2, k_sub=257)

@@ -510,3 +510,27 @@ def test_simhash_banded_joins_on_bands_not_block(spark, docs):
         dd.simhash_pairs(docs, max_hamming=12).explain("formatted")
     plan = buf.getvalue()
     assert "_band_val" in plan, plan
+
+
+def test_video_features_zero_frames_are_finite():
+    # ADVICE r3: a zero-frame Y4M payload must yield all-zero (not
+    # NaN) motion/gradient features
+    import math
+
+    import numpy as np
+
+    empty = np.empty((0, 2, 2, 3), dtype=np.uint8)
+    f = mm.real_features(mm.encode_y4m(empty, fps_num=30), "video")
+    assert all(math.isfinite(x) for x in f)
+    assert f[2] == 0.0 and f[6] == 0.0 and f[7] == 0.0
+
+
+def test_embedding_decontamination_empty_eval_raises(spark):
+    # ADVICE r3: an empty eval side would silently drop EVERY training
+    # row through the inner broadcast join — raise instead
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="eval_vectors is empty"):
+        sim.embedding_decontamination(emb2, emb2.filter("vec_id < 0"))
