@@ -103,7 +103,13 @@ def windowed_rollup_stream(
         )
         .agg(
             F.count("value").alias("n_points"),
-            F.sum(F.col("value").cast("decimal(30,10)"))
+            # decimal-via-string: the repo-wide determinism contract —
+            # double→string→decimal converts identically on Spark and
+            # DuckDB, so the stream's rollup hash-checks against the
+            # batch oracle (direct double→decimal casts round
+            # differently across engines at the 10th decimal)
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+            .cast("string")
             .cast("double")
             .alias("sum_value"),
         )
