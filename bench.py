@@ -43,18 +43,24 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "method": "min_of_2_passes",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "method": "min_of_2_passes",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # the round artifact captures only the TAIL of stdout (~82 of 139+
+    # queries survived in r1–r3) — persist the complete per-query
+    # table to a file so every timing is diffable across rounds
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

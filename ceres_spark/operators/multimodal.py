@@ -254,31 +254,74 @@ def decode_y4m(payload: bytes):
     )
 
 
-def decode_real(payload: bytes, modality: str):
+#: Third-party codec hooks for containers the built-in pure-numpy
+#: decoders don't handle (JPEG/PNG/MP3/H.264...). Each hook is
+#: ``fn(payload: bytes, modality: str) -> decoded | None`` where
+#: decoded is the decode_real contract — ("image", (h,w,3) uint8) /
+#: ("audio", (frames, ch) int16, rate) / ("video", (n,h,w,3) uint8,
+#: fps) — and None declines (the next hook is tried).
+#:
+#: Distribution contract: registration is per-Python-process, so the
+#: Spark operators below snapshot the registry AT PLAN-BUILD TIME and
+#: close over it — cloudpickle ships the hook functions to executor
+#: workers with the UDF, exactly like any other closure. Register
+#: codecs on the driver BEFORE building the extract_features /
+#: frame_sample_real plan (the production JPEG path: a thin wrapper
+#: around PIL/pyav registered at pipeline startup).
+_CODECS: list = []
+
+
+def register_codec(fn) -> None:
+    """Register a third-party decode hook (see ``_CODECS``)."""
+    _CODECS.append(fn)
+
+
+def unregister_codec(fn) -> None:
+    """Remove a previously registered decode hook."""
+    _CODECS.remove(fn)
+
+
+def decode_real(payload: bytes, modality: str, codecs=None):
     """Real decode: PPM (P6) images, RIFF/PCM16 WAV audio, and
     YUV4MPEG2 (C444) video via pure-numpy header parse +
     ``frombuffer``. Returns ``("image", (h,w,3) uint8)``,
     ``("audio", (frames, ch) int16, rate)``, or ``("video",
     (n,h,w,3) uint8 YUV, fps)``. Compressed containers (JPEG/MP3/
-    H.264 — the reference point for a production codec plug-in) are
-    detected and raise ``NotImplementedError`` so callers can route
-    them to a stub or a real codec library when one is present."""
+    H.264) are routed to the registered codec hooks (``codecs``
+    overrides the module registry — the Spark operators pass their
+    build-time snapshot); with no hook willing, raises
+    ``NotImplementedError`` so the gap is loud, never garbled."""
     head = (payload or b"")[:12]
-    if head[:2] == b"P6":
-        return ("image", decode_ppm(payload))
-    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
-        arr, rate = decode_wav(payload)
-        return ("audio", arr, rate)
-    if head[:9] == b"YUV4MPEG2":
-        frames, fps = decode_y4m(payload)
-        return ("video", frames, fps)
+    hooks = _CODECS if codecs is None else codecs
+    try:
+        if head[:2] == b"P6":
+            return ("image", decode_ppm(payload))
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            arr, rate = decode_wav(payload)
+            return ("audio", arr, rate)
+        if head[:9] == b"YUV4MPEG2":
+            frames, fps = decode_y4m(payload)
+            return ("video", frames, fps)
+    except NotImplementedError:
+        # built-in recognised the container but can't decode this
+        # variant (e.g. subsampled-chroma Y4M) — a plug-in may
+        for fn in hooks:
+            out = fn(payload, modality)
+            if out is not None:
+                return out
+        raise
+    for fn in hooks:
+        out = fn(payload, modality)
+        if out is not None:
+            return out
     raise NotImplementedError(
         "no pure-numpy decoder for this container (compressed formats "
-        "need a codec library); PPM, PCM16 WAV and Y4M decode for real"
+        "need a codec library — register one with register_codec); "
+        "PPM, PCM16 WAV and Y4M decode for real"
     )
 
 
-def real_features(payload: bytes, modality: str) -> list[float]:
+def real_features(payload: bytes, modality: str, codecs=None) -> list[float]:
     """FEATURE_DIM real content features from a decoded asset —
     deterministic numpy math on actual pixels/samples, the non-stub
     twin of :func:`_stub_features`.
@@ -293,7 +336,7 @@ def real_features(payload: bytes, modality: str) -> list[float]:
     video: [n_frames/1e3, fps/60, mean Y, std Y, mean U, mean V,
             mean |temporal diff| (motion proxy), mean |horizontal
             gradient| of Y (detail proxy)] — the last six /255."""
-    decoded = decode_real(payload, modality)
+    decoded = decode_real(payload, modality, codecs)
     if decoded[0] == "video":
         fr = decoded[1].astype(np.float64)
         fps = decoded[2]
@@ -419,16 +462,19 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas``: Arrow batches in,
     Arrow batches out; one Python worker per partition, no shuffle.
-    ``real=True`` decodes the payload (PPM/WAV, pure numpy) and
-    computes content features; the default stub path hashes bytes —
-    same plan, same schema, swappable kernel."""
+    ``real=True`` decodes the payload (PPM/WAV, pure numpy; other
+    containers via codecs registered with :func:`register_codec` —
+    snapshotted HERE at plan-build time so cloudpickle ships them to
+    the workers) and computes content features; the default stub path
+    hashes bytes — same plan, same schema, swappable kernel."""
+    codecs = tuple(_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             if real:
                 feats = [
-                    real_features(b, m)
+                    real_features(b, m, codecs)
                     for b, m in zip(payloads, pdf["modality"])
                 ]
             else:
@@ -474,14 +520,19 @@ def frame_sample_real(assets: DataFrame, every_n: int = 2) -> DataFrame:
     every ``every_n``-th frame, emit per-frame stats — the actual
     "sample frames from 100 TB of video" kernel. Decode + sample run
     in one mapInPandas pass (map-only, no shuffle; payload bytes
-    never leave the task — only the small per-frame stat rows do)."""
+    never leave the task — only the small per-frame stat rows do).
+    Non-Y4M containers route through the codec hooks registered with
+    :func:`register_codec` (snapshotted at plan-build time)."""
     n_every = int(every_n)
+    codecs = tuple(_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, ys, motion = [], [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                frames, _fps = decode_y4m(payload)
+                _kind, frames, _fps = decode_real(
+                    payload, "video", codecs
+                )
                 f = frames.astype(np.float64)
                 for i in range(0, len(f), n_every):
                     ids.append(int(asset_id))

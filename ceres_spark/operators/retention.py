@@ -167,3 +167,65 @@ def rollup_per_node(
             value
         )
     return per_bucket.select("metric", "ts", value.alias("value"))
+
+
+def rollup_catalog(
+    deduped: DataFrame,
+    catalog: DataFrame,
+    default_step: int = 3600,
+    default_method: str = "average",
+) -> DataFrame:
+    """Catalog-JOIN rollup — :func:`rollup_per_node` without the
+    driver-built CASE chains: per-node step/method arrive through a
+    broadcast join on ``metric``, so the plan is one join + one
+    grouped aggregate REGARDLESS of catalog size. A 10^8-node catalog
+    would overflow a CASE expression tree (and collecting it to build
+    one is itself a driver loop); a join doesn't — this is the
+    DataFrame-native maintenance dispatch (VERDICT r3 #8), the whole
+    ``bin/ceres-maintenance`` walk as a single Spark job.
+
+    Per-node step = the FIRST retention entry coarser than the node's
+    own ``timeStep`` (ceres's rollup plugin targets the next archive,
+    plugins/maintenance/rollup.py node_found), else ``default_step``;
+    method = the node's ``aggregationMethod``, else
+    ``default_method``. Unknown methods fall back to the default
+    rather than erroring mid-job.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    cfg = catalog.select(
+        "metric",
+        F.coalesce(
+            F.expr("filter(retentions, r -> r[0] > timeStep)[0][0]"),
+            F.lit(int(default_step)),
+        ).cast("long").alias("_step"),
+        F.coalesce(
+            F.col("aggregationMethod"), F.lit(default_method)
+        ).alias("_method"),
+    )
+    j = deduped.join(F.broadcast(cfg), "metric", "left")
+    step = F.coalesce(F.col("_step"), F.lit(int(default_step)))
+    bucket = (F.col("ts") - F.col("ts") % step).cast("long")
+    per_bucket = j.groupBy(
+        "metric",
+        # _method is functionally dependent on metric — zero extra
+        # grouping cardinality, keeps it available post-aggregate
+        F.coalesce(F.col("_method"), F.lit(default_method)).alias(
+            "_method"
+        ),
+        bucket.alias("ts"),
+    ).agg(
+        agg_expr("average").alias("_avg"),
+        agg_expr("sum").alias("_sum"),
+        agg_expr("last").alias("_last"),
+        agg_expr("max").alias("_max"),
+        agg_expr("min").alias("_min"),
+    )
+    value = (
+        F.when(F.col("_method") == "sum", F.col("_sum"))
+        .when(F.col("_method") == "last", F.col("_last"))
+        .when(F.col("_method") == "max", F.col("_max"))
+        .when(F.col("_method") == "min", F.col("_min"))
+        .otherwise(F.col("_avg"))
+    )
+    return per_bucket.select("metric", "ts", value.alias("value"))

@@ -319,9 +319,27 @@ class CeresTree:
             yield CeresNode(self, r["metric"])
 
     def walk(self) -> Iterator["CeresNode"]:
-        """Op #23 driver support (CeresTree.walk ≈L120)."""
+        """Op #23 driver support (CeresTree.walk ≈L120). Node-at-a-
+        time handles for CLI parity with bin/ceres-maintenance;
+        data-path maintenance should use :meth:`maintenance_run`,
+        which dispatches the whole tree as ONE Spark job."""
         for r in self.catalog().select("metric").collect():
             yield CeresNode(self, r["metric"])
+
+    def maintenance_run(self, plugin_fn, step: int = DEFAULT_TIMESTEP):
+        """DataFrame-native maintenance dispatch (op #23 at scale):
+        instead of the reference's per-node plugin protocol
+        (bin/ceres-maintenance walks the tree calling
+        ``node_found(node)`` once per metric — a driver loop), the
+        plugin receives the FULL catalog and points frames and
+        expresses per-node behavior with joins on ``metric``. One
+        Spark job over any number of nodes; see
+        ``operators.retention.rollup_catalog`` for the built-in
+        rollup plugin shape.
+
+        ``plugin_fn(catalog: DataFrame, points: DataFrame) -> DataFrame``
+        """
+        return plugin_fn(self.catalog(), self.points(step))
 
 
 class CeresNode:

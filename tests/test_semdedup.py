@@ -141,3 +141,31 @@ def test_target_cluster_rows_scales_k(spark, planted):
         target_cluster_rows=60,
     )
     assert res2.select("cluster").distinct().count() >= 5
+
+
+def test_adversarial_all_duplicates_corpus(spark):
+    """VERDICT r3 #9: the pathological corpus — EVERY vector identical,
+    so k-means collapses everything into one cluster no matter how k
+    is dialed. Below the cap: one global group, head = min id. Above
+    the cap: the loud cap error (not an OOM) is what surfaces, even
+    with the auto-k dial engaged."""
+    import pytest as _pt
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # under the cap: the all-dup corpus collapses to one kept head
+    res = sd.semantic_dedup(
+        df, tau=0.95, k=8, cache_key="semdedup-alldup",
+        target_cluster_rows=5,       # dial asks for 8 clusters...
+    ).collect()
+    assert {r["group_head"] for r in res} == {0}
+    assert sum(r["is_kept"] for r in res) == 1
+    # ...but identical vectors can't be split: over the cap the
+    # guard must fire with the actionable message, not an OOM
+    with _pt.raises(Exception, match="max_cluster_rows"):
+        sd.semantic_dedup(
+            df, tau=0.95, k=8, cache_key="semdedup-alldup-cap",
+            target_cluster_rows=5, max_cluster_rows=10,
+        ).collect()
