@@ -1527,6 +1527,60 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.tfidf_top_terms(tbl.load(spark, "documents", sf_dir), k=3)
 
 
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage decontamination: broadcast Bloom word-table prefilter
+    (≤128 KiB regardless of eval size) + exact verify join — EXACT
+    result, so it oracle-pairs with plain containment SQL even though
+    the middle stage is probabilistic. Same eval split as
+    `contamination`; the two entries must (and do) agree."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.bloom_decontaminate(rest, ev, shingle_k=3)
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripping normalization (tags, entities, case,
+    punctuation, whitespace) — one shuffle-free codegen projection;
+    regex subset chosen to evaluate identically under Java regex and
+    RE2, so the normalized text itself hash-checks."""
+    return text.text_normalize(tbl.load(spark, "documents", sf_dir))
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (XLM-R-style α=0.5) with
+    largest-remainder integer apportionment — Σ alloc == target
+    exactly; sqrt+floor+BIGINT arithmetic is engine-portable."""
+    return corp.temperature_mix(
+        tbl.load(spark, "documents", sf_dir), target_total_tokens=100_000
+    )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, top-8
+    corpus vectors with cosine in the [0.05, 0.60) hard band
+    (broadcast queries with prenormed vectors; fold cosine ==
+    oracle's list_reduce bit-for-bit)."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    return sim.hard_negatives(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        k=8,
+    )
+
+
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: real PPM decode → aHash perceptual
+    fingerprint → lossless bit-band LSH pairing + exact Hamming
+    verify (the image twin of simhash_pairs). Rows-only: the decode
+    is Python-side; hash values and planted-pair recall are
+    pytest-pinned (test_llm_ops)."""
+    assets = mm.real_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mm.phash_pairs(assets, max_hamming=16)
+
+
 def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED streaming entry (VERDICT r3 #4): the events
     fixture is split into 4 parquet files and fed through a REAL
@@ -1736,6 +1790,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured Streaming query; result is oracle-paired
         "stream_windowed_rollup": _q_stream_windowed_rollup,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
+        # new r4 operators
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "text_normalize": _q_text_normalize,
+        "temperature_mix": _q_temperature_mix,
+        "hard_negatives": _q_hard_negatives,
+        # rows-only: Python-side PPM decode — hash values and planted-
+        # pair recall pytest-pinned (test_llm_ops)
+        "phash_neardup": _q_phash_neardup,
         # rows-only: k-means + float cosine — stages pinned separately
         "semantic_dedup_docs": _q_semantic_dedup_docs,
         # rows-only: iterative fixpoint — no SQL oracle; power-
@@ -3925,6 +3987,95 @@ SELECT doc_id, n_tokens, lexdiv_ppm, stop_ppm,
        (-800000 + 5000 * n_tokens + 1 * lexdiv_ppm
             + (-2) * stop_ppm) > 0 AS keep
 FROM feat
+""",
+        # EXACT result despite the probabilistic Bloom middle stage —
+        # the oracle is plain containment (identical to contamination)
+        "bloom_decontaminate": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 3
+           THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tok
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+src AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, COUNT(DISTINCT src.gram) AS n_contaminated_grams
+FROM src JOIN ev USING (gram) GROUP BY doc_id
+""",
+        "text_normalize": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             lower(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&apos;', ''''), '&amp;', '&')),
+             '[^a-z0-9\\s''-]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(CASE WHEN norm_text = '' THEN 0
+            ELSE len(string_split(norm_text, ' ')) END AS INTEGER)
+         AS n_norm_tokens,
+       CAST(length(norm_text) AS INTEGER) AS n_norm_chars
+FROM n
+""",
+        "temperature_mix": """
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), wtd AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM per_src
+), tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS W FROM wtd),
+base AS (
+  SELECT source, n_tokens, weight,
+         (100000 * weight) // W AS fl,
+         (100000 * weight) % W AS rem,
+         ROW_NUMBER() OVER (ORDER BY (100000 * weight) % W DESC, source)
+           AS rnk,
+         100000 - SUM((100000 * weight) // W) OVER () AS leftover
+  FROM wtd CROSS JOIN tot
+)
+SELECT source, n_tokens, weight,
+       CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens,
+       CAST((fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+            * 1000000 // 100000 AS BIGINT) AS share_ppm
+FROM base
+""",
+        "hard_negatives": f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 25
+), c AS (
+  SELECT vec_id AS neg_id, v AS cv FROM e WHERE vec_id >= 25
+), scored AS (
+  SELECT query_id, neg_id, {_cos('qv', 'cv')} AS cosine_sim
+  FROM c CROSS JOIN q
+), banded AS (
+  SELECT * FROM scored WHERE cosine_sim >= 0.05 AND cosine_sim < 0.60
+)
+SELECT query_id, neg_id, cosine_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neg_id
+  ) AS INTEGER) AS rank
+  FROM banded
+) WHERE rank <= 8
 """,
         # streaming replay twins (VERDICT r3 #4): the Spark side REALLY
         # executes a Structured Streaming query (file source → 4 micro-

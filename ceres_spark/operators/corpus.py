@@ -620,3 +620,76 @@ def corpus_card(docs: DataFrame) -> DataFrame:
             F.col("sum_margin_micro") / F.col("n_docs"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    target_total_tokens: int = 100_000,
+    temperature: str = "sqrt",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-source
+    sampling scheme of public LLM recipes (e.g. the τ-scaled sampling
+    of XLM-R, Conneau et al. 2020): up-weight small sources relative
+    to proportional sampling so the head sources don't drown the tail.
+
+    ``temperature='sqrt'`` uses w_s = floor(sqrt(n_tokens_s)) — the
+    α=0.5 point, computed ENTIRELY in engine-portable arithmetic
+    (IEEE sqrt is correctly rounded on every engine, floor is exact,
+    all else is BIGINT), which is what lets a mixing policy be
+    hash-checked across engines; ``'proportional'`` is α=1. Token
+    allocations use largest-remainder apportionment: exact integer
+    quotas, leftovers to the largest remainders (ties by source), so
+    Σ alloc == target exactly.
+
+    Plan: one corpus scan → per-source aggregate (map-side combine,
+    source-cardinality exchange) → window over the tiny source table.
+    Output: ``source, n_tokens, weight, alloc_tokens, share_ppm``.
+    """
+    if temperature not in ("sqrt", "proportional"):
+        raise ValueError("temperature must be 'sqrt' or 'proportional'")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens())).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+        if temperature == "sqrt"
+        else F.col("n_tokens")
+    )
+    t = int(target_total_tokens)
+    weighted = per_src.select("source", "n_tokens", w.alias("weight"))
+    tot = weighted.agg(F.sum("weight").alias("_W")).select(
+        F.col("_W").cast("bigint").alias("_W")
+    )
+    j = weighted.join(F.broadcast(tot))  # 1-row bounds table
+    base = j.select(
+        "source",
+        "n_tokens",
+        "weight",
+        (F.lit(t) * F.col("weight")).alias("_num"),
+        F.col("_W"),
+        F.expr(f"({t}L * weight) div _W").alias("_floor_alloc"),
+        F.expr(f"({t}L * weight) % _W").alias("_rem"),
+    )
+    wnd = Window.orderBy(F.desc("_rem"), "source")
+    leftover = F.lit(t) - F.sum("_floor_alloc").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        base.withColumn("_rank", F.row_number().over(wnd))
+        .withColumn("_left", leftover)
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            (
+                F.col("_floor_alloc")
+                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr(f"alloc_tokens * 1000000 div {t}L").cast("bigint"),
+        )
+    )

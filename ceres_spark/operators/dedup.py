@@ -229,6 +229,77 @@ def contamination(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_k: int = 3,
+    bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Decontamination shaped for eval sets too big to broadcast as an
+    exact gram set: a Bloom-filter prefilter + exact verify, with an
+    EXACT result (the bloom only prunes; stage 2 removes its false
+    positives, so output == :func:`contamination` bit-for-bit — which
+    is what makes this oracle-checkable despite the probabilistic
+    middle).
+
+    Plan: eval grams hash to ``n_hashes`` bit positions in a
+    ``bits``-wide Bloom bitmap stored as a (word, bits) DataFrame of
+    ≤ bits/64 BIGINT rows — 2^20 bits = 16K rows = 128 KiB broadcast
+    REGARDLESS of eval-set size (the exact gram set of a 1e9-gram
+    eval suite would be tens of GB). The corpus side then runs
+    ``n_hashes`` chained broadcast hash joins + bit-mask filters —
+    map-side only, the 100 TB side never shuffles — and only the
+    surviving candidate grams (true hits + fpp) shuffle into the
+    exact verify join against the eval gram set. Classic two-stage
+    filter-verify; Bloom 1970, public literature.
+    """
+    m = int(bits)
+    g = shingles(shingle_k)
+    ev = eval_docs.select(F.explode(g).alias("gram")).distinct()
+    seeds = list(range(int(n_hashes)))
+
+    def _pos(s: int, col) -> Column:
+        return F.pmod(F.xxhash64(F.lit(s), col), F.lit(m))
+
+    positions = ev.select(
+        F.explode(
+            F.array(*[_pos(s, F.col("gram")) for s in seeds])
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(_m)").alias("bits"))
+    )
+    cand = docs.select("doc_id", F.explode(g).alias("gram"))
+    for s in seeds:
+        w = words.select(
+            F.col("word").alias(f"_w{s}"), F.col("bits").alias(f"_b{s}")
+        )
+        cand = (
+            cand.withColumn("_pos", _pos(s, F.col("gram")))
+            .withColumn("_word", F.expr("_pos div 64"))
+            .withColumn(
+                "_mask", F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+            )
+            .join(
+                F.broadcast(w), F.col("_word") == F.col(f"_w{s}"), "inner"
+            )
+            .filter(
+                F.col(f"_b{s}").bitwiseAND(F.col("_mask")) == F.col("_mask")
+            )
+            .drop("_pos", "_word", "_mask", f"_w{s}", f"_b{s}")
+        )
+    hits = cand.join(ev, "gram", "left_semi")  # exact verify
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_contaminated_grams")
+    )
+
+
 # ---------------------------------------------------------- minhash
 
 def minhash_signature(

@@ -599,3 +599,107 @@ def resize(
         scale.alias("scale"),
         "payload",
     )
+
+
+def _ahash64(px: "np.ndarray", hash_size: int = 8) -> int:
+    """Average-hash (aHash, public perceptual-hash family): grayscale
+    → hash_size² block means (deterministic integer-boundary pooling,
+    no resampling library) → bit i set iff block i > global block
+    mean. 64 bits at the default 8×8."""
+    luma = (
+        0.299 * px[..., 0].astype(np.float64)
+        + 0.587 * px[..., 1].astype(np.float64)
+        + 0.114 * px[..., 2].astype(np.float64)
+    )
+    h, w = luma.shape
+    ys = np.linspace(0, h, hash_size + 1).astype(np.int64)
+    xs = np.linspace(0, w, hash_size + 1).astype(np.int64)
+    blocks = np.empty((hash_size, hash_size), dtype=np.float64)
+    for i in range(hash_size):
+        for j in range(hash_size):
+            cell = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            blocks[i, j] = cell.mean()
+    bits = (blocks > blocks.mean()).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement into signed 64-bit (BIGINT column)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Per-image perceptual hash — the image twin of text simhash:
+    near-identical images (re-encodes, small edits, brightness-
+    preserving crops) land within a few Hamming bits. Decode +
+    hash run in one mapInPandas pass (map-only; payload bytes never
+    leave the task). Registered codecs (see :func:`register_codec`)
+    extend coverage beyond PPM.
+
+    Output: ``asset_id, phash`` (BIGINT, hash_size² ≤ 64 bits)."""
+    if int(hash_size) ** 2 > 64:
+        raise ValueError("hash_size^2 must fit 64 bits")
+    hs = int(hash_size)
+    codecs = tuple(_CODECS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                kind_px = decode_real(payload, "image", codecs)
+                ids.append(int(asset_id))
+                hashes.append(_ahash64(kind_px[1], hs))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema="asset_id long, phash long")
+    )
+
+
+def phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs: aHash fingerprints paired through
+    the SAME lossless bit-band LSH as text simhash (pigeonhole:
+    b = max_hamming + 1 disjoint bands — any pair within max_hamming
+    agrees on ≥1 band), then exact Hamming verify. Never Σ block²
+    over the corpus; the bands are the blocking.
+
+    Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
+    import ceres_spark.operators.dedup as dd
+
+    fp = image_phash(assets)
+    b = int(max_hamming) + 1
+    banded = fp.select(
+        "asset_id",
+        "phash",
+        F.posexplode(
+            F.array(*dd.simhash_bands(F.col("phash"), b))
+        ).alias("_band", "_val"),
+    )
+    left = banded.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("phash").alias("_fa"),
+        "_band",
+        "_val",
+    )
+    right = banded.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("phash").alias("_fb"),
+        "_band",
+        "_val",
+    )
+    ham = F.expr("bit_count(_fa ^ _fb)")
+    return (
+        left.join(right, ["_band", "_val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )

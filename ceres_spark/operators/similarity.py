@@ -513,3 +513,68 @@ def embedding_decontamination(
         )
         .withColumn("is_contaminated", F.col("n_eval_hits") > 0)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    sim_lo: float = 0.05,
+    sim_hi: float = 0.60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-embedding recipe, Karpukhin et al. 2020 — public): for
+    each query vector, the top-``k`` corpus vectors whose cosine
+    falls in the "hard" band [``sim_lo``, ``sim_hi``) — similar
+    enough to be confusable, dissimilar enough to be true negatives.
+    Easy negatives (below the band) and likely-positives/duplicates
+    (at or above it) are excluded.
+
+    Scale shape: queries are the small side (training batches mine
+    against a fixed query set) and are BROADCAST with precomputed
+    norms; the corpus streams through one BroadcastNestedLoopJoin +
+    band filter, then a per-query top-k window over only the in-band
+    survivors. All arithmetic is the JVM fold cosine — bit-equal to
+    the DuckDB oracle. Ranking is totally ordered (cosine DESC, then
+    neg id), so top-k is deterministic.
+
+    Output: ``query_id, neg_id, cosine_sim, rank``.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(as_double(F.col(vec_col))).alias("_qn"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(as_double(F.col(vec_col))).alias("_cn"),
+    )
+    scored = (
+        c.join(q, F.col("neg_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neg_id",
+            cosine_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine_sim"),
+        )
+        .filter(
+            (F.col("cosine_sim") >= float(sim_lo))
+            & (F.col("cosine_sim") < float(sim_hi))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), "neg_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neg_id", "cosine_sim", "rank")
+    )

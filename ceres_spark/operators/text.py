@@ -220,3 +220,43 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     portable across engines, join-key-ready for exact dedup.)"""
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def text_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate-stripping text normalization — the first pass every
+    web-crawl corpus runs before tokenization: drop HTML/XML tags,
+    unescape the five XML entities, lowercase, strip non-word
+    punctuation (keeping intra-word apostrophes and hyphens), and
+    collapse runs of whitespace. One shuffle-free codegen projection.
+
+    Every regex is restricted to syntax Java regex (Spark) and RE2
+    (the DuckDB oracle) interpret identically — no lookaround, no
+    backreferences (the pii_scrub portability contract) — so the
+    normalized text is engine-exact and hash-checks.
+
+    Output: ``doc_id, norm_text, n_norm_tokens, n_norm_chars``.
+    """
+    t = F.col(text_col)
+    # 1. tags: <...> including attributes; non-greedy via [^>]*
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    # 2. the five XML entities (amp LAST so &amp;lt; stays literal)
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, rep)
+    t = F.lower(t)
+    # 3. punctuation → space, keeping letters/digits/space/'/-
+    t = F.regexp_replace(t, r"[^a-z0-9\s'-]", " ")
+    # 4. whitespace collapse + trim
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    out = docs.select("doc_id", t.alias("norm_text"))
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")))
+        .cast("int")
+        .alias("n_norm_tokens"),
+        F.length("norm_text").cast("int").alias("n_norm_chars"),
+    )

@@ -591,3 +591,99 @@ def test_codec_registry_flows_through_spark_operators(spark):
         ]
     finally:
         mm.unregister_codec(toy_codec)
+
+
+def test_bloom_decontaminate_equals_exact_contamination(spark, docs):
+    # the Bloom stage only PRUNES: output must equal contamination()
+    # bit-for-bit, including at a deliberately tiny (high-fpp) bitmap
+    ev = docs.filter("doc_id % 7 = 0").select("text")
+    rest = docs.filter("doc_id % 7 != 0")
+    want = sorted(map(tuple, dd.contamination(rest, ev).collect()))
+    for bits in (1 << 20, 1 << 10):  # healthy and fpp-heavy blooms
+        got = sorted(
+            map(tuple, dd.bloom_decontaminate(rest, ev, bits=bits).collect())
+        )
+        assert got == want, bits
+
+
+def test_phash_planted_neardups(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[:2, :2] = 0  # small local edit
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_ppm(base))),
+         (2, "image", bytearray(mm.encode_ppm(tweak))),
+         (3, "image", bytearray(mm.encode_ppm(other)))],
+        "asset_id long, modality string, payload binary",
+    )
+    hashes = {r["asset_id"]: r["phash"] for r in
+              mm.image_phash(assets).collect()}
+    assert len(hashes) == 3
+    pairs = {(r["asset_a"], r["asset_b"])
+             for r in mm.phash_pairs(assets, max_hamming=6).collect()}
+    assert (1, 2) in pairs          # planted near-dup found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # hamming via the banded path equals direct popcount
+    direct = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    assert direct <= 6
+
+
+def test_temperature_mix_apportionment(spark, docs):
+    import ceres_spark.operators.corpus as corp
+
+    for temp in ("sqrt", "proportional"):
+        out = corp.temperature_mix(
+            docs, target_total_tokens=12_345, temperature=temp
+        ).collect()
+        assert sum(r["alloc_tokens"] for r in out) == 12_345  # exact
+        assert all(r["alloc_tokens"] >= 0 for r in out)
+    # sqrt temperature flattens: the biggest source's share shrinks
+    sq = {r["source"]: r["alloc_tokens"] for r in corp.temperature_mix(
+        docs, target_total_tokens=100_000, temperature="sqrt").collect()}
+    pr = {r["source"]: r["alloc_tokens"] for r in corp.temperature_mix(
+        docs, target_total_tokens=100_000,
+        temperature="proportional").collect()}
+    big = max(pr, key=pr.get)
+    assert sq[big] <= pr[big]
+    with pytest.raises(ValueError):
+        corp.temperature_mix(docs, temperature="cubic")
+
+
+def test_text_normalize_semantics(spark):
+    rows = [
+        (1, "Hello <b>World</b>!"),
+        (2, "A &amp; B &lt;tag&gt; &quot;q&quot; &apos;s&apos;"),
+        (3, "don't   stop-go\t\nnow"),
+        (4, ""),
+    ]
+    out = {r["doc_id"]: r for r in text.text_normalize(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[1]["norm_text"] == "hello world"
+    assert out[2]["norm_text"] == "a b tag q 's'"
+    assert out[3]["norm_text"] == "don't stop-go now"
+    assert out[4]["norm_text"] == "" and out[4]["n_norm_tokens"] == 0
+    assert out[3]["n_norm_tokens"] == 3
+
+
+def test_hard_negatives_band_and_exclusions(spark, emb):
+    got = sim.hard_negatives(
+        emb.filter("vec_id >= 25"), emb.filter("vec_id < 25"),
+        k=5, sim_lo=0.05, sim_hi=0.60,
+    ).collect()
+    assert got, "band should be populated on the fixture"
+    by_q = {}
+    for r in got:
+        assert 0.05 <= r["cosine_sim"] < 0.60      # in-band only
+        assert r["neg_id"] >= 25                   # corpus side only
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) <= 5
