@@ -1719,156 +1719,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 3): the r2 prefix (all 50 green in
-    CORRECTNESS_r02) is parked at the back. The r3 prefix holds, in
-    order: (a) the 23 entries with no driver row in r1 OR r2 — the 18
-    set/window ops rotated out during r2 plus top_series/moving_median/
-    winsorize and the formerly-rows-only group (ewma/holt×2/pq;
-    simhash_pairs_global is now ORACLE-PAIRED via the md5-lower64
-    from-text oracle); (b) the queries NEW this round
-    (topk_cosine_ivfpq, slice_roundtrip, multimodal_frames_real,
-    bigram_lm, quality_classifier, token_budget_fill, vocab_drift,
-    bpe_train, semantic_dedup); (c) the 7 entries whose
-    semantics changed AFTER their last driver row (fuzzy_pairs regime
-    dispatcher; multimodal_decode real codec; series_transform/
-    series_linreg/frequent_items determinism fixes; minhash/simhash
-    localCheckpoint swap); (d) oldest r1 greens filling to 50. After
-    this round every oracle-expressible query will have had at least
-    one external driver check. Everything stays covered locally by
+    ROTATION STATE (round 4): executed exactly as the r3 plan wrote
+    it. The r4 prefix holds, in order: (a) the 3 entries changed
+    after their last driver row — hash_embed (output reshaped to
+    vec_str so the driver's hasher can hash it — the ONLY red row in
+    r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
+    multimodal_frames_real (decode_real + codec-hook snapshot);
+    (b) the 7 entries NEW in r4 — the two streaming replay twins
+    stream_windowed_rollup / stream_corpus_ingest (REAL Structured
+    Streaming execution externally checked for the first time,
+    VERDICT #4) and bloom_decontaminate / text_normalize /
+    temperature_mix / hard_negatives (oracle-paired) +
+    phash_neardup (rows-only, Python decode); (c) the first 40 of
+    the 47 r2-prefix greens, whose last driver row (CORRECTNESS_r02)
+    is now the oldest in the fleet. The 7 r2 greens that did not fit
+    (weighted_sample … tpch_q20) lead the parked section — first in
+    line for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
 
-    ROTATION PLAN (round 4): after CORRECTNESS_r03, union driver
-    coverage is 138/138. For r4, park the r3 prefix greens and
-    promote (a) anything changed in r4, (b) new r4 entries, (c) the
-    r2-green tail whose last driver row is oldest — start from the
-    "(d) r2 greens" comment below and fill to 50. Keep any entry
-    whose semantics changed in-round inside the prefix (ADVICE r2).
+    ROTATION PLAN (round 5): promote (a) anything changed in r5,
+    (b) new r5 entries, (c) the 7 leftover r2 greens, then (d) r3
+    greens oldest-first (the r3 prefix: intersect_custkeys …
+    fetch_dense block). Keep any entry whose semantics changed
+    in-round inside the prefix (ADVICE r2).
     """
     return {
-        # --- (a) never driver-checked in r1/r2 ---
-        "intersect_custkeys": _q_intersect,
-        "anti_join": _q_anti_join,
-        "pivot_status": _q_pivot,
-        "except_custkeys": _q_except,
-        "cube_orders": _q_cube,
-        "top_parts": _q_top_parts,
-        "running_totals": _q_running_totals,
-        "rank_window": _q_rank_window,
-        "grouping_sets": _q_grouping_sets,
-        "range_frame_sum": _q_range_frame_sum,
-        "as_percent": _q_as_percent,
-        "percentiles": _q_percentiles,
-        "time_shift_join": _q_time_shift_join,
-        "forward_fill": _q_forward_fill,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "top_series": _q_top_series,
-        "moving_median": _q_moving_median,
-        "winsorize": _q_winsorize,
-        "simhash_pairs_global": _q_simhash_pairs_global,
-        # rows-only (recursive state / float argpartition — no SQL
-        # oracle; exactness pytest-pinned): driver row = row count
-        "ewma_series": _q_ewma_series,
-        "holt_winters_bands": _q_holt_winters,
-        "holt_winters_seasonal": _q_holt_winters_seasonal,
-        "topk_cosine_pq": _q_topk_cosine_pq,
-        # --- (b) new this round ---
-        "topk_cosine_ivfpq": _q_topk_cosine_ivfpq,
-        "slice_roundtrip": _q_slice_roundtrip,
-        "multimodal_frames_real": _q_multimodal_frames_real,
-        "bigram_lm": _q_bigram_lm,
-        "quality_classifier": _q_quality_classifier,
-        "token_budget_fill": _q_token_budget_fill,
-        "vocab_drift": _q_vocab_drift,
-        "corpus_card": _q_corpus_card,
-        "embedding_decontamination": _q_embedding_decontamination,
+        # ===== r4 CHECKED PREFIX (first 50) =====================
+        # (a) changed in r4: hash_embed output reshaped to vec_str
+        # (driver-hashable, VERDICT r3 #1); chunk_retrieval gained the
+        # in-plan ckey range guard; frame_sample_real now routes
+        # through decode_real + the codec-hook snapshot
         "hash_embed": _q_hash_embed,
-        "cusum_changepoints": _q_cusum,
         "chunk_retrieval": _q_chunk_retrieval,
-        # streaming replay entries (r4): execution goes through a real
-        # Structured Streaming query; result is oracle-paired
+        "multimodal_frames_real": _q_multimodal_frames_real,
+        # (b) new r4: streaming replay twins (REAL Structured
+        # Streaming execution, oracle-paired) + the five new pipeline
+        # operators (phash_neardup rows-only: Python-side decode)
         "stream_windowed_rollup": _q_stream_windowed_rollup,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
-        # new r4 operators
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
         "hard_negatives": _q_hard_negatives,
-        # rows-only: Python-side PPM decode — hash values and planted-
-        # pair recall pytest-pinned (test_llm_ops)
         "phash_neardup": _q_phash_neardup,
-        # rows-only: k-means + float cosine — stages pinned separately
-        "semantic_dedup_docs": _q_semantic_dedup_docs,
-        # rows-only: iterative fixpoint — no SQL oracle; power-
-        # iteration equality pytest-pinned (tests/test_graph.py)
-        "nation_pagerank": _q_nation_pagerank,
-        # rows-only: iterative argmax-dependent merge learning — no
-        # SQL oracle; bit-equality to the reference algorithm is
-        # pytest-pinned (tests/test_bpe.py)
-        "bpe_train": _q_bpe_train,
-        "bpe_segment": _q_bpe_segment,
-        # rows-only: float cosine components — no SQL oracle;
-        # numpy-reference equality pytest-pinned (tests/test_semdedup.py)
-        "semantic_dedup": _q_semantic_dedup,
-        # --- (c) changed after their last driver row ---
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "multimodal_decode": _q_multimodal_decode,
-        "series_transform": _q_series_transform,
-        "series_linreg": _q_series_linreg,
-        "frequent_items": _q_frequent_items,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "order_analytics": _q_order_analytics,
-        # --- (d) oldest r1 greens, filling the prefix to 50 ---
-        "fetch_dense": _q_fetch_dense,
-        "quantize_lww": _q_quantize_lww,
-        "agg_methods": _q_agg_methods,
-        "aggregate_series": _q_aggregate_series,
-        "merge_series": _q_merge,
-        "fetch_per_node_method": _q_fetch_per_node_method,
-        "rollup_xff": _q_rollup_xff,
-        "rollup_per_node": _q_rollup_per_node,
-        "multi_resolution": _q_multi_resolution,
-        "has_data_for_interval": _q_has_data,
-        "find_glob": _q_find_glob,
-        "delete_before": _q_delete_before,
-        "text_stats": _q_text_stats,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        # ================= entries 51+: parked (driver-green in a
-        # prior round, still covered by check_oracle locally) =======
-        # --- remaining r1 greens ---
-        "dedup_exact": _q_dedup_exact,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "neardup_clusters": _q_neardup_clusters,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "topk_cosine": _q_topk_cosine,
-        "topk_cosine_lsh": _q_topk_cosine_lsh,
-        "topk_cosine_ivf": _q_topk_cosine_ivf,
-        "embedding_neardup": _q_embedding_neardup,
-        "label_centroid_sim": _q_label_centroids,
-        "topk_cosine_q8": _q_topk_cosine_q8,
-        "sliding_window": _q_sliding_window,
-        "session_window": _q_session_window,
-        "props_extract": _q_props_extract,
-        "contamination": _q_contamination,
-        "doc_chunks": _q_doc_chunks,
-        "funnel": _q_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "approx_distinct_users": _q_approx_distinct,
-        "token_counts": _q_token_counts,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_resize": _q_multimodal_resize,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "asof_join": _q_asof_join,
-        # --- r2 greens (CORRECTNESS_r02 50/50) ---
+        # (c) r2 greens with the OLDEST driver rows (CORRECTNESS_r02),
+        # filling the prefix to 50
         "range_band_join": _q_range_band_join,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
@@ -1909,6 +1806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "bucketed_series_windows": _q_bucketed_series_windows,
         "corpus_filter_gate": _q_corpus_filter_gate,
+        # ===== entries 51+: parked (driver-green in a prior round,
+        # still covered by tools/check_oracle.py locally) ===========
+        # r2 greens that did not fit the r4 prefix — first in line
+        # for the r5 rotation
         "weighted_sample": _q_weighted_sample,
         "dedup_materialize": _q_dedup_materialize,
         "tpch_q2": _q_tpch_q2,
@@ -1916,6 +1817,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
+        # r3/r1 greens (newest external rows), original order
+        "intersect_custkeys": _q_intersect,
+        "anti_join": _q_anti_join,
+        "pivot_status": _q_pivot,
+        "except_custkeys": _q_except,
+        "cube_orders": _q_cube,
+        "top_parts": _q_top_parts,
+        "running_totals": _q_running_totals,
+        "rank_window": _q_rank_window,
+        "grouping_sets": _q_grouping_sets,
+        "range_frame_sum": _q_range_frame_sum,
+        "as_percent": _q_as_percent,
+        "percentiles": _q_percentiles,
+        "time_shift_join": _q_time_shift_join,
+        "forward_fill": _q_forward_fill,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "top_series": _q_top_series,
+        "moving_median": _q_moving_median,
+        "winsorize": _q_winsorize,
+        "simhash_pairs_global": _q_simhash_pairs_global,
+        "ewma_series": _q_ewma_series,
+        "holt_winters_bands": _q_holt_winters,
+        "holt_winters_seasonal": _q_holt_winters_seasonal,
+        "topk_cosine_pq": _q_topk_cosine_pq,
+        "topk_cosine_ivfpq": _q_topk_cosine_ivfpq,
+        "slice_roundtrip": _q_slice_roundtrip,
+        "bigram_lm": _q_bigram_lm,
+        "quality_classifier": _q_quality_classifier,
+        "token_budget_fill": _q_token_budget_fill,
+        "vocab_drift": _q_vocab_drift,
+        "corpus_card": _q_corpus_card,
+        "embedding_decontamination": _q_embedding_decontamination,
+        "cusum_changepoints": _q_cusum,
+        "semantic_dedup_docs": _q_semantic_dedup_docs,
+        "nation_pagerank": _q_nation_pagerank,
+        "bpe_train": _q_bpe_train,
+        "bpe_segment": _q_bpe_segment,
+        "semantic_dedup": _q_semantic_dedup,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "multimodal_decode": _q_multimodal_decode,
+        "series_transform": _q_series_transform,
+        "series_linreg": _q_series_linreg,
+        "frequent_items": _q_frequent_items,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "order_analytics": _q_order_analytics,
+        "fetch_dense": _q_fetch_dense,
+        "quantize_lww": _q_quantize_lww,
+        "agg_methods": _q_agg_methods,
+        "aggregate_series": _q_aggregate_series,
+        "merge_series": _q_merge,
+        "fetch_per_node_method": _q_fetch_per_node_method,
+        "rollup_xff": _q_rollup_xff,
+        "rollup_per_node": _q_rollup_per_node,
+        "multi_resolution": _q_multi_resolution,
+        "has_data_for_interval": _q_has_data,
+        "find_glob": _q_find_glob,
+        "delete_before": _q_delete_before,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "neardup_clusters": _q_neardup_clusters,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "topk_cosine_lsh": _q_topk_cosine_lsh,
+        "topk_cosine_ivf": _q_topk_cosine_ivf,
+        "embedding_neardup": _q_embedding_neardup,
+        "label_centroid_sim": _q_label_centroids,
+        "topk_cosine_q8": _q_topk_cosine_q8,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
+        "props_extract": _q_props_extract,
+        "contamination": _q_contamination,
+        "doc_chunks": _q_doc_chunks,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "approx_distinct_users": _q_approx_distinct,
+        "token_counts": _q_token_counts,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "asof_join": _q_asof_join,
     }
 
 
