@@ -693,3 +693,56 @@ def temperature_mix(
             F.expr(f"alloc_tokens * 1000000 div {t}L").cast("bigint"),
         )
     )
+
+
+def source_similarity(docs: DataFrame) -> DataFrame:
+    """Pairwise source-vocabulary overlap — the corpus-curation
+    signal for "are these two crawl sources near-mirrors?" (feeds
+    source-level dedup/mixing decisions before any doc-level pass).
+
+    Per source the DISTINCT token vocabulary; per unordered source
+    pair the common-token count and exact-integer Jaccard in ppm
+    (``common·1e6 div union``). All arithmetic BIGINT — oracle-exact.
+
+    Plan: one corpus scan → (source, token) distinct (map-side
+    combinable) → vocabulary self-join on token (vocabulary-sized,
+    NOT corpus-sized) → pair aggregate joined against broadcast
+    per-source sizes. Output: ``src_a, src_b, n_common, size_a,
+    size_b, jaccard_ppm``.
+    """
+    vocab = docs.select(
+        "source", F.explode(tokens()).alias("token")
+    ).filter(F.col("token") != "").distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "src_a", "size": "size_a"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "src_b", "size": "size_b"})),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.expr(
+                "n_common * 1000000 div (size_a + size_b - n_common)"
+            ).cast("bigint").alias("jaccard_ppm"),
+        )
+    )

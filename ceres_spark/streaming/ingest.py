@@ -143,7 +143,10 @@ def session_stream(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,10)"))
+            # decimal-via-string: cross-engine-exact double aggregation
+            # (see windowed_rollup_stream)
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+            .cast("string")
             .cast("double")
             .alias("sum_value"),
         )
