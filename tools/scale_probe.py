@@ -224,6 +224,38 @@ def time_corpus_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_r4_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Round-4 additions: Bloom filter-verify decontamination (chained
+    broadcast probes), source-vocabulary similarity (vocabulary-sized
+    self-join), hard-negative mining (broadcast NLJ + band top-k),
+    text normalization (pure scan)."""
+    import ceres_spark.operators.corpus as corp
+    import ceres_spark.operators.dedup as dd
+    import ceres_spark.operators.similarity as sim
+    import ceres_spark.operators.text as text
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    dd.bloom_decontaminate(rest, ev, shingle_k=3).count()
+    t["bloom_decontaminate"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    corp.source_similarity(docs).count()
+    t["source_similarity"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    sim.hard_negatives(
+        emb.filter(F.col("vec_id") >= 25), emb.filter(F.col("vec_id") < 25)
+    ).count()
+    t["hard_negatives"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    text.text_normalize(docs).count()
+    t["text_normalize"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -232,6 +264,7 @@ def main() -> None:
     time_text_pipeline(spark, base)  # + python worker pool
     time_new_ops(spark, base)
     time_corpus_ops(spark, base)
+    time_r4_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -255,6 +288,7 @@ def main() -> None:
             timings.update(time_text_pipeline(spark, td))
             timings.update(time_new_ops(spark, td))
             timings.update(time_corpus_ops(spark, td))
+            timings.update(time_r4_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
