@@ -1527,6 +1527,23 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corp.tfidf_top_terms(tbl.load(spark, "documents", sf_dir), k=3)
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-novelty scoring: per doc, the ppm fraction of its 8-token
+    spans first seen in THIS doc (smallest-id owner) — linear
+    gram-MIN + join-back plan, exact integers, oracle-paired."""
+    return dd.ngram_novelty(tbl.load(spark, "documents", sf_dir), k=8)
+
+
+def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: real WAV decode → envelope fingerprint →
+    shared band-LSH + exact Hamming kernel. Rows-only: Python-side
+    decode; gain-invariance and planted-pair recall pytest-pinned."""
+    assets = mm.real_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mm.audio_pairs(assets, max_hamming=16)
+
+
 def _q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary overlap (near-mirror detection for
     source-level curation): vocabulary-sized self-join, exact-integer
@@ -1833,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_ingest": _q_stream_corpus_ingest,
         "stream_sessions": _q_stream_sessions,
         "source_similarity": _q_source_similarity,
+        "ngram_novelty": _q_ngram_novelty,
+        "audio_neardup": _q_audio_neardup,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -1876,12 +1895,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _q_tpch_q21,
         "span_dup_ratio": _q_span_dup_ratio,
         "token_rarity": _q_token_rarity,
-        "props_flatten": _q_props_flatten,
-        "cap_per_source": _q_cap_per_source,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "props_flatten": _q_props_flatten,
+        "cap_per_source": _q_cap_per_source,
         "bucketed_series_windows": _q_bucketed_series_windows,
         "corpus_filter_gate": _q_corpus_filter_gate,
         "weighted_sample": _q_weighted_sample,
@@ -4052,6 +4071,28 @@ SELECT doc_id, n_tokens, lexdiv_ppm, stop_ppm,
        (-800000 + 5000 * n_tokens + 1 * lexdiv_ppm
             + (-2) * stop_ppm) > 0 AS keep
 FROM feat
+""",
+        "ngram_novelty": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 8
+           THEN [array_to_string(tk[i:i+7], ' ')
+                 for i in range(1, len(tk) - 6)]
+           ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tok
+),
+fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN fo USING (gram)
+GROUP BY doc_id
 """,
         "source_similarity": """
 WITH vocab AS (

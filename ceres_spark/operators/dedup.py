@@ -521,6 +521,43 @@ def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Crawl-snapshot novelty scoring — "is this document adding
+    anything the corpus hasn't seen?": for every document, the
+    fraction of its distinct k-token spans whose FIRST occurrence
+    (smallest doc_id — the arrival order under append-only ids) is
+    this document. Low novelty at ingest time = the crawl is
+    re-fetching what's already stored; per-source aggregation of this
+    signal drives re-crawl scheduling.
+
+    Same linear plan family as :func:`span_dup_ratio`: spans as
+    xxhash64 values, one gram-keyed MIN aggregate, join-back on the
+    same key (AQE reuses the partitioning), one doc aggregate — never
+    a pairwise join. Exact-integer ppm output, oracle-paired.
+    """
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(k), lambda s: F.xxhash64(s))
+        ).alias("gram"),
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(
+                (F.col("doc_id") == F.col("_first")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_novel * 1000000 div n_spans").cast("bigint"),
+        )
+    )
+
+
 # ----------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:

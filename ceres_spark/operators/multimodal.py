@@ -664,34 +664,33 @@ def image_phash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
     )
 
 
-def phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate image pairs: aHash fingerprints paired through
-    the SAME lossless bit-band LSH as text simhash (pigeonhole:
-    b = max_hamming + 1 disjoint bands — any pair within max_hamming
-    agrees on ≥1 band), then exact Hamming verify. Never Σ block²
-    over the corpus; the bands are the blocking.
-
-    Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
+def _hamming_band_pairs(
+    fp: DataFrame, fp_col: str, max_hamming: int
+) -> DataFrame:
+    """Shared lossless pairing kernel for 64-bit perceptual
+    fingerprints (image aHash, audio envelope hash): pigeonhole
+    bit-band LSH (b = max_hamming + 1 disjoint bands — any pair
+    within max_hamming agrees on ≥1 band) + exact Hamming verify.
+    Never Σ block² over the corpus; the bands are the blocking."""
     import ceres_spark.operators.dedup as dd
 
-    fp = image_phash(assets)
     b = int(max_hamming) + 1
     banded = fp.select(
         "asset_id",
-        "phash",
+        fp_col,
         F.posexplode(
-            F.array(*dd.simhash_bands(F.col("phash"), b))
+            F.array(*dd.simhash_bands(F.col(fp_col), b))
         ).alias("_band", "_val"),
     )
     left = banded.select(
         F.col("asset_id").alias("asset_a"),
-        F.col("phash").alias("_fa"),
+        F.col(fp_col).alias("_fa"),
         "_band",
         "_val",
     )
     right = banded.select(
         F.col("asset_id").alias("asset_b"),
-        F.col("phash").alias("_fb"),
+        F.col(fp_col).alias("_fb"),
         "_band",
         "_val",
     )
@@ -702,4 +701,76 @@ def phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select("asset_a", "asset_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= int(max_hamming))
         .distinct()
+    )
+
+
+def phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs: aHash fingerprints through the
+    shared band-LSH + exact-Hamming kernel.
+
+    Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
+    return _hamming_band_pairs(image_phash(assets), "phash", max_hamming)
+
+
+def _afp64(samples: "np.ndarray", n_bits: int = 64) -> int:
+    """64-bit audio envelope fingerprint: mono mean → n_bits+1 equal
+    time segments (deterministic integer boundaries) → RMS envelope →
+    bit i = env[i+1] > env[i]. Sign-of-derivative coding is
+    level-invariant (gain changes don't flip bits) — the property
+    audio near-dup needs; same public family as spectral landmark
+    fingerprints, reduced to the envelope so it stays numpy-only."""
+    x = samples.astype(np.float64)
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = mono.shape[0]
+    if n == 0:
+        return 0
+    bounds = np.linspace(0, n, n_bits + 2).astype(np.int64)
+    env = np.empty(n_bits + 1, dtype=np.float64)
+    for i in range(n_bits + 1):
+        seg = mono[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        env[i] = float(np.sqrt((seg * seg).mean()))
+    out = 0
+    for i in range(n_bits):
+        if env[i + 1] > env[i]:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Per-clip audio fingerprint (see :func:`_afp64`) — decode + hash
+    in one mapInPandas pass, payload bytes never leave the task.
+    Registered codecs extend coverage beyond PCM16 WAV.
+
+    Output: ``asset_id, afp`` (BIGINT)."""
+    codecs = tuple(_CODECS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_real(payload, "audio", codecs)
+                ids.append(int(asset_id))
+                fps.append(_afp64(decoded[1]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema="asset_id long, afp long")
+    )
+
+
+def audio_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprints through the
+    shared band-LSH + exact-Hamming kernel (the audio member of the
+    multimodal dedup trio: text simhash / image aHash / audio afp).
+
+    Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
+    return _hamming_band_pairs(
+        audio_fingerprint(assets), "afp", max_hamming
     )

@@ -687,3 +687,45 @@ def test_hard_negatives_band_and_exclusions(spark, emb):
         sims = [r["cosine_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert len(rows) <= 5
+
+
+def test_ngram_novelty_semantics(spark):
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, base),                      # first owner of all its spans
+        (2, base),                      # exact copy: zero novelty
+        (3, " ".join(f"x{i}" for i in range(20))),  # all novel
+    ]
+    out = {r["doc_id"]: r for r in dd.ngram_novelty(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=8
+    ).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["n_novel"] == 0 and out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
+    assert out[1]["n_spans"] == 13  # 20 tokens → 13 distinct 8-grams
+
+
+def test_audio_fingerprint_gain_invariant_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    clip = (rng.normal(0, 3000, 4096)).astype(np.int16)
+    louder = np.clip(clip.astype(np.int32) * 2, -32768, 32767).astype(
+        np.int16
+    )
+    other = (rng.normal(0, 3000, 4096)).astype(np.int16)
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(mm.encode_wav(clip))),
+         (2, "audio", bytearray(mm.encode_wav(louder))),
+         (3, "audio", bytearray(mm.encode_wav(other)))],
+        "asset_id long, modality string, payload binary",
+    )
+    fps = {r["asset_id"]: r["afp"] for r in
+           mm.audio_fingerprint(assets).collect()}
+    assert fps[1] == fps[2]  # pure gain change: identical envelope code
+    pairs = {(r["asset_a"], r["asset_b"]): r["hamming"]
+             for r in mm.audio_pairs(assets, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # zero-length audio: fingerprint defined (0), not NaN/crash
+    assert mm._afp64(np.empty((0,), dtype=np.int16)) == 0
