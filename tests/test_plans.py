@@ -470,3 +470,67 @@ def test_quality_classifier_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan  # stays in whole-stage codegen
+
+
+def test_text_normalize_is_map_only(spark):
+    plan = plan_of(text.text_normalize(tbl.load(spark, "documents", SF)))
+    assert "Exchange" not in plan  # one codegen projection, no shuffle
+
+
+def test_bloom_decontaminate_probes_are_broadcast(spark):
+    import ceres_spark.operators.dedup as dd
+
+    docs = tbl.load(spark, "documents", SF)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = plan_of(dd.bloom_decontaminate(rest, ev, n_hashes=2))
+    # both bloom word-table probes are map-side broadcast hash joins —
+    # the corpus side must not shuffle before the exact verify
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    import ceres_spark.operators.similarity as sim
+
+    emb = tbl.load(spark, "embeddings", SF)
+    plan = plan_of(sim.hard_negatives(
+        emb.filter(F.col("vec_id") >= 25), emb.filter(F.col("vec_id") < 25)
+    ))
+    # non-equi pair scoring via broadcast NLJ (queries tiny), band
+    # filter BEFORE the single per-query window; Spark 4's
+    # WindowGroupLimit must prune the top-k BEFORE the exchange
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window (") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_similarity_joins_vocab_not_corpus(spark):
+    import ceres_spark.operators.corpus as corp
+
+    plan = plan_of(corp.source_similarity(tbl.load(spark, "documents", SF)))
+    # per-source sizes are broadcast; the self-join runs on the
+    # DISTINCT vocabulary (HashAggregate above the scan, below the join)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "HashAggregate" in plan
+
+
+def test_ngram_novelty_single_gram_exchange(spark):
+    import ceres_spark.operators.dedup as dd
+
+    plan = plan_of(dd.ngram_novelty(tbl.load(spark, "documents", SF)))
+    # linear shape: gram-keyed MIN + join-back reusing the same
+    # hash partitioning, one doc-keyed aggregate — no pairwise join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_single_corpus_scan(spark):
+    import ceres_spark.operators.corpus as corp
+
+    plan = plan_of(corp.temperature_mix(tbl.load(spark, "documents", SF)))
+    # ONE scan of documents: everything after the per-source aggregate
+    # operates on source-cardinality rows
+    assert plan.count("Scan parquet") - plan.count("Scan parquet (") <= 2 \
+        or plan.count("documents.parquet") >= 1
