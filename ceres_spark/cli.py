@@ -71,7 +71,11 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("maintenance")
     m.add_argument("root")
-    m.add_argument("--plugin", choices=("rollup", "defrag"), required=True)
+    m.add_argument(
+        "--plugin",
+        choices=("rollup", "rollup-catalog", "defrag"),
+        required=True,
+    )
     m.add_argument("--new-step", type=int, default=300)
     m.add_argument("--method", default="average")
     m.add_argument("--xff", type=float, default=0.0)
@@ -188,6 +192,31 @@ def main(argv: list[str] | None = None) -> int:
                 tree.points_path(args.new_step)
             )
             print(f"rolled up to step={args.new_step}")
+        elif args.plugin == "rollup-catalog":
+            # catalog-driven dispatch: each node rolled to ITS OWN
+            # retention step with ITS OWN method, ONE grouped job for
+            # the whole tree (no per-node driver loop, no CASE chain)
+            import ceres_spark.operators.compact as cp
+            import ceres_spark.operators.retention as ret
+
+            out = tree.maintenance_run(
+                lambda catalog, points: ret.rollup_catalog(
+                    cp.lww_dedup(points),
+                    catalog,
+                    default_step=args.new_step,
+                    default_method=args.method,
+                )
+            ).withColumn(
+                "arrival_seq", F.lit(0).cast("long")
+            ).withColumn(
+                "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+            )
+            out.write.mode("overwrite").partitionBy("date").parquet(
+                tree.points_path(args.new_step)
+            )
+            print(
+                f"catalog rollup complete (default step={args.new_step})"
+            )
         else:
             import ceres_spark.operators.retention as ret
 

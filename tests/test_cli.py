@@ -23,6 +23,8 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert "servers.web01.cpu" in capsys.readouterr().out
     assert cli.main(["maintenance", root, "--plugin", "rollup",
                      "--new-step", "300"]) == 0
+    assert cli.main(["maintenance", root, "--plugin", "rollup-catalog",
+                     "--new-step", "300"]) == 0
     assert cli.main(["maintenance", root, "--plugin", "defrag"]) == 0
 
 
