@@ -1735,6 +1735,102 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED stream-stream join (the attribution shape:
+    each purchase paired with the same user's clicks in the trailing
+    hour): two streams over the same ts-quartile-ordered files, both
+    watermarked, joined with the time-range conjunct that lets
+    Structured Streaming bound its join state. Inner-join emission is
+    watermark-independent (the watermark only EVICTS state), and
+    time-ordered arrival means no candidate is evicted early — so the
+    materialized result equals the plain batch interval join the
+    oracle runs."""
+    import os
+    import tempfile
+
+    import ceres_spark.streaming.ingest as sing
+
+    base = tempfile.mkdtemp(prefix="sij_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    ev_raw = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev_raw.schema["ts"].dataType)
+    ev = ev_raw.select(
+        "user_id",
+        F.timestamp_seconds(sec).alias("ts"),
+        "value",
+        "event_type",
+        sec.alias("_t"),
+    )
+    lo, hi = ev.agg(F.min("_t"), F.max("_t")).collect()[0]
+    span = int(hi) - int(lo) + 1
+    for i in range(4):
+        ev.filter(
+            F.expr(f"(4 * (_t - {int(lo)})) div {span}") == i
+        ).drop("_t").coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e6:
+                os.utime(p, (1000 + i, 1000 + i))
+
+    def read(kind: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, value double, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+        )
+
+    joined = sing.stream_stream_join(
+        read("purchase"), read("click"), within="1 hour",
+        lateness="1 minute",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(f"sij_{abs(hash(base)) % 10**9}")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_interval_join replay timed out")
+    return spark.table(q.name).select(
+        "user_id",
+        F.unix_timestamp("l_ts").alias("buy_ts"),
+        F.unix_timestamp("r_ts").alias("click_ts"),
+        F.col("l_value").alias("buy_value"),
+        F.col("r_value").alias("click_value"),
+    )
+
+
+def _q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff for dataset versioning: release A (doc_id % 11
+    != 0, with doc_id % 7 == 0 texts 'edited') vs release B (the
+    fixture) — added/removed/changed/unchanged by content hash, one
+    co-located full outer join."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    a = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corp.dataset_diff(a, docs)
+
+
+def _q_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length filter: exact discrete [p5, p95]
+    token-length cutoffs (percentile_disc — observed values, engine-
+    portable), broadcast bounds, scan-speed verdict."""
+    return corp.length_percentile_gate(
+        tbl.load(spark, "documents", sf_dir)
+    )
+
+
 def _q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED streaming corpus front-door (VERDICT r3
     #4): documents split into two arrival batches BY doc_id (file
@@ -1813,17 +1909,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vec_str so the driver's hasher can hash it — the ONLY red row in
     r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
     multimodal_frames_real (decode_real + codec-hook snapshot);
-    (b) the 9 entries NEW in r4 — the three streaming replay twins
-    stream_windowed_rollup / stream_corpus_ingest / stream_sessions
-    (REAL Structured Streaming execution — incl. applyInPandasWithState
-    and append-mode watermark-close semantics — externally checked for
-    the first time, VERDICT #4) and bloom_decontaminate /
+    (b) the 14 entries NEW in r4 — the FOUR streaming replay twins
+    stream_windowed_rollup / stream_corpus_ingest / stream_sessions /
+    stream_interval_join (REAL Structured Streaming execution — incl.
+    applyInPandasWithState, append-mode watermark-close semantics, and
+    watermarked stream-stream join state — externally checked for the
+    first time, VERDICT #4), the oracle-paired bloom_decontaminate /
     text_normalize / temperature_mix / hard_negatives /
-    source_similarity (oracle-paired) + phash_neardup (rows-only,
-    Python decode); (c) the first 38 of the 47 r2-prefix greens,
-    whose last driver row (CORRECTNESS_r02) is now the oldest in the
-    fleet. The 9 r2 greens that did not fit (bucketed_series_windows
-    … tpch_q20) lead the parked section — first in line for r5. Everything stays covered locally by
+    source_similarity / ngram_novelty / dataset_diff /
+    length_percentile_gate, and the rows-only phash_neardup /
+    audio_neardup (Python-side decode); (c) the first 33 of the 47
+    r2-prefix greens, whose last driver row (CORRECTNESS_r02) is now
+    the oldest in the fleet. The 14 r2 greens that did not fit
+    (tpch_q21 … tpch_q20) lead the parked section — first in line
+    for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
@@ -1852,6 +1951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": _q_source_similarity,
         "ngram_novelty": _q_ngram_novelty,
         "audio_neardup": _q_audio_neardup,
+        "stream_interval_join": _q_stream_interval_join,
+        "dataset_diff": _q_dataset_diff,
+        "length_percentile_gate": _q_length_percentile_gate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -1892,13 +1994,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_quartiles_scaled": _q_order_quartiles_scaled,
         "neardup_clusters_star": _q_neardup_clusters_star,
         "tpch_q12": _q_tpch_q12,
-        "tpch_q21": _q_tpch_q21,
-        "span_dup_ratio": _q_span_dup_ratio,
-        "token_rarity": _q_token_rarity,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "tpch_q21": _q_tpch_q21,
+        "span_dup_ratio": _q_span_dup_ratio,
+        "token_rarity": _q_token_rarity,
         "props_flatten": _q_props_flatten,
         "cap_per_source": _q_cap_per_source,
         "bucketed_series_windows": _q_bucketed_series_windows,
@@ -4071,6 +4173,59 @@ SELECT doc_id, n_tokens, lexdiv_ppm, stop_ppm,
        (-800000 + 5000 * n_tokens + 1 * lexdiv_ppm
             + (-2) * stop_ppm) > 0 AS keep
 FROM feat
+""",
+        # inner stream-stream join emission is watermark-independent
+        # (watermark only evicts state) and arrival is time-ordered,
+        # so the replay equals the plain batch interval join
+        "stream_interval_join": """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value,
+         event_type
+  FROM events
+),
+b AS (
+  SELECT user_id, t AS buy_ts, value AS buy_value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, t AS click_ts, value AS click_value
+  FROM e WHERE event_type = 'click'
+)
+SELECT b.user_id, buy_ts, click_ts, buy_value, click_value
+FROM b JOIN c ON b.user_id = c.user_id
+ AND click_ts >= buy_ts - 3600 AND click_ts <= buy_ts
+""",
+        "dataset_diff": """
+WITH a AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                  ELSE text END) AS hash_a
+  FROM documents WHERE doc_id % 11 <> 0
+), b AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS hash_b FROM documents
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       COALESCE(hash_a, '') AS hash_a,
+       COALESCE(hash_b, '') AS hash_b,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN hash_a <> hash_b THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+""",
+        "length_percentile_gate": """
+WITH l AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cuts AS (
+  SELECT quantile_disc(n_tokens, 0.05) AS lo_cut,
+         quantile_disc(n_tokens, 0.95) AS hi_cut
+  FROM l
+)
+SELECT doc_id, n_tokens, lo_cut, hi_cut,
+       n_tokens >= lo_cut AND n_tokens <= hi_cut AS keep
+FROM l CROSS JOIN cuts
 """,
         "ngram_novelty": """
 WITH tok AS (

@@ -746,3 +746,73 @@ def source_similarity(docs: DataFrame) -> DataFrame:
             ).cast("bigint").alias("jaccard_ppm"),
         )
     )
+
+
+def dataset_diff(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Snapshot diff for dataset versioning — what changed between two
+    corpus releases, keyed by doc_id with content compared by hash
+    (so the diff is O(1) per row regardless of text size, and two
+    re-crawls of identical text are "unchanged" even if bytes moved):
+
+    ``status ∈ {added, removed, changed, unchanged}`` per doc_id, with
+    both sides' content hashes for audit. One full outer join on
+    doc_id; at scale both sides are hash-partitioned on the same key
+    so the join co-locates.
+    """
+    a = docs_a.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("hash_a")
+    )
+    b = docs_b.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("hash_b")
+    )
+    return a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("hash_a", F.lit("")).alias("hash_a"),
+        F.coalesce("hash_b", F.lit("")).alias("hash_b"),
+        # status from the RAW (nullable) join columns — the aliased
+        # coalesces above are not in scope for sibling expressions
+        F.when(F.col("hash_a").isNull(), F.lit("added"))
+        .when(F.col("hash_b").isNull(), F.lit("removed"))
+        .when(F.col("hash_a") != F.col("hash_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def length_percentile_gate(
+    docs: DataFrame, lo_pct: float = 0.05, hi_pct: float = 0.95
+) -> DataFrame:
+    """Corpus-relative length filtering — drop the extreme tails of
+    the token-length distribution (truncated/garbage shorts, scraped
+    dumps longs) using EXACT discrete percentiles of the corpus
+    itself, not fixed thresholds that rot as the corpus drifts.
+
+    ``percentile_disc`` picks actual observed lengths (exact and
+    engine-portable, unlike interpolated continuous percentiles), the
+    two cutoffs broadcast as a 1-row bounds table, and the verdict is
+    a scan-speed projection. Output: ``doc_id, n_tokens, lo_cut,
+    hi_cut, keep``.
+    """
+    lengths = docs.select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    cuts = lengths.agg(
+        F.expr(
+            f"percentile_disc({float(lo_pct)}) WITHIN GROUP "
+            "(ORDER BY n_tokens)"
+        ).cast("bigint").alias("lo_cut"),
+        F.expr(
+            f"percentile_disc({float(hi_pct)}) WITHIN GROUP "
+            "(ORDER BY n_tokens)"
+        ).cast("bigint").alias("hi_cut"),
+    )
+    return lengths.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "lo_cut",
+        "hi_cut",
+        (
+            (F.col("n_tokens") >= F.col("lo_cut"))
+            & (F.col("n_tokens") <= F.col("hi_cut"))
+        ).alias("keep"),
+    )

@@ -197,3 +197,38 @@ def test_hash_embed_properties(spark):
 
     for d, text in ((1, "alpha beta alpha"), (3, "gamma delta epsilon")):
         assert list(res[d]) == ref_vec(text), d
+
+
+def test_dataset_diff_statuses(spark):
+    import ceres_spark.operators.corpus as corp
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in corp.dataset_diff(a, b).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_length_percentile_gate_cuts_tails(spark):
+    import ceres_spark.operators.corpus as corp
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1] + [50] * 18 + [500]  # one short + one long outlier
+    )]
+    out = corp.length_percentile_gate(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        lo_pct=0.10, hi_pct=0.90,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["keep"] is False       # 1-token tail dropped
+    assert by_id[19]["keep"] is False      # 500-token tail dropped
+    assert all(by_id[i]["keep"] for i in range(1, 19))
+    # cutoffs are observed values, not interpolations
+    assert by_id[1]["lo_cut"] in (1, 50) and by_id[1]["hi_cut"] in (50, 500)
