@@ -195,27 +195,47 @@ def main(argv: list[str] | None = None) -> int:
         elif args.plugin == "rollup-catalog":
             # catalog-driven dispatch: each node rolled to ITS OWN
             # retention step with ITS OWN method, ONE grouped job for
-            # the whole tree (no per-node driver loop, no CASE chain)
+            # the whole tree (no per-node driver loop, no CASE chain).
+            # The result is MIXED-resolution, so each bucket must land
+            # in the archive directory of its own step — the tree's
+            # points/step=N layout IS a partition column, so one
+            # step-partitioned dynamic-overwrite write routes every
+            # node correctly (a single-step write would corrupt the
+            # uniform-step invariant of points_path(new_step)).
+            import os
+
             import ceres_spark.operators.compact as cp
             import ceres_spark.operators.retention as ret
 
+            src_step = 60
             out = tree.maintenance_run(
                 lambda catalog, points: ret.rollup_catalog(
                     cp.lww_dedup(points),
                     catalog,
                     default_step=args.new_step,
                     default_method=args.method,
+                    with_step=True,
                 )
             ).withColumn(
                 "arrival_seq", F.lit(0).cast("long")
             ).withColumn(
                 "date", F.to_date(F.timestamp_seconds(F.col("ts")))
             )
-            out.write.mode("overwrite").partitionBy("date").parquet(
-                tree.points_path(args.new_step)
+            steps = [r["step"] for r in out.select("step").distinct().collect()]
+            if src_step in steps:
+                raise SystemExit(
+                    f"rollup-catalog refuses to write into the source "
+                    f"step={src_step} archive (a node's retention step "
+                    "equals the raw step; fix the catalog retentions)"
+                )
+            out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("step", "date").parquet(
+                os.path.join(tree.root, "points")
             )
             print(
-                f"catalog rollup complete (default step={args.new_step})"
+                f"catalog rollup complete (steps={sorted(steps)}, "
+                f"default step={args.new_step})"
             )
         else:
             import ceres_spark.operators.retention as ret

@@ -115,12 +115,15 @@ def chunk_retrieval(
 
     chunks = chunk_documents(docs, size=size, stride=stride)
     # the packed key is only injective for 0 <= chunk_idx < 1e6 and
-    # doc_id >= 0 — a >=48M-token document or a negative id would
+    # 0 <= doc_id < ~9.22e12 (doc_id * 1e6 must not overflow BIGINT)
+    # — a >=48M-token document, a negative id, or a huge id would
     # silently corrupt retrieval, so fail LOUDLY in-plan instead
     # (raise_error is JVM-side; the happy path stays codegen)
     keyed = chunks.select(
         F.when(
-            (F.col("chunk_idx") < 1_000_000) & (F.col("doc_id") >= 0),
+            (F.col("chunk_idx") < 1_000_000)
+            & (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < 9_000_000_000_000),
             F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
         )
         .otherwise(
@@ -128,8 +131,8 @@ def chunk_retrieval(
                 F.concat(
                     F.lit(
                         "chunk_retrieval: packed ckey out of range "
-                        "(need doc_id >= 0 and chunk_idx < 1e6), got "
-                        "doc_id="
+                        "(need 0 <= doc_id < 9e12 and chunk_idx < "
+                        "1e6), got doc_id="
                     ),
                     F.col("doc_id").cast("string"),
                     F.lit(" chunk_idx="),

@@ -665,7 +665,6 @@ def temperature_mix(
         "source",
         "n_tokens",
         "weight",
-        (F.lit(t) * F.col("weight")).alias("_num"),
         F.col("_W"),
         F.expr(f"({t}L * weight) div _W").alias("_floor_alloc"),
         F.expr(f"({t}L * weight) % _W").alias("_rem"),

@@ -665,16 +665,33 @@ def image_phash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
 
 
 def _hamming_band_pairs(
-    fp: DataFrame, fp_col: str, max_hamming: int
+    fp: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    allow_weak_blocking: bool = False,
 ) -> DataFrame:
     """Shared lossless pairing kernel for 64-bit perceptual
     fingerprints (image aHash, audio envelope hash): pigeonhole
     bit-band LSH (b = max_hamming + 1 disjoint bands — any pair
     within max_hamming agrees on ≥1 band) + exact Hamming verify.
-    Never Σ block² over the corpus; the bands are the blocking."""
+
+    The bands are the blocking, so band WIDTH is the scale contract:
+    64/b bits per band → ~N²/2^(64/b) random candidate pairs per
+    band. At max_hamming ≤ 6 (≥ 9-bit bands) blocking is strong; past
+    ~max_hamming 7 (sub-8-bit bands) the candidate set degenerates
+    toward all-pairs, so large dials raise unless the caller opts in
+    with ``allow_weak_blocking=True`` (fine on bounded corpora; a
+    100 TB run at such dials needs a multi-probe index instead)."""
     import ceres_spark.operators.dedup as dd
 
     b = int(max_hamming) + 1
+    if 64 // b < 8 and not allow_weak_blocking:
+        raise ValueError(
+            f"max_hamming={max_hamming} gives {64 // b}-bit bands — "
+            "blocking degenerates toward all-pairs at scale. Lower "
+            "the threshold (≤ 6) or pass allow_weak_blocking=True "
+            "for a bounded corpus."
+        )
     banded = fp.select(
         "asset_id",
         fp_col,
@@ -704,12 +721,19 @@ def _hamming_band_pairs(
     )
 
 
-def phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    allow_weak_blocking: bool = False,
+) -> DataFrame:
     """Near-duplicate image pairs: aHash fingerprints through the
-    shared band-LSH + exact-Hamming kernel.
+    shared band-LSH + exact-Hamming kernel (see the kernel docstring
+    for the band-width scale contract behind ``allow_weak_blocking``).
 
     Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
-    return _hamming_band_pairs(image_phash(assets), "phash", max_hamming)
+    return _hamming_band_pairs(
+        image_phash(assets), "phash", max_hamming, allow_weak_blocking
+    )
 
 
 def _afp64(samples: "np.ndarray", n_bits: int = 64) -> int:
@@ -765,12 +789,16 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     )
 
 
-def audio_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+def audio_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    allow_weak_blocking: bool = False,
+) -> DataFrame:
     """Near-duplicate audio pairs: envelope fingerprints through the
     shared band-LSH + exact-Hamming kernel (the audio member of the
     multimodal dedup trio: text simhash / image aHash / audio afp).
 
     Output: ``asset_a, asset_b, hamming`` (a < b, deduped)."""
     return _hamming_band_pairs(
-        audio_fingerprint(assets), "afp", max_hamming
+        audio_fingerprint(assets), "afp", max_hamming, allow_weak_blocking
     )

@@ -174,6 +174,7 @@ def rollup_catalog(
     catalog: DataFrame,
     default_step: int = 3600,
     default_method: str = "average",
+    with_step: bool = False,
 ) -> DataFrame:
     """Catalog-JOIN rollup — :func:`rollup_per_node` without the
     driver-built CASE chains: per-node step/method arrive through a
@@ -188,11 +189,26 @@ def rollup_catalog(
     own ``timeStep`` (ceres's rollup plugin targets the next archive,
     plugins/maintenance/rollup.py node_found), else ``default_step``;
     method = the node's ``aggregationMethod``, else
-    ``default_method``. Unknown methods fall back to the default
-    rather than erroring mid-job.
+    ``default_method``. Unknown methods fall back to the DEFAULT
+    method (validated eagerly — a bad default raises here, mirroring
+    rollup_per_node's KeyError) rather than erroring mid-job.
+
+    ``with_step=True`` adds the per-row effective ``step`` column —
+    required when the caller writes a mixed-resolution result into a
+    step-partitioned archive (each node's buckets MUST land in the
+    directory of their own step; see cli.py rollup-catalog).
     """
     from ceres_spark.operators.aggregate import agg_expr
 
+    col_of = {
+        "average": "_avg",
+        "sum": "_sum",
+        "last": "_last",
+        "max": "_max",
+        "min": "_min",
+    }
+    if default_method not in col_of:
+        raise KeyError(default_method)
     cfg = catalog.select(
         "metric",
         F.coalesce(
@@ -208,11 +224,12 @@ def rollup_catalog(
     bucket = (F.col("ts") - F.col("ts") % step).cast("long")
     per_bucket = j.groupBy(
         "metric",
-        # _method is functionally dependent on metric — zero extra
-        # grouping cardinality, keeps it available post-aggregate
+        # _method/_step are functionally dependent on metric — zero
+        # extra grouping cardinality, kept available post-aggregate
         F.coalesce(F.col("_method"), F.lit(default_method)).alias(
             "_method"
         ),
+        step.alias("step"),
         bucket.alias("ts"),
     ).agg(
         agg_expr("average").alias("_avg"),
@@ -226,6 +243,11 @@ def rollup_catalog(
         .when(F.col("_method") == "last", F.col("_last"))
         .when(F.col("_method") == "max", F.col("_max"))
         .when(F.col("_method") == "min", F.col("_min"))
-        .otherwise(F.col("_avg"))
+        .when(F.col("_method") == "average", F.col("_avg"))
+        # unknown method string → the validated DEFAULT, not average
+        .otherwise(F.col(col_of[default_method]))
     )
-    return per_bucket.select("metric", "ts", value.alias("value"))
+    cols = ["metric", "ts", value.alias("value")] + (
+        ["step"] if with_step else []
+    )
+    return per_bucket.select(*cols)

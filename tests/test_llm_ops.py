@@ -729,3 +729,16 @@ def test_audio_fingerprint_gain_invariant_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # zero-length audio: fingerprint defined (0), not NaN/crash
     assert mm._afp64(np.empty((0,), dtype=np.int16)) == 0
+
+
+def test_hamming_band_pairs_weak_blocking_guard(spark):
+    # review r4: sub-8-bit bands degenerate toward all-pairs at scale
+    # — large dials must raise without the explicit opt-in
+    fp = spark.createDataFrame(
+        [(1, 5), (2, 7)], "asset_id long, phash long"
+    )
+    with pytest.raises(ValueError, match="allow_weak_blocking"):
+        mm._hamming_band_pairs(fp, "phash", max_hamming=16)
+    assert mm._hamming_band_pairs(
+        fp, "phash", max_hamming=16, allow_weak_blocking=True
+    ).count() == 1  # hamming(5,7)=1

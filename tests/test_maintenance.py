@@ -154,3 +154,57 @@ def test_maintenance_run_is_one_dataframe_job(spark, tmp_path):
     # x.two uses its own sum method; x.one the average default
     assert got[("x.two", 0)] == 2.0 * 5
     assert got[("x.one", 0)] == 1.0
+
+
+def test_rollup_catalog_unknown_method_falls_to_default(spark):
+    # review r4: unknown per-node method must use the DEFAULT method
+    # (as documented), not silently average; a bad default raises
+    import pytest
+
+    import ceres_spark.catalog as cat
+
+    pts = df(spark, [("m", t, 1.0) for t in range(0, 600, 60)])
+    catalog = cat.make_catalog(
+        spark, [{"metric": "m", "timeStep": 60,
+                 "aggregationMethod": "median"}]  # unknown method
+    )
+    got = {r["ts"]: r["value"] for r in ret.rollup_catalog(
+        pts, catalog, default_step=300, default_method="sum"
+    ).collect()}
+    assert got == {0: 5.0, 300: 5.0}  # sum, not average (1.0)
+    with pytest.raises(KeyError):
+        ret.rollup_catalog(pts, catalog, default_method="nope")
+
+
+def test_cli_rollup_catalog_routes_mixed_steps(spark, tmp_path):
+    # review r4: a mixed-resolution rollup must land each node's
+    # buckets in the archive directory of ITS OWN step — and never
+    # touch the raw step=60 archive
+    import os
+
+    import ceres_spark.cli as cli
+    from ceres_spark.tree import CeresTree
+
+    root = str(tmp_path / "t")
+    tree = CeresTree.create_tree(spark, root)
+    tree.create_node(
+        "a.one", timeStep=60, aggregationMethod="sum",
+        retentions=[[60, 86400], [300, 604800]],
+    )
+    tree.create_node("a.two", timeStep=60)  # falls to --new-step
+    for m in ("a.one", "a.two"):
+        tree.store(m, df(spark, [(t, 1.0) for t in range(0, 7200, 60)],
+                         "ts long, value double"))
+    assert cli.main(["maintenance", root, "--plugin", "rollup-catalog",
+                     "--new-step", "3600"]) == 0
+    pts_root = os.path.join(root, "points")
+    assert os.path.exists(os.path.join(pts_root, "step=300"))
+    assert os.path.exists(os.path.join(pts_root, "step=3600"))
+    raw = spark.read.parquet(os.path.join(pts_root, "step=60"))
+    assert raw.count() == 240  # untouched
+    s300 = spark.read.parquet(os.path.join(pts_root, "step=300"))
+    rows = {(r["metric"], r["ts"]): r["value"] for r in s300.collect()}
+    assert set(m for m, _ in rows) == {"a.one"}       # only its node
+    assert rows[("a.one", 0)] == 5.0                  # sum of 5 pts
+    s3600 = spark.read.parquet(os.path.join(pts_root, "step=3600"))
+    assert {r["metric"] for r in s3600.collect()} == {"a.two"}
