@@ -251,3 +251,40 @@ def rollup_catalog(
         ["step"] if with_step else []
     )
     return per_bucket.select(*cols)
+
+
+def expire_catalog(
+    points: DataFrame,
+    catalog: DataFrame,
+    now: int,
+    default_horizon: int = 30 * 86400,
+) -> DataFrame:
+    """Catalog-driven retention expiry — the deleteBefore twin of
+    :func:`rollup_catalog`: every node keeps only data newer than its
+    OWN retention horizon (the longest ``secondsOfHistory`` among its
+    retention entries; nodes without retentions keep
+    ``default_horizon``). One broadcast join + one filter; at scale
+    the cutoff pushes into the scan after the join prunes, and
+    whole-partition drops go through expire_path instead.
+
+    Cutoffs are quantized UP to the node's own step (a partially
+    covered bucket is dropped — the reference's deleteBefore
+    contract, ceres.py ≈L600).
+    """
+    cfg = catalog.select(
+        "metric",
+        F.coalesce(
+            F.expr(
+                "aggregate(retentions, 0L, (a, r) -> "
+                "greatest(a, cast(r[1] as bigint)))"
+            ),
+            F.lit(int(default_horizon)),
+        ).alias("_horizon"),
+        F.col("timeStep").cast("long").alias("_step"),
+    )
+    j = points.join(F.broadcast(cfg), "metric", "left")
+    horizon = F.coalesce(F.col("_horizon"), F.lit(int(default_horizon)))
+    step = F.coalesce(F.col("_step"), F.lit(60))
+    raw_cut = F.lit(int(now)) - horizon
+    cut = raw_cut + (step - raw_cut % step) % step  # quantize UP
+    return j.filter(F.col("ts") >= cut).select(*points.columns)

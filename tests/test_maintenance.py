@@ -208,3 +208,29 @@ def test_cli_rollup_catalog_routes_mixed_steps(spark, tmp_path):
     assert rows[("a.one", 0)] == 5.0                  # sum of 5 pts
     s3600 = spark.read.parquet(os.path.join(pts_root, "step=3600"))
     assert {r["metric"] for r in s3600.collect()} == {"a.two"}
+
+
+def test_expire_catalog_per_node_horizons(spark):
+    import ceres_spark.catalog as cat
+
+    pts = df(spark, [("a", t, 1.0) for t in range(0, 7200, 60)]
+             + [("b", t, 2.0) for t in range(0, 7200, 60)])
+    catalog = cat.make_catalog(
+        spark,
+        [
+            # horizon = max secondsOfHistory = 3600
+            {"metric": "a", "timeStep": 60,
+             "retentions": [[60, 1800], [300, 3600]]},
+            {"metric": "b", "timeStep": 60},  # default horizon
+        ],
+    )
+    out = ret.expire_catalog(pts, catalog, now=7200, default_horizon=600)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["metric"], set()).add(r["ts"])
+    assert min(got["a"]) == 3600 and max(got["a"]) == 7140  # 7200-3600
+    assert min(got["b"]) == 6600  # 7200-600
+    # cutoff quantizes UP: now=7230 → raw cut 3630 → 3660
+    out2 = ret.expire_catalog(pts, catalog, now=7230, default_horizon=600)
+    a2 = {r["ts"] for r in out2.collect() if r["metric"] == "a"}
+    assert min(a2) == 3660

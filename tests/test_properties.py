@@ -392,3 +392,72 @@ def test_simhash_banded_lossless_on_random_corpora(spark, texts, h):
     band = {(r["doc_a"], r["doc_b"], r["hamming"])
             for r in dd.simhash_pairs(docs, max_hamming=h).collect()}
     assert brute == band
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=8,
+    ),
+    target=st.integers(min_value=1, max_value=1_000_000),
+    temp=st.sampled_from(["sqrt", "proportional"]),
+)
+def test_temperature_mix_always_sums_to_target(spark, counts, target, temp):
+    """Largest-remainder apportionment: Σ alloc == target EXACTLY for
+    any source sizes, any target, both temperatures — the invariant a
+    training-mix consumer depends on."""
+    import ceres_spark.operators.corpus as corp
+
+    rows = []
+    for i, c in enumerate(counts):
+        # c tokens in source i (one doc of c whitespace tokens)
+        rows.append((i, f"s{i}", " ".join(["w"] * c) if c else ""))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = corp.temperature_mix(
+        docs, target_total_tokens=target, temperature=temp
+    ).collect()
+    # all-empty corpora have zero weight mass — N/A for apportionment
+    if sum(r["weight"] for r in out) == 0:
+        return
+    assert sum(r["alloc_tokens"] for r in out) == target
+    assert all(r["alloc_tokens"] >= 0 for r in out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_text_normalize_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) on arbitrary unicode —
+    a second pass through the gate must be a no-op (pipelines re-run
+    stages; non-idempotent normalizers silently drift text)."""
+    import ceres_spark.operators.text as text
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = text.text_normalize(docs).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = text.text_normalize(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert a == b
