@@ -201,6 +201,31 @@ def _q_rollup_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.rollup_per_node(deduped, STEP_BY_METRIC, METHOD_BY_METRIC)
 
 
+def _q_rollup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops #21+#23, the r4 catalog-JOIN dispatch externally checked:
+    same per-node steps/methods as rollup_per_node, but routed through
+    a broadcast catalog join (no CASE chains — the shape that survives
+    a 10^8-node catalog) and emitting each node's effective ``step``
+    so mixed-resolution archive routing is verified too."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    catalog = cat.make_catalog(
+        spark,
+        [
+            {
+                "metric": m,
+                "timeStep": 60,
+                "aggregationMethod": meth,
+                "retentions": [[60, 86400], [STEP_BY_METRIC[m], 604800]],
+            }
+            for m, meth in METHOD_BY_METRIC.items()
+        ],
+    )
+    return ret.rollup_catalog(
+        deduped, catalog, default_step=3600, default_method="average",
+        with_step=True,
+    )
+
+
 def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op #13: cross-resolution read. Data older than day 20 lives only
     in a 300 s rollup archive; newer data in the 60 s table. A fetch of
@@ -1931,7 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vec_str so the driver's hasher can hash it — the ONLY red row in
     r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
     multimodal_frames_real (decode_real + codec-hook snapshot);
-    (b) the 14 entries NEW in r4 — the FOUR streaming replay twins
+    (b) the 15 entries NEW in r4 — the FOUR streaming replay twins
     stream_windowed_rollup / stream_corpus_ingest / stream_sessions /
     stream_interval_join (REAL Structured Streaming execution — incl.
     applyInPandasWithState, append-mode watermark-close semantics, and
@@ -1939,12 +1964,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first time, VERDICT #4), the oracle-paired bloom_decontaminate /
     text_normalize / temperature_mix / hard_negatives /
     source_similarity / ngram_novelty / dataset_diff /
-    length_percentile_gate, and the rows-only phash_neardup /
-    audio_neardup (Python-side decode); (c) the first 33 of the 47
-    r2-prefix greens, whose last driver row (CORRECTNESS_r02) is now
-    the oldest in the fleet. The 14 r2 greens that did not fit
-    (tpch_q21 … tpch_q20) lead the parked section — first in line
-    for r5. Everything stays covered locally by
+    length_percentile_gate / rollup_catalog (the catalog-JOIN
+    maintenance dispatch, step routing verified), and the rows-only
+    phash_neardup / audio_neardup (Python-side decode); (c) the first
+    32 of the 47 r2-prefix greens, whose last driver row
+    (CORRECTNESS_r02) is now the oldest in the fleet. The 15 r2
+    greens that did not fit (tpch_q12 … tpch_q20) lead the parked
+    section — first in line for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
@@ -1976,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "dataset_diff": _q_dataset_diff,
         "length_percentile_gate": _q_length_percentile_gate,
+        "rollup_catalog": _q_rollup_catalog,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -2015,11 +2042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": _q_bucketed_join,
         "order_quartiles_scaled": _q_order_quartiles_scaled,
         "neardup_clusters_star": _q_neardup_clusters_star,
-        "tpch_q12": _q_tpch_q12,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
         "span_dup_ratio": _q_span_dup_ratio,
         "token_rarity": _q_token_rarity,
@@ -2239,6 +2266,39 @@ deduped AS (
 SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
 FROM deduped GROUP BY 1, 2
 HAVING count(value) / 60.0 >= 0.05
+""",
+        "rollup_catalog": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric,
+         ts - (ts % CASE metric
+             WHEN 'click' THEN 300 WHEN 'error' THEN 600
+             WHEN 'purchase' THEN 300 WHEN 'signup' THEN 3600
+             WHEN 'view' THEN 600 ELSE 3600 END) AS ts,
+         CAST(CASE metric
+             WHEN 'click' THEN 300 WHEN 'error' THEN 600
+             WHEN 'purchase' THEN 300 WHEN 'signup' THEN 3600
+             WHEN 'view' THEN 600 ELSE 3600 END AS BIGINT) AS step,
+         {DEC_AVG} AS _avg, {DEC_SUM} AS _sum,
+         arg_max(value, ts) AS _last,
+         max(value) AS _max, min(value) AS _min
+  FROM deduped GROUP BY 1, 2, 3
+)
+SELECT metric, ts,
+  CASE metric
+    WHEN 'click' THEN _avg
+    WHEN 'error' THEN _sum
+    WHEN 'purchase' THEN _last
+    WHEN 'signup' THEN _max
+    WHEN 'view' THEN _min
+    ELSE _avg
+  END AS value,
+  step
+FROM b
 """,
         "rollup_per_node": f"""
 WITH {POINTS_CTE},
