@@ -201,6 +201,25 @@ def _q_rollup_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.rollup_per_node(deduped, STEP_BY_METRIC, METHOD_BY_METRIC)
 
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA/whitening — the standard embedding pre-pass before
+    clustering/ANN: bounded-sample deterministic SVD training
+    (sign-pinned components), Arrow-batched matmul projection.
+    Rows-only (float SVD has no SQL oracle); numpy-reference
+    equality, whitening variance, and retrain-determinism are
+    pytest-pinned (test_llm_ops)."""
+    emb = tbl.load(spark, "embeddings", sf_dir)
+    mu, W, sc = sim.train_pca(emb, k=8)
+    out = sim.apply_pca(emb, mu, W, sc, whiten=True)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("embedding", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(3)
+        ],
+    )
+
+
 def _q_rollup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #21+#23, the r4 catalog-JOIN dispatch externally checked:
     same per-node steps/methods as rollup_per_node, but routed through
@@ -1956,7 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vec_str so the driver's hasher can hash it — the ONLY red row in
     r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
     multimodal_frames_real (decode_real + codec-hook snapshot);
-    (b) the 15 entries NEW in r4 — the FOUR streaming replay twins
+    (b) the 16 entries NEW in r4 — the FOUR streaming replay twins
     stream_windowed_rollup / stream_corpus_ingest / stream_sessions /
     stream_interval_join (REAL Structured Streaming execution — incl.
     applyInPandasWithState, append-mode watermark-close semantics, and
@@ -1966,11 +1985,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_similarity / ngram_novelty / dataset_diff /
     length_percentile_gate / rollup_catalog (the catalog-JOIN
     maintenance dispatch, step routing verified), and the rows-only
-    phash_neardup / audio_neardup (Python-side decode); (c) the first
-    32 of the 47 r2-prefix greens, whose last driver row
-    (CORRECTNESS_r02) is now the oldest in the fleet. The 15 r2
-    greens that did not fit (tpch_q12 … tpch_q20) lead the parked
-    section — first in line for r5. Everything stays covered locally by
+    phash_neardup / audio_neardup (Python-side decode) /
+    embedding_pca; (c) the first 31 of the 47 r2-prefix greens, whose
+    last driver row (CORRECTNESS_r02) is now the oldest in the fleet.
+    The 16 r2 greens that did not fit (neardup_clusters_star …
+    tpch_q20) lead the parked section — first in line for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
@@ -2003,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff": _q_dataset_diff,
         "length_percentile_gate": _q_length_percentile_gate,
         "rollup_catalog": _q_rollup_catalog,
+        # rows-only: float SVD — numpy-reference pytest-pinned
+        "embedding_pca": _q_embedding_pca,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -2041,11 +2062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs_banded": _q_fuzzy_pairs_banded,
         "bucketed_join": _q_bucketed_join,
         "order_quartiles_scaled": _q_order_quartiles_scaled,
-        "neardup_clusters_star": _q_neardup_clusters_star,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "neardup_clusters_star": _q_neardup_clusters_star,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
         "span_dup_ratio": _q_span_dup_ratio,

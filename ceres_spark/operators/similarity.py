@@ -578,3 +578,90 @@ def hard_negatives(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neg_id", "cosine_sim", "rank")
     )
+
+
+def train_pca(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 16384,
+):
+    """Deterministic PCA trained on a bounded sample (first
+    ``sample_n`` rows by id — the same no-RNG training contract as
+    the IVF/PQ trainers): numpy SVD of the centered sample, sign of
+    each component fixed by making its largest-|loading| coordinate
+    positive (SVD signs are otherwise arbitrary — this pins them so
+    retraining reproduces the identical rotation).
+
+    Returns ``(mean[d], components[k][d], scales[k])`` where scales
+    are per-component standard deviations (divide by them to
+    whiten). PCA/whitening is the standard embedding pre-pass before
+    clustering/ANN (SemDeDup et al., public recipes): it drops the
+    low-variance tail and equalizes axes so cosine/L2 behave."""
+    import numpy as np
+
+    rows = (
+        vectors.orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
+    )
+    S = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    if S.shape[0] < 2:
+        raise ValueError("PCA needs at least 2 sample vectors")
+    k = min(int(k), S.shape[1], S.shape[0])
+    mu = S.mean(axis=0)
+    X = S - mu
+    _, sv, Vt = np.linalg.svd(X, full_matrices=False)
+    comps = Vt[:k].copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    scales = sv[:k] / np.sqrt(S.shape[0] - 1)
+    scales[scales == 0] = 1.0
+    return (
+        [float(x) for x in mu],
+        [[float(x) for x in row] for row in comps],
+        [float(x) for x in scales],
+    )
+
+
+def apply_pca(
+    vectors: DataFrame,
+    mean,
+    components,
+    scales=None,
+    whiten: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings through a trained PCA: one Arrow-batched
+    matmul per batch (map-only, no shuffle; the rotation matrix is a
+    closure constant shipped with the UDF — the broadcast-weights
+    deployment shape). ``whiten=True`` divides each output axis by
+    its training-set standard deviation.
+
+    Output: ``(id_col, embedding array<double> of len(components))``.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)  # (k, d)
+    s = (
+        np.asarray(scales, dtype=np.float64)
+        if whiten and scales is not None
+        else None
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _project(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.map(np.asarray)).astype(np.float64)
+        Y = (X - mu) @ W.T
+        if s is not None:
+            Y = Y / s
+        return pd.Series(list(Y))
+
+    return vectors.select(
+        id_col, _project(F.col(vec_col)).alias("embedding")
+    )

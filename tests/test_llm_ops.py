@@ -742,3 +742,36 @@ def test_hamming_band_pairs_weak_blocking_guard(spark):
     assert mm._hamming_band_pairs(
         fp, "phash", max_hamming=16, allow_weak_blocking=True
     ).count() == 1  # hamming(5,7)=1
+
+
+def test_pca_matches_numpy_and_whitens(spark, emb):
+    import numpy as np
+
+    mu, W, s = sim.train_pca(emb, k=8, sample_n=4096)
+    # reference: full-data numpy PCA with the same sign convention
+    pdf = emb.orderBy("vec_id").toPandas()
+    S = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    mu_ref = S.mean(axis=0)
+    _, sv, Vt = np.linalg.svd(S - mu_ref, full_matrices=False)
+    assert np.allclose(mu, mu_ref, atol=1e-12)
+    for i in range(8):
+        row = np.asarray(W[i])
+        ref = Vt[i] if Vt[i][np.argmax(np.abs(Vt[i]))] > 0 else -Vt[i]
+        assert np.allclose(row, ref, atol=1e-9), i
+    # projection: map-only, matches numpy; whitened axes ~ unit var
+    out = sim.apply_pca(emb, mu, W, s, whiten=True)
+    Y = np.stack(
+        out.orderBy("vec_id").toPandas()["embedding"].map(np.asarray)
+    )
+    assert Y.shape == (len(S), 8)
+    np.testing.assert_allclose(Y.std(axis=0, ddof=1), 1.0, rtol=1e-6)
+    # variance ordering: unwhitened component variances decrease
+    Y2 = np.stack(
+        sim.apply_pca(emb, mu, W).orderBy("vec_id")
+        .toPandas()["embedding"].map(np.asarray)
+    )
+    v = Y2.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(7))
+    # determinism: retraining reproduces the identical rotation
+    mu2, W2, s2 = sim.train_pca(emb, k=8, sample_n=4096)
+    assert W == W2 and mu == mu2 and s == s2
