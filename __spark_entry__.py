@@ -1713,6 +1713,28 @@ def _await_replay(q, name: str) -> None:
         raise RuntimeError(f"{name} replay timed out")
 
 
+class _replay_shuffle:
+    """Scope the streaming replay to few state partitions: stateful
+    operators disable AQE, so every micro-batch pays a fixed task per
+    shuffle partition per stateful stage — at 32 partitions × 4
+    batches that overhead dwarfs the toy data (measured 20 s on the
+    stream-stream join; ~4 s at 8). State-partition count is burned
+    into the checkpoint at first start; the scratch dir is wiped per
+    call, so scoping the conf around start() is safe. Every replay
+    aggregate is partitioning-independent by construction (the repo's
+    determinism contract), which the oracles re-verify."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED streaming entry (VERDICT r3 #4): the events
     fixture is split into 4 parquet files and fed through a REAL
@@ -1753,14 +1775,15 @@ def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out
         )
 
-    q = (
-        agg.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_replay(q, "stream_windowed_rollup")
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_windowed_rollup")
     from pyspark.sql.window import Window
 
     res = spark.read.parquet(out)
@@ -1808,15 +1831,16 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sing.session_stream(
         stream, gap="30 minutes", lateness="1 minute"
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(f"ssn_{abs(hash(base)) % 10**9}")
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_replay(q, "stream_sessions")
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"ssn_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_sessions")
     return spark.table(q.name).select(
         "user_id", "session_start", "n_events", "sum_value"
     )
@@ -1838,8 +1862,13 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ck = f"{base}/src", f"{base}/ck"
     ev_raw = tbl.load(spark, "events", sf_dir)
     sec = tbl.epoch_seconds(ev_raw.schema["ts"].dataType)
+    # only the two joined event types flow into the replay — the
+    # other 60% of the stream would be filtered inside the query
+    # anyway, and at sf0.1 streaming them through the join state
+    # machinery tripled the entry's wall time
     ev = _with_time_quartile(
-        ev_raw.select(
+        ev_raw.filter(F.col("event_type").isin("purchase", "click"))
+        .select(
             "user_id",
             F.timestamp_seconds(sec).alias("ts"),
             "value",
@@ -1865,15 +1894,16 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read("purchase"), read("click"), within="1 hour",
         lateness="1 minute",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(f"sij_{abs(hash(base)) % 10**9}")
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_replay(q, "stream_interval_join")
+    with _replay_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(f"sij_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_interval_join")
     return spark.table(q.name).select(
         "user_id",
         F.unix_timestamp("l_ts").alias("buy_ts"),
@@ -1940,15 +1970,16 @@ def _q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     bands = sci.corpus_ingest_stream(stream, max_hamming=3)
-    q = (
-        bands.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_replay(q, "stream_corpus_ingest")
+    with _replay_shuffle(spark):
+        q = (
+            bands.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_corpus_ingest")
     res = sci.materialize_ingest_batch(spark.read.parquet(out))
     # NULL dup_of → -1 sentinel: a nullable BIGINT column decays to
     # float64 through the driver's pandas bridge (dtype mismatch)
