@@ -220,6 +220,17 @@ def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage QA: near-dup (hamming ≤ 3) pairs crossing the
+    content-hash train/val/test boundary, counted per split pair —
+    the residual-leakage disclosure a release report carries. Both
+    stages are independently oracle-paired; the composition is
+    hash-checked end-to-end here."""
+    return corp.split_leak_check(
+        tbl.load(spark, "documents", sf_dir), max_hamming=3
+    )
+
+
 def _q_rollup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #21+#23, the r4 catalog-JOIN dispatch externally checked:
     same per-node steps/methods as rollup_per_node, but routed through
@@ -2006,7 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vec_str so the driver's hasher can hash it — the ONLY red row in
     r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
     multimodal_frames_real (decode_real + codec-hook snapshot);
-    (b) the 16 entries NEW in r4 — the FOUR streaming replay twins
+    (b) the 17 entries NEW in r4 — the FOUR streaming replay twins
     stream_windowed_rollup / stream_corpus_ingest / stream_sessions /
     stream_interval_join (REAL Structured Streaming execution — incl.
     applyInPandasWithState, append-mode watermark-close semantics, and
@@ -2017,10 +2028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     length_percentile_gate / rollup_catalog (the catalog-JOIN
     maintenance dispatch, step routing verified), and the rows-only
     phash_neardup / audio_neardup (Python-side decode) /
-    embedding_pca; (c) the first 31 of the 47 r2-prefix greens, whose
-    last driver row (CORRECTNESS_r02) is now the oldest in the fleet.
-    The 16 r2 greens that did not fit (neardup_clusters_star …
-    tpch_q20) lead the parked section — first in line for r5. Everything stays covered locally by
+    embedding_pca, plus the split_leak_check composition; (c) the
+    first 30 of the 47 r2-prefix greens, whose last driver row
+    (CORRECTNESS_r02) is now the oldest in the fleet. The 17 r2
+    greens that did not fit (order_quartiles_scaled … tpch_q20) lead
+    the parked section — first in line for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
@@ -2055,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_catalog": _q_rollup_catalog,
         # rows-only: float SVD — numpy-reference pytest-pinned
         "embedding_pca": _q_embedding_pca,
+        "split_leak_check": _q_split_leak_check,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -2092,11 +2105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "fuzzy_pairs_banded": _q_fuzzy_pairs_banded,
         "bucketed_join": _q_bucketed_join,
-        "order_quartiles_scaled": _q_order_quartiles_scaled,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "order_quartiles_scaled": _q_order_quartiles_scaled,
         "neardup_clusters_star": _q_neardup_clusters_star,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
@@ -2318,6 +2331,52 @@ deduped AS (
 SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
 FROM deduped GROUP BY 1, 2
 HAVING count(value) / 60.0 >= 0.05
+""",
+        "split_leak_check": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(lower(COALESCE(text, '')), ' '))) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(
+           SUM(CASE WHEN v > 0 THEN 1::UBIGINT << j END), 0) AS UBIGINT)
+           AS sim
+  FROM votes GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN hc <= 'b' THEN 'train'
+              WHEN hc <= 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 1)
+               AS hc
+    FROM documents
+  )
+)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN sp sa ON sa.doc_id = doc_a
+JOIN sp sb ON sb.doc_id = doc_b
+GROUP BY 1, 2
 """,
         "rollup_catalog": f"""
 WITH {POINTS_CTE},

@@ -815,3 +815,36 @@ def length_percentile_gate(
             & (F.col("n_tokens") <= F.col("hi_cut"))
         ).alias("keep"),
     )
+
+
+def split_leak_check(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Eval-leakage QA gate: how many near-duplicate pairs STRADDLE
+    the train/val/test boundary? The content-hash split guarantees
+    EXACT duplicates land together (same text → same hash → same
+    split); this check measures what it cannot guarantee — NEAR-dups
+    (hamming ≤ ``max_hamming`` simhash pairs) crossing splits, the
+    residual leakage a release report must disclose.
+
+    Output: one row per unordered split pair with the crossing-pair
+    count — ``split_a, split_b, n_pairs`` (split_a <= split_b
+    lexically; diagonal rows = within-split near-dups, off-diagonal =
+    leakage). Composition of two independently oracle-checked stages
+    (stratified_split, simhash pairing), itself oracle-checked END TO
+    END.
+    """
+    import ceres_spark.operators.dedup as dd
+
+    splits = stratified_split(docs).select("doc_id", "split")
+    pairs = dd.simhash_pairs(docs, max_hamming=max_hamming, block_col=None)
+    sa = splits.withColumnsRenamed({"doc_id": "doc_a", "split": "_sa"})
+    sb = splits.withColumnsRenamed({"doc_id": "doc_b", "split": "_sb"})
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
