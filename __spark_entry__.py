@@ -220,6 +220,42 @@ def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CERES WRITE PATH (op #17) externally verified through
+    streaming: the points table is replayed as 4 arrival batches
+    (ordered by arrival_seq quartile) into streaming/ingest.
+    stream_store — the carbon-daemon shape: foreachBatch in-batch
+    compact (quantize 600 s + largest-raw-ts-wins, the reference's
+    CeresNode.compact rule) with batchId stamped as the write-order
+    arrival_seq — then the warehouse is read back through the
+    read-path LWW. The stored winner per (metric, bucket) is the
+    lexicographic max of (batch, raw_ts, arrival_seq), which the
+    oracle reproduces in SQL — so write routing, batch stamping, and
+    read-side LWW are all hash-checked through real streaming
+    execution."""
+    import ceres_spark.streaming.ingest as sing
+
+    base = _replay_scratch("store", sf_dir)
+    src, pts_dir, ck = f"{base}/src", f"{base}/pts", f"{base}/ck"
+    pts = tbl.points(spark, sf_dir).filter(F.col("value").isNotNull())
+    _write_arrival_files(
+        _with_time_quartile(pts, "arrival_seq"), src, 4
+    )
+    stream = (
+        spark.readStream.schema(
+            "metric string, ts long, value double, arrival_seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _replay_shuffle(spark):
+        q = sing.stream_store(
+            stream, pts_dir, time_step=600, checkpoint=ck
+        )
+        _await_replay(q, "stream_store_replay")
+    return cp.lww_dedup(spark.read.parquet(pts_dir))
+
+
 def _q_split_leak_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage QA: near-dup (hamming ≤ 3) pairs crossing the
     content-hash train/val/test boundary, counted per split pair —
@@ -2017,7 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vec_str so the driver's hasher can hash it — the ONLY red row in
     r3, VERDICT #1), chunk_retrieval (in-plan ckey range guard),
     multimodal_frames_real (decode_real + codec-hook snapshot);
-    (b) the 17 entries NEW in r4 — the FOUR streaming replay twins
+    (b) the 18 entries NEW in r4 — the FOUR streaming replay twins
     stream_windowed_rollup / stream_corpus_ingest / stream_sessions /
     stream_interval_join (REAL Structured Streaming execution — incl.
     applyInPandasWithState, append-mode watermark-close semantics, and
@@ -2028,11 +2064,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     length_percentile_gate / rollup_catalog (the catalog-JOIN
     maintenance dispatch, step routing verified), and the rows-only
     phash_neardup / audio_neardup (Python-side decode) /
-    embedding_pca, plus the split_leak_check composition; (c) the
-    first 30 of the 47 r2-prefix greens, whose last driver row
-    (CORRECTNESS_r02) is now the oldest in the fleet. The 17 r2
-    greens that did not fit (order_quartiles_scaled … tpch_q20) lead
-    the parked section — first in line for r5. Everything stays covered locally by
+    embedding_pca, plus the split_leak_check composition and
+    stream_store_replay (the ceres WRITE PATH hash-checked through
+    real streaming execution); (c) the first 29 of the 47 r2-prefix
+    greens, whose last driver row (CORRECTNESS_r02) is now the oldest
+    in the fleet. The 18 r2 greens that did not fit (bucketed_join …
+    tpch_q20) lead the parked section — first in line for r5. Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the decimal-cast
     boundary bug the sf0.01 gate missed).
@@ -2068,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: float SVD — numpy-reference pytest-pinned
         "embedding_pca": _q_embedding_pca,
         "split_leak_check": _q_split_leak_check,
+        "stream_store_replay": _q_stream_store_replay,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "text_normalize": _q_text_normalize,
         "temperature_mix": _q_temperature_mix,
@@ -2104,11 +2142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "mixture_sample": _q_mixture_sample,
         "fuzzy_pairs_banded": _q_fuzzy_pairs_banded,
-        "bucketed_join": _q_bucketed_join,
         # ===== entries 51+: parked (driver-green in a prior round,
         # still covered by tools/check_oracle.py locally) ===========
         # r2 greens that did not fit the r4 prefix — first in line
         # for the r5 rotation
+        "bucketed_join": _q_bucketed_join,
         "order_quartiles_scaled": _q_order_quartiles_scaled,
         "neardup_clusters_star": _q_neardup_clusters_star,
         "tpch_q12": _q_tpch_q12,
@@ -2331,6 +2369,34 @@ deduped AS (
 SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
 FROM deduped GROUP BY 1, 2
 HAVING count(value) / 60.0 >= 0.05
+""",
+        # the stored winner per (metric, 600s bucket) is the
+        # lexicographic max of (arrival batch, raw 60s ts, event id):
+        # cross-batch LWW by stamped batch id, in-batch compact by
+        # largest raw ts with write-order tie-break
+        "stream_store_replay": f"""
+WITH {POINTS_CTE},
+bounds AS (
+  SELECT MIN(arrival_seq) AS lo,
+         MAX(arrival_seq) - MIN(arrival_seq) + 1 AS span
+  FROM points WHERE value IS NOT NULL
+),
+b AS (
+  SELECT metric,
+         ts - (ts % 600) AS qts,
+         ts AS raw_ts,
+         value,
+         arrival_seq,
+         (4 * (arrival_seq - lo)) // span AS batch
+  FROM points CROSS JOIN bounds
+  WHERE value IS NOT NULL
+)
+SELECT metric, qts AS ts, value
+FROM b
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY metric, qts
+  ORDER BY batch DESC, raw_ts DESC, arrival_seq DESC
+) = 1
 """,
         "split_leak_check": """
 WITH toks AS (
