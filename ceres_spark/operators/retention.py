@@ -209,15 +209,27 @@ def rollup_catalog(
     }
     if default_method not in col_of:
         raise KeyError(default_method)
-    cfg = catalog.select(
-        "metric",
-        F.coalesce(
-            F.expr("filter(retentions, r -> r[0] > timeStep)[0][0]"),
-            F.lit(int(default_step)),
-        ).cast("long").alias("_step"),
-        F.coalesce(
-            F.col("aggregationMethod"), F.lit(default_method)
-        ).alias("_method"),
+    cfg = (
+        catalog.select(
+            "metric",
+            F.coalesce(
+                F.expr("filter(retentions, r -> r[0] > timeStep)[0][0]"),
+                F.lit(int(default_step)),
+            ).cast("long").alias("_step"),
+            F.coalesce(
+                F.col("aggregationMethod"), F.lit(default_method)
+            ).alias("_method"),
+        )
+        # duplicate catalog rows for a metric would DUPLICATE every
+        # point through the join (doubling 'sum' rollups) — resolve
+        # deterministically: finest step wins, tie by method
+        .groupBy("metric")
+        .agg(F.min(F.struct("_step", "_method")).alias("_sm"))
+        .select(
+            "metric",
+            F.col("_sm._step").alias("_step"),
+            F.col("_sm._method").alias("_method"),
+        )
     )
     j = deduped.join(F.broadcast(cfg), "metric", "left")
     step = F.coalesce(F.col("_step"), F.lit(int(default_step)))
@@ -270,21 +282,38 @@ def expire_catalog(
     Cutoffs are quantized UP to the node's own step (a partially
     covered bucket is dropped — the reference's deleteBefore
     contract, ceres.py ≈L600).
+
+    Robustness (review r4): an EMPTY retentions array falls back to
+    ``default_horizon`` (horizon 0 would silently expire the node's
+    entire history), and duplicate catalog rows for a metric resolve
+    deterministically to the LONGEST horizon / largest step (keeping
+    more data — the conservative read of corrupt metadata) instead of
+    duplicating every surviving point through the join.
     """
-    cfg = catalog.select(
-        "metric",
-        F.coalesce(
-            F.expr(
-                "aggregate(retentions, 0L, (a, r) -> "
-                "greatest(a, cast(r[1] as bigint)))"
-            ),
-            F.lit(int(default_horizon)),
-        ).alias("_horizon"),
-        F.col("timeStep").cast("long").alias("_step"),
+    cfg = (
+        catalog.select(
+            "metric",
+            F.coalesce(
+                F.when(
+                    F.size("retentions") > 0,
+                    F.expr(
+                        "aggregate(retentions, 0L, (a, r) -> "
+                        "greatest(a, cast(r[1] as bigint)))"
+                    ),
+                ),
+                F.lit(int(default_horizon)),
+            ).alias("_horizon"),
+            F.col("timeStep").cast("long").alias("_step"),
+        )
+        .groupBy("metric")
+        .agg(
+            F.max("_horizon").alias("_horizon"),
+            F.max("_step").alias("_step"),
+        )
     )
     j = points.join(F.broadcast(cfg), "metric", "left")
     horizon = F.coalesce(F.col("_horizon"), F.lit(int(default_horizon)))
     step = F.coalesce(F.col("_step"), F.lit(60))
     raw_cut = F.lit(int(now)) - horizon
-    cut = raw_cut + (step - raw_cut % step) % step  # quantize UP
+    cut = raw_cut + F.pmod(-raw_cut, step)  # quantize_up, columnar
     return j.filter(F.col("ts") >= cut).select(*points.columns)

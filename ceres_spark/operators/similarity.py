@@ -607,7 +607,9 @@ def train_pca(
     S = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     if S.shape[0] < 2:
         raise ValueError("PCA needs at least 2 sample vectors")
-    k = min(int(k), S.shape[1], S.shape[0])
+    # a centered n-row matrix has rank <= n-1: never emit a component
+    # whose "variance" is pure float residue (review r4)
+    k = min(int(k), S.shape[1], S.shape[0] - 1)
     mu = S.mean(axis=0)
     X = S - mu
     _, sv, Vt = np.linalg.svd(X, full_matrices=False)
@@ -617,7 +619,11 @@ def train_pca(
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     scales = sv[:k] / np.sqrt(S.shape[0] - 1)
-    scales[scales == 0] = 1.0
+    # tolerance floor, not exact-zero: rank-deficient directions carry
+    # ~1e-16 BLAS noise that whitening would amplify by ~1e16 (and
+    # that varies across BLAS builds, breaking retrain-determinism)
+    floor = scales.max() * 1e-9 if scales.size else 0.0
+    scales[scales <= floor] = 1.0
     return (
         [float(x) for x in mu],
         [[float(x) for x in row] for row in comps],
@@ -646,16 +652,29 @@ def apply_pca(
 
     from pyspark.sql import types as T
 
+    if whiten and scales is None:
+        raise ValueError(
+            "apply_pca: whiten=True requires the training scales — "
+            "pass the third value returned by train_pca"
+        )
     mu = np.asarray(mean, dtype=np.float64)
     W = np.asarray(components, dtype=np.float64)  # (k, d)
-    s = (
-        np.asarray(scales, dtype=np.float64)
-        if whiten and scales is not None
-        else None
-    )
+    s = np.asarray(scales, dtype=np.float64) if whiten else None
+    d = W.shape[1]
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _project(vecs: pd.Series) -> pd.Series:
+        if vecs.isna().any():
+            raise ValueError(
+                "apply_pca: NULL embedding in input — filter nulls "
+                "before projecting"
+            )
+        lens = vecs.map(len)
+        if (lens != d).any():
+            raise ValueError(
+                f"apply_pca: embedding length != trained dim {d} "
+                f"(got lengths {sorted(set(lens) - {d})[:3]})"
+            )
         X = np.stack(vecs.map(np.asarray)).astype(np.float64)
         Y = (X - mu) @ W.T
         if s is not None:

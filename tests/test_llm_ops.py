@@ -775,3 +775,30 @@ def test_pca_matches_numpy_and_whitens(spark, emb):
     # determinism: retraining reproduces the identical rotation
     mu2, W2, s2 = sim.train_pca(emb, k=8, sample_n=4096)
     assert W == W2 and mu == mu2 and s == s2
+
+
+def test_pca_guards(spark):
+    # review r4: rank cap, whiten-without-scales, null/ragged inputs
+    import numpy as np
+
+    few = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mu, W, sc = sim.train_pca(few, k=8)
+    assert len(W) == 2  # centered 3-row matrix has rank <= 2
+    assert all(np.isfinite(sc)) and all(x > 1e-6 for x in sc)
+    with pytest.raises(ValueError, match="whiten=True requires"):
+        sim.apply_pca(few, mu, W, whiten=True)
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        sim.apply_pca(bad_null, mu, W).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="embedding length"):
+        sim.apply_pca(ragged, mu, W).collect()

@@ -234,3 +234,29 @@ def test_expire_catalog_per_node_horizons(spark):
     out2 = ret.expire_catalog(pts, catalog, now=7230, default_horizon=600)
     a2 = {r["ts"] for r in out2.collect() if r["metric"] == "a"}
     assert min(a2) == 3660
+
+
+def test_catalog_ops_tolerate_empty_and_duplicate_rows(spark):
+    # review r4 #2: empty retentions → default horizon, NOT horizon 0
+    # (silent full expiry); duplicate catalog rows must not duplicate
+    # points through the broadcast join
+    import ceres_spark.catalog as cat
+
+    pts = df(spark, [("m", t, 1.0) for t in range(0, 1200, 60)])
+    empty_ret = cat.make_catalog(
+        spark, [{"metric": "m", "timeStep": 60, "retentions": []}]
+    )
+    out = ret.expire_catalog(pts, empty_ret, now=1200, default_horizon=600)
+    assert {r["ts"] for r in out.collect()} == set(range(600, 1200, 60))
+    dup_cat = cat.make_catalog(
+        spark,
+        [{"metric": "m", "timeStep": 60, "aggregationMethod": "sum"},
+         {"metric": "m", "timeStep": 60, "aggregationMethod": "sum"}],
+    )
+    assert ret.expire_catalog(
+        pts, dup_cat, now=1200, default_horizon=600
+    ).count() == 10  # not 20
+    rolled = ret.rollup_catalog(pts, dup_cat, default_step=300,
+                                default_method="sum").collect()
+    got = {r["ts"]: r["value"] for r in rolled}
+    assert got[0] == 5.0  # sum over 5 pts, not doubled to 10
