@@ -666,7 +666,17 @@ def temperature_mix(
         "n_tokens",
         "weight",
         F.col("_W"),
-        F.expr(f"({t}L * weight) div _W").alias("_floor_alloc"),
+        # W == 0 (all-empty corpus) must fail LOUDLY: integer `div 0`
+        # is a silent NULL in Spark and an error in other engines —
+        # neither is an allocation
+        F.when(
+            F.col("_W") > 0, F.expr(f"({t}L * weight) div _W")
+        ).otherwise(
+            F.raise_error(F.lit(
+                "temperature_mix: total weight is 0 (no tokens in any "
+                "source) — nothing to apportion"
+            ))
+        ).alias("_floor_alloc"),
         F.expr(f"({t}L * weight) % _W").alias("_rem"),
     )
     wnd = Window.orderBy(F.desc("_rem"), "source")

@@ -232,3 +232,19 @@ def test_length_percentile_gate_cuts_tails(spark):
     assert all(by_id[i]["keep"] for i in range(1, 19))
     # cutoffs are observed values, not interpolations
     assert by_id[1]["lo_cut"] in (1, 50) and by_id[1]["hi_cut"] in (50, 500)
+
+
+def test_temperature_mix_empty_corpus_raises(spark):
+    import pytest
+
+    import ceres_spark.operators.corpus as corp
+
+    # NULL texts: n_tokens NULL → weight NULL → total weight not > 0
+    # (an empty STRING still splits to one empty token; NULL is the
+    # true no-content case)
+    empty_texts = spark.createDataFrame(
+        [(1, "s0", None), (2, "s1", None)],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="total weight is 0"):
+        corp.temperature_mix(empty_texts, 1000).collect()
