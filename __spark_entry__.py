@@ -292,6 +292,62 @@ def _q_rollup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: expire_catalog fixture — per-node retention horizons exercising
+#: every dispatch path: multi-entry retentions (longest wins), a
+#: single entry, EMPTY retentions (→ default horizon), a node with a
+#: coarse 300 s timeStep (cutoff up-quantizes to ITS grid), and a
+#: metric absent from the catalog entirely ('signup' → defaults).
+EXPIRE_CATALOG_ROWS = [
+    {"metric": "click", "timeStep": 60,
+     "retentions": [[60, 5 * DAY], [300, 10 * DAY]]},
+    {"metric": "error", "timeStep": 60,
+     "retentions": [[60, DAY], [600, 20 * DAY]]},
+    {"metric": "purchase", "timeStep": 60, "retentions": [[60, 3 * DAY]]},
+    {"metric": "view", "timeStep": 300, "retentions": []},
+]
+EXPIRE_NOW = T0 + 29 * DAY + 17  # off-grid: exercises quantize-UP
+EXPIRE_DEFAULT_HORIZON = 7 * DAY
+
+
+def _expire_cutoffs() -> dict[str, int]:
+    """Python mirror of expire_catalog's per-node cutoff rule, used to
+    build the oracle SQL: cut = quantize_up(now - horizon, step)."""
+    import ceres_spark.operators.retention as _ret
+
+    horizons = {
+        "click": 10 * DAY, "error": 20 * DAY, "purchase": 3 * DAY,
+        "view": EXPIRE_DEFAULT_HORIZON,  # empty retentions → default
+        "signup": EXPIRE_DEFAULT_HORIZON,  # absent from catalog
+    }
+    steps = {"click": 60, "error": 60, "purchase": 60, "view": 300,
+             "signup": 60}
+    return {
+        m: _ret.quantize_up(EXPIRE_NOW - h, steps[m])
+        for m, h in horizons.items()
+    }
+
+
+def _q_expire_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops #8+#23, catalog-driven: the deleteBefore twin of
+    rollup_catalog (operators/retention.py expire_catalog) — every
+    node keeps only data newer than its OWN retention horizon, one
+    broadcast join + one filter for the whole tree. Externally checks
+    per-node horizons, the empty-retentions default fallback, the
+    catalog-miss default, and up-quantized cutoffs on each node's own
+    step grid (CeresSlice.deleteBefore's rule, ceres.py ≈L835)."""
+    pts = tbl.points(spark, sf_dir)
+    catalog = cat.make_catalog(spark, EXPIRE_CATALOG_ROWS)
+    out = ret.expire_catalog(
+        pts, catalog, now=EXPIRE_NOW,
+        default_horizon=EXPIRE_DEFAULT_HORIZON,
+    )
+    return out.groupBy("metric").agg(
+        F.count("value").alias("n_points"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 def _q_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op #13: cross-resolution read. Data older than day 20 lives only
     in a 300 s rollup archive; newer data in the 60 s table. A fetch of
@@ -2036,6 +2092,77 @@ def _q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("dup_of", F.coalesce("dup_of", F.lit(-1)))
 
 
+def _q_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED streaming near-dup service (the
+    Manku-Jain-Sarma simhash dedup shape, streaming/neardup.py):
+    documents arrive as two doc_id-ordered batches; each batch is
+    fingerprinted, exploded into the 4 lossless pigeonhole bit-bands,
+    and verified against the band stores accumulated in the
+    applyInPandasWithState state store across micro-batches. The
+    sink-side collapse (combine_band_verdicts) yields per-doc
+    ``dup_of`` = smallest earlier doc within hamming ≤ 3 — which,
+    because arrival order == doc_id order, plain SQL over documents
+    reproduces from the same md5-lower64 fingerprints. Externally
+    verifies the cross-batch band-store state machine itself, not a
+    batch twin."""
+    import ceres_spark.streaming.neardup as snd
+
+    base = _replay_scratch("simdedup", sf_dir)
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # bounded scalar
+    _write_arrival_files(
+        docs.withColumn("_part", (F.col("doc_id") > mid).cast("int")),
+        src,
+        2,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bands = snd.simhash_dedup_stream(stream, max_hamming=3)
+    with _replay_shuffle(spark):
+        q = (
+            bands.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_simhash_dedup")
+    res = snd.combine_band_verdicts(spark.read.parquet(out))
+    # NULL dup_of → -1 sentinel (nullable BIGINT decays to float64
+    # through the driver's pandas bridge)
+    return res.withColumn("dup_of", F.coalesce("dup_of", F.lit(-1)))
+
+
+def _q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defrag (op #22) externally checked: the points table is written
+    DELIBERATELY fragmented (64 tiny files), compacted in place by
+    operators/retention.compact_files (the slice-merge defrag plugin's
+    Spark shape — rewrite at healthy file sizes), and read back; the
+    returned per-metric aggregate must equal the same aggregate over
+    the untouched source, i.e. compaction is RESULT-INVARIANT. The
+    physical half (file count actually drops to target_partitions) is
+    pinned in pytest (test_maintenance.test_compact_files)."""
+    base = _replay_scratch("compactinv", sf_dir)
+    pts_dir = f"{base}/pts"
+    pts = tbl.points(spark, sf_dir).filter(F.col("value").isNotNull())
+    pts.repartition(64).write.mode("overwrite").parquet(pts_dir)
+    ret.compact_files(spark, pts_dir, target_partitions=4)
+    out = spark.read.parquet(pts_dir)
+    return out.groupBy("metric").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        agg.agg_expr("sum").alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -2084,6 +2211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-round inside the prefix (ADVICE r2).
     """
     return {
+        # ===== r5 NEW ENTRIES (placed first; final rotation at round
+        # end) ====================================================
+        "expire_catalog": _q_expire_catalog,
+        "stream_simhash_dedup": _q_stream_simhash_dedup,
+        "compact_invariance": _q_compact_invariance,
         # ===== r4 CHECKED PREFIX (first 50) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
         # (driver-hashable, VERDICT r3 #1); chunk_retrieval gained the
@@ -2555,6 +2687,31 @@ WITH {POINTS_CTE}
 SELECT metric, count(value) AS n_points,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM points WHERE ts >= {cutoff_q}
+GROUP BY metric
+""",
+        # compaction is result-invariant: the oracle aggregates the
+        # RAW points (pre-fragmentation, pre-compaction) directly
+        "compact_invariance": f"""
+WITH {POINTS_CTE}
+SELECT metric, count(*) AS n_rows,
+       min(ts) AS min_ts, max(ts) AS max_ts,
+       {DEC_SUM} AS sum_value
+FROM points WHERE value IS NOT NULL
+GROUP BY metric
+""",
+        # per-node cutoffs mirrored from the SAME python quantize_up
+        # the Spark op cites (catalog fixture: EXPIRE_CATALOG_ROWS)
+        "expire_catalog": f"""
+WITH {POINTS_CTE}
+SELECT metric, count(value) AS n_points,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM points
+WHERE ts >= CASE metric
+    WHEN 'click' THEN {_expire_cutoffs()['click']}
+    WHEN 'error' THEN {_expire_cutoffs()['error']}
+    WHEN 'purchase' THEN {_expire_cutoffs()['purchase']}
+    WHEN 'view' THEN {_expire_cutoffs()['view']}
+    ELSE {_expire_cutoffs()['signup']} END
 GROUP BY metric
 """,
         "text_stats": """
@@ -4194,6 +4351,38 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim, b.sim)) <= 3
+""",
+        # per-doc verdict twin of simhash_pairs_global: dup_of =
+        # smallest earlier doc within hamming <= 3 (arrival order ==
+        # doc_id order in the replay, so "earlier arrival" == smaller
+        # doc_id); same md5-lower64 fingerprint derivation
+        "stream_simhash_dedup": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(lower(COALESCE(text, '')), ' '))) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(
+           SUM(CASE WHEN v > 0 THEN 1::UBIGINT << j END), 0) AS UBIGINT)
+           AS sim
+  FROM votes GROUP BY 1
+)
+SELECT f.doc_id AS doc_id,
+       COALESCE(MIN(a.doc_id), -1) AS dup_of,
+       (MIN(a.doc_id) IS NOT NULL) AS is_dup
+FROM fp f LEFT JOIN fp a
+  ON a.doc_id < f.doc_id AND bit_count(xor(a.sim, f.sim)) <= 3
+GROUP BY f.doc_id
 """,
         "token_rarity": """
 WITH tok AS (
