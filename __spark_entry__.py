@@ -2163,6 +2163,40 @@ def _q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_n_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite nPercentile(seriesList, 90): per-series 90th
+    percentile via graphite-web's non-interpolated rank rule
+    (functions.py _getPercentile) — exact integer rank selection,
+    oracle-portable with no float percentile definitions."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.n_percentile(deduped, n=90)
+
+
+def _q_percentile_of_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite percentileOfSeries(seriesList, 75): cross-series
+    combine — at each timestamp the 75th percentile across metrics
+    (same rank rule as nPercentile, per ts bucket)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.percentile_of_series(deduped, n=75)
+
+
+def _q_sort_by_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite sortByMaxima + sortByMinima in one pass: per-series
+    max/min with both rank orderings (ties by metric — total order,
+    oracle-stable)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.sort_by_extrema(deduped)
+
+
+def _q_summarize_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite summarize(series, '1hour', 'sum', alignToFrom=True):
+    user-facing re-bucketing anchored at each series' own first
+    timestamp instead of the epoch grid — the alignment mode plain
+    rollup cannot express."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.summarize(deduped, 3600, "sum", align_to_from=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -2216,6 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_catalog": _q_expire_catalog,
         "stream_simhash_dedup": _q_stream_simhash_dedup,
         "compact_invariance": _q_compact_invariance,
+        "n_percentile": _q_n_percentile,
+        "percentile_of_series": _q_percentile_of_series,
+        "sort_by_extrema": _q_sort_by_extrema,
+        "summarize_align": _q_summarize_align,
         # ===== r4 CHECKED PREFIX (first 50) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
         # (driver-hashable, VERDICT r3 #1); chunk_retrieval gained the
@@ -2688,6 +2726,71 @@ SELECT metric, count(value) AS n_points,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM points WHERE ts >= {cutoff_q}
 GROUP BY metric
+""",
+        # graphite's non-interpolated rank rule: value = the
+        # ceil(n/100·(cnt+1))-th smallest, clamped to [1, cnt] —
+        # exact integer rank selection on both engines
+        "n_percentile": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS cnt
+  FROM deduped
+)
+SELECT metric, value AS n_percentile
+FROM v
+WHERE rn = greatest(1, least(cnt, (90 * (cnt + 1) + 99) // 100))
+""",
+        "percentile_of_series": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+  SELECT ts, value,
+         row_number() OVER (PARTITION BY ts ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY ts) AS cnt
+  FROM deduped
+)
+SELECT ts, value
+FROM v
+WHERE rn = greatest(1, least(cnt, (75 * (cnt + 1) + 99) // 100))
+""",
+        "sort_by_extrema": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ext AS (
+  SELECT metric, max(value) AS max_value, min(value) AS min_value
+  FROM deduped GROUP BY metric
+)
+SELECT metric, max_value, min_value,
+  CAST(row_number() OVER (ORDER BY max_value DESC, metric)
+       AS INTEGER) AS rank_by_max,
+  CAST(row_number() OVER (ORDER BY min_value ASC, metric)
+       AS INTEGER) AS rank_by_min
+FROM ext
+""",
+        # alignToFrom: buckets anchored at each series' own first ts
+        "summarize_align": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+anchors AS (SELECT metric, min(ts) AS t0 FROM deduped GROUP BY metric)
+SELECT metric, t0 + ((ts - t0) // 3600) * 3600 AS ts,
+       {DEC_SUM} AS value
+FROM deduped JOIN anchors USING (metric)
+GROUP BY metric, 2
 """,
         # compaction is result-invariant: the oracle aggregates the
         # RAW points (pre-fragmentation, pre-compaction) directly

@@ -758,3 +758,146 @@ def cusum_changepoints(
         cusum.alias("cusum"),
         (F.abs(cusum) >= F.lit(float(threshold))).alias("is_changepoint"),
     )
+
+def n_percentile(buckets: DataFrame, n: int = 90) -> DataFrame:
+    """nPercentile: each metric reduced to its n-th percentile value
+    (graphite-web functions.py nPercentile — draws the flat percentile
+    line per series; here the line's VALUE, one row per metric).
+
+    Uses graphite's non-interpolated rank rule (_getPercentile):
+    ``rank = ceil(n/100 · (cnt+1))`` clamped to [1, cnt], value = the
+    rank-th smallest non-null. Pure integer rank selection — exact on
+    any engine, no float percentile definitions to reconcile.
+
+    Plan: one per-metric sort window (row_number) + a broadcast join
+    of per-metric counts; the k-th order statistic never moves more
+    than one metric's values through a partition — at 100 TB the
+    window shuffle is keyed by metric, the same exchange every other
+    per-series kernel here already pays.
+    """
+    from pyspark.sql.window import Window
+
+    vals = buckets.filter(F.col("value").isNotNull())
+    counts = vals.groupBy("metric").agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = vals.select(
+        "metric", "value", F.row_number().over(w).alias("_rn")
+    )
+    # integer `div`: exact ceil(n(cnt+1)/100), no float rounding
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.col("_cnt"),
+            F.expr(f"({int(n)}L * (_cnt + 1) + 99) div 100"),
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(counts), "metric")
+        .filter(F.col("_rn") == k)
+        .select("metric", F.col("value").alias("n_percentile"))
+    )
+
+
+def percentile_of_series(buckets: DataFrame, n: int = 90) -> DataFrame:
+    """percentileOfSeries: combine MANY series into one — at each
+    timestamp, the n-th percentile across the metrics' values
+    (graphite-web percentileOfSeries; the cross-series band readout).
+
+    Same non-interpolated rank rule as :func:`n_percentile`, applied
+    per ``ts`` bucket instead of per metric. Output: (ts, value).
+
+    Plan: one window + broadcast counts keyed by ts. The per-ts group
+    is #metrics wide (small); the exchange is on ts, so the combine
+    parallelizes across the time axis — the right axis at 100 TB,
+    where time is the unbounded dimension.
+    """
+    from pyspark.sql.window import Window
+
+    vals = buckets.filter(F.col("value").isNotNull())
+    counts = vals.groupBy("ts").agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy("ts").orderBy("value")
+    ranked = vals.select("ts", "value", F.row_number().over(w).alias("_rn"))
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.col("_cnt"),
+            F.expr(f"({int(n)}L * (_cnt + 1) + 99) div 100"),
+        ),
+    )
+    return (
+        ranked.join(counts, "ts")
+        .filter(F.col("_rn") == k)
+        .select("ts", F.col("value").alias("value"))
+    )
+
+
+def sort_by_extrema(buckets: DataFrame) -> DataFrame:
+    """sortByMaxima / sortByMinima in one pass (graphite-web: order a
+    series list by its max descending, or by its min ascending — the
+    dashboard panel-ordering primitives).
+
+    One map-side-combinable per-metric aggregate; both rank columns
+    come from the same tiny result (ties break by metric name, so the
+    ordering is total and oracle-stable). rank_by_max=1 is the
+    sortByMaxima head; rank_by_min=1 the sortByMinima head.
+    """
+    from pyspark.sql.window import Window
+
+    ext = buckets.filter(F.col("value").isNotNull()).groupBy("metric").agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+    return ext.select(
+        "metric",
+        "max_value",
+        "min_value",
+        F.row_number()
+        .over(Window.orderBy(F.desc("max_value"), F.asc("metric")))
+        .alias("rank_by_max"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("min_value"), F.asc("metric")))
+        .alias("rank_by_min"),
+    )
+
+
+def summarize(
+    buckets: DataFrame,
+    interval: int,
+    method: str = "sum",
+    align_to_from: bool = False,
+) -> DataFrame:
+    """summarize(seriesList, interval, func, alignToFrom) — graphite's
+    user-facing re-bucketing (distinct from maintenance rollup: the
+    user picks the interval at read time).
+
+    ``align_to_from=False``: buckets snap to the epoch interval grid
+    (graphite's default) — identical bucketing to
+    :func:`ceres_spark.operators.retention.rollup`.
+    ``align_to_from=True``: buckets are anchored at each series' own
+    first timestamp (graphite aligns to the request's from-time; for
+    a table-shaped series the series start IS the from-bound), i.e.
+    ``t0 + ((ts - t0) div interval) · interval``.
+
+    The anchor is a per-metric min — a broadcast-joined scalar per
+    series — so alignToFrom costs one tiny extra aggregate, not a
+    second pass over the points. Aggregation uses the 5-method
+    null-skipping kernel (decimal-exact for sum/average).
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    interval = int(interval)
+    if align_to_from:
+        # anchor over ALL rows (incl. null-value gap rows): ts - _t0
+        # is then never negative, so integer `div` floors correctly
+        anchors = buckets.groupBy("metric").agg(F.min("ts").alias("_t0"))
+        j = buckets.join(F.broadcast(anchors), "metric")
+        bucket = (
+            F.col("_t0")
+            + F.expr(f"(ts - _t0) div {interval}") * interval
+        ).cast("long")
+    else:
+        j = buckets
+        bucket = (F.col("ts") - F.col("ts") % interval).cast("long")
+    return j.groupBy("metric", bucket.alias("ts")).agg(
+        agg_expr(method).alias("value")
+    )

@@ -462,3 +462,97 @@ def test_cusum_detects_level_shift(spark):
     # first flag at t=5: cusum = 6·(−5) = −30 hits the threshold
     assert flagged_ts and min(flagged_ts) == 5 * 60
     assert not res[0]["is_changepoint"] and not res[-1]["is_changepoint"]
+
+
+# ---- graphite read-API breadth: nPercentile / percentileOfSeries /
+# ---- sortByMaxima+Minima / summarize(alignToFrom) (round 5)
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def _graphite_rank(n, cnt):
+    # graphite-web _getPercentile, non-interpolated
+    import math
+    fr = n / 100.0 * (cnt + 1)
+    rank = int(fr)
+    if fr - rank > 0:
+        rank += 1
+    return max(1, min(cnt, rank))
+
+
+def test_n_percentile_matches_graphite_rank_rule(spark):
+    import ceres_spark.operators.series as ser
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    d = _pts(spark, [("m", 60 * i, v) for i, v in enumerate(vals)]
+             + [("m", 6000, None)])  # nulls skipped
+    for n in (0, 10, 50, 90, 100):
+        out = ser.n_percentile(d, n=n).collect()
+        assert len(out) == 1
+        expect = sorted(vals)[_graphite_rank(n, len(vals)) - 1]
+        assert out[0]["n_percentile"] == expect, n
+
+
+def test_n_percentile_per_metric_and_clamps(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("a", 0, 10.0), ("b", 0, 1.0), ("b", 60, 2.0)])
+    got = {r["metric"]: r["n_percentile"]
+           for r in ser.n_percentile(d, n=100).collect()}
+    # n=100: rank = cnt+1 clamped to cnt -> the max
+    assert got == {"a": 10.0, "b": 2.0}
+
+
+def test_percentile_of_series_combines_across_metrics(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [(m, 0, v) for m, v in
+                     [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)]]
+             + [("a", 60, 7.0)])
+    got = {r["ts"]: r["value"]
+           for r in ser.percentile_of_series(d, n=50).collect()}
+    # ts=0: sorted [1,2,3,4], fr=0.5*(4+1)=2.5 -> rank 3 -> 3.0;
+    # ts=60: single value
+    assert got == {0: 3.0, 60: 7.0}
+
+
+def test_sort_by_extrema_orders_both_ways(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("a", 0, 5.0), ("a", 60, -1.0),
+                     ("b", 0, 9.0), ("b", 60, 0.0),
+                     ("c", 0, 5.0), ("c", 60, -7.0)])
+    rows = {r["metric"]: r for r in ser.sort_by_extrema(d).collect()}
+    # max: b=9, a=5, c=5 (tie by metric) ; min: c=-7, a=-1, b=0
+    assert [m for m, _ in sorted(rows.items(),
+            key=lambda kv: kv[1]["rank_by_max"])] == ["b", "a", "c"]
+    assert [m for m, _ in sorted(rows.items(),
+            key=lambda kv: kv[1]["rank_by_min"])] == ["c", "a", "b"]
+
+
+def test_summarize_align_to_from_vs_epoch(spark):
+    import ceres_spark.operators.series as ser
+
+    # series starts at 90s; 120s buckets
+    d = _pts(spark, [("m", 90, 1.0), ("m", 150, 2.0), ("m", 210, 4.0),
+                     ("m", 330, 8.0)])
+    epoch = {(r["ts"]): r["value"]
+             for r in ser.summarize(d, 120, "sum").collect()}
+    assert epoch == {0: 1.0, 120: 6.0, 240: 0.0 + 8.0}
+    aligned = {(r["ts"]): r["value"]
+               for r in ser.summarize(d, 120, "sum",
+                                      align_to_from=True).collect()}
+    # anchor 90: [90,210) -> 1+2, [210,330) -> 4, [330,450) -> 8
+    assert aligned == {90: 3.0, 210: 4.0, 330: 8.0}
+
+
+def test_summarize_align_methods_null_skip(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("m", 0, None), ("m", 60, 5.0), ("m", 120, 3.0)])
+    out = {r["ts"]: r["value"]
+           for r in ser.summarize(d, 180, "max",
+                                  align_to_from=True).collect()}
+    # anchor = 0 (null row counts for the anchor), max skips the null
+    assert out == {0: 5.0}
