@@ -87,10 +87,12 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------
-# real codecs: uncompressed containers decodable with numpy alone.
-# PPM (P6) for images and WAV (RIFF/PCM16) for audio — header parse
-# + ``np.frombuffer``, no external libraries. Compressed formats
-# (JPEG/MP3/H.264) still need a codec library and raise cleanly.
+# real codecs: containers decodable with stdlib + numpy alone.
+# PPM (P6) images, WAV (RIFF/PCM16) audio, Y4M video — header parse
+# + ``np.frombuffer`` — and PNG, the one genuinely COMPRESSED
+# container (stdlib zlib inflate + the 5 predictive scanline
+# unfilters). Other compressed formats (JPEG/MP3/H.264) still need
+# a codec library and raise cleanly.
 # ---------------------------------------------------------------
 
 
@@ -254,6 +256,176 @@ def decode_y4m(payload: bytes):
     )
 
 
+def _paeth_predict(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray"):
+    """Vectorized Paeth predictor (PNG spec §9.4): per sample pick
+    left/up/upper-left, whichever is closest to a+b−c (ties in that
+    order). Operates on int arrays with headroom."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+
+
+def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PNG (color type 2, bit depth 8,
+    non-interlaced) with only stdlib ``zlib`` — the fixture/export
+    twin of :func:`decode_png`. ``filter_type`` applies ONE of the
+    five PNG scanline filters (0=None 1=Sub 2=Up 3=Average 4=Paeth)
+    to every line, so tests can exercise each unfilter path with
+    payloads produced entirely in-repo."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w = a.shape[:2]
+    raw = a.astype(np.int16)  # headroom for filter arithmetic
+    zeros = np.zeros((w, 3), np.int16)
+    lines = []
+    prev = zeros
+    for y in range(h):
+        cur = raw[y]
+        left = np.vstack([zeros[:1], cur[:-1]])
+        ul = np.vstack([zeros[:1], prev[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth_predict(left, prev, ul)
+        lines.append(
+            bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        )
+        prev = cur
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return (
+            struct.pack(">I", len(data)) + c
+            + struct.pack(">I", zlib.crc32(c))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode PNG to (h, w, 3) uint8 with only stdlib ``zlib`` +
+    numpy — the first genuinely COMPRESSED container that decodes
+    built-in (PNG spec, RFC 2083 / ISO 15948: chunked container,
+    zlib-deflated scanlines, 5 per-line predictive filters).
+
+    Supported: bit depth 8, color types 0 (grey → replicated), 2
+    (RGB), 3 (palette via PLTE), 4 (grey+alpha), 6 (RGBA — alpha
+    dropped, matching the (h,w,3) decode_real contract), interlace 0.
+    Adam7 / 16-bit raise ``NotImplementedError`` so the codec-hook
+    chain can claim them (same loud-gap contract as subsampled Y4M).
+
+    Unfiltering: Up is one vectorized row op, Sub is an exact
+    mod-256 cumulative sum per channel; Average/Paeth carry an
+    inherent left-neighbor dependency, so they run per-sample on the
+    one scanline (w·bpp-bounded — the payload never leaves the task,
+    and a production deployment hooks a C codec for bulk JPEG/PNG
+    anyway)."""
+    import struct
+    import zlib
+
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt_method, interlace = ihdr
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace == 1:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG needs the codec plug-in"
+        )
+    if depth != 8:
+        raise NotImplementedError("only bit-depth-8 PNG decodes built-in")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    rows = []
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        cur = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: exact mod-256 prefix sum per channel
+            cur = (
+                np.cumsum(cur.reshape(w, channels), axis=0,
+                          dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps — mod 256 for free
+            cur += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 255
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                cur[x] = (int(cur[x]) + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter byte {ft}")
+        rows.append(cur)
+        prev = cur
+    img = np.stack(rows).reshape(h, w, channels)
+    if ctype == 2:
+        return img
+    if ctype == 6:
+        return np.ascontiguousarray(img[:, :, :3])
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return plte[img[:, :, 0]]
+
+
 #: Third-party codec hooks for containers the built-in pure-numpy
 #: decoders don't handle (JPEG/PNG/MP3/H.264...). Each hook is
 #: ``fn(payload: bytes, modality: str) -> decoded | None`` where
@@ -282,12 +454,12 @@ def unregister_codec(fn) -> None:
 
 
 def decode_real(payload: bytes, modality: str, codecs=None):
-    """Real decode: PPM (P6) images, RIFF/PCM16 WAV audio, and
-    YUV4MPEG2 (C444) video via pure-numpy header parse +
-    ``frombuffer``. Returns ``("image", (h,w,3) uint8)``,
+    """Real decode: PPM (P6) and PNG images, RIFF/PCM16 WAV audio,
+    and YUV4MPEG2 (C444) video via stdlib-zlib/pure-numpy header
+    parse + ``frombuffer``. Returns ``("image", (h,w,3) uint8)``,
     ``("audio", (frames, ch) int16, rate)``, or ``("video",
-    (n,h,w,3) uint8 YUV, fps)``. Compressed containers (JPEG/MP3/
-    H.264) are routed to the registered codec hooks (``codecs``
+    (n,h,w,3) uint8 YUV, fps)``. Other compressed containers (JPEG/
+    MP3/H.264) are routed to the registered codec hooks (``codecs``
     overrides the module registry — the Spark operators pass their
     build-time snapshot); with no hook willing, raises
     ``NotImplementedError`` so the gap is loud, never garbled."""
@@ -296,6 +468,8 @@ def decode_real(payload: bytes, modality: str, codecs=None):
     try:
         if head[:2] == b"P6":
             return ("image", decode_ppm(payload))
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            return ("image", decode_png(payload))
         if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
             arr, rate = decode_wav(payload)
             return ("audio", arr, rate)
@@ -315,9 +489,9 @@ def decode_real(payload: bytes, modality: str, codecs=None):
         if out is not None:
             return out
     raise NotImplementedError(
-        "no pure-numpy decoder for this container (compressed formats "
-        "need a codec library — register one with register_codec); "
-        "PPM, PCM16 WAV and Y4M decode for real"
+        "no built-in decoder for this container (JPEG/MP3/H.264 need "
+        "a codec library — register one with register_codec); PPM, "
+        "PNG, PCM16 WAV and Y4M decode for real"
     )
 
 
@@ -403,11 +577,12 @@ def _stub_features(payload: bytes) -> list[float]:
 
 def real_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build REAL decodable payloads from ``documents``: doc_id % 3
-    == 0 → a P6 PPM image whose pixels tile the utf-8 text bytes
-    (dimensions content-derived), == 1 → a PCM16 WAV whose samples
-    map the text bytes onto the full int16 range, == 2 → a YUV4MPEG2
-    C444 video whose frames tile the text bytes (frame count
-    content-derived). Deterministic, so the encode → decode →
+    == 0 → an image whose pixels tile the utf-8 text bytes
+    (dimensions content-derived; alternating P6 PPM and compressed
+    PNG containers with identical pixels), == 1 → a PCM16 WAV whose
+    samples map the text bytes onto the full int16 range, == 2 → a
+    YUV4MPEG2 C444 video whose frames tile the text bytes (frame
+    count content-derived). Deterministic, so the encode → decode →
     feature pipeline is reproducible end-to-end; one mapInPandas
     encode pass, no shuffle."""
 
@@ -422,9 +597,19 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                 if sel == 0:
                     w = 16 + len(raw) % 17
                     h = 16 + (len(raw) * 7) % 13
-                    payloads.append(
-                        encode_ppm(np.resize(raw, (h, w, 3)))
-                    )
+                    px = np.resize(raw, (h, w, 3))
+                    if int(doc_id) % 6 == 0:
+                        # every 2nd image ships COMPRESSED (PNG,
+                        # filter type cycling through all five) with
+                        # pixels identical to the PPM twin — so
+                        # decoded features / aHash fingerprints are
+                        # container-invariant and the registry
+                        # entries exercise the zlib+unfilter path
+                        payloads.append(encode_png(
+                            px, filter_type=(int(doc_id) // 6) % 5
+                        ))
+                    else:
+                        payloads.append(encode_ppm(px))
                     modalities.append("image")
                 elif sel == 1:
                     samples = (

@@ -1,0 +1,145 @@
+"""Stdlib PNG codec (operators/multimodal.py encode_png/decode_png):
+the first genuinely compressed container decoding built-in — zlib
+inflate + the five predictive scanline unfilters, pure numpy."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import ceres_spark.operators.multimodal as mm
+
+
+def _img(h=13, w=17, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter_type(ft):
+    img = _img()
+    assert (mm.decode_png(mm.encode_png(img, filter_type=ft)) == img).all()
+
+
+def test_roundtrip_extreme_values_wraparound():
+    # all-0 / all-255 / hard steps: exercises mod-256 wraparound in
+    # Sub/Up/Average/Paeth reconstruction
+    img = np.zeros((5, 6, 3), np.uint8)
+    img[::2] = 255
+    img[:, ::3, 1] = 1
+    for ft in range(5):
+        assert (mm.decode_png(mm.encode_png(img, filter_type=ft)) == img).all()
+
+
+def test_decode_real_routes_png_and_matches_ppm_pixels():
+    img = _img(11, 9, seed=3)
+    kind_png, px_png = mm.decode_real(mm.encode_png(img, 4), "image")
+    kind_ppm, px_ppm = mm.decode_real(mm.encode_ppm(img), "image")
+    assert kind_png == kind_ppm == "image"
+    assert (px_png == px_ppm).all()
+
+
+def _chunk(typ, data):
+    c = typ + data
+    return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+
+def _png_raw(w, h, depth, ctype, interlace, scanlines, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + extra
+        + _chunk(b"IDAT", zlib.compress(scanlines)) + _chunk(b"IEND", b"")
+    )
+
+
+def test_color_types_grey_rgba_greyalpha_palette():
+    # grey (0): replicated to 3 channels
+    g = bytes([0, 10, 200, 0, 30, 40])  # 2x2 grey, filter 0 rows
+    out = mm.decode_png(_png_raw(2, 2, 8, 0, 0, g))
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == 10).all() and (out[1, 1] == 40).all()
+    # RGBA (6): alpha dropped
+    rgba = bytes([0] + [1, 2, 3, 9] * 2 + [0] + [4, 5, 6, 9] * 2)
+    out = mm.decode_png(_png_raw(2, 2, 8, 6, 0, rgba))
+    assert (out[0, 1] == [1, 2, 3]).all() and (out[1, 0] == [4, 5, 6]).all()
+    # grey+alpha (4)
+    ga = bytes([0, 7, 255, 8, 0])
+    out = mm.decode_png(_png_raw(2, 1, 8, 4, 0, ga))
+    assert (out[0, 0] == 7).all() and (out[0, 1] == 8).all()
+    # palette (3): PLTE lookup
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = bytes([0, 0, 1])
+    out = mm.decode_png(_png_raw(2, 1, 8, 3, 0, pal, extra=plte))
+    assert (out[0, 0] == [255, 0, 0]).all()
+    assert (out[0, 1] == [0, 255, 0]).all()
+
+
+def test_loud_gaps_adam7_depth16_palette_without_plte():
+    img = _img(4, 4)
+    ok = mm.encode_png(img)
+    # Adam7: NotImplementedError (codec hooks may claim it)
+    bad = bytearray(ok)
+    assert bad[8 + 8 + 12] == 0  # interlace byte of IHDR
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(_png_raw(2, 1, 8, 2, 1, bytes(7)))
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(_png_raw(2, 1, 16, 2, 0, bytes(13)))
+    with pytest.raises(ValueError):
+        mm.decode_png(_png_raw(2, 1, 8, 3, 0, bytes([0, 0, 1])))  # no PLTE
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    with pytest.raises(ValueError):
+        mm.decode_png(ok[:40])  # truncated scanlines/missing IEND path
+
+
+def test_adam7_falls_through_to_codec_hook():
+    claimed = []
+
+    def hook(payload, modality):
+        claimed.append(modality)
+        return ("image", np.zeros((1, 1, 3), np.uint8))
+
+    payload = _png_raw(2, 1, 8, 2, 1, bytes(7))
+    kind, px = mm.decode_real(payload, "image", codecs=(hook,))
+    assert kind == "image" and claimed == ["image"]
+
+
+def test_real_assets_alternate_ppm_png_with_identical_pixels(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (6, "delta " * 40), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in mm.real_assets_from_documents(docs).collect()
+    }
+    assert rows[0][:8] == b"\x89PNG\r\n\x1a\n"  # 0 % 6 == 0
+    assert rows[6][:8] == b"\x89PNG\r\n\x1a\n"
+    assert rows[3][:2] == b"P6"
+    # container-invariance: PNG pixels equal the PPM twin's pixels
+    for did in (0, 6):
+        raw = np.frombuffer(
+            {0: b"alpha beta gamma", 6: b"delta " * 40}[did], np.uint8
+        )
+        w = 16 + len(raw) % 17
+        h = 16 + (len(raw) * 7) % 13
+        expect = np.resize(raw, (h, w, 3))
+        assert (mm.decode_png(rows[did]) == expect).all()
+
+
+def test_phash_pairs_across_containers(spark):
+    # the SAME image planted as PPM and PNG must pair at hamming 0 —
+    # near-dup detection is container-blind once decode is real
+    base = _img(32, 32, seed=1)
+    other = _img(32, 32, seed=2)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_ppm(base))),
+         (2, "image", bytearray(mm.encode_png(base, filter_type=3))),
+         (3, "image", bytearray(mm.encode_png(other, filter_type=4)))],
+        "asset_id long, modality string, payload binary",
+    )
+    pairs = {(r["asset_a"], r["asset_b"]): r["hamming"]
+             for r in mm.phash_pairs(assets, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
