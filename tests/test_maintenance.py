@@ -260,3 +260,29 @@ def test_catalog_ops_tolerate_empty_and_duplicate_rows(spark):
                                 default_method="sum").collect()
     got = {r["ts"]: r["value"] for r in rolled}
     assert got[0] == 5.0  # sum over 5 pts, not doubled to 10
+
+
+def test_expire_path_drop_list_derived_from_data(spark, tmp_path):
+    # r5: the drop list comes from distinct(partition_col), not a
+    # local directory listing — a foreign (non-partition) file in the
+    # table root must not confuse expiry, and multiple fully-expired
+    # days all drop while the straddling day is rewritten in place
+    path = str(tmp_path / "pts")
+    rows = (
+        [("m", 3600, 1.0), ("m", 7200, 2.0)]             # day 0: expired
+        + [("m", 86400 + 60, 3.0)]                        # day 1: expired
+        + [("m", 2 * 86400 + 60, 4.0),                    # day 2: straddles
+           ("m", 2 * 86400 + 7200, 5.0)]
+        + [("m", 3 * 86400 + 60, 6.0)]                    # day 3: untouched
+    )
+    d = df(spark, rows).withColumn(
+        "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+    )
+    d.write.partitionBy("date").parquet(path)
+    (tmp_path / "pts" / "_FOREIGN").write_text("not a partition")
+    ret.expire_path(spark, path, 2 * 86400 + 3600, 60)
+    left = sorted(r["ts"] for r in spark.read.parquet(path).collect())
+    assert left == [2 * 86400 + 7200, 3 * 86400 + 60]
+    days = {p for p in os.listdir(path) if p.startswith("date=")}
+    assert days == {"date=1970-01-03", "date=1970-01-04"}
+    assert (tmp_path / "pts" / "_FOREIGN").exists()
