@@ -2163,6 +2163,56 @@ def _q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED online CUSUM (streaming/stateful.py —
+    Page's sequential test, O(1) state per metric): the LWW-deduped
+    points replay as 4 time-ordered arrival batches through
+    applyInPandasWithState; S⁺/S⁻ survive across micro-batches in the
+    state store, alarms reset the tripped side. The oracle replays
+    the SAME recursion as a DuckDB recursive CTE stepping every
+    metric in parallel — identical IEEE double ops in identical
+    order, so the whole alarm trace is hash-checked bit-for-bit
+    through real streaming execution (previously pytest-only).
+
+    The monitored series is the 30-minute decimal-avg rollup, NOT
+    raw points: sequential-recursion oracles cost one CTE iteration
+    per step, so the step count must be bounded by the TIME RANGE
+    (≤1440 buckets/metric over the 30-day fixture at any SF), never
+    by data volume — the same dial a production CUSUM monitor uses
+    (alert on the 1-/30-min aggregate, not per-event)."""
+    import ceres_spark.streaming.stateful as st
+
+    base = _replay_scratch("cusum", sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    deduped = cp.lww_dedup(
+        tbl.points(spark, sf_dir).filter(F.col("value").isNotNull())
+    )
+    pts = deduped.groupBy(
+        "metric",
+        (F.col("ts") - F.col("ts") % 1800).cast("long").alias("ts"),
+    ).agg(agg.agg_expr("average").alias("value"))
+    _write_arrival_files(_with_time_quartile(pts, "ts"), src, 4)
+    stream = (
+        spark.readStream.schema("metric string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.cusum_stream(stream, mu0=10.0, slack=0.5, h=25.0)
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"scsm_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_cusum")
+    return spark.table(q.name).select(
+        "metric", "ts", "value", "s_hi", "s_lo", "alarm"
+    )
+
+
 def _q_n_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graphite nPercentile(seriesList, 90): per-series 90th
     percentile via graphite-web's non-interpolated rank rule
@@ -2250,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_catalog": _q_expire_catalog,
         "stream_simhash_dedup": _q_stream_simhash_dedup,
         "compact_invariance": _q_compact_invariance,
+        "stream_cusum": _q_stream_cusum,
         "n_percentile": _q_n_percentile,
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
@@ -2726,6 +2777,57 @@ SELECT metric, count(value) AS n_points,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM points WHERE ts >= {cutoff_q}
 GROUP BY metric
+""",
+        # Page's CUSUM recursion replayed as a recursive CTE: step i
+        # advances EVERY metric one point; identical IEEE double ops
+        # in identical order as the streaming state update, so
+        # s_hi/s_lo/alarm hash bit-exactly
+        "stream_cusum": f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 1800) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+-- MATERIALIZED: without it the planner inlines v (and the whole
+-- points scan above it) into EVERY recursion iteration — 1440
+-- re-scans of the fact table instead of one 7200-row lookup
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
+  FROM b
+),
+rec AS (
+  SELECT metric, CAST(0 AS BIGINT) AS i,
+         CAST(0.0 AS DOUBLE) AS s_hi, CAST(0.0 AS DOUBLE) AS s_lo,
+         CAST(NULL AS BIGINT) AS ts, CAST(NULL AS DOUBLE) AS value,
+         '' AS alarm
+  FROM (SELECT DISTINCT metric FROM v)
+  UNION ALL
+  SELECT metric, i,
+         CASE WHEN raw_hi > 25.0 THEN CAST(0.0 AS DOUBLE)
+              ELSE raw_hi END,
+         CASE WHEN raw_lo > 25.0 THEN CAST(0.0 AS DOUBLE)
+              ELSE raw_lo END,
+         ts, value,
+         CASE WHEN raw_hi > 25.0 AND raw_lo > 25.0 THEN 'both'
+              WHEN raw_hi > 25.0 THEN 'high'
+              WHEN raw_lo > 25.0 THEN 'low'
+              ELSE '' END
+  FROM (
+    SELECT v.metric, v.i, v.ts, v.value,
+           greatest(CAST(0.0 AS DOUBLE),
+                    rec.s_hi + (v.value - 10.0 - 0.5)) AS raw_hi,
+           greatest(CAST(0.0 AS DOUBLE),
+                    rec.s_lo + (10.0 - 0.5 - v.value)) AS raw_lo
+    FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
+  )
+)
+SELECT metric, ts, value, s_hi, s_lo, alarm
+FROM rec WHERE i >= 1
 """,
         # graphite's non-interpolated rank rule: value = the
         # ceil(n/100·(cnt+1))-th smallest, clamped to [1, cnt] —
