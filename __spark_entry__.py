@@ -82,6 +82,75 @@ def _cos(a: str, b: str) -> str:
     )
 
 
+# Holt (non-seasonal) double smoothing as a recursive CTE — shared by
+# the batch entry (holt_winters_bands) and its streaming replay twin
+# (stream_holt_winters): the recursion
+#   f = level + trend ; dev_out = d (one-step-behind band)
+#   d' = a·|v − f| + (1−a)·d ; nl = a·v + (1−a)·(level + trend)
+#   trend' = b·(nl − level) + (1−b)·trend ; level' = nl
+# with string-cast double constants so both engines run the identical
+# IEEE op sequence. v is MATERIALIZED: without it the planner inlines
+# the fact-table scan into every iteration.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
+  FROM h
+),
+rec AS (
+  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ts,
+         CAST(NULL AS DOUBLE) AS value,
+         CAST(NULL AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
+         CAST(0.0 AS DOUBLE) AS d,
+         CAST(NULL AS DOUBLE) AS forecast,
+         CAST(NULL AS DOUBLE) AS dev_out
+  FROM (SELECT DISTINCT metric FROM v)
+  UNION ALL
+  SELECT metric, i, ts, value,
+         CASE WHEN level IS NULL THEN value
+              WHEN value IS NULL THEN level
+              ELSE nl END,
+         CASE WHEN level IS NULL OR value IS NULL THEN trend
+              ELSE CAST('{0.0035!r}' AS DOUBLE) * (nl - level)
+                   + CAST('{1 - 0.0035!r}' AS DOUBLE) * trend END,
+         CASE WHEN level IS NULL OR value IS NULL THEN d ELSE nd END,
+         CASE WHEN level IS NULL THEN value ELSE f END,
+         CASE WHEN level IS NULL THEN CAST(0.0 AS DOUBLE) ELSE d END
+  FROM (
+    SELECT *,
+           CAST('0.1' AS DOUBLE) * value
+             + CAST('0.9' AS DOUBLE) * (level + trend) AS nl,
+           CAST('0.1' AS DOUBLE) * abs(value - f)
+             + CAST('0.9' AS DOUBLE) * d AS nd
+    FROM (
+      SELECT v.metric, v.i, v.ts, v.value,
+             rec.level, rec.trend, rec.d,
+             rec.level + rec.trend AS f
+      FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
+    )
+  )
+)
+SELECT metric, ts, value, forecast,
+       forecast + 3.0 * dev_out AS upper,
+       forecast - 3.0 * dev_out AS lower,
+       CASE WHEN value > forecast + 3.0 * dev_out
+              THEN value - (forecast + 3.0 * dev_out)
+            WHEN value < forecast - 3.0 * dev_out
+              THEN value - (forecast - 3.0 * dev_out)
+            ELSE CAST(0.0 AS DOUBLE) END AS aberration
+FROM rec WHERE i >= 1
+"""
+
+
 # ---------------------------------------------------------------- queries
 
 def _q_fetch_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,9 +1388,10 @@ def _q_series_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series EWMA (graphite exponentialMovingAverage). Recursive
-    state → applyInPandas; rows-only (no SQL oracle — the recurrence
-    has no closed SQL form), exactness pinned in pytest against the
-    hand-rolled recurrence (tests/test_series_ops.py)."""
+    state → applyInPandas; hash-checked since r5 against a recursive-
+    CTE oracle running the identical IEEE recursion (string-cast
+    double constants, MATERIALIZED step table); also pinned in pytest
+    against the hand-rolled recurrence (tests/test_series_ops.py)."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
     return ser.ewma(hourly, alpha=0.3)
@@ -1329,11 +1399,53 @@ def _q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt forecast + confidence bands + aberration (graphite
-    holtWinters* family, non-seasonal). Rows-only; exact replay of the
-    recurrence is pytest-asserted."""
+    holtWinters* family, non-seasonal). Hash-checked since r5 via the
+    shared recursive-CTE oracle (_HOLT_ORACLE); exact replay of the
+    recurrence is also pytest-asserted."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
     return ser.holt_winters(hourly)
+
+
+def _q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED online Holt smoothing (streaming/stateful.
+    holt_winters_stream): the hourly decimal-avg series replays as 4
+    time-ordered arrival batches; (level, trend, deviation) survive
+    across micro-batches in the state store, and every observation's
+    forecast/band/aberration is emitted as it arrives. Shares
+    _HOLT_ORACLE with the batch twin — the external check proves the
+    cross-batch state carry reproduces the batch recursion bit-for-
+    bit (previously pytest-only). Step count is bounded by the time
+    range (hourly buckets), the sequential-oracle scaling rule from
+    stream_cusum."""
+    import ceres_spark.streaming.stateful as st
+
+    base = _replay_scratch("hw", sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    _write_arrival_files(_with_time_quartile(hourly, "ts"), src, 4)
+    stream = (
+        spark.readStream.schema("metric string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.holt_winters_stream(stream, alpha=0.1, beta=0.0035,
+                                 dev_scale=3.0)
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"shw_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_holt_winters")
+    return spark.table(q.name).select(
+        "metric", "ts", "value", "forecast", "upper", "lower",
+        "aberration"
+    )
 
 
 def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_simhash_dedup": _q_stream_simhash_dedup,
         "compact_invariance": _q_compact_invariance,
         "stream_cusum": _q_stream_cusum,
+        "stream_holt_winters": _q_stream_holt_winters,
         "n_percentile": _q_n_percentile,
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
@@ -2778,6 +2891,45 @@ SELECT metric, count(value) AS n_points,
 FROM points WHERE ts >= {cutoff_q}
 GROUP BY metric
 """,
+        # EWMA recursion as a recursive CTE (same engine-exactness
+        # recipe as stream_cusum: string-cast double constants, one
+        # MATERIALIZED step table, identical IEEE op order) — upgrades
+        # the entry from rows-only to hash-checked
+        "ewma_series": f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
+  FROM h
+),
+rec AS (
+  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ts,
+         CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS ewma
+  FROM (SELECT DISTINCT metric FROM v)
+  UNION ALL
+  SELECT v.metric, v.i, v.ts, v.value,
+         CASE WHEN v.value IS NULL THEN rec.ewma
+              WHEN rec.ewma IS NULL THEN v.value
+              ELSE CAST('0.3' AS DOUBLE) * v.value
+                   + CAST('0.7' AS DOUBLE) * rec.ewma END
+  FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
+)
+SELECT metric, ts, value, ewma FROM rec WHERE i >= 1
+""",
+        # Holt double smoothing (level/trend/deviation) as a recursive
+        # CTE; forecast/bands/aberration are then plain projections of
+        # the stepped state — upgrades holt_winters_bands AND verifies
+        # stream_holt_winters (same recursion through REAL streaming)
+        "holt_winters_bands": _HOLT_ORACLE,
+        "stream_holt_winters": _HOLT_ORACLE,
         # Page's CUSUM recursion replayed as a recursive CTE: step i
         # advances EVERY metric one point; identical IEEE double ops
         # in identical order as the streaming state update, so
