@@ -319,3 +319,94 @@ def pagerank(
     return ranks.select(
         "node", F.col("rank").cast("double").alias("rank")
     )
+
+
+def pagerank_units(
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    mass: int = 10**15,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-lattice PageRank: the same Brin-&-Page iteration as
+    :func:`pagerank` (dangling-mass redistribution included), but on a
+    BIGINT unit lattice — ranks are integer "units" out of ``mass``,
+    every per-step operation is integer multiply / floor-divide / sum.
+
+    Why a lattice variant exists at all: float rank sums are
+    order-dependent (so partitioning-dependent), and even the DECIMAL
+    variant's per-step double⋅decimal products round differently
+    across engines — which kept :func:`pagerank` a rows-only entry.
+    Integer arithmetic has ONE answer everywhere: any engine, any
+    partitioning, any executor count reproduces the result
+    bit-for-bit, which is what lets the driver hash-check an
+    ITERATIVE fixpoint against a recursive-CTE oracle. Floor errors
+    are ≤ out_degree/mass per node per step — ~1e-13 relative at the
+    default mass, pinned ≤1e-6 against the float reference in pytest.
+
+    Overflow safety, by construction: total units never exceed
+    ``mass`` (floors only shed mass), so every shuffle-side SUM is
+    ≤ mass ≈ 1e15, and the one product ``damping_num · x`` is
+    ≤ 17·1e15 ≈ 1.7e16 ≪ 2^63. Same per-iteration plan shape as
+    :func:`pagerank`: edge⋈rank join, dst-keyed SUM with map-side
+    combine, one scalar dangling aggregate; LONG columns shuffle
+    ~2.4× narrower than DECIMAL(38,18) ones.
+    """
+    if damping_num >= damping_den or damping_num < 0:
+        raise ValueError("damping_num/damping_den must be in [0, 1)")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(None).cast("long"))
+    deg = e.groupBy("u").agg(F.count("*").alias("_deg"))
+    e_deg = e.join(deg, "u").localCheckpoint(eager=True)
+    dangling = nodes.join(
+        deg, nodes["node"] == deg["u"], "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling.limit(1).count())
+    base_units = (mass * (damping_den - damping_num)) // (damping_den * n)
+    ranks = nodes.withColumn("units", F.lit(mass // n).cast("long"))
+    for it in range(1, int(n_iter) + 1):
+        contrib = (
+            e_deg.join(ranks, e_deg["u"] == ranks["node"])
+            .select("v", F.expr("units div _deg").alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        if has_dangling:
+            dangle = (
+                ranks.join(dangling.select("node"), "node")
+                .agg(F.sum("units").alias("_d"))
+                .collect()[0]["_d"]
+            )
+            dangle_share = int(dangle or 0) // n
+        else:
+            dangle_share = 0
+        new_ranks = nodes.join(
+            contrib, nodes["node"] == contrib["v"], "left"
+        ).select(
+            "node",
+            F.expr(
+                f"{base_units}L + ({damping_num}L * "
+                f"(coalesce(_in, 0L) + {dangle_share}L)) "
+                f"div {damping_den}L"
+            ).alias("units"),
+        )
+        if it % 3 == 0 or it == int(n_iter):
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks.select(
+        "node",
+        F.col("units").alias("rank_units"),
+        (F.col("units").cast("double") / F.lit(float(mass))).alias("rank"),
+    )

@@ -256,6 +256,48 @@ def time_r4_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_r5_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Round-5 probe targets (VERDICT r4 #6): crawl-novelty scoring
+    (gram-MIN + join-back, linear), split-leakage QA (simhash bands +
+    split join composition), and the catalog-JOIN maintenance pair
+    (broadcast catalog dispatch for rollup and expiry)."""
+    import ceres_spark.catalog as cat
+    import ceres_spark.operators.corpus as corp
+    import ceres_spark.operators.dedup as dd
+    import ceres_spark.operators.retention as ret
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    dd.ngram_novelty(docs, k=8).count()
+    t["ngram_novelty"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    corp.split_leak_check(docs, max_hamming=3).count()
+    t["split_leak_check"] = round(time.perf_counter() - t0, 2)
+    pts = tbl.points(spark, sf_dir)
+    deduped = cp.compact(pts, 60)
+    metrics = [r[0] for r in pts.select("metric").distinct().collect()]
+    catalog = cat.make_catalog(
+        spark,
+        [
+            {
+                "metric": m,
+                "timeStep": 60,
+                "aggregationMethod": "average",
+                "retentions": [[60, DAY], [3600, 7 * DAY]],
+            }
+            for m in metrics
+        ],
+    )
+    t0 = time.perf_counter()
+    ret.rollup_catalog(deduped, catalog, with_step=True).count()
+    t["rollup_catalog"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ret.expire_catalog(pts, catalog, now=T0 + 29 * DAY).count()
+    t["expire_catalog"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -265,6 +307,7 @@ def main() -> None:
     time_new_ops(spark, base)
     time_corpus_ops(spark, base)
     time_r4_ops(spark, base)
+    time_r5_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -289,6 +332,7 @@ def main() -> None:
             timings.update(time_new_ops(spark, td))
             timings.update(time_corpus_ops(spark, td))
             timings.update(time_r4_ops(spark, td))
+            timings.update(time_r5_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
