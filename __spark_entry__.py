@@ -1680,10 +1680,14 @@ def _q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank authority over the nation-level trade graph (domain-
     level, the granularity a corpus pipeline ranks) — supplier-nation
-    → customer-nation edges from lineitem⋈orders; decimal-accumulated
-    iterations, proper dangling redistribution. Rows-only (iterative
-    fixpoint); numpy power-iteration equality and partitioning
-    invariance are pytest-pinned (tests/test_graph.py)."""
+    → customer-nation edges from lineitem⋈orders, proper dangling
+    redistribution. UPGRADED r5 from rows-only to hash-checked: ranks
+    live on a BIGINT unit lattice (graph.pagerank_units — integer
+    multiply/floor-div/sum only, so every engine and every
+    partitioning produces the same bits), which lets a recursive-CTE
+    oracle replay the 6-iteration fixpoint exactly. ≤1e-6 agreement
+    with the float power iteration is pytest-pinned
+    (tests/test_graph.py)."""
     li = tbl.load(spark, "lineitem", sf_dir)
     o = tbl.load(spark, "orders", sf_dir)
     s = tbl.load(spark, "supplier", sf_dir)
@@ -1699,7 +1703,7 @@ def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return gr.pagerank(edges, n_iter=6).orderBy("node")
+    return gr.pagerank_units(edges, n_iter=6).orderBy("node")
 
 
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2422,7 +2426,11 @@ _R5_PREFIX = [
     "forward_fill",
     "anomaly_zscore",
     "top_series",
-    "moving_median",
+    # nation_pagerank UPGRADED mid-r5 (rows-only → integer-lattice
+    # hash-checked) → changed entries join the prefix; displaces the
+    # last (d) filler (moving_median — driver-green r3, unchanged,
+    # back to parked)
+    "nation_pagerank",
 ]
 
 
@@ -3042,6 +3050,63 @@ rec AS (
 )
 SELECT metric, ts, value, s_hi, s_lo, alarm
 FROM rec WHERE i >= 1
+""",
+        # integer-lattice PageRank: the 6-iteration fixpoint replayed
+        # exactly — every step is BIGINT multiply / floor-div / sum,
+        # so the recursion has ONE bit pattern in any engine. The
+        # final double is a single IEEE division of that integer, also
+        # engine-identical. Mirrors graph.pagerank_units: init
+        # mass//n, contrib units//deg summed per target, dangling mass
+        # spread //n, new = base + (17·x)//20 with mass = 10^15.
+        "nation_pagerank": """
+WITH RECURSIVE
+edges AS MATERIALIZED (
+  SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+),
+-- NOT "u UNION v": under WITH RECURSIVE, DuckDB 1.0 treats ANY
+-- union-bodied CTE as an iteration head and skips the dedup —
+-- DISTINCT over UNION ALL keeps set semantics
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  )
+),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+p AS MATERIALIZED (
+  SELECT count(*) AS n,
+         1000000000000000 // count(*) AS init_units,
+         (1000000000000000 * 3) // (20 * count(*)) AS base_units
+  FROM nodes
+),
+pr AS (
+  SELECT 0 AS it, node, (SELECT init_units FROM p) AS units FROM nodes
+  UNION ALL
+  SELECT cur.it + 1, cur.node,
+         CAST((SELECT base_units FROM p)
+              + (17 * (COALESCE(c.contrib, 0) + d.share)) // 20
+              AS BIGINT) AS units
+  FROM pr cur
+  LEFT JOIN (
+    SELECT e.v, SUM(pr2.units // dg.deg) AS contrib
+    FROM pr pr2 JOIN edges e ON pr2.node = e.u
+    JOIN deg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) c ON c.v = cur.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(CASE WHEN dg.u IS NULL THEN pr3.units END), 0)
+           // (SELECT n FROM p) AS share
+    FROM pr pr3 LEFT JOIN deg dg ON pr3.node = dg.u
+  ) d
+  WHERE cur.it < 6
+)
+SELECT node, units AS rank_units,
+       CAST(units AS DOUBLE) / 1000000000000000.0 AS rank
+FROM pr WHERE it = 6 ORDER BY node
 """,
         # graphite's non-interpolated rank rule: value = the
         # ceil(n/100·(cnt+1))-th smallest, clamped to [1, cnt] —

@@ -154,3 +154,87 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = gr.pagerank(e)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def ref_pagerank_units(edges, n_iter=6, mass=10**15, dn=17, dd=20):
+    """Pure-Python mirror of the integer-lattice iteration."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    base = (mass * (dd - dn)) // (dd * n)
+    r = {v: mass // n for v in nodes}
+    for _ in range(n_iter):
+        dangle_share = sum(r[u] for u in nodes if deg[u] == 0) // n
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // deg[u]
+        r = {
+            v: base + (dn * (contrib[v] + dangle_share)) // dd
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_units_matches_python_lattice(spark):
+    import ceres_spark.operators.graph as gr
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in gr.pagerank_units(df, n_iter=6).collect()
+    }
+    want = ref_pagerank_units(edges, n_iter=6)
+    assert got == want  # BIT-equal: integer lattice has one answer
+
+
+def test_pagerank_units_close_to_float_pagerank(spark):
+    import ceres_spark.operators.graph as gr
+
+    edges = [(i, (i * 7) % 23) for i in range(60)] + [(3, 40), (40, 3)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lat = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank_units(df, n_iter=6).collect()
+    }
+    flt = ref_pagerank(edges, n_iter=6)
+    for v in flt:
+        # floor truncation per step is ~deg/mass — invisible at 1e-6
+        assert abs(lat[v] - flt[v]) < 1e-6, (v, lat[v], flt[v])
+
+
+def test_pagerank_units_partitioning_invariant(spark):
+    import ceres_spark.operators.graph as gr
+
+    edges = [(i, (i * 11) % 19) for i in range(50)] + [(2, 30), (30, 2)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        map(tuple, gr.pagerank_units(df.repartition(1), n_iter=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            gr.pagerank_units(df.repartition(13, "src"), n_iter=5).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_units_empty_and_bad_damping(spark):
+    import pytest as _pt
+
+    import ceres_spark.operators.graph as gr
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = gr.pagerank_units(e)
+    assert out.columns == ["node", "rank_units"]
+    assert out.count() == 0
+    with _pt.raises(ValueError):
+        gr.pagerank_units(
+            spark.createDataFrame([(1, 2)], "src long, dst long"),
+            damping_num=21,
+        )
