@@ -151,6 +151,41 @@ FROM rec WHERE i >= 1
 """
 
 
+# EWMA recursion as a recursive CTE — shared by the batch entry
+# (ewma_series) and its streaming replay twin (stream_ewma): the
+# stream twin's state carry must reproduce the batch recursion
+# bit-for-bit, so both verify against the SAME SQL.
+_EWMA_ORACLE = f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
+  FROM h
+),
+rec AS (
+  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ts,
+         CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS ewma
+  FROM (SELECT DISTINCT metric FROM v)
+  UNION ALL
+  SELECT v.metric, v.i, v.ts, v.value,
+         CASE WHEN v.value IS NULL THEN rec.ewma
+              WHEN rec.ewma IS NULL THEN v.value
+              ELSE CAST('0.3' AS DOUBLE) * v.value
+                   + CAST('0.7' AS DOUBLE) * rec.ewma END
+  FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
+)
+SELECT metric, ts, value, ewma FROM rec WHERE i >= 1
+"""
+
+
 # ---------------------------------------------------------------- queries
 
 def _q_fetch_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1448,6 +1483,41 @@ def _q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED online EWMA (streaming/stateful.
+    ewma_stream): the hourly decimal-avg series replays as 4
+    time-ordered arrival batches; the single-float-per-series EWMA
+    state survives across micro-batches in the state store and every
+    observation's average is emitted as it arrives. Shares
+    _EWMA_ORACLE with the batch twin (ewma_series) — the external
+    check proves the cross-batch state carry reproduces the batch
+    recursion bit-for-bit."""
+    import ceres_spark.streaming.stateful as st
+
+    base = _replay_scratch("ewma", sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    _write_arrival_files(_with_time_quartile(hourly, "ts"), src, 4)
+    stream = (
+        spark.readStream.schema("metric string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.ewma_stream(stream, alpha=0.3)
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sew_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_ewma")
+    return spark.table(q.name).select("metric", "ts", "value", "ewma")
+
+
 def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graphite's actual holtWintersForecast shape: ADDITIVE seasonal
     (triple) smoothing. 5-min buckets with a 12-step (1-hour) season
@@ -2386,6 +2456,10 @@ _R5_PREFIX = [
     "stream_simhash_dedup",
     "stream_cusum",
     "stream_holt_winters",
+    # stream_ewma added mid-r5 (7th streaming replay twin; shares
+    # _EWMA_ORACLE with the batch entry); displaces the (d) filler
+    # top_series (driver-green r3, unchanged, back to parked)
+    "stream_ewma",
     "n_percentile",
     "percentile_of_series",
     "sort_by_extrema",
@@ -2425,7 +2499,6 @@ _R5_PREFIX = [
     "time_shift_join",
     "forward_fill",
     "anomaly_zscore",
-    "top_series",
     # nation_pagerank UPGRADED mid-r5 (rows-only → integer-lattice
     # hash-checked) → changed entries join the prefix; displaces the
     # last (d) filler (moving_median — driver-green r3, unchanged,
@@ -2480,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_invariance": _q_compact_invariance,
         "stream_cusum": _q_stream_cusum,
         "stream_holt_winters": _q_stream_holt_winters,
+        "stream_ewma": _q_stream_ewma,
         "n_percentile": _q_n_percentile,
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
@@ -2965,35 +3039,8 @@ GROUP BY metric
         # recipe as stream_cusum: string-cast double constants, one
         # MATERIALIZED step table, identical IEEE op order) — upgrades
         # the entry from rows-only to hash-checked
-        "ewma_series": f"""
-WITH RECURSIVE {POINTS_CTE},
-deduped AS (
-  SELECT metric, ts, arg_max(value, arrival_seq) AS value
-  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
-),
-h AS (
-  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
-  FROM deduped GROUP BY 1, 2
-),
-v AS MATERIALIZED (
-  SELECT metric, ts, value,
-         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
-  FROM h
-),
-rec AS (
-  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ts,
-         CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS ewma
-  FROM (SELECT DISTINCT metric FROM v)
-  UNION ALL
-  SELECT v.metric, v.i, v.ts, v.value,
-         CASE WHEN v.value IS NULL THEN rec.ewma
-              WHEN rec.ewma IS NULL THEN v.value
-              ELSE CAST('0.3' AS DOUBLE) * v.value
-                   + CAST('0.7' AS DOUBLE) * rec.ewma END
-  FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
-)
-SELECT metric, ts, value, ewma FROM rec WHERE i >= 1
-""",
+        "ewma_series": _EWMA_ORACLE,
+        "stream_ewma": _EWMA_ORACLE,
         # Holt double smoothing (level/trend/deviation) as a recursive
         # CTE; forecast/bands/aberration are then plain projections of
         # the stepped state — upgrades holt_winters_bands AND verifies

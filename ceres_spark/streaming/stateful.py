@@ -184,6 +184,72 @@ def holt_winters_stream(
     )
 
 
+EWMA_STATE_SCHEMA = StructType([StructField("ewma", DoubleType())])
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def ewma_stream(stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of :func:`ceres_spark.operators.series.ewma`:
+    the ``e_i = α·v_i + (1−α)·e_{i-1}`` recurrence carried across
+    micro-batches as ONE float of state per series — the cheapest
+    possible stateful operator, and the live version of graphite's
+    ``exponentialMovingAverage``.
+
+    The update expression is written EXACTLY as the batch operator
+    writes it (same ``a·v + (1−a)·state`` association, NaN marks the
+    uninitialized state, gaps carry the average forward), so a
+    time-ordered replay produces bit-identical doubles to the batch
+    pass — which is what lets the replay entry share the batch
+    recursive-CTE oracle. State store cost: 8 bytes per live series.
+    """
+    import math
+
+    import numpy as np
+
+    a = float(alpha)
+
+    def _upd(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (metric,) = key
+        st = state.get[0] if state.exists else math.nan
+        if st is None:
+            st = math.nan
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype=float)
+            out = np.empty_like(vals)
+            for i, v in enumerate(vals):
+                if not np.isnan(v):
+                    st = v if np.isnan(st) else a * v + (1 - a) * st
+                out[i] = st
+            yield pd.DataFrame(
+                {
+                    "metric": metric,
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "ewma": out,
+                }
+            )
+        state.update((float(st),))
+
+    return stream.groupBy("metric").applyInPandasWithState(
+        _upd,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 HOLT_SEASONAL_STATE_SCHEMA = StructType(
     [
         StructField("level", DoubleType()),

@@ -197,3 +197,53 @@ def test_cusum_stream_matches_replay_across_batches(spark, tmp_path):
     assert got == want
     # the shift IS detected: at least one high alarm after ts 600
     assert any(a == "high" and ts >= 600 for ts, _, _, _, a in got)
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    import math
+    import time
+
+    import ceres_spark.operators.series as ser
+
+    vals = [3.0, 7.0, None, 5.0, 9.0, 2.0, None, 8.0]
+    rows = [("m", i * 60, v) for i, v in enumerate(vals)] + [
+        ("n", i * 60, v) for i, v in enumerate(reversed(vals))
+    ]
+    rows.sort(key=lambda r: r[1])
+    src = str(tmp_path / "src")
+    # two micro-batches: the one-float state must carry across them
+    for chunk in (rows[:8], rows[8:]):
+        spark.createDataFrame(
+            chunk, "metric string, ts long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(
+        "metric string, ts long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.ewma_stream(stream, alpha=0.3).writeStream.format(
+        "memory"
+    ).queryName("sew_t").outputMode("append").trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    got = {
+        (r["metric"], r["ts"]): r["ewma"]
+        for r in spark.sql("select * from sew_t").collect()
+    }
+
+    batch_in = spark.createDataFrame(
+        rows, "metric string, ts long, value double"
+    )
+    want = {
+        (r["metric"], r["ts"]): r["ewma"]
+        for r in ser.ewma(batch_in, alpha=0.3).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        # bit-equality is the contract the shared oracle relies on
+        assert (g == w) or (
+            g is not None and w is not None
+            and math.isnan(g) and math.isnan(w)
+        ) or (g is None and w is None), (k, g, w)
