@@ -151,6 +151,84 @@ FROM rec WHERE i >= 1
 """
 
 
+# ADDITIVE-seasonal Holt-Winters (graphite holtWintersForecast's
+# actual shape) as a recursive CTE: the O(L) seasonal vector rides
+# through the recursion as a DOUBLE[12] list column, updated in place
+# via slice-splice (seas[1:j] || [new] || seas[j+2:]). Phase j is
+# timestamp-anchored ((ts//300) % 12) exactly like the operator, so
+# the oracle needs no row-index bookkeeping beyond the step join.
+# All constants string-cast; every float op mirrors the numpy pass'
+# association, so the 8k-step recursion is bit-identical.
+_HOLT_SEASONAL_ORACLE = f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 300) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i,
+         CAST((ts // 300) % 12 AS BIGINT) AS j
+  FROM h
+),
+rec AS (
+  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ts,
+         CAST(NULL AS DOUBLE) AS value,
+         CAST(NULL AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
+         CAST(0.0 AS DOUBLE) AS d,
+         list_transform(generate_series(1, 12),
+                        x -> CAST(0.0 AS DOUBLE)) AS seas,
+         CAST(NULL AS DOUBLE) AS forecast,
+         CAST(NULL AS DOUBLE) AS dev_out
+  FROM (SELECT DISTINCT metric FROM v)
+  UNION ALL
+  SELECT metric, i, ts, value,
+         CASE WHEN level IS NULL THEN value
+              WHEN value IS NULL THEN level
+              ELSE nl END,
+         CASE WHEN level IS NULL OR value IS NULL THEN trend
+              ELSE CAST('{0.0035!r}' AS DOUBLE) * (nl - level)
+                   + CAST('{1 - 0.0035!r}' AS DOUBLE) * trend END,
+         CASE WHEN level IS NULL OR value IS NULL THEN d ELSE nd END,
+         CASE WHEN level IS NULL OR value IS NULL THEN seas
+              ELSE seas[1:CAST(j AS INTEGER)]
+                   || [CAST('0.1' AS DOUBLE) * (value - nl)
+                       + CAST('0.9' AS DOUBLE) * sj]
+                   || seas[CAST(j AS INTEGER) + 2:12] END,
+         CASE WHEN level IS NULL THEN value ELSE f END,
+         CASE WHEN level IS NULL THEN CAST(0.0 AS DOUBLE) ELSE d END
+  FROM (
+    SELECT *,
+           CAST('0.1' AS DOUBLE) * (value - sj)
+             + CAST('0.9' AS DOUBLE) * (level + trend) AS nl,
+           CAST('0.1' AS DOUBLE) * abs(value - f)
+             + CAST('0.9' AS DOUBLE) * d AS nd
+    FROM (
+      SELECT v.metric, v.i, v.ts, v.value, v.j,
+             rec.level, rec.trend, rec.d, rec.seas,
+             rec.seas[CAST(v.j AS INTEGER) + 1] AS sj,
+             rec.level + rec.trend
+               + rec.seas[CAST(v.j AS INTEGER) + 1] AS f
+      FROM rec JOIN v ON v.metric = rec.metric AND v.i = rec.i + 1
+    )
+  )
+)
+SELECT metric, ts, value, forecast,
+       forecast + 3.0 * dev_out AS upper,
+       forecast - 3.0 * dev_out AS lower,
+       CASE WHEN value > forecast + 3.0 * dev_out
+              THEN value - (forecast + 3.0 * dev_out)
+            WHEN value < forecast - 3.0 * dev_out
+              THEN value - (forecast - 3.0 * dev_out)
+            ELSE CAST(0.0 AS DOUBLE) END AS aberration
+FROM rec WHERE i >= 1
+"""
+
+
 # EWMA recursion as a recursive CTE — shared by the batch entry
 # (ewma_series) and its streaming replay twin (stream_ewma): the
 # stream twin's state carry must reproduce the batch recursion
@@ -1523,8 +1601,11 @@ def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (triple) smoothing. 5-min buckets with a 12-step (1-hour) season
     over the day-long fixture = 24 observed cycles; the seasonal
     phase is timestamp-anchored so gaps advance it correctly.
-    Rows-only (recursive state); exact recurrence replay, season
-    learning, and the streaming twin's cross-batch bit-equality are
+    UPGRADED r5 from rows-only to hash-checked: the O(L) seasonal
+    vector rides a recursive-CTE oracle as a DOUBLE[12] list column
+    (_HOLT_SEASONAL_ORACLE) — the triple recursion is replayed
+    bit-for-bit, season learning included. Exact recurrence replay
+    and the streaming twin's cross-batch bit-equality remain
     pytest-asserted."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     five_min = agg.aggregate_series(deduped, "average", 300)
@@ -2498,7 +2579,11 @@ _R5_PREFIX = [
     "percentiles",
     "time_shift_join",
     "forward_fill",
-    "anomaly_zscore",
+    # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
+    # hash-checked via the list-carrying seasonal recursive-CTE
+    # oracle); displaces the (d) filler anomaly_zscore (driver-green
+    # r3, unchanged, back to parked)
+    "holt_winters_seasonal",
     # nation_pagerank UPGRADED mid-r5 (rows-only → integer-lattice
     # hash-checked) → changed entries join the prefix; displaces the
     # last (d) filler (moving_median — driver-green r3, unchanged,
@@ -3047,6 +3132,7 @@ GROUP BY metric
         # stream_holt_winters (same recursion through REAL streaming)
         "holt_winters_bands": _HOLT_ORACLE,
         "stream_holt_winters": _HOLT_ORACLE,
+        "holt_winters_seasonal": _HOLT_SEASONAL_ORACLE,
         # Page's CUSUM recursion replayed as a recursive CTE: step i
         # advances EVERY metric one point; identical IEEE double ops
         # in identical order as the streaming state update, so
