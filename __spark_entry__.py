@@ -1614,6 +1614,48 @@ def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hw_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED online SEASONAL Holt-Winters (streaming/
+    stateful.holt_winters_seasonal_stream): the 5-min decimal-avg
+    series replays as 4 time-ordered arrival batches; level/trend/
+    deviation PLUS the 12-slot seasonal vector survive across
+    micro-batches as ARRAY-valued state — the only array-state
+    operator in the fleet, so this replay externally checks that the
+    state store round-trips composite state bit-for-bit. Shares
+    _HOLT_SEASONAL_ORACLE with the batch twin; the timestamp-anchored
+    phase means the 4-way batch split cannot desync the season."""
+    import ceres_spark.streaming.stateful as st
+
+    base = _replay_scratch("hws", sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    five_min = agg.aggregate_series(deduped, "average", 300)
+    _write_arrival_files(_with_time_quartile(five_min, "ts"), src, 4)
+    stream = (
+        spark.readStream.schema("metric string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.holt_winters_seasonal_stream(
+        stream, season_length=12, step=300, alpha=0.1, beta=0.0035,
+        gamma=0.1, dev_scale=3.0,
+    )
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"shws_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_hw_seasonal")
+    return spark.table(q.name).select(
+        "metric", "ts", "value", "forecast", "upper", "lower",
+        "aberration"
+    )
+
+
 def _q_slice_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops #16/#17 run-splitting as an audit query: the contiguous
     runs (gap > MAX_SLICE_GAP=80 steps starts a new one) the reference
@@ -2541,6 +2583,11 @@ _R5_PREFIX = [
     # _EWMA_ORACLE with the batch entry); displaces the (d) filler
     # top_series (driver-green r3, unchanged, back to parked)
     "stream_ewma",
+    # stream_hw_seasonal added mid-r5 (9th replay twin — ARRAY-valued
+    # state through the state store; shares _HOLT_SEASONAL_ORACLE);
+    # displaces the (d) filler forward_fill (driver-green r3,
+    # unchanged, back to parked)
+    "stream_hw_seasonal",
     "n_percentile",
     "percentile_of_series",
     "sort_by_extrema",
@@ -2578,7 +2625,6 @@ _R5_PREFIX = [
     "as_percent",
     "percentiles",
     "time_shift_join",
-    "forward_fill",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2639,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": _q_stream_cusum,
         "stream_holt_winters": _q_stream_holt_winters,
         "stream_ewma": _q_stream_ewma,
+        "stream_hw_seasonal": _q_stream_hw_seasonal,
         "n_percentile": _q_n_percentile,
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
@@ -3133,6 +3180,7 @@ GROUP BY metric
         "holt_winters_bands": _HOLT_ORACLE,
         "stream_holt_winters": _HOLT_ORACLE,
         "holt_winters_seasonal": _HOLT_SEASONAL_ORACLE,
+        "stream_hw_seasonal": _HOLT_SEASONAL_ORACLE,
         # Page's CUSUM recursion replayed as a recursive CTE: step i
         # advances EVERY metric one point; identical IEEE double ops
         # in identical order as the streaming state update, so
