@@ -2556,6 +2556,48 @@ def _q_summarize_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.summarize(deduped, 3600, "sum", align_to_from=True)
 
 
+def _q_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite hitcount(series, '1hour'): Σ value·step per hour
+    bucket — rate back to absolute hits; DECIMAL accumulation."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.hitcount(deduped, interval=3600, step=60)
+
+
+def _q_integral_by_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite integralByInterval(series, '1hour'): running integral
+    resetting each hour — the reset is a window PARTITION key, not
+    per-row state."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.integral_by_interval(deduped, interval=3600)
+
+
+def _q_remove_above_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite removeAbovePercentile(series, 90): slots beyond each
+    series' own rank-rule 90th percentile become NULL (series stays
+    time-aligned — a projection, not a filter)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.remove_percentile(deduped, n=90, above=True)
+
+
+def _q_most_deviant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite mostDeviant(series, 3): top-3 series by population
+    stddev — DECIMAL Σx/Σx², double variance clamped at 0, one sqrt;
+    (deviation DESC, metric) total order."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.most_deviant(deduped, k=3)
+
+
+def _q_average_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite averageAbove(series, 49.5): full point set of the
+    series whose DECIMAL-exact average clears the gate (the
+    averageBelow / currentAbove / maximumBelow family is this plan
+    with a different aggregate)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.average_above(deduped, threshold=49.5).select(
+        "metric", "ts", "value"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -2592,6 +2634,16 @@ _R5_PREFIX = [
     "percentile_of_series",
     "sort_by_extrema",
     "summarize_align",
+    # five more graphite read-API entries added mid-r5 (hitcount,
+    # integralByInterval, removeAbovePercentile, mostDeviant,
+    # averageAbove); displace the (d) fillers grouping_sets,
+    # range_frame_sum, as_percent, percentiles, time_shift_join
+    # (driver-green r3, unchanged, back to parked)
+    "hitcount",
+    "integral_by_interval",
+    "remove_above_percentile",
+    "most_deviant",
+    "average_above",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2620,11 +2672,6 @@ _R5_PREFIX = [
     "top_parts",
     "running_totals",
     "rank_window",
-    "grouping_sets",
-    "range_frame_sum",
-    "as_percent",
-    "percentiles",
-    "time_shift_join",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2690,6 +2737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
         "summarize_align": _q_summarize_align,
+        "hitcount": _q_hitcount,
+        "integral_by_interval": _q_integral_by_interval,
+        "remove_above_percentile": _q_remove_above_percentile,
+        "most_deviant": _q_most_deviant,
+        "average_above": _q_average_above,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -3323,6 +3375,93 @@ v AS (
 SELECT ts, value
 FROM v
 WHERE rn = greatest(1, least(cnt, (75 * (cnt + 1) + 99) // 100))
+""",
+        "hitcount": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts - (ts % 3600) AS ts,
+       CAST(CAST(SUM(CAST(CAST(value * 60 AS VARCHAR)
+                          AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS hits
+FROM deduped GROUP BY 1, 2
+""",
+        "integral_by_interval": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+                 OVER (PARTITION BY metric, ts - (ts % 3600)
+                       ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+                 AS VARCHAR) AS DOUBLE) AS integral
+FROM deduped
+""",
+        "remove_above_percentile": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+thr AS (
+  SELECT metric, value AS thr FROM (
+    SELECT metric, value,
+           row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY metric) AS cnt
+    FROM deduped
+  )
+  WHERE rn = greatest(1, least(cnt, (90 * (cnt + 1) + 99) // 100))
+)
+SELECT d.metric, d.ts,
+       CASE WHEN d.value > t.thr THEN NULL ELSE d.value END AS value
+FROM deduped d LEFT JOIN thr t USING (metric)
+""",
+        # population stddev from DECIMAL-exact sums; the double ops
+        # (two divisions, one product, one subtract, sqrt) mirror the
+        # Spark expression term-for-term — both engines correctly
+        # round each step, so the deviation is bit-identical
+        "most_deviant": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+stats AS (
+  SELECT metric,
+         {DEC_SUM} AS s1,
+         CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS s2,
+         count(*) AS n
+  FROM deduped GROUP BY metric
+)
+SELECT metric,
+       sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS deviation
+FROM stats
+ORDER BY deviation DESC, metric
+LIMIT 3
+""",
+        "average_above": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+keep AS (
+  SELECT metric FROM (
+    SELECT metric, {DEC_SUM} / count(*) AS a
+    FROM deduped GROUP BY metric
+  )
+  WHERE a > 49.5
+)
+SELECT d.metric, d.ts, d.value
+FROM deduped d JOIN keep USING (metric)
 """,
         "sort_by_extrema": f"""
 WITH {POINTS_CTE},

@@ -860,6 +860,160 @@ def sort_by_extrema(buckets: DataFrame) -> DataFrame:
     )
 
 
+def hitcount(
+    buckets: DataFrame, interval: int = 3600, step: int = 60
+) -> DataFrame:
+    """graphite-web ``hitcount(series, interval)``: Σ value·step per
+    interval bucket — converts a per-second rate back into absolute
+    event counts, robust to gaps (missing buckets simply contribute
+    nothing, exactly graphite's behavior of skipping None points).
+
+    One grouped aggregate with map-side combine; the value·step
+    products accumulate in DECIMAL via the string-routed cast so the
+    bucket sums are partitioning-independent and engine-portable.
+    """
+    dec = (
+        (F.col("value") * F.lit(int(step)))
+        .cast("string")
+        .cast("decimal(30,10)")
+    )
+    return (
+        buckets.filter(F.col("value").isNotNull())
+        .groupBy(
+            "metric",
+            (F.col("ts") - F.col("ts") % F.lit(int(interval))).alias("ts"),
+        )
+        .agg(F.sum(dec).cast("string").cast("double").alias("hits"))
+    )
+
+
+def integral_by_interval(
+    buckets: DataFrame, interval: int = 3600
+) -> DataFrame:
+    """graphite-web ``integralByInterval``: running integral that
+    RESETS at each interval boundary (the per-hour odometer readout;
+    plain ``integral`` never resets).
+
+    The reset is free in the plan: the interval bucket joins the
+    window PARTITION key, so no per-row conditional state — just a
+    narrower window partition. DECIMAL running sum, string-routed,
+    same determinism recipe as series_functions' integral.
+    """
+    from pyspark.sql.window import Window
+
+    ib = F.col("ts") - F.col("ts") % F.lit(int(interval))
+    w = (
+        Window.partitionBy("metric", ib)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.sum(dec).over(w).cast("string").cast("double").alias("integral"),
+    )
+
+
+def remove_percentile(
+    buckets: DataFrame, n: int = 90, above: bool = True
+) -> DataFrame:
+    """graphite-web ``removeAbovePercentile`` / ``removeBelow...``:
+    keep every time slot but NULL out values beyond the series' own
+    n-th percentile (graphite keeps the slot as None — the series
+    stays aligned with its neighbors, unlike a filter).
+
+    The per-series threshold is the same non-interpolated integer
+    rank rule as :func:`n_percentile` (exact on any engine), then one
+    broadcast join-back and a projection — the threshold table is
+    series-cardinality, never point-cardinality.
+    """
+    thr = n_percentile(buckets, n).withColumnRenamed(
+        "n_percentile", "_thr"
+    )
+    offend = (
+        F.col("value") > F.col("_thr")
+        if above
+        else F.col("value") < F.col("_thr")
+    )
+    return buckets.join(F.broadcast(thr), "metric", "left").select(
+        "metric",
+        "ts",
+        F.when(offend, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+def most_deviant(buckets: DataFrame, k: int = 3) -> DataFrame:
+    """graphite-web ``mostDeviant(series, k)``: the k series with the
+    largest population standard deviation — the dashboard's "what is
+    misbehaving" selector.
+
+    Determinism recipe from anomaly_zscore, unwindowed: per-series
+    DECIMAL Σx and Σx², variance in plain double ops clamped at 0,
+    one correctly-rounded sqrt — engine-portable bit-for-bit. The
+    top-k is ``orderBy().limit()`` over the series-cardinality
+    aggregate — TakeOrderedAndProject, a per-partition heap + driver
+    merge of k rows, never a single-partition global sort — with
+    (deviation DESC, metric) first-min tie-break.
+    """
+    dec = lambda c: (
+        F.sum(c.cast("string").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+    )
+    stats = (
+        buckets.filter(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(
+            dec(F.col("value")).alias("_s1"),
+            dec(F.col("value") * F.col("value")).alias("_s2"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "metric",
+            F.sqrt(
+                F.greatest(
+                    F.col("_s2") / F.col("_n")
+                    - (F.col("_s1") / F.col("_n"))
+                    * (F.col("_s1") / F.col("_n")),
+                    F.lit(0.0),
+                )
+            ).alias("deviation"),
+        )
+    )
+    return stats.orderBy(F.desc("deviation"), F.asc("metric")).limit(int(k))
+
+
+def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
+    """graphite-web ``averageAbove(series, t)``: keep only the series
+    whose average exceeds ``t`` — with the full point set of the
+    survivors (the series-selection gates averageBelow / currentAbove
+    / maximumBelow are this same plan with a different aggregate).
+
+    The gate is a series-cardinality DECIMAL-exact aggregate,
+    broadcast back as a semi-join — the point-cardinality side is
+    filtered in place, never shuffled.
+    """
+    avg = (
+        buckets.filter(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(
+            (
+                F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+                .cast("string")
+                .cast("double")
+                / F.count("*")
+            ).alias("_avg")
+        )
+        .filter(F.col("_avg") > F.lit(float(threshold)))
+        .select("metric")
+    )
+    return buckets.join(F.broadcast(avg), "metric", "semi")
+
+
 def summarize(
     buckets: DataFrame,
     interval: int,

@@ -556,3 +556,68 @@ def test_summarize_align_methods_null_skip(spark):
                                   align_to_from=True).collect()}
     # anchor = 0 (null row counts for the anchor), max skips the null
     assert out == {0: 5.0}
+
+def test_hitcount_rate_to_hits_per_bucket(spark):
+    import ceres_spark.operators.series as ser
+
+    # 1/s for two minutes in hour 0, 2/s for one minute in hour 1
+    d = _pts(spark, [("m", 0, 1.0), ("m", 60, 1.0),
+                     ("m", 3600, 2.0), ("m", 3720, None)])
+    got = {r["ts"]: r["hits"] for r in
+           ser.hitcount(d, interval=3600, step=60).collect()}
+    assert got == {0: 120.0, 3600: 120.0}
+
+
+def test_integral_by_interval_resets_each_bucket(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("m", 0, 1.0), ("m", 60, 2.0),
+                     ("m", 3600, 5.0), ("m", 3660, 1.0)])
+    got = {r["ts"]: r["integral"] for r in
+           ser.integral_by_interval(d, interval=3600).collect()}
+    # running sum resets at the 3600 boundary
+    assert got == {0: 1.0, 60: 3.0, 3600: 5.0, 3660: 6.0}
+
+
+def test_remove_percentile_nulls_offenders_keeps_slots(spark):
+    import ceres_spark.operators.series as ser
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    d = _pts(spark, [("m", 60 * i, v) for i, v in enumerate(vals)])
+    out = ser.remove_percentile(d, n=80, above=True).collect()
+    # all 10 slots survive; values STRICTLY above the 80th pct (rank
+    # rule: fr=0.8*11=8.8 -> rank 9 -> 9.0) become NULL — the
+    # threshold value itself stays, matching graphite's `> percentile`
+    assert len(out) == 10
+    got = {r["ts"]: r["value"] for r in out}
+    assert got[540] is None and got[480] == 9.0
+    below = {r["ts"]: r["value"] for r in
+             ser.remove_percentile(d, n=10, above=False).collect()}
+    # 10th pct: fr=0.1*11=1.1 -> rank 2 -> 2.0; values < 2.0 nulled
+    assert below[0] is None and below[60] == 2.0
+
+
+def test_most_deviant_topk_population_stddev(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("flat", 0, 5.0), ("flat", 60, 5.0),
+                     ("wide", 0, 0.0), ("wide", 60, 10.0),
+                     ("mid", 0, 4.0), ("mid", 60, 6.0),
+                     ("mid2", 0, 4.0), ("mid2", 60, 6.0)])
+    rows = ser.most_deviant(d, k=3).collect()
+    # population stddev: wide=5, mid=mid2=1 (metric tie-break), flat=0
+    assert [r["metric"] for r in rows] == ["wide", "mid", "mid2"]
+    assert rows[0]["deviation"] == 5.0
+
+
+def test_average_above_keeps_full_series_incl_nulls(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("hot", 0, 10.0), ("hot", 60, None),
+                     ("hot", 120, 20.0),
+                     ("cold", 0, 1.0), ("cold", 60, 2.0)])
+    out = ser.average_above(d, threshold=5.0).collect()
+    # hot avg=15 (> 5, null skipped in the gate); its NULL slot survives
+    assert {r["metric"] for r in out} == {"hot"}
+    assert len(out) == 3
+    assert ser.average_above(d, threshold=99.0).count() == 0
