@@ -719,6 +719,19 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+def _q_minhash_pairs_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash+LSH pairs in the engine-portable md5/affine
+    formulation — the banded candidate mechanism itself is
+    hash-checked against a full from-text SQL oracle (the role
+    simhash_pairs_global plays for the Hamming family; the
+    performance path minhash_lsh_pairs stays rows-only by design)."""
+    return dd.minhash_pairs_portable(
+        tbl.load(spark, "documents", sf_dir), threshold=0.5
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤12 pairs blocked by source (rows-only)."""
     return dd.simhash_pairs(
@@ -2644,6 +2657,12 @@ _R5_PREFIX = [
     "remove_above_percentile",
     "most_deviant",
     "average_above",
+    # minhash_pairs_portable added mid-r5: the banded LSH mechanism
+    # itself hash-checked via the md5/affine portable formulation
+    # (simhash_pairs_global's role for the MinHash family); displaces
+    # the (d) filler rank_window (driver-green r3, unchanged, back
+    # to parked)
+    "minhash_pairs_portable",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2671,7 +2690,6 @@ _R5_PREFIX = [
     "cube_orders",
     "top_parts",
     "running_totals",
-    "rank_window",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2742,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_above_percentile": _q_remove_above_percentile,
         "most_deviant": _q_most_deviant,
         "average_above": _q_average_above,
+        "minhash_pairs_portable": _q_minhash_pairs_portable,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5124,6 +5143,56 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # full from-text MinHash+LSH oracle: 31-bit md5 shingle hashes
+        # (md5_number_lower & 0x7FFFFFFF == Spark's reversed-hex conv),
+        # the same (a_i·h+b_i) mod 2^31 permutation family, identical
+        # ','-joined band keys — so the BANDED candidate set itself
+        # (not just the verify) must match bit-for-bit
+        "minhash_pairs_portable": """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 3
+           THEN [array_to_string(tk[i:i+2], ' ')
+                 for i in range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END)) AS s
+  FROM tok
+),
+hs AS (
+  SELECT DISTINCT doc_id,
+         CAST(md5_number_lower(s) & 2147483647 AS BIGINT) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, i,
+         MIN((((2 * i + 1) * 2654435761 % 2147483648) * h
+              + (i * 2246822519 + 3266489917) % 2147483648)
+             % 2147483648) AS m
+  FROM hs CROSS JOIN (SELECT unnest(range(32)) AS i) perms
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(h) AS hl, COUNT(*) AS n FROM hs GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(x.hl, y.hl)) AS DOUBLE)
+         / (x.n + y.n - len(list_intersect(x.hl, y.hl))) AS jaccard_sim
+FROM cand
+JOIN sets x ON x.doc_id = doc_a
+JOIN sets y ON y.doc_id = doc_b
+WHERE CAST(len(list_intersect(x.hl, y.hl)) AS DOUBLE)
+        / (x.n + y.n - len(list_intersect(x.hl, y.hl))) >= 0.5
 """,
         # full from-text fingerprint oracle: the md5-lower64 token hash
         # (digest bytes 8..16 LE) is DuckDB's md5_number_lower, so the

@@ -483,6 +483,127 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
 
 
+_M31 = 1 << 31  # modulus of the portable 31-bit universal hash family
+
+
+def _md5_low31(s: Column) -> Column:
+    """Portable 31-bit string hash: the low 31 bits of the
+    little-endian low-64 md5 word — i.e. DuckDB's
+    ``md5_number_lower(s) & 0x7FFFFFFF``, rebuilt here from Spark
+    built-ins only. Digest bytes 8..11 are hex chars 17..24 of
+    ``md5()``; little-endian means reversing the four hex pairs
+    before ``conv``. Stays in whole-stage codegen (md5 + substring +
+    conv), no Python anywhere."""
+    m = F.md5(s)
+    le = F.concat(
+        F.substring(m, 23, 2),
+        F.substring(m, 21, 2),
+        F.substring(m, 19, 2),
+        F.substring(m, 17, 2),
+    )
+    return F.conv(le, 16, 10).cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def minhash_pairs_portable(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs in a fully
+    engine-portable formulation — every number (shingle hash,
+    permuted min, band key, candidate set, exact Jaccard) is
+    reproducible bit-for-bit in ANSI SQL, so the WHOLE LSH mechanism
+    — banding included — carries an external hash-checked oracle.
+    The performance path is :func:`minhash_lsh_pairs` (Arrow-batched
+    blake2b + affine-rehash numpy); this twin exists so that the
+    banded candidate generation itself is externally verified, the
+    same role ``simhash_pairs_global`` plays for the Hamming family.
+
+    Portability recipe:
+      - shingle hash = :func:`_md5_low31` (DuckDB
+        ``md5_number_lower & 0x7FFFFFFF``), distinct per doc — a
+        31-bit collision merges two shingles identically in both
+        engines, so even collisions are oracle-consistent;
+      - permutation i: sig_i = min over shingle hashes h of
+        ``(a_i·h + b_i) mod 2³¹`` with a_i = (2i+1)·2654435761
+        mod 2³¹ (odd — Knuth multiplicative constant), b_i =
+        (i·2246822519 + 3266489917) mod 2³¹. All intermediates
+        < 2⁶² — no 64-bit overflow, so ANSI engines agree exactly;
+      - band key: the r = num_hashes/bands per-band mins joined
+        ``','``-separated (string equality == tuple equality);
+      - verify: exact Jaccard on the distinct shingle-hash sets —
+        integer set sizes, one double division.
+
+    Plan shape is the same Σ bucket² bucket-join as the fast path:
+    signatures are one projection (HOF transform over the shingle
+    array — interpreted lambdas but JVM-side, no Python), banding is
+    posexplode + self-join on (band_id, band_key), never N².
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sh = shingles(shingle_k)
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(sh, _md5_low31)).alias("_h"),
+    )
+    a_i = lambda i: (i * 2 + 1) * F.lit(2654435761) % F.lit(_M31)
+    b_i = lambda i: (i * F.lit(2246822519) + F.lit(3266489917)) % F.lit(
+        _M31
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_h"), lambda h: (a_i(i) * h + b_i(i)) % F.lit(_M31)
+            )
+        ),
+    )
+    d = d.withColumn("_sig", sig).localCheckpoint(eager=True)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("_sig"), j * r + 1, r),
+                    lambda x: x.cast("string"),
+                ),
+            )
+            for j in range(bands)
+        ]
+    )
+    keyed = d.select(
+        "doc_id",
+        "_h",
+        F.posexplode(band_keys).alias("band_id", "band_key"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_h").alias("_ha"),
+        "band_id",
+        "band_key",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_h").alias("_hb"),
+        "band_id",
+        "band_key",
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ha", "_hb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return candidates.select(
+        "doc_a",
+        "doc_b",
+        jaccard(F.col("_ha"), F.col("_hb")).alias("jaccard_sim"),
+    ).filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+
+
 def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
     """Exact-substring duplication metric (the ExactSubstr/RefinedWeb
     signal, at span granularity): for every document, the fraction of

@@ -802,3 +802,73 @@ def test_pca_guards(spark):
     )
     with pytest.raises(Exception, match="embedding length"):
         sim.apply_pca(ragged, mu, W).collect()
+
+
+def test_minhash_portable_matches_pure_python_reference(spark):
+    # the portable formulation's whole pipeline — md5-low31 shingle
+    # hashes, affine permutations mod 2^31, band keys, candidate set,
+    # exact Jaccard — recomputed in pure Python and compared as a SET
+    # (banding included: a pair must appear iff >=1 band key matches)
+    import hashlib
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "completely different words about spark physical plans",
+        4: "the quick brown fox jumps over the lazy dog today",
+        5: "short text",  # n < k -> whole-text shingle fallback
+        6: "short text",
+    }
+    M = 1 << 31
+
+    def low31(s):
+        d = hashlib.md5(s.encode()).digest()
+        return int.from_bytes(d[8:16], "little") & 0x7FFFFFFF
+
+    def ref(num_hashes=32, bands=8, k=3, thr=0.5):
+        r = num_hashes // bands
+        hsets, bandkeys = {}, {}
+        for did, t in texts.items():
+            toks = t.lower().split(" ")
+            if len(toks) >= k:
+                sh = {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+            else:
+                sh = {" ".join(toks)}
+            hs = {low31(s) for s in sh}
+            sig = [
+                min(((2 * i + 1) * 2654435761 % M * h
+                     + (i * 2246822519 + 3266489917) % M) % M
+                    for h in hs)
+                for i in range(num_hashes)
+            ]
+            hsets[did] = hs
+            bandkeys[did] = [
+                ",".join(map(str, sig[j * r:(j + 1) * r]))
+                for j in range(bands)
+            ]
+        out = set()
+        ids = sorted(texts)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                if any(x == y for x, y in zip(bandkeys[a], bandkeys[b])):
+                    inter = len(hsets[a] & hsets[b])
+                    j = inter / (len(hsets[a]) + len(hsets[b]) - inter)
+                    if j >= thr:
+                        out.add((a, b, j))
+        return out
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"])
+        for r in dd.minhash_pairs_portable(df).collect()
+    }
+    expect = ref()
+    assert got == expect
+    # sanity on the fixture itself: the exact dup pair and the
+    # one-token-changed pair are found, the unrelated doc is not
+    assert (1, 4, 1.0) in expect and (5, 6, 1.0) in expect
+    assert any(a == 1 and b == 2 for a, b, _ in expect)
+    assert not any(3 in (a, b) for a, b, _ in expect)
