@@ -891,6 +891,17 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event_type — the engine-portable
+    twin of approx_distinct_users: tracked set, k-th minimum, and the
+    (k-1)·2³¹/h_k estimate are all exact functions of the input, so
+    the sketch path is externally hash-checked (HLL registers can't
+    be; that entry stays rows-only by construction)."""
+    return sk.kmv_distinct(
+        tbl.load(spark, "events", sf_dir), "event_type", "user_id", k=64
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: corpus docs sharing any 3-gram
     with the (deterministically chosen) eval slice. Eval gram set is
@@ -2663,6 +2674,11 @@ _R5_PREFIX = [
     # the (d) filler rank_window (driver-green r3, unchanged, back
     # to parked)
     "minhash_pairs_portable",
+    # kmv_distinct_users added mid-r5: the sketch-counting family's
+    # portable twin (KMV k-min estimate, bit-for-bit SQL oracle);
+    # displaces the (d) filler running_totals (driver-green r3,
+    # unchanged, back to parked)
+    "kmv_distinct_users",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2689,7 +2705,6 @@ _R5_PREFIX = [
     "except_custkeys",
     "cube_orders",
     "top_parts",
-    "running_totals",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2761,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_deviant": _q_most_deviant,
         "average_above": _q_average_above,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5143,6 +5159,33 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # portable KMV sketch oracle: identical md5-low31 user hash,
+        # global k-th minimum (the salted two-phase Spark plan is
+        # result-identical by min-k mergeability), same
+        # (k-1)·2^31/h_k double arithmetic
+        "kmv_distinct_users": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              & 2147483647 AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN rn <= 64 THEN 1 END) AS n_tracked,
+         MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+  FROM rk GROUP BY 1
+)
+SELECT event_type, CAST(n_tracked AS BIGINT) AS n_tracked,
+       CASE WHEN n_tracked < 64 THEN CAST(n_tracked AS DOUBLE)
+            ELSE 63.0 * 2147483648 / hk END AS est_distinct
+FROM agg
 """,
         # full from-text MinHash+LSH oracle: 31-bit md5 shingle hashes
         # (md5_number_lower & 0x7FFFFFFF == Spark's reversed-hex conv),

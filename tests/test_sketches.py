@@ -166,3 +166,60 @@ def test_frequent_items_counts_null_keys(spark):
            for r in sk.frequent_items(df, "item_key", k=5,
                                       capacity=16).collect()}
     assert got == {"a": (5, 5), None: (7, 7), "b": (3, 3)}
+
+
+def test_kmv_exact_below_capacity(spark):
+    # fewer distinct values than k -> the sketch IS the exact count
+    rows = [("a", v) for v in range(40)] + [("a", v) for v in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = sk.kmv_distinct(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0]["n_tracked"] == 40
+    assert out[0]["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_within_error(spark, events):
+    # full sketch: |est/exact - 1| within ~3/sqrt(k) (k=64 -> 37%;
+    # observed much tighter, the bound is the 3-sigma envelope)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    got = sk.kmv_distinct(events, "event_type", "user_id", k=64).collect()
+    for r in got:
+        rel = abs(r["est_distinct"] / exact[r["event_type"]] - 1)
+        assert rel < 3 / 64 ** 0.5, (r["event_type"], rel)
+        assert r["n_tracked"] == 64
+
+
+def test_kmv_two_phase_equals_global_kmin(spark):
+    # the salted two-phase k-min must equal a pure-Python global k-min
+    # over the same portable hashes (mergeability made concrete)
+    import hashlib
+
+    vals = [f"user{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v string"
+    )
+
+    def low31(s):
+        d = hashlib.md5(s.encode()).digest()
+        return int.from_bytes(d[8:16], "little") & 0x7FFFFFFF
+
+    hs = sorted({low31(v) for v in vals})
+    k = 16
+    expect_hk = hs[k - 1]
+    expect_est = (k - 1) * float(1 << 31) / expect_hk
+    out = sk.kmv_distinct(df, "g", "v", k=k).collect()
+    assert out[0]["n_tracked"] == k
+    assert out[0]["est_distinct"] == expect_est
+
+
+def test_kmv_partitioning_independent(spark, events):
+    a = sk.kmv_distinct(events, "event_type", "user_id").collect()
+    b = sk.kmv_distinct(
+        events.repartition(17, "user_id"), "event_type", "user_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
