@@ -2075,19 +2075,23 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs: real PPM decode → aHash perceptual
-    fingerprint → lossless bit-band LSH pairing + exact Hamming
-    verify (the image twin of simhash_pairs). Rows-only: the decode
-    is Python-side; hash values and planted-pair recall are
-    pytest-pinned (test_llm_ops)."""
+    """Image near-dup pairs: real PPM/PNG/JPEG decode → aHash
+    perceptual fingerprint → lossless bit-band LSH pairing + exact
+    Hamming verify (the image twin of simhash_pairs). Every 24th
+    fixture image gets a PLANTED cross-container twin — its pixels
+    re-encoded as baseline JPEG (the same-photo-saved-twice
+    scenario) — so the entry runs at the PRODUCTION dial
+    (max_hamming=6, strong blocking, no weak-blocking opt-in) and
+    deterministically surfaces pairs. Rows-only: the decode is
+    Python-side; hash values and planted-pair recall are
+    pytest-pinned (test_llm_ops, test_jpeg)."""
     assets = mm.real_assets_from_documents(
         tbl.load(spark, "documents", sf_dir)
     )
-    # hamming=16 is a TOY-SCALE dial: the fixture's content-derived
-    # images are far apart, so a loose band is needed to surface any
-    # pair at all; production near-dup runs use ≤6 (the kernel raises
-    # on weak blocking without this explicit opt-in)
-    return mm.phash_pairs(assets, max_hamming=16, allow_weak_blocking=True)
+    twins = mm.reencode_images(
+        assets.filter(F.col("asset_id") % 24 == 0), quality=95
+    )
+    return mm.phash_pairs(assets.unionByName(twins), max_hamming=6)
 
 
 def _replay_scratch(name: str, sf_dir: str) -> str:

@@ -426,6 +426,529 @@ def decode_png(payload: bytes) -> "np.ndarray":
     return plte[img[:, :, 0]]
 
 
+# --------------------------------------------------- JPEG (baseline)
+# Pure stdlib+numpy baseline JFIF codec (ITU T.81 / ISO 10918-1 —
+# public spec). Everything below is Annex K reference material: the
+# example quantization tables, the typical Huffman tables, and the
+# zig-zag order.
+
+_ZIGZAG = np.array(
+    [ 0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+
+_QUANT_LUM = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+     92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+     100, 103, 99],
+    dtype=np.int64,
+)
+_QUANT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+# (bits-per-length[1..16], symbol list) — T.81 tables K.3-K.6
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    list(bytes.fromhex(
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07"
+        "22 71 14 32 81 91 a1 08 23 42 b1 c1 15 52 d1 f0"
+        "24 33 62 72 82 09 0a 16 17 18 19 1a 25 26 27 28"
+        "29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49"
+        "4a 53 54 55 56 57 58 59 5a 63 64 65 66 67 68 69"
+        "6a 73 74 75 76 77 78 79 7a 83 84 85 86 87 88 89"
+        "8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 a6 a7"
+        "a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5"
+        "c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2"
+        "e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8"
+        "f9 fa"
+    )),
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    list(bytes.fromhex(
+        "00 01 02 03 11 04 05 21 31 06 12 41 51 07 61 71"
+        "13 22 32 81 08 14 42 91 a1 b1 c1 09 23 33 52 f0"
+        "15 62 72 d1 0a 16 24 34 e1 25 f1 17 18 19 1a 26"
+        "27 28 29 2a 35 36 37 38 39 3a 43 44 45 46 47 48"
+        "49 4a 53 54 55 56 57 58 59 5a 63 64 65 66 67 68"
+        "69 6a 73 74 75 76 77 78 79 7a 82 83 84 85 86 87"
+        "88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5"
+        "a6 a7 a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3"
+        "c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da"
+        "e2 e3 e4 e5 e6 e7 e8 e9 ea f2 f3 f4 f5 f6 f7 f8"
+        "f9 fa"
+    )),
+)
+
+
+def _dct_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II matrix: forward F = C·X·Cᵀ,
+    inverse X = Cᵀ·F·C."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2 / 8)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+def _huff_encode_table(bits, vals):
+    """(symbol → (code, length)) from the canonical (bits, vals)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """((length, code) → symbol) — per-bit canonical walk."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _ijg_scale(tbl: "np.ndarray", quality: int) -> "np.ndarray":
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((tbl * scale + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a coefficient."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    arr: "np.ndarray",
+    quality: int = 85,
+    subsample: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder (SOF0, Annex K tables scaled by the IJG
+    quality rule) for (h, w, 3) uint8 RGB or (h, w) uint8 grayscale —
+    the fixture/roundtrip twin of :func:`decode_jpeg`, same role
+    encode_png plays for the PNG decoder. ``subsample=2`` emits 4:2:0
+    chroma (2×2-mean downsample) so the decoder's general
+    MCU/upsampling path gets exercised; ``subsample=1`` is 4:4:4.
+    ``restart_interval=r`` emits DRI + an RSTn marker every r MCUs
+    (predictor reset, byte-aligned) — the error-resilience feature
+    every camera writes, exercising the decoder's segment logic."""
+    import struct
+
+    gray = arr.ndim == 2
+    if gray:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) or (h, w) uint8")
+    if subsample not in (1, 2) or (gray and subsample != 1):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    h, w, _ = arr.shape
+    rgb = arr.astype(np.float64)
+    y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+         + 0.114 * rgb[..., 2])
+    cb = (128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+          + 0.5 * rgb[..., 2])
+    cr = (128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+          - 0.081312 * rgb[..., 2])
+    s = subsample
+    mcu = 8 * s
+    mx, my = -(-w // mcu), -(-h // mcu)
+
+    def pad(p, hh, ww):
+        return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                      mode="edge")
+
+    y = pad(y, my * mcu, mx * mcu)
+    if s == 2:  # 2×2 mean then pad to 8-multiples
+        cb = pad(cb, my * mcu, mx * mcu)
+        cr = pad(cr, my * mcu, mx * mcu)
+        cb = cb.reshape(my * 8, 2, mx * 8, 2).mean(axis=(1, 3))
+        cr = cr.reshape(my * 8, 2, mx * 8, 2).mean(axis=(1, 3))
+    else:
+        cb, cr = pad(cb, my * 8, mx * 8), pad(cr, my * 8, mx * 8)
+
+    # the scaled tables are in NATURAL order (for dividing the DCT
+    # block); DQT stores them in ZIGZAG order per T.81
+    qlum = _ijg_scale(_QUANT_LUM, quality)
+    qchrom = _ijg_scale(_QUANT_CHROM, quality)
+    qlum8 = qlum.reshape(8, 8).astype(np.float64)
+    qchrom8 = qchrom.reshape(8, 8).astype(np.float64)
+    C = _dct_matrix()
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUM),
+              _huff_encode_table(*_HUFF_DC_CHROM)]
+    enc_ac = [_huff_encode_table(*_HUFF_AC_LUM),
+              _huff_encode_table(*_HUFF_AC_CHROM)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(plane, by, bx, comp):
+        t = 0 if comp == 0 else 1
+        block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        fq = np.round(
+            (C @ block @ C.T) / (qlum8 if t == 0 else qchrom8)
+        ).astype(np.int64)
+        zz = fq.reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred[comp]
+        pred[comp] = int(zz[0])
+        sz, bits_v = _mag_bits(diff)
+        code, ln = enc_dc[t][sz]
+        bw.put(code, ln)
+        if sz:
+            bw.put(bits_v, sz)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[t][0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            sz, bits_v = _mag_bits(v)
+            code, ln = enc_ac[t][(run << 4) | sz]
+            bw.put(code, ln)
+            bw.put(bits_v, sz)
+            run = 0
+        if run:
+            code, ln = enc_ac[t][0x00]  # EOB
+            bw.put(code, ln)
+
+    entropy = b""
+    n_mcu = 0
+    for m_y in range(my):
+        for m_x in range(mx):
+            if restart_interval and n_mcu and (
+                n_mcu % restart_interval == 0
+            ):
+                entropy += bw.flush() + bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+                )
+                bw = _BitWriter()
+                pred = [0, 0, 0]
+            n_mcu += 1
+            for vy in range(s):
+                for vx in range(s):
+                    put_block(y, m_y * s + vy, m_x * s + vx, 0)
+            if not gray:
+                put_block(cb, m_y, m_x, 1)
+                put_block(cr, m_y, m_x, 2)
+    entropy += bw.flush()
+
+    def seg(marker, payload_):
+        return marker + struct.pack(">H", len(payload_) + 2) + payload_
+
+    def dht(tc, th, bits, vals):
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    out = b"\xff\xd8"
+    out += seg(b"\xff\xe0", b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(b"\xff\xdb", b"\x00" + bytes(qlum[_ZIGZAG].tolist()))
+    if gray:
+        out += seg(
+            b"\xff\xc0",
+            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+        )
+        out += seg(b"\xff\xc4", dht(0, 0, *_HUFF_DC_LUM))
+        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
+        if restart_interval:
+            out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+        out += seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+        return out + entropy + b"\xff\xd9"
+    out += seg(b"\xff\xdb", b"\x01" + bytes(qchrom[_ZIGZAG].tolist()))
+    out += seg(
+        b"\xff\xc0",
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, s << 4 | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(b"\xff\xc4", dht(0, 0, *_HUFF_DC_LUM))
+    out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
+    out += seg(b"\xff\xc4", dht(0, 1, *_HUFF_DC_CHROM))
+    out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_CHROM))
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+    out += seg(b"\xff\xda", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, segments):
+        self.segments = segments  # list of de-stuffed entropy chunks
+        self.seg_i = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0
+        self.bit = 0
+
+    def next_segment(self) -> None:
+        """Byte-align and jump past the next restart marker."""
+        self.seg_i += 1
+        self.data = self.segments[self.seg_i]
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # T.81: pad reads past the end decode as 0
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Map s appended magnitude bits back to a signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Decode baseline JPEG/JFIF to (h, w, 3) uint8 with stdlib +
+    numpy only — huffman entropy decode, dequantize, de-zigzag,
+    orthonormal-matrix IDCT, generic SOF0 sampling factors (4:4:4 /
+    4:2:2 / 4:2:0 via replication upsample), restart markers,
+    grayscale replicated to 3 channels (the decode_real contract).
+
+    Progressive (SOF2), arithmetic coding, 12-bit precision, and
+    fractional sampling ratios raise ``NotImplementedError`` so the
+    codec-hook chain can claim them — same loud-gap contract as
+    Adam7 PNG. Per-block Python loops are fine for the fixture-scale
+    payloads this container sees; a production deployment registers
+    a C codec for bulk JPEG anyway (the plug-in path)."""
+    import struct
+
+    if not payload or payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + ln]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                if data[i] >> 4:
+                    raise NotImplementedError(
+                        "16-bit quant tables need the codec plug-in"
+                    )
+                qt[data[i] & 15] = np.frombuffer(
+                    data[i + 1:i + 65], np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # baseline / ext. sequential
+            prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "12-bit JPEG needs the codec plug-in"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (ih, iw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic JPEG needs the codec plug-in"
+            )
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", data[:2])
+        elif m == 0xDA:  # SOS
+            ns = data[0]
+            scan = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
+                     data[2 + 2 * i] & 15) for i in range(ns)]
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("missing SOF/SOS in JPEG stream")
+
+    # de-stuff the entropy-coded bytes, splitting at restart markers
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    ih, iw, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx, my = -(-iw // mcu_w), -(-ih // mcu_h)
+    C = _dct_matrix()
+    planes = {
+        cid: np.zeros((my * 8 * v, mx * 8 * hh))
+        for cid, hh, v, _ in comps
+    }
+    dc_tab = {cid: huff[(0, td)] for cid, td, _ in scan}
+    ac_tab = {cid: huff[(1, ta)] for cid, _, ta in scan}
+    qtab = {cid: qt[tq][np.argsort(_ZIGZAG)].reshape(8, 8)
+            for cid, _, _, tq in comps}
+    br = _BitReader(segments)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for m_y in range(my):
+        for m_x in range(mx):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.next_segment()
+                pred = {cid: 0 for cid, *_ in comps}
+            n_mcu += 1
+            for cid, hh, v, _ in comps:
+                for by in range(v):
+                    for bx in range(hh):
+                        s = br.read_symbol(dc_tab[cid])
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred[cid] += diff
+                        zz = np.zeros(64, np.int64)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_tab[cid])
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC index out of range"
+                                )
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, np.int64)
+                        blk[_ZIGZAG] = zz
+                        f = blk.reshape(8, 8) * qtab[cid]
+                        px = C.T @ f @ C + 128.0
+                        py0 = (m_y * v + by) * 8
+                        px0 = (m_x * hh + bx) * 8
+                        planes[cid][py0:py0 + 8, px0:px0 + 8] = px
+
+    full = {}
+    for cid, hh, v, _ in comps:
+        if hmax % hh or vmax % v:
+            raise NotImplementedError(
+                "fractional JPEG sampling ratios need the codec plug-in"
+            )
+        p = np.repeat(
+            np.repeat(planes[cid], vmax // v, axis=0), hmax // hh, axis=1
+        )
+        full[cid] = p[:ih, :iw]
+    if len(comps) == 1:
+        g = np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(comps) != 3:
+        raise NotImplementedError("CMYK/unknown JPEG needs the plug-in")
+    yy = full[comps[0][0]]
+    cb = full[comps[1][0]] - 128.0
+    cr = full[comps[2][0]] - 128.0
+    rgb = np.stack(
+        [yy + 1.402 * cr,
+         yy - 0.344136 * cb - 0.714136 * cr,
+         yy + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 #: Third-party codec hooks for containers the built-in pure-numpy
 #: decoders don't handle (JPEG/PNG/MP3/H.264...). Each hook is
 #: ``fn(payload: bytes, modality: str) -> decoded | None`` where
@@ -470,6 +993,8 @@ def decode_real(payload: bytes, modality: str, codecs=None):
             return ("image", decode_ppm(payload))
         if head[:8] == b"\x89PNG\r\n\x1a\n":
             return ("image", decode_png(payload))
+        if head[:3] == b"\xff\xd8\xff":
+            return ("image", decode_jpeg(payload))
         if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
             arr, rate = decode_wav(payload)
             return ("audio", arr, rate)
@@ -578,8 +1103,10 @@ def _stub_features(payload: bytes) -> list[float]:
 def real_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build REAL decodable payloads from ``documents``: doc_id % 3
     == 0 → an image whose pixels tile the utf-8 text bytes
-    (dimensions content-derived; alternating P6 PPM and compressed
-    PNG containers with identical pixels), == 1 → a PCM16 WAV whose
+    (dimensions content-derived; containers cycle P6 PPM /
+    lossless-compressed PNG / lossy-compressed baseline JPEG —
+    PNG pixels equal the PPM twin's, JPEG pixels are near them, the
+    real-world mix), == 1 → a PCM16 WAV whose
     samples map the text bytes onto the full int16 range, == 2 → a
     YUV4MPEG2 C444 video whose frames tile the text bytes (frame
     count content-derived). Deterministic, so the encode → decode →
@@ -599,16 +1126,29 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                     h = 16 + (len(raw) * 7) % 13
                     px = np.resize(raw, (h, w, 3))
                     if int(doc_id) % 6 == 0:
-                        # every 2nd image ships COMPRESSED (PNG,
+                        # doc_id%12==0/6: COMPRESSED lossless (PNG,
                         # filter type cycling through all five) with
-                        # pixels identical to the PPM twin — so
-                        # decoded features / aHash fingerprints are
+                        # pixels identical to the PPM twin — decoded
+                        # features / aHash fingerprints are
                         # container-invariant and the registry
                         # entries exercise the zlib+unfilter path
                         payloads.append(encode_png(
                             px, filter_type=(int(doc_id) // 6) % 5
                         ))
+                    elif int(doc_id) % 12 == 9:
+                        # doc_id%12==9: COMPRESSED lossy (baseline
+                        # JPEG q95, cycling 4:4:4/4:2:0 and restart
+                        # intervals) — pixels near but not equal to
+                        # the source tile, the real-world image case;
+                        # exercises huffman+IDCT+upsample+RST decode
+                        payloads.append(encode_jpeg(
+                            px,
+                            quality=95,
+                            subsample=1 + (int(doc_id) // 12) % 2,
+                            restart_interval=(int(doc_id) // 24) % 3,
+                        ))
                     else:
+                        # doc_id%12==3: uncompressed P6 PPM
                         payloads.append(encode_ppm(px))
                     modalities.append("image")
                 elif sel == 1:
@@ -846,6 +1386,46 @@ def image_phash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
         assets.filter(F.col("modality") == "image")
         .select("asset_id", "payload")
         .mapInPandas(run, schema="asset_id long, phash long")
+    )
+
+
+def reencode_images(
+    assets: DataFrame, quality: int = 95, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Decode each image asset and re-encode its pixels as a baseline
+    JPEG twin (``asset_id + id_offset``) — the real-world
+    cross-container near-dup scenario: the same photograph saved
+    once lossless and once lossy must land within a few aHash bits.
+    One mapInPandas pass (decode + DCT re-encode in-task, payloads
+    never shuffled); registered codecs extend the decodable inputs,
+    same snapshot contract as :func:`extract_features`."""
+    codecs = tuple(_CODECS)
+    q = int(quality)
+    off = int(id_offset)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, px = decode_real(bytes(payload), "image", codecs)
+                ids.append(int(asset_id) + off)
+                payloads.append(encode_jpeg(px, quality=q))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "modality": pd.array(
+                        ["image"] * len(ids), dtype="str"
+                    ),
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            run, schema="asset_id long, modality string, payload binary"
+        )
     )
 
 

@@ -1,0 +1,189 @@
+"""Stdlib baseline JPEG codec (operators/multimodal.py encode_jpeg /
+decode_jpeg): huffman entropy coding, Annex K tables, orthonormal
+matrix IDCT, generic sampling factors, restart markers — the lossy
+compressed container every production image-dedup job meets first.
+Reference behavior: ITU T.81 / ISO 10918-1 (public spec)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import ceres_spark.operators.multimodal as mm
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def _gradient(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+@pytest.mark.parametrize("quality", [95, 85, 60])
+def test_roundtrip_psnr(subsample, quality):
+    img = _gradient()
+    out = mm.decode_jpeg(
+        mm.encode_jpeg(img, quality=quality, subsample=subsample)
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # smooth content: baseline JPEG holds >40 dB even at q60 4:2:0
+    floor = {95: 46, 85: 43, 60: 40}[quality]
+    assert _psnr(out, img) > floor
+
+
+def test_uniform_image_roundtrips_exactly():
+    # a flat block is pure DC — quantization loses nothing
+    flat = np.full((16, 24, 3), 130, np.uint8)
+    assert (mm.decode_jpeg(mm.encode_jpeg(flat, 90)) == flat).all()
+
+
+def test_noise_survives_q95():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert _psnr(mm.decode_jpeg(mm.encode_jpeg(noise, 95)), noise) > 30
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_restart_markers_do_not_change_pixels(subsample, ri):
+    # RSTn resets predictors + byte-aligns; the decoded coefficients
+    # are identical to the unsegmented stream
+    img = _gradient()
+    with_rst = mm.decode_jpeg(
+        mm.encode_jpeg(img, 90, subsample=subsample, restart_interval=ri)
+    )
+    without = mm.decode_jpeg(mm.encode_jpeg(img, 90, subsample=subsample))
+    assert np.array_equal(with_rst, without)
+
+
+def test_grayscale_single_component_replicated():
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(g, 92))
+    assert out.shape == (24, 40, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 1], out[:, :, 2])
+    assert _psnr(out[:, :, 0], g) > 40
+
+
+def test_non_mcu_aligned_dimensions_crop_back():
+    # 4:2:0 MCU is 16x16; 19x13 forces edge padding + crop
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    for ss in (1, 2):
+        out = mm.decode_jpeg(mm.encode_jpeg(img, 95, subsample=ss))
+        assert out.shape == img.shape
+
+
+def test_decode_real_routes_jpeg():
+    img = _gradient(16, 16)
+    kind, px = mm.decode_real(mm.encode_jpeg(img, 95), "image")
+    assert kind == "image" and px.shape == img.shape
+    # near the source (lossy, not garbled)
+    assert _psnr(px, img) > 40
+
+
+def test_progressive_raises_loud_gap():
+    # flip SOF0 (FFC0) to SOF2 (FFC2) in a valid stream: recognized
+    # container, unsupported coding process → NotImplementedError so
+    # the codec-hook chain can claim it
+    p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(p))
+
+
+def test_16bit_quant_table_raises_loud_gap():
+    p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
+    i = bytes(p).find(b"\xff\xdb")
+    p[i + 4] = 0x10  # precision nibble -> 16-bit
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(p))
+
+
+def test_not_a_jpeg_raises_value_error():
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"")
+
+
+def test_missing_sof_raises():
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8\xff\xe0" + struct.pack(">H", 2))
+
+
+def test_phash_planted_neardups_across_jpeg(spark):
+    # the planted-pair scenario through the REAL Spark pipeline with
+    # JPEG containers: a near-dup must survive lossy compression, and
+    # the same image as PPM vs JPEG q95 must land within the band
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[:2, :2] = 0
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_jpeg(base, 95))),
+         (2, "image", bytearray(mm.encode_jpeg(tweak, 95))),
+         (3, "image", bytearray(mm.encode_jpeg(other, 95))),
+         (4, "image", bytearray(mm.encode_ppm(base)))],
+        "asset_id long, modality string, payload binary",
+    )
+    pairs = {(r["asset_a"], r["asset_b"])
+             for r in mm.phash_pairs(
+                 assets, max_hamming=6, allow_weak_blocking=True
+             ).collect()}
+    assert (1, 2) in pairs          # planted near-dup, both JPEG
+    assert (1, 4) in pairs          # container-invariance: PPM≈JPEG
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_real_assets_cycle_includes_jpeg(spark):
+    # doc_id%12==9 ships baseline JPEG; decoded pixels near the tile
+    docs = spark.createDataFrame(
+        [(9, "theta iota kappa " * 10), (21, "lambda mu " * 25)],
+        "doc_id long, text string",
+    )
+    rows = {r["asset_id"]: bytes(r["payload"])
+            for r in mm.real_assets_from_documents(docs).collect()}
+    for did, txt in [(9, "theta iota kappa " * 10),
+                     (21, "lambda mu " * 25)]:
+        assert rows[did][:3] == b"\xff\xd8\xff"
+        raw = np.frombuffer(txt.encode(), np.uint8)
+        w = 16 + len(raw) % 17
+        h = 16 + (len(raw) * 7) % 13
+        expect = np.resize(raw, (h, w, 3))
+        got = mm.decode_jpeg(rows[did])
+        assert got.shape == expect.shape
+        # text-byte tiles are near-noise (every pixel a different
+        # letter), the worst case for DCT coding — ~20 dB at q95
+        # 4:2:0 is expected and plenty for fingerprinting
+        assert _psnr(got, expect) > 15
+
+
+def test_reencode_twins_full_recall_at_production_dial(spark):
+    # every planted cross-container twin must pair with its original
+    # at max_hamming=6 with NO weak-blocking opt-in — the registry
+    # entry's contract
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    assets = mm.real_assets_from_documents(docs)
+    twins = mm.reencode_images(
+        assets.filter("asset_id % 12 = 0"), quality=95
+    )
+    planted = {r["asset_id"] for r in twins.collect()}
+    assert planted  # fixture actually planted something
+    pairs = {(r["asset_a"], r["asset_b"]) for r in
+             mm.phash_pairs(
+                 assets.unionByName(twins), max_hamming=6
+             ).collect()}
+    for tid in planted:
+        assert (tid - 1_000_000, tid) in pairs, tid

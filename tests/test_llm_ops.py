@@ -110,11 +110,19 @@ def test_multimodal_feature_extraction(spark, docs):
     assert all(again[r["asset_id"]] == r["features"] for r in rows)
 
 
-def test_multimodal_decode_real_rejects_compressed_containers():
-    # no pure-numpy decoder exists for JPEG-like payloads: detect and
+def test_multimodal_decode_real_rejects_unsupported_containers():
+    # baseline JPEG now decodes built-in (test_jpeg.py); the loud-gap
+    # contract moves to containers with no pure-numpy decoder (MP3)
+    # and to JPEG variants beyond baseline (progressive SOF2) — both
     # raise so a codec library can be plugged into the same slot
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"\xff\xd8\xff\xe0 not decodable", "image")
+        mm.decode_real(b"ID3\x04\x00 not decodable audio", "audio")
+    import numpy as np
+    p = bytearray(mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90))
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(bytes(p), "image")
 
 
 def test_ppm_golden_bytes_and_roundtrip():
