@@ -1176,9 +1176,24 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        enc,
-        schema="asset_id long, modality string, payload binary",
+    # the encode pass is CPU-bound Python; a toy-scale documents
+    # table arrives as 1-2 parquet files, which would serialize the
+    # whole encode (and every downstream decode that inherits this
+    # partitioning) onto 2 cores. repartition() to the session's
+    # shuffle parallelism — shuffles only (doc_id, text), and is a
+    # no-op layout-wise at production scale where the input already
+    # has many splits.
+    return (
+        docs.select("doc_id", "text")
+        .repartition(
+            int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        )
+        .mapInPandas(
+            enc,
+            schema="asset_id long, modality string, payload binary",
+        )
     )
 
 
