@@ -927,13 +927,15 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end: documents → actual PPM/WAV/Y4M
-    payloads (deterministic content-derived pixels/samples/frames) →
-    pure-numpy header parse + frombuffer decode → content features
-    (channel means / luma / gradient for images, RMS / ZCR / peak for
-    audio, motion / detail for video). No stub anywhere. Rows-only:
-    the float features have no SQL oracle; codec round-trips and
-    numpy-reference feature values are pytest-pinned (test_llm_ops)."""
+    """REAL media decode end-to-end: documents → actual
+    PPM/PNG/JPEG/WAV/Y4M payloads (deterministic content-derived
+    pixels/samples/frames; PNG and baseline JPEG are genuinely
+    COMPRESSED, decoded with stdlib zlib / huffman+IDCT) → content
+    features (channel means / luma / gradient for images, RMS / ZCR /
+    peak for audio, motion / detail for video). No stub anywhere.
+    Rows-only: the float features have no SQL oracle; codec
+    round-trips and numpy-reference feature values are pytest-pinned
+    (test_llm_ops, test_png, test_jpeg)."""
     assets = mm.real_assets_from_documents(
         tbl.load(spark, "documents", sf_dir)
     )

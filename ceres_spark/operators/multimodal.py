@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-star §2.2).
 
-Decode is REAL for uncompressed containers: PPM (P6) images and
-RIFF/PCM16 WAV audio are parsed with numpy alone (header walk +
-``frombuffer``), and ``real_features`` computes content statistics
-from actual pixels/samples. Compressed formats (JPEG/MP3/H.264) need
-codec libraries this container lacks — ``decode_real`` detects them
-and raises ``NotImplementedError`` so a production deployment can
-plug a codec into the same slot; ``_stub_features`` remains as the
-hash-based fallback. Everything *around* the decode — schema, Arrow
+Decode is REAL for PPM (P6) images, RIFF/PCM16 WAV audio and C444
+Y4M video (numpy header walk + ``frombuffer``), AND for two
+genuinely compressed containers built-in with stdlib only: PNG
+(zlib inflate + predictive unfilters) and baseline JPEG (huffman
+entropy decode + matrix IDCT + chroma upsampling);
+``real_features`` computes content statistics from actual
+pixels/samples. Remaining compressed formats (progressive JPEG,
+MP3, H.264...) need codec libraries this container lacks —
+``decode_real`` detects them and raises ``NotImplementedError`` so
+a production deployment can plug a codec into the same slot;
+``_stub_features`` remains as the hash-based fallback. Everything
+*around* the decode — schema, Arrow
 batching, ``mapInPandas`` signature, partition sizing — is the same
 for both paths.
 
