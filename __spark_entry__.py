@@ -2628,6 +2628,16 @@ def _q_average_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_moving_window_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """graphite offsetToZero + movingMin/movingMax/movingSum(5): four
+    trailing/unbounded frames off ONE per-metric window sort — no
+    join-back for the series floor."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.moving_window_functions(deduped, points=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -2685,6 +2695,10 @@ _R5_PREFIX = [
     # displaces the (d) filler running_totals (driver-green r3,
     # unchanged, back to parked)
     "kmv_distinct_users",
+    # moving_window_functions added mid-r5 (offsetToZero +
+    # movingMin/Max/Sum, one window pass); displaces the (d) filler
+    # top_parts (driver-green r3, unchanged, back to parked)
+    "moving_window_functions",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2710,7 +2724,6 @@ _R5_PREFIX = [
     "pivot_status",
     "except_custkeys",
     "cube_orders",
-    "top_parts",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2783,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_above": _q_average_above,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "moving_window_functions": _q_moving_window_functions,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -3428,6 +3442,22 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        "moving_window_functions": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       value - MIN(value) OVER (PARTITION BY metric) AS offset_to_zero,
+       MIN(value) OVER w5 AS moving_min,
+       MAX(value) OVER w5 AS moving_max,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+                 OVER w5 AS VARCHAR) AS DOUBLE) AS moving_sum
+FROM deduped
+WINDOW w5 AS (PARTITION BY metric ORDER BY ts
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
         "integral_by_interval": f"""
 WITH {POINTS_CTE},

@@ -987,6 +987,43 @@ def most_deviant(buckets: DataFrame, k: int = 3) -> DataFrame:
     return stats.orderBy(F.desc("deviation"), F.asc("metric")).limit(int(k))
 
 
+def moving_window_functions(
+    buckets: DataFrame, points: int = 5
+) -> DataFrame:
+    """The remaining graphite trailing-frame surface in ONE pass:
+    ``offsetToZero`` (value − per-series min — rebases a gauge to its
+    observed floor) plus ``movingMin`` / ``movingMax`` /
+    ``movingSum`` over the last ``points`` buckets.
+
+    One per-metric sort serves all four columns: the three trailing
+    frames share the (metric, ts) window ordering, and the
+    whole-series min is an unbounded frame over the same partition —
+    Spark evaluates them in a single WindowExec pass, no extra
+    shuffle or join-back. movingSum accumulates in DECIMAL (the
+    string-routed cast) so it is partitioning- and engine-exact;
+    min/max/offset are exact comparisons/one subtraction.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy("ts")
+    wk = w.rowsBetween(-(int(points) - 1), 0)
+    wall = Window.partitionBy("metric")
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        (F.col("value") - F.min("value").over(wall)).alias(
+            "offset_to_zero"
+        ),
+        F.min("value").over(wk).alias("moving_min"),
+        F.max("value").over(wk).alias("moving_max"),
+        F.sum(dec).over(wk).cast("string").cast("double").alias(
+            "moving_sum"
+        ),
+    )
+
+
 def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
     """graphite-web ``averageAbove(series, t)``: keep only the series
     whose average exceeds ``t`` — with the full point set of the

@@ -621,3 +621,21 @@ def test_average_above_keeps_full_series_incl_nulls(spark):
     assert {r["metric"] for r in out} == {"hot"}
     assert len(out) == 3
     assert ser.average_above(d, threshold=99.0).count() == 0
+
+
+def test_moving_window_functions_frames(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("m", 60 * i, v) for i, v in
+                     enumerate([5.0, 3.0, 9.0, 1.0, 7.0, 4.0])])
+    got = {r["ts"]: r for r in
+           ser.moving_window_functions(d, points=3).collect()}
+    # offsetToZero: series min is 1.0
+    assert got[0]["offset_to_zero"] == 4.0
+    assert got[180]["offset_to_zero"] == 0.0
+    # trailing 3-frame at ts=240 covers indices 2..4 = (9, 1, 7)
+    assert got[240]["moving_min"] == 1.0
+    assert got[240]["moving_max"] == 9.0
+    assert got[240]["moving_sum"] == 17.0
+    # frame shorter than `points` at the series head
+    assert got[60]["moving_sum"] == 8.0 and got[60]["moving_max"] == 5.0

@@ -298,6 +298,35 @@ def time_r5_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_r5b_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Mid-r5 additions: the engine-portable MinHash LSH twin (HOF
+    signature projection + Σ bucket² band join), the KMV distinct
+    sketch (salted two-phase k-min), and the image near-dup path with
+    planted JPEG cross-container twins (Python decode cost must stay
+    map-parallel)."""
+    import ceres_spark.operators.dedup as dd
+    import ceres_spark.operators.multimodal as mm
+    import ceres_spark.operators.sketches as sk
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    dd.minhash_pairs_portable(docs, threshold=0.5).count()
+    t["minhash_portable"] = round(time.perf_counter() - t0, 2)
+    ev = tbl.load(spark, "events", sf_dir)
+    t0 = time.perf_counter()
+    sk.kmv_distinct(ev, "event_type", "user_id", k=64).count()
+    t["kmv_distinct"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    assets = mm.real_assets_from_documents(docs)
+    twins = mm.reencode_images(
+        assets.filter(F.col("asset_id") % 24 == 0), quality=95
+    )
+    mm.phash_pairs(assets.unionByName(twins), max_hamming=6).count()
+    t["phash_jpeg_twins"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -308,6 +337,7 @@ def main() -> None:
     time_corpus_ops(spark, base)
     time_r4_ops(spark, base)
     time_r5_ops(spark, base)
+    time_r5b_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -333,6 +363,7 @@ def main() -> None:
             timings.update(time_corpus_ops(spark, td))
             timings.update(time_r4_ops(spark, td))
             timings.update(time_r5_ops(spark, td))
+            timings.update(time_r5b_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
