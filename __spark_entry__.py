@@ -2502,6 +2502,59 @@ def _q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED streaming KMV distinct-user sketch
+    (streaming/stateful.kmv_stream): events replay as 4 time-ordered
+    arrival batches; the ≤64-hash sketch + row counter live in the
+    state store as ARRAY-valued state and each micro-batch emits the
+    running (rows_seen, n_tracked, est_distinct). The entry keeps
+    each group's LAST emission (max rows_seen), which must hash-match
+    the BATCH KMV oracle exactly — set-union-then-truncate is
+    commutative, so the final sketch is independent of batching, and
+    that mergeability claim is precisely what this external check
+    proves through the state store."""
+    import ceres_spark.streaming.stateful as st
+
+    base = _replay_scratch("kmv", sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
+    feed = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id", sec.alias("ts")
+    )
+    _write_arrival_files(_with_time_quartile(feed, "ts"), src, 4)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, user_id long, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.kmv_stream(stream, k=64)
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"skmv_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, "stream_kmv")
+    # last emission per group == the full-data sketch; rows_seen is
+    # strictly increasing per group so max-row_number picks exactly
+    # one row (the sink table is groups×batches ≈ tens of rows)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("rows_seen"))
+    return (
+        spark.table(q.name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "rows_seen", "n_tracked", "est_distinct")
+    )
+
+
 def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED online CUSUM (streaming/stateful.py —
     Page's sequential test, O(1) state per metric): the LWW-deduped
@@ -2699,6 +2752,11 @@ _R5_PREFIX = [
     # movingMin/Max/Sum, one window pass); displaces the (d) filler
     # top_parts (driver-green r3, unchanged, back to parked)
     "moving_window_functions",
+    # stream_kmv added mid-r5: 10th replay twin — the KMV sketch's
+    # mergeability externally checked through ARRAY-valued state;
+    # displaces the (d) filler cube_orders (driver-green r3,
+    # unchanged, back to parked)
+    "stream_kmv",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2723,7 +2781,6 @@ _R5_PREFIX = [
     "anti_join",
     "pivot_status",
     "except_custkeys",
-    "cube_orders",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2797,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "moving_window_functions": _q_moving_window_functions,
+        "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5195,6 +5253,38 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # replay twin of kmv_distinct_users: the batch sketch SQL plus
+        # the per-group arrival count — the streaming entry's final
+        # emission must reproduce BOTH exactly (sketch mergeability
+        # through the state store)
+        "stream_kmv": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              & 2147483647 AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN rn <= 64 THEN 1 END) AS n_tracked,
+         MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+  FROM rk GROUP BY 1
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS rows_seen
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(rows_seen AS BIGINT) AS rows_seen,
+       CAST(n_tracked AS BIGINT) AS n_tracked,
+       CASE WHEN n_tracked < 64 THEN CAST(n_tracked AS DOUBLE)
+            ELSE 63.0 * 2147483648 / hk END AS est_distinct
+FROM agg JOIN tot USING (event_type)
 """,
         # portable KMV sketch oracle: identical md5-low31 user hash,
         # global k-th minimum (the salted two-phase Spark plan is

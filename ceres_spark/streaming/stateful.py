@@ -450,3 +450,89 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("rows_seen", LongType()),
+    ]
+)
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rows_seen", LongType()),
+        StructField("n_tracked", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+
+
+def kmv_stream(stream: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming twin of
+    :func:`ceres_spark.operators.sketches.kmv_distinct`: a live
+    distinct-user counter per event_type, maintained as a KMV sketch
+    in the state store — ≤ ``k`` int64 hashes + one counter per
+    group, emitted as (rows_seen, n_tracked, est_distinct) after each
+    micro-batch.
+
+    The state transition is pure set-union-then-truncate, which is
+    COMMUTATIVE and IDEMPOTENT in the inputs — so the final sketch is
+    bit-identical to the batch sketch REGARDLESS of how arrivals are
+    batched or ordered. That is the mergeability property that makes
+    KMV (like HLL) the warehouse streaming-distinct primitive, and
+    it is exactly what the replay entry externally verifies: the
+    last emission per group must hash-match the batch KMV SQL.
+
+    The per-value hash is the same portable md5-low31 as the batch
+    side (digest bytes 8..16 little-endian, masked to 31 bits), and
+    the estimator double arithmetic is written term-for-term like the
+    batch column expression — Python floats ARE IEEE doubles, so the
+    emitted estimate is bit-equal across the three implementations
+    (this stream, the Spark batch plan, the DuckDB oracle).
+    """
+    import hashlib
+
+    kk = int(k)
+
+    def _upd(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            hashes, rows_seen = set(state.get[0]), int(state.get[1])
+        else:
+            hashes, rows_seen = set(), 0
+        for pdf in pdfs:
+            vals = pdf["user_id"].dropna()
+            rows_seen += int(len(vals))
+            for v in vals:
+                d = hashlib.md5(str(int(v)).encode()).digest()
+                hashes.add(
+                    int.from_bytes(d[8:16], "little") & 0x7FFFFFFF
+                )
+            if len(hashes) > kk:
+                hashes = set(sorted(hashes)[:kk])
+            n_tracked = min(len(hashes), kk)
+            if n_tracked < kk:
+                est = float(n_tracked)
+            else:
+                est = (kk - 1) * float(1 << 31) / sorted(hashes)[kk - 1]
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype],
+                    "rows_seen": [rows_seen],
+                    "n_tracked": [n_tracked],
+                    "est_distinct": [est],
+                }
+            )
+        state.update((sorted(hashes), rows_seen))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _upd,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -247,3 +247,55 @@ def test_ewma_stream_equals_batch(spark, tmp_path):
             g is not None and w is not None
             and math.isnan(g) and math.isnan(w)
         ) or (g is None and w is None), (k, g, w)
+
+
+def test_kmv_stream_final_sketch_equals_batch(spark, tmp_path):
+    import time
+
+    import ceres_spark.operators.sketches as sk
+
+    # 200 users across 2 types, arriving in 3 batches with REPEATED
+    # users across batches — union-then-truncate must dedup and the
+    # final sketch must equal the one-shot batch sketch bit-for-bit
+    rows = [("click", u) for u in range(150)] + [
+        ("view", u) for u in range(40)
+    ]
+    batches = [rows[0:70], rows[50:140], rows[120:]]  # overlaps
+    src = str(tmp_path / "src")
+    for chunk in batches:
+        spark.createDataFrame(
+            chunk, "event_type string, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(
+        "event_type string, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = st.kmv_stream(stream, k=64).writeStream.format(
+        "memory"
+    ).queryName("skmv_t").outputMode("append").trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from skmv_t").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r["event_type"])
+        if cur is None or r["rows_seen"] > cur["rows_seen"]:
+            final[r["event_type"]] = r
+
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    want = {r["event_type"]: r for r in
+            sk.kmv_distinct(df, "event_type", "user_id", k=64).collect()}
+    assert set(final) == set(want)
+    for et in want:
+        assert final[et]["n_tracked"] == want[et]["n_tracked"], et
+        assert final[et]["est_distinct"] == want[et]["est_distinct"], et
+    # rows_seen counts RAW arrivals incl. cross-batch repeats
+    assert final["click"]["rows_seen"] == sum(
+        1 for c in batches for t, _ in c if t == "click"
+    )
+    # below capacity -> exact; at/above capacity -> estimator engaged
+    assert final["view"]["n_tracked"] == 40
+    assert final["view"]["est_distinct"] == 40.0
+    assert final["click"]["n_tracked"] == 64
