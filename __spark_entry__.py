@@ -733,7 +733,12 @@ def _q_minhash_pairs_portable(
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤12 pairs blocked by source (rows-only)."""
+    """SimHash Hamming-≤12 pairs blocked by source. UPGRADED r5 from
+    rows-only to hash-checked: the md5-lower64 fingerprint was always
+    engine-portable (simhash_pairs_global proved it in r3) and the
+    13-band pigeonhole candidate generation is LOSSLESS, so the
+    blocked variant pairs with a brute-force same-source SQL oracle
+    too — the banding must reproduce the exact pair set."""
     return dd.simhash_pairs(
         tbl.load(spark, "documents", sf_dir), max_hamming=12
     )
@@ -2757,6 +2762,11 @@ _R5_PREFIX = [
     # displaces the (d) filler cube_orders (driver-green r3,
     # unchanged, back to parked)
     "stream_kmv",
+    # simhash_pairs UPGRADED mid-r5 (rows-only → hash-checked: the
+    # blocked variant gets the brute-force same-source oracle);
+    # displaces the (d) filler except_custkeys (driver-green r3,
+    # unchanged, back to parked)
+    "simhash_pairs",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2780,7 +2790,6 @@ _R5_PREFIX = [
     "intersect_custkeys",
     "anti_join",
     "pivot_status",
-    "except_custkeys",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -5362,6 +5371,38 @@ JOIN sets x ON x.doc_id = doc_a
 JOIN sets y ON y.doc_id = doc_b
 WHERE CAST(len(list_intersect(x.hl, y.hl)) AS DOUBLE)
         / (x.n + y.n - len(list_intersect(x.hl, y.hl))) >= 0.5
+""",
+        # blocked twin of simhash_pairs_global: same md5-lower64
+        # fingerprint derivation, brute-force pairing restricted to
+        # same-source pairs at hamming <= 12 — the 13-band pigeonhole
+        # is lossless, so the banded Spark plan must emit exactly this
+        "simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(lower(COALESCE(text, '')), ' '))) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(
+           SUM(CASE WHEN v > 0 THEN 1::UBIGINT << j END), 0) AS UBIGINT)
+           AS sim
+  FROM votes JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b
+  ON a.doc_id < b.doc_id AND a.source = b.source
+WHERE bit_count(xor(a.sim, b.sim)) <= 12
 """,
         # full from-text fingerprint oracle: the md5-lower64 token hash
         # (digest bytes 8..16 LE) is DuckDB's md5_number_lower, so the
