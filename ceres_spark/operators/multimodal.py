@@ -797,6 +797,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         if m == 0xD9:  # EOI
             break
@@ -872,6 +875,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     segments.append(bytes(cur))
 
     ih, iw, comps = sof
+    if len(scan) < len(comps):
+        if len(comps) > 1:
+            # a color image split over sequential per-component scans
+            # — decoding only the first scan would silently return
+            # luma as gray; loud gap instead
+            raise NotImplementedError(
+                "multi-scan sequential JPEG needs the codec plug-in"
+            )
+    if len(scan) == 1 and len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved —
+        # one 8×8 block per MCU regardless of the declared sampling
+        # factors (real-world gray JPEGs often declare 2×2)
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

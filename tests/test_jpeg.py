@@ -187,3 +187,33 @@ def test_reencode_twins_full_recall_at_production_dial(spark):
              ).collect()}
     for tid in planted:
         assert (tid - 1_000_000, tid) in pairs, tid
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: 0xFF fill bytes may pad any marker — splice some
+    # in front of the DQT and SOS markers of a valid stream
+    img = _gradient(16, 16)
+    p = mm.encode_jpeg(img, 90)
+    base = mm.decode_jpeg(p)
+    i_dqt = p.find(b"\xff\xdb")
+    i_sos = p.find(b"\xff\xda")
+    padded = (p[:i_dqt] + b"\xff\xff" + p[i_dqt:i_sos]
+              + b"\xff\xff\xff" + p[i_sos:])
+    assert np.array_equal(mm.decode_jpeg(padded), base)
+
+
+def test_gray_with_22_sampling_decodes_noninterleaved():
+    # gray JPEGs often declare 2x2 sampling; a single-component scan
+    # is non-interleaved (one block per MCU), so pixels must match
+    # the 1x1-declared encode exactly
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    p = bytearray(mm.encode_jpeg(g, 92))
+    i = bytes(p).find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then cid,hv,tq
+    assert p[i + 9] == 1  # single component
+    assert p[i + 11] == 0x11
+    p[i + 11] = 0x22  # declare 2x2 sampling
+    assert np.array_equal(
+        mm.decode_jpeg(bytes(p)), mm.decode_jpeg(mm.encode_jpeg(g, 92))
+    )
