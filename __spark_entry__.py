@@ -907,6 +907,16 @@ def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types from KMV sketches:
+    est_union / jaccard / est_intersection per type pair, all exact
+    functions of the portable md5-low31 hash set — hash-checked like
+    kmv_distinct_users (the pairwise primitive HLL cannot oracle)."""
+    return sk.kmv_overlap(
+        tbl.load(spark, "events", sf_dir), "event_type", "user_id", k=64
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: corpus docs sharing any 3-gram
     with the (deterministically chosen) eval slice. Eval gram set is
@@ -2767,6 +2777,11 @@ _R5_PREFIX = [
     # displaces the (d) filler except_custkeys (driver-green r3,
     # unchanged, back to parked)
     "simhash_pairs",
+    # kmv_overlap_users added mid-r5 (pairwise sketch intersection —
+    # the overlap primitive HLL can't oracle); displaces the (d)
+    # filler pivot_status (driver-green r3, unchanged, back to
+    # parked)
+    "kmv_overlap_users",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2789,7 +2804,6 @@ _R5_PREFIX = [
     # (d) oldest r3 greens
     "intersect_custkeys",
     "anti_join",
-    "pivot_status",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2862,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_above": _q_average_above,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "kmv_overlap_users": _q_kmv_overlap_users,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
@@ -5262,6 +5277,50 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # pairwise KMV overlap: same hash + k-min construction; the
+        # union sketch is the k smallest of the merged per-group
+        # sketches, membership against the per-group k-mins is exact
+        # for union-sketch members, and the two double ops (divide,
+        # multiply) run in the same order both sides
+        "kmv_overlap_users": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              & 2147483647 AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, list(hv ORDER BY hv) AS kmin
+  FROM rk WHERE rn <= 64 GROUP BY 1
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.kmin AS ka, b.kmin AS kb,
+         list_sort(list_distinct(a.kmin || b.kmin)) AS u
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+q AS (
+  SELECT type_a, type_b, ka, kb, u,
+         LEAST(64, len(u)) AS m,
+         CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+              ELSE 63.0 * 2147483648 / u[64] END AS est_union
+  FROM p
+),
+r AS (
+  SELECT type_a, type_b, est_union,
+         CAST(len(list_intersect(list_intersect(u[1:m], ka), kb))
+              AS DOUBLE) / m AS jaccard_est
+  FROM q
+)
+SELECT type_a, type_b, est_union, jaccard_est,
+       jaccard_est * est_union AS est_intersection
+FROM r
 """,
         # replay twin of kmv_distinct_users: the batch sketch SQL plus
         # the per-group arrival count — the streaming entry's final

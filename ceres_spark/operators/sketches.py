@@ -295,3 +295,85 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from KMV sketches
+    (Beyer et al. 2007): for every group pair, estimate
+    |A∪B| from the k-min sketch of the union and Jaccard from the
+    fraction of union-sketch members present in BOTH sides —
+    ``est_intersection = jaccard · est_union``. The audience-overlap
+    primitive ("how many users do click and purchase share?") at
+    sketch cost instead of a distinct-pair join.
+
+    Why per-group sketches suffice: any hash among the k smallest of
+    A∪B is among the k smallest of whichever side contains it, so
+    K(A∪B) ⊆ K(A) ∪ K(B) and membership tests against the sketches
+    are EXACT for union-sketch members. Everything is integer set
+    algebra + two double ops — deterministic, engine-portable,
+    hash-checked like :func:`kmv_distinct`.
+
+    Scale contract: one row of ≤ k int64 per group after the same
+    salted two-phase k-min as kmv_distinct; the pairing is a
+    broadcast nested-loop over GROUP-cardinality rows (event types,
+    sources — ≪ 10⁴ by contract), never over values.
+    """
+    from ceres_spark.operators.dedup import _md5_low31
+
+    kk = int(k)
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            _md5_low31(F.col(value_col).cast("string")).alias("_hv"),
+        )
+        .distinct()
+        .withColumn("_salt", F.col("_hv") % F.lit(int(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_hv")
+    w2 = Window.partitionBy(group_col).orderBy("_hv")
+    sk = (
+        h.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= kk)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= kk)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("_hv")).alias("_kmin"))
+    )
+    a = sk.select(
+        F.col(group_col).alias("type_a"), F.col("_kmin").alias("_ka")
+    )
+    b = sk.select(
+        F.col(group_col).alias("type_b"), F.col("_kmin").alias("_kb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("type_a") < F.col("type_b")
+    )
+    u = F.array_sort(F.array_union(F.col("_ka"), F.col("_kb")))
+    m = F.least(F.lit(kk), F.size(u))
+    union_k = F.slice(u, 1, m)
+    est_union = F.when(
+        F.size(u) < kk, F.size(u).cast("double")
+    ).otherwise(
+        F.lit(float(kk - 1)) * F.lit(float(1 << 31))
+        / F.element_at(u, kk)
+    )
+    inter_in_k = F.size(
+        F.array_intersect(
+            F.array_intersect(union_k, F.col("_ka")), F.col("_kb")
+        )
+    )
+    jacc = inter_in_k.cast("double") / m
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_union.alias("est_union"),
+        jacc.alias("jaccard_est"),
+        (jacc * est_union).alias("est_intersection"),
+    )

@@ -223,3 +223,39 @@ def test_kmv_partitioning_independent(spark, events):
         events.repartition(17, "user_id"), "event_type", "user_id"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_overlap_exact_when_unfull(spark):
+    # all sets below capacity -> union exact, jaccard exact ->
+    # est_intersection == true intersection
+    rows = ([("a", v) for v in range(30)]
+            + [("b", v) for v in range(20, 50)]
+            + [("c", v) for v in range(100, 110)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           sk.kmv_overlap(df, "g", "v", k=64).collect()}
+    ab = out[("a", "b")]
+    assert ab["est_union"] == 50.0
+    assert ab["jaccard_est"] == 10 / 50
+    assert ab["est_intersection"] == (10 / 50) * 50.0
+    assert out[("a", "c")]["est_intersection"] == 0.0
+    assert out[("b", "c")]["jaccard_est"] == 0.0
+
+
+def test_kmv_overlap_estimator_tracks_truth(spark, events):
+    # full sketches on the real events table: every type pair shares
+    # all 150 users, so jaccard must estimate ~1 and the intersection
+    # must land within the KMV error envelope of 150
+    out = sk.kmv_overlap(events, "event_type", "user_id", k=64).collect()
+    assert len(out) == 10  # C(5,2)
+    for r in out:
+        assert r["jaccard_est"] > 0.8, r
+        assert abs(r["est_intersection"] / 150 - 1) < 3 / 64 ** 0.5, r
+
+
+def test_kmv_overlap_partitioning_independent(spark, events):
+    a = sk.kmv_overlap(events, "event_type", "user_id").collect()
+    b = sk.kmv_overlap(
+        events.repartition(13, "event_id"), "event_type", "user_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
