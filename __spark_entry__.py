@@ -2826,33 +2826,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 5): executed exactly as the r4 plan wrote
-    it — the 50-slot prefix is the explicit ``_R5_PREFIX`` list below
-    (the dict is reordered from it at call time, so the audit trail
-    is one list): (a) the 6 entries changed in r5 — temperature_mix
-    (explicit zero-weight apportionment guard), chunk_retrieval
-    (chunk_idx >= 0 in the ckey guard), ewma_series and
-    holt_winters_bands (UPGRADED rows-only → hash-checked via
-    recursive-CTE oracles), multimodal_decode and phash_neardup
-    (image fixtures now alternate PPM/PNG through the new stdlib PNG
-    codec; rows-only, pixel-invariant); (b) the 9 entries NEW in r5 —
-    expire_catalog (the deleteBefore half of the catalog-driven
-    maintenance pair), compact_invariance (defrag result-invariance),
-    THREE new streaming replay twins: stream_simhash_dedup (the
-    Manku-style near-dup service through the band state store),
-    stream_cusum and stream_holt_winters (sequential recursions
-    hash-checked via recursive-CTE oracles), and the graphite
-    read-API quartet n_percentile / percentile_of_series /
-    sort_by_extrema / summarize_align; (c) the 18 leftover r2 greens
-    (bucketed_join … tpch_q20); (d) the 17 oldest r3 greens
-    (intersect_custkeys … moving_median). Everything stays covered
-    locally by tools/check_oracle.py at sf0.01 AND sf0.1 regardless
-    of prefix position (the sf0.1 pass is stricter — it caught the
+    ROTATION STATE (round 5, final): executed exactly as the r4 plan
+    wrote it — the 50-slot prefix is the explicit ``_R5_PREFIX`` list
+    below (the dict is reordered from it at call time, so the audit
+    trail is one list): (a) the 8 entries changed/upgraded in r5 —
+    temperature_mix (explicit zero-weight apportionment guard),
+    chunk_retrieval (chunk_idx >= 0 in the ckey guard), ewma_series /
+    holt_winters_bands / holt_winters_seasonal / nation_pagerank /
+    simhash_pairs (all UPGRADED rows-only → hash-checked via
+    recursive-CTE, integer-lattice, or brute-force-blocked oracles),
+    multimodal_decode and phash_neardup (image fixtures now cycle
+    PPM/PNG/baseline-JPEG through the stdlib codecs; phash runs at
+    the production max_hamming=6 dial with planted cross-container
+    JPEG twins); (b) the 21 entries NEW in r5 — expire_catalog,
+    compact_invariance, SIX new streaming replay twins
+    (stream_simhash_dedup, stream_cusum, stream_holt_winters,
+    stream_ewma, stream_hw_seasonal, stream_kmv), the graphite
+    read-API block (n_percentile, percentile_of_series,
+    sort_by_extrema, summarize_align, hitcount, integral_by_interval,
+    remove_above_percentile, most_deviant, average_above,
+    moving_window_functions), and the portable-sketch/LSH block
+    (minhash_pairs_portable, kmv_distinct_users, kmv_overlap_users);
+    (c) the 18 leftover r2 greens (bucketed_join … tpch_q20); (d) the
+    2 oldest r3 greens that still fit (intersect_custkeys,
+    anti_join). Everything stays covered locally by
+    tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
+    position (the sf0.1 pass is stricter — it caught the
     decimal-cast boundary bug the sf0.01 gate missed).
 
     ROTATION PLAN (round 6): promote (a) anything changed in r6,
-    (b) new r6 entries, (c) the remaining r3 greens oldest-first
-    (winsorize … asof_join block — the parked section's head), then
+    (b) new r6 entries, (c) the r3 greens displaced from this round's
+    prefix plus the parked r3 block oldest-first (pivot_status,
+    except_custkeys, cube_orders, top_parts, running_totals,
+    rank_window, grouping_sets, range_frame_sum, as_percent,
+    percentiles, time_shift_join, anomaly_zscore, moving_median,
+    top_series, forward_fill, then winsorize … asof_join), then
     (d) r4 greens (hash_embed … hard_negatives). Keep any entry whose
     semantics changed in-round inside the prefix (ADVICE r2).
     """
