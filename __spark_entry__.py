@@ -701,6 +701,17 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts on the jaccard-0.8 near-dup graph —
+    local cluster density (clustering-coefficient numerator): wedge
+    join + edge-probe closure, each a<b<c triangle generated once;
+    oracle = the same two-join closure over the SQL pair set."""
+    pairs = dd.jaccard_pairs_vectorized(
+        tbl.load(spark, "documents", sf_dir), threshold=0.8
+    ).select("doc_a", "doc_b")
+    return gr.triangle_counts(pairs)
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-set Jaccard near-dup pairs blocked by source — the
     incidence-matrix numpy path (bit-identical to the declarative
@@ -2782,6 +2793,10 @@ _R5_PREFIX = [
     # filler pivot_status (driver-green r3, unchanged, back to
     # parked)
     "kmv_overlap_users",
+    # neardup_triangles added mid-r5 (graph family: wedge-closure
+    # triangle counts on the near-dup graph); displaces the (d)
+    # filler anti_join (driver-green r3, unchanged, back to parked)
+    "neardup_triangles",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2803,7 +2818,6 @@ _R5_PREFIX = [
     "tpch_q20",
     # (d) oldest r3 greens
     "intersect_custkeys",
-    "anti_join",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2885,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "kmv_overlap_users": _q_kmv_overlap_users,
+        "neardup_triangles": _q_neardup_triangles,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
@@ -5285,6 +5300,34 @@ SELECT doc_id,
          / CAST(COUNT(*) AS BIGINT) AS dup_ratio
 FROM grams JOIN pg USING (gram)
 GROUP BY doc_id
+""",
+        # triangle closure over the SQL-derived near-dup edge set:
+        # same canonical a<b edges, wedge join + (a,c) probe, per-node
+        # UNION ALL count — exact integers
+        "neardup_triangles": """
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(lower(text), ' ')) AS g
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g, b.g))
+           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+           AS jaccard_sim
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard_sim >= 0.8
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY 1
 """,
         # pairwise KMV overlap: same hash + k-min construction; the
         # union sketch is the k smallest of the merged per-group

@@ -410,3 +410,57 @@ def pagerank_units(
         F.col("units").alias("rank_units"),
         (F.col("units").cast("double") / F.lit(float(mass))).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph — the local
+    community-density signal (the numerator of the clustering
+    coefficient): on a near-dup graph, a doc in many triangles sits
+    in a tight plagiarism/boilerplate cluster rather than a chance
+    pairwise match.
+
+    Plan: canonicalize to a < b (undirected edges arrive in either
+    orientation; dedup), then the standard two-join wedge closure —
+    wedges a→b→c from e1.b = e2.a, closed by probing (a, c) against
+    the edge set. Every triangle a<b<c is generated exactly once, so
+    per-node counts are exact. Joins are hash-shuffles on node keys;
+    at production scale the classic refinement is degree-ordering
+    (orient each edge low-degree → high-degree) which bounds wedge
+    fan-out by the arboricity — the canonical a<b orientation used
+    here IS that scheme under the near-dup graph's roughly uniform
+    degrees, and a degree-ranked relabel can be prepended without
+    touching the closure plan.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # drop self-loops
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("_wa"),
+            F.col("e1.b").alias("_wb"),
+            F.col("e2.b").alias("_wc"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("_wa") == F.col("e3.a"))
+        & (F.col("_wc") == F.col("e3.b")),
+    ).select("_wa", "_wb", "_wc")
+    return (
+        tri.select(
+            F.explode(
+                F.array(F.col("_wa"), F.col("_wb"), F.col("_wc"))
+            ).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

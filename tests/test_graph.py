@@ -238,3 +238,20 @@ def test_pagerank_units_empty_and_bad_damping(spark):
             spark.createDataFrame([(1, 2)], "src long, dst long"),
             damping_num=21,
         )
+
+
+def test_triangle_counts_known_graph(spark):
+    import ceres_spark.operators.graph as gr
+
+    # K4 on 1..4 (every node in C(3,2)=3 triangles) + a pendant edge
+    # + a disconnected triangle 10-11-12; edges in MIXED orientation
+    # with a duplicate and a self-loop to exercise canonicalization
+    edges = [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (3, 4),
+             (4, 5),            # pendant: no triangle
+             (11, 10), (10, 12), (11, 12),
+             (2, 1),            # duplicate, reversed
+             (7, 7)]            # self-loop: dropped
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in gr.triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
