@@ -2843,7 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROTATION STATE (round 5, final): executed exactly as the r4 plan
     wrote it — the 50-slot prefix is the explicit ``_R5_PREFIX`` list
     below (the dict is reordered from it at call time, so the audit
-    trail is one list): (a) the 8 entries changed/upgraded in r5 —
+    trail is one list): (a) the 9 entries changed/upgraded in r5 —
     temperature_mix (explicit zero-weight apportionment guard),
     chunk_retrieval (chunk_idx >= 0 in the ckey guard), ewma_series /
     holt_winters_bands / holt_winters_seasonal / nation_pagerank /
@@ -2852,26 +2852,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_decode and phash_neardup (image fixtures now cycle
     PPM/PNG/baseline-JPEG through the stdlib codecs; phash runs at
     the production max_hamming=6 dial with planted cross-container
-    JPEG twins); (b) the 21 entries NEW in r5 — expire_catalog,
+    JPEG twins); (b) the 22 entries NEW in r5 — expire_catalog,
     compact_invariance, SIX new streaming replay twins
     (stream_simhash_dedup, stream_cusum, stream_holt_winters,
     stream_ewma, stream_hw_seasonal, stream_kmv), the graphite
     read-API block (n_percentile, percentile_of_series,
     sort_by_extrema, summarize_align, hitcount, integral_by_interval,
     remove_above_percentile, most_deviant, average_above,
-    moving_window_functions), and the portable-sketch/LSH block
-    (minhash_pairs_portable, kmv_distinct_users, kmv_overlap_users);
-    (c) the 18 leftover r2 greens (bucketed_join … tpch_q20); (d) the
-    2 oldest r3 greens that still fit (intersect_custkeys,
-    anti_join). Everything stays covered locally by
+    moving_window_functions), the portable-sketch/LSH block
+    (minhash_pairs_portable, kmv_distinct_users, kmv_overlap_users),
+    and neardup_triangles; (c) the 18 leftover r2 greens
+    (bucketed_join … tpch_q20); (d) the 1 oldest r3 green that still
+    fits (intersect_custkeys). Everything stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the
     decimal-cast boundary bug the sf0.01 gate missed).
 
     ROTATION PLAN (round 6): promote (a) anything changed in r6,
     (b) new r6 entries, (c) the r3 greens displaced from this round's
-    prefix plus the parked r3 block oldest-first (pivot_status,
-    except_custkeys, cube_orders, top_parts, running_totals,
+    prefix plus the parked r3 block oldest-first (anti_join,
+    pivot_status, except_custkeys, cube_orders, top_parts,
+    running_totals,
     rank_window, grouping_sets, range_frame_sum, as_percent,
     percentiles, time_shift_join, anomaly_zscore, moving_median,
     top_series, forward_fill, then winsorize … asof_join), then

@@ -1426,25 +1426,27 @@ def image_phash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
 
 
 def reencode_images(
-    assets: DataFrame, quality: int = 95, id_offset: int = 1_000_000
+    assets: DataFrame, quality: int = 95
 ) -> DataFrame:
     """Decode each image asset and re-encode its pixels as a baseline
-    JPEG twin (``asset_id + id_offset``) — the real-world
-    cross-container near-dup scenario: the same photograph saved
-    once lossless and once lossy must land within a few aHash bits.
-    One mapInPandas pass (decode + DCT re-encode in-task, payloads
-    never shuffled); registered codecs extend the decodable inputs,
-    same snapshot contract as :func:`extract_features`."""
+    JPEG twin — the real-world cross-container near-dup scenario: the
+    same photograph saved once lossless and once lossy must land
+    within a few aHash bits. The twin's id is ``-asset_id - 1``:
+    source ids are non-negative (doc_ids), so the mirror-image id
+    space is collision-free at ANY corpus size — a fixed offset would
+    silently alias twins onto real assets past the offset. One
+    mapInPandas pass (decode + DCT re-encode in-task, payloads never
+    shuffled); registered codecs extend the decodable inputs, same
+    snapshot contract as :func:`extract_features`."""
     codecs = tuple(_CODECS)
     q = int(quality)
-    off = int(id_offset)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 _, px = decode_real(bytes(payload), "image", codecs)
-                ids.append(int(asset_id) + off)
+                ids.append(-int(asset_id) - 1)
                 payloads.append(encode_jpeg(px, quality=q))
             yield pd.DataFrame(
                 {

@@ -223,6 +223,39 @@ def frequent_items(
     )
 
 
+def _kmin_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int, n_salts: int
+) -> DataFrame:
+    """Shared KMV construction for :func:`kmv_distinct` and
+    :func:`kmv_overlap` — ONE copy of the engine-portability recipe
+    (md5-low31 hash, NULL filter, distinct, salted two-phase k-min)
+    so the two external oracles can never drift apart. Returns the
+    per-group k smallest distinct hashes as rows
+    ``(group_col, _hv, _rn)`` with ``_rn`` the 1-based global rank.
+    """
+    from ceres_spark.operators.dedup import _md5_low31
+
+    h = (
+        df.filter(F.col(value_col).isNotNull())  # COUNT DISTINCT semantics
+        .select(
+            F.col(group_col),
+            _md5_low31(F.col(value_col).cast("string")).alias("_hv"),
+        )
+        .distinct()
+        .withColumn("_salt", F.col("_hv") % F.lit(int(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_hv")
+    survivors = (
+        h.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_hv")
+    return survivors.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= int(k)
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -255,27 +288,7 @@ def kmv_distinct(
     k smallest of the ≤ n_salts·k survivors (tiny). Identical result
     to a global k-min — min-k of a union is min-k of per-part min-ks.
     """
-    from ceres_spark.operators.dedup import _md5_low31
-
-    h = (
-        df.filter(F.col(value_col).isNotNull())  # COUNT DISTINCT semantics
-        .select(
-            F.col(group_col),
-            _md5_low31(F.col(value_col).cast("string")).alias("_hv"),
-        )
-        .distinct()
-        .withColumn("_salt", F.col("_hv") % F.lit(int(n_salts)))
-    )
-    w1 = Window.partitionBy(group_col, "_salt").orderBy("_hv")
-    survivors = (
-        h.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= int(k))
-        .drop("_rn", "_salt")
-    )
-    w2 = Window.partitionBy(group_col).orderBy("_hv")
-    topk = survivors.withColumn("_rn", F.row_number().over(w2)).filter(
-        F.col("_rn") <= int(k)
-    )
+    topk = _kmin_sketch(df, group_col, value_col, int(k), int(n_salts))
     # no separate exact-count pass: an un-full sketch (n_tracked < k)
     # holds EVERY distinct hash, so n_tracked is already the exact
     # count — the defining KMV property
@@ -324,25 +337,9 @@ def kmv_overlap(
     broadcast nested-loop over GROUP-cardinality rows (event types,
     sources — ≪ 10⁴ by contract), never over values.
     """
-    from ceres_spark.operators.dedup import _md5_low31
-
     kk = int(k)
-    h = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col),
-            _md5_low31(F.col(value_col).cast("string")).alias("_hv"),
-        )
-        .distinct()
-        .withColumn("_salt", F.col("_hv") % F.lit(int(n_salts)))
-    )
-    w1 = Window.partitionBy(group_col, "_salt").orderBy("_hv")
-    w2 = Window.partitionBy(group_col).orderBy("_hv")
     sk = (
-        h.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= kk)
-        .withColumn("_rn2", F.row_number().over(w2))
-        .filter(F.col("_rn2") <= kk)
+        _kmin_sketch(df, group_col, value_col, kk, int(n_salts))
         .groupBy(group_col)
         .agg(F.array_sort(F.collect_list("_hv")).alias("_kmin"))
     )

@@ -186,7 +186,9 @@ def test_reencode_twins_full_recall_at_production_dial(spark):
                  assets.unionByName(twins), max_hamming=6
              ).collect()}
     for tid in planted:
-        assert (tid - 1_000_000, tid) in pairs, tid
+        # twin ids mirror into the negative space (-orig - 1), so the
+        # canonical a < b pair is (twin, original)
+        assert (tid, -tid - 1) in pairs, tid
 
 
 def test_fill_bytes_before_markers_are_skipped():
@@ -217,3 +219,36 @@ def test_gray_with_22_sampling_decodes_noninterleaved():
     assert np.array_equal(
         mm.decode_jpeg(bytes(p)), mm.decode_jpeg(mm.encode_jpeg(g, 92))
     )
+
+
+def test_golden_bytes_pin_codec_conventions():
+    # Regression pin: the encoder's byte stream and the decoder's
+    # pixel output for a fixed 8x8 color ramp are frozen here. The
+    # constants (zigzag, Annex K quant + huffman tables, BT.601
+    # matrix, IJG quality rule) were hand-verified against ITU T.81
+    # once; this pin makes any future drift — including a SYMMETRIC
+    # encoder+decoder convention swap that a roundtrip test cannot
+    # see — a loud failure. (No external libjpeg exists in this
+    # container to produce independent golden files; the channel
+    # asserts below at least pin the Cb/Cr orientation.)
+    import hashlib
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = np.stack(
+        [yy * 30 % 256, xx * 30 % 256, (yy + xx) * 15 % 256], axis=2
+    ).astype(np.uint8)
+    p = mm.encode_jpeg(img, quality=90)
+    assert hashlib.sha256(p).hexdigest() == (
+        "0cac5e06e79f1b7f8db1e8de20fc669cc893281b3722f2df627687ce17a24266"
+    )
+    out = mm.decode_jpeg(p)
+    # channel-distinct corners: green-ish top-right, red-ish
+    # bottom-left — a Cb/Cr swap or RGB/BGR flip breaks these
+    assert out[0, 7].tolist() == [1, 209, 103]
+    assert out[7, 0].tolist() == [209, 1, 107]
+    # pure red survives exactly at q95 (DC-only per channel)
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 255
+    assert mm.decode_jpeg(mm.encode_jpeg(red, 95))[4, 4].tolist() == [
+        255, 0, 0,
+    ]

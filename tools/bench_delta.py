@@ -34,10 +34,13 @@ def main() -> None:
     print(f"removed: {sorted(set(old) - set(new))}")
     tot_o = sum(old[q] for q in both)
     tot_n = sum(new[q] for q in both)
-    print(
-        f"shared-query totals: r4 {tot_o:.1f} s -> r5 {tot_n:.1f} s "
-        f"({tot_n / tot_o:.2f}x)"
-    )
+    if both:
+        print(
+            f"shared-query totals: r4 {tot_o:.1f} s -> r5 {tot_n:.1f} s "
+            f"({tot_n / tot_o:.2f}x)"
+        )
+    else:
+        print("shared-query totals: no shared queries")
 
 
 if __name__ == "__main__":
