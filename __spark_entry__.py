@@ -2717,6 +2717,14 @@ def _q_moving_window_functions(
     return ser.moving_window_functions(deduped, points=5)
 
 
+def _q_value_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite absolute/invert/squareRoot/pow/limit in ONE codegen
+    projection — every column one correctly-rounded IEEE op, so the
+    whole family hash-checks bit-for-bit."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.value_transforms(deduped, clamp_lo=10.0, clamp_hi=90.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -2797,6 +2805,11 @@ _R5_PREFIX = [
     # triangle counts on the near-dup graph); displaces the (d)
     # filler anti_join (driver-green r3, unchanged, back to parked)
     "neardup_triangles",
+    # value_transforms added mid-r5 (absolute/invert/logarithm/pow/
+    # limit, one projection); displaces the LAST (d) filler
+    # intersect_custkeys (driver-green r3, unchanged, back to parked
+    # — the r6 plan re-promotes the whole displaced block)
+    "value_transforms",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2816,8 +2829,6 @@ _R5_PREFIX = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
-    # (d) oldest r3 greens
-    "intersect_custkeys",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2901,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q_kmv_distinct_users,
         "kmv_overlap_users": _q_kmv_overlap_users,
         "neardup_triangles": _q_neardup_triangles,
+        "value_transforms": _q_value_transforms,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
@@ -3548,6 +3560,20 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        "value_transforms": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       abs(value) AS abs_value,
+       CASE WHEN value != 0 THEN 1.0 / value END AS inverted,
+       sqrt(abs(value)) AS sqrt_value,
+       value * value AS squared,
+       LEAST(GREATEST(value, 10.0), 90.0) AS clamped
+FROM deduped
 """,
         "moving_window_functions": f"""
 WITH {POINTS_CTE},

@@ -1024,6 +1024,36 @@ def moving_window_functions(
     )
 
 
+def value_transforms(
+    buckets: DataFrame, clamp_lo: float = 0.0, clamp_hi: float = 100.0
+) -> DataFrame:
+    """The graphite per-point value-transform family in one
+    shuffle-free codegen projection: ``absolute``, ``invert`` (1/v;
+    v == 0 → NULL rather than an engine-spelled infinity),
+    ``squareRoot`` of |v| (NOT ``logarithm``: IEEE 754 requires sqrt
+    to be correctly rounded, so it is bit-portable, while JVM
+    Math.log10 and libm log10 are only 1-ulp accurate and disagree in
+    the last bit — measured at sf0.01), ``pow(2)``, and
+    ``limit``/clamp to [clamp_lo, clamp_hi]. Every op is a single
+    correctly-rounded IEEE operation, so the projection is
+    engine-portable bit-for-bit — the cheapest kind of oracle-paired
+    entry, and the everyday dashboard toolbox.
+    """
+    v = F.col("value")
+    return buckets.select(
+        "metric",
+        "ts",
+        v.alias("value"),
+        F.abs(v).alias("abs_value"),
+        F.when(v != 0, F.lit(1.0) / v).alias("inverted"),
+        F.sqrt(F.abs(v)).alias("sqrt_value"),
+        (v * v).alias("squared"),
+        F.least(
+            F.greatest(v, F.lit(float(clamp_lo))), F.lit(float(clamp_hi))
+        ).alias("clamped"),
+    )
+
+
 def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
     """graphite-web ``averageAbove(series, t)``: keep only the series
     whose average exceeds ``t`` — with the full point set of the

@@ -639,3 +639,21 @@ def test_moving_window_functions_frames(spark):
     assert got[240]["moving_sum"] == 17.0
     # frame shorter than `points` at the series head
     assert got[60]["moving_sum"] == 8.0 and got[60]["moving_max"] == 5.0
+
+
+def test_value_transforms_family(spark):
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [("m", 0, -4.0), ("m", 60, 0.0), ("m", 120, 50.0),
+                     ("m", 180, 200.0), ("m", 240, None)])
+    got = {r["ts"]: r for r in
+           ser.value_transforms(d, clamp_lo=0.0, clamp_hi=100.0).collect()}
+    assert got[0]["abs_value"] == 4.0
+    assert got[0]["inverted"] == -0.25
+    assert got[0]["sqrt_value"] == 2.0
+    assert got[0]["squared"] == 16.0
+    assert got[0]["clamped"] == 0.0      # clamp floor
+    assert got[60]["inverted"] is None   # 1/0 -> NULL, not inf
+    assert got[120]["clamped"] == 50.0   # in range untouched
+    assert got[180]["clamped"] == 100.0  # clamp ceiling
+    assert got[240]["abs_value"] is None # NULL propagates
