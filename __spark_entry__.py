@@ -883,6 +883,13 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ana.cohort_retention(tbl.load(spark, "events", sf_dir))
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix (Markov/Sankey): per-user
+    consecutive event-type pairs, counts + per-from_type shares —
+    (ts, event_id)-pinned total order, engine-exact."""
+    return ana.event_transitions(tbl.load(spark, "events", sf_dir))
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture downsampling audit: hash-threshold
     keep decision per (source, doc_id), per-source achieved
@@ -2810,6 +2817,12 @@ _R5_PREFIX = [
     # intersect_custkeys (driver-green r3, unchanged, back to parked
     # — the r6 plan re-promotes the whole displaced block)
     "value_transforms",
+    # event_transitions added mid-r5 (clickstream Markov matrix);
+    # the (d) fillers are exhausted, so it displaces the TAIL of the
+    # (c) r2-green block (tpch_q20 — driver-green r2, unchanged,
+    # parked; it heads the r6 (c) promotion list with the other
+    # displaced greens)
+    "event_transitions",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2828,7 +2841,6 @@ _R5_PREFIX = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q16",
-    "tpch_q20",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2913,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_users": _q_kmv_overlap_users,
         "neardup_triangles": _q_neardup_triangles,
         "value_transforms": _q_value_transforms,
+        "event_transitions": _q_event_transitions,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
@@ -3560,6 +3573,27 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        # (ts, event_id)-pinned lead — the raw timestamp sorts
+        # identically to Spark's epoch-nanos long, and the tiebreak
+        # makes the per-user order total, so counts and integer-exact
+        # double shares match bit-for-bit
+        "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY from_type)
+         AS share_from
+FROM pairs
 """,
         "value_transforms": f"""
 WITH {POINTS_CTE},

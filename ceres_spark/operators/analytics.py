@@ -88,3 +88,47 @@ def cohort_retention(events: DataFrame, period_s: int = WEEK) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-path transition matrix (the Markov/Sankey
+    view of a clickstream): for every ordered pair of consecutive
+    events of one user, count (from_type → to_type) and its share of
+    all transitions leaving from_type.
+
+    Ordering is pinned to (raw ts, event_id) — a pure timestamp
+    order is ambiguous under simultaneous events, and an ambiguous
+    LEAD is the classic nondeterministic-window bug; with the
+    tiebreak the lead is a total order, so counts (and the
+    integer→double shares) are engine-exact. The RAW ts column
+    (epoch-nanos long or timestamp) sorts identically in both
+    engines, so no epoch conversion is needed for ordering. One
+    per-user window + one grouped count: shuffles on user then on
+    the TYPE-PAIR table (≤ |types|² rows).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id")
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    from_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(from_tot)
+        ).alias("share_from"),
+    )

@@ -89,3 +89,35 @@ def test_props_flatten_schema_on_read(spark):
     assert rows[2]["props_tag"] is None
     assert rows[4]["props_extra"] == 1.5
     assert rows[3]["props_k"] is None
+
+
+def test_event_transitions_counts_and_shares(spark):
+    import ceres_spark.operators.analytics as ana
+
+    # user 1: a->b->a ; user 2: a->b ; user 3: single event (no pair)
+    rows = [(1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+            (4, 2, 10, "a"), (5, 2, 40, "b"),
+            (6, 3, 10, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]): r for r in
+           ana.event_transitions(df).collect()}
+    assert got[("a", "b")]["n_transitions"] == 2
+    assert got[("b", "a")]["n_transitions"] == 1
+    assert ("c", None) not in got and len(got) == 2
+    assert got[("a", "b")]["share_from"] == 1.0   # all a-exits go to b
+    assert got[("b", "a")]["share_from"] == 1.0
+
+
+def test_event_transitions_tiebreak_is_event_id(spark):
+    import ceres_spark.operators.analytics as ana
+
+    # two simultaneous events: order must follow event_id
+    rows = [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 20, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]) for r in
+           ana.event_transitions(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}
