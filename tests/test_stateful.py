@@ -299,3 +299,49 @@ def test_kmv_stream_final_sketch_equals_batch(spark, tmp_path):
     assert final["view"]["n_tracked"] == 40
     assert final["view"]["est_distinct"] == 40.0
     assert final["click"]["n_tracked"] == 64
+
+
+def test_kmv_stream_state_survives_query_restart(spark, tmp_path):
+    """Stop the stream, append new arrivals, START A NEW QUERY on the
+    same checkpoint: the sketch (hash set + row counter) must be
+    restored, so users seen BEFORE the restart are not double-counted
+    and the final estimate equals the one-shot batch sketch."""
+    import ceres_spark.operators.sketches as sk
+
+    rows = [("click", u) for u in range(120)]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once(chunk):
+        spark.createDataFrame(
+            chunk, "event_type string, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            st.kmv_stream(stream, k=64)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once(rows[:70])          # first 70 arrivals, query stops
+    run_once(rows[50:])          # NEW query, same checkpoint; 50-69 repeat
+    emitted = spark.read.parquet(out).collect()
+    final = max(emitted, key=lambda r: r["rows_seen"])
+    # raw arrival counter restored across the restart: 70 + 70
+    assert final["rows_seen"] == 140
+    want = sk.kmv_distinct(
+        spark.createDataFrame(rows, "event_type string, user_id long"),
+        "event_type", "user_id", k=64,
+    ).collect()[0]
+    assert final["n_tracked"] == want["n_tracked"]
+    assert final["est_distinct"] == want["est_distinct"]
