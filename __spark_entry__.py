@@ -364,6 +364,27 @@ def _q_rollup_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.rollup(deduped, "average", 60, 3600, x_files_factor=0.05)
 
 
+def _q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance via MERGEABLE PARTIALS: the
+    fine buckets split into two interleaved halves (alternating 60 s
+    buckets — the ADVERSARIAL split: every coarse bucket straddles
+    both sides, so nothing finalizes from one partial alone); each
+    half becomes partial state ONCE (decimal-exact
+    sum/cnt/min/max/last per coarse bucket), the partials merge, and
+    finalize('average', xff=0.05) must hash-equal the FULL recompute
+    the oracle runs — the no-rescan maintenance path a 100 TB archive
+    actually needs (roll up each ingest batch once, merge state,
+    never rescan the archive)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    even = F.col("ts") % 120 == 0
+    old = ret.rollup_partials(deduped.filter(even), 3600)
+    new = ret.rollup_partials(deduped.filter(~even), 3600)
+    return ret.rollup_finalize(
+        ret.rollup_merge(old, new), "average", 60, 3600,
+        x_files_factor=0.05,
+    )
+
+
 #: FIXTURES-style per-node retention steps (paired with
 #: METHOD_BY_METRIC): each metric rolls up to its own archive step.
 STEP_BY_METRIC = {
@@ -2823,6 +2844,11 @@ _R5_PREFIX = [
     # parked; it heads the r6 (c) promotion list with the other
     # displaced greens)
     "event_transitions",
+    # rollup_incremental added mid-r5 (mergeable-partials maintenance
+    # path, adversarial interleaved split); displaces the next (c)
+    # tail entry tpch_q16 (driver-green r2, unchanged, parked into
+    # the r6 (c) promotion list)
+    "rollup_incremental",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2840,7 +2866,6 @@ _R5_PREFIX = [
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
-    "tpch_q16",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -3065,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_series": _q_merge,
         "fetch_per_node_method": _q_fetch_per_node_method,
         "rollup_xff": _q_rollup_xff,
+        "rollup_incremental": _q_rollup_incremental,
         "rollup_per_node": _q_rollup_per_node,
         "multi_resolution": _q_multi_resolution,
         "has_data_for_interval": _q_has_data,
@@ -3573,6 +3599,21 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        # the incremental path's oracle is the FULL recompute with the
+        # rollup_xff dials — partial-merge exactness means the split
+        # must be invisible in the result
+        "rollup_incremental": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts - (ts % 3600) AS ts,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(value) AS value
+FROM deduped GROUP BY 1, 2
+HAVING count(value) / 60.0 >= 0.05
 """,
         # (ts, event_id)-pinned lead — the raw timestamp sorts
         # identically to Spark's epoch-nanos long, and the tiebreak

@@ -286,3 +286,54 @@ def test_expire_path_drop_list_derived_from_data(spark, tmp_path):
     days = {p for p in os.listdir(path) if p.startswith("date=")}
     assert days == {"date=1970-01-03", "date=1970-01-04"}
     assert (tmp_path / "pts" / "_FOREIGN").exists()
+
+
+def test_rollup_partials_merge_equals_direct_all_methods(spark):
+    # finalize(merge(partials(A), partials(B))) must be bit-identical
+    # to rollup(A ∪ B) for every ceres method — even when a coarse
+    # bucket straddles A and B (the incremental-maintenance contract)
+    rows = [("m", t, float(v)) for t, v in
+            zip(range(0, 7200, 60), range(120))] + \
+           [("n", 0, 5.5), ("n", 3660, 2.25)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    a = df.filter("ts % 180 = 0")   # interleaved split within buckets
+    b = df.filter("ts % 180 != 0")
+    for method in ret.AGGREGATION_METHODS:
+        direct = {(r["metric"], r["ts"]): r["value"] for r in
+                  ret.rollup(df, method, 60, 3600).collect()}
+        inc = {(r["metric"], r["ts"]): r["value"] for r in
+               ret.rollup_finalize(
+                   ret.rollup_merge(
+                       ret.rollup_partials(a, 3600),
+                       ret.rollup_partials(b, 3600),
+                   ), method, 60, 3600,
+               ).collect()}
+        assert inc == direct, method
+
+
+def test_rollup_partials_merge_is_associative(spark):
+    rows = [("m", t, float(t % 7)) for t in range(0, 3600, 60)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    p = [ret.rollup_partials(df.filter(f"ts % 180 = {i * 60}"), 3600)
+         for i in range(3)]
+    left = ret.rollup_merge(ret.rollup_merge(p[0], p[1]), p[2])
+    right = ret.rollup_merge(p[0], ret.rollup_merge(p[1], p[2]))
+    get = lambda d: sorted(
+        (r["metric"], r["ts"], str(r["_sum_dec"]), r["_cnt"],
+         r["_vmin"], r["_vmax"], r["_last_ts"], r["_last_val"])
+        for r in d.collect())
+    assert get(left) == get(right)
+
+
+def test_rollup_partials_xff_matches_direct(spark):
+    # xff gate evaluates on the MERGED count, not per-partial counts
+    rows = [("m", t, 1.0) for t in range(0, 360, 60)]  # 6 pts, 1 bucket
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    a, b = df.filter("ts < 180"), df.filter("ts >= 180")
+    merged = ret.rollup_merge(
+        ret.rollup_partials(a, 3600), ret.rollup_partials(b, 3600))
+    # 6/60 = 0.1 known: kept at xff=0.1, dropped at 0.2 — same as direct
+    assert ret.rollup_finalize(merged, "average", 60, 3600, 0.1).count() == 1
+    assert ret.rollup_finalize(merged, "average", 60, 3600, 0.2).count() == 0
+    assert ret.rollup(df, "average", 60, 3600, 0.1).count() == 1
+    assert ret.rollup(df, "average", 60, 3600, 0.2).count() == 0
