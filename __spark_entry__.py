@@ -904,6 +904,18 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ana.cohort_retention(tbl.load(spark, "events", sf_dir))
 
 
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over the points table: portable
+    md5-bucketed metric dimension × day dimension interleaved into a
+    Morton code — pure shift/mask integer math, hash-checked; the
+    write path is repartitionByRange(zkey) + sorted write (see
+    operators/layout.py docstring and the locality pytest)."""
+    import ceres_spark.operators.layout as lay
+
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return lay.zorder_points(deduped)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clickstream transition matrix (Markov/Sankey): per-user
     consecutive event-type pairs, counts + per-from_type shares —
@@ -2849,6 +2861,10 @@ _R5_PREFIX = [
     # tail entry tpch_q16 (driver-green r2, unchanged, parked into
     # the r6 (c) promotion list)
     "rollup_incremental",
+    # zorder_key added mid-r5 (Morton data-layout key); displaces the
+    # next (c) tail entry tpch_q11 (driver-green r2, unchanged,
+    # parked into the r6 (c) promotion list)
+    "zorder_key",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2865,7 +2881,6 @@ _R5_PREFIX = [
     "dedup_materialize",
     "tpch_q2",
     "tpch_q9",
-    "tpch_q11",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -3091,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_per_node_method": _q_fetch_per_node_method,
         "rollup_xff": _q_rollup_xff,
         "rollup_incremental": _q_rollup_incremental,
+        "zorder_key": _q_zorder_key,
         "rollup_per_node": _q_rollup_per_node,
         "multi_resolution": _q_multi_resolution,
         "has_data_for_interval": _q_has_data,
@@ -3599,6 +3615,36 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        # Morton interleave replicated step by step: same md5 bucket,
+        # same integer DIV day index, same four shift-or-mask spreads
+        # (masks in decimal) — pure integer ops, exact everywhere
+        "zorder_key": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+d AS (
+  SELECT metric, ts, value,
+         CAST(md5_number_lower(metric) & 2147483647 AS BIGINT)
+           % 4096 AS x,
+         (ts // 86400) % 65536 AS y
+  FROM deduped
+),
+s1 AS (SELECT metric, ts, value,
+              (x | (x << 8)) & 71777214294589695 AS x,
+              (y | (y << 8)) & 71777214294589695 AS y FROM d),
+s2 AS (SELECT metric, ts, value,
+              (x | (x << 4)) & 1085102592571150095 AS x,
+              (y | (y << 4)) & 1085102592571150095 AS y FROM s1),
+s3 AS (SELECT metric, ts, value,
+              (x | (x << 2)) & 3689348814741910323 AS x,
+              (y | (y << 2)) & 3689348814741910323 AS y FROM s2),
+s4 AS (SELECT metric, ts, value,
+              (x | (x << 1)) & 6148914691236517205 AS x,
+              (y | (y << 1)) & 6148914691236517205 AS y FROM s3)
+SELECT metric, ts, value, x | (y << 1) AS zkey FROM s4
 """,
         # the incremental path's oracle is the FULL recompute with the
         # rollup_xff dials — partial-merge exactness means the split

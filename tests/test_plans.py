@@ -534,3 +534,45 @@ def test_temperature_mix_single_corpus_scan(spark):
     # operates on source-cardinality rows
     assert plan.count("Scan parquet") - plan.count("Scan parquet (") <= 2 \
         or plan.count("documents.parquet") >= 1
+
+
+def test_morton_key_matches_pure_python_interleave(spark):
+    import ceres_spark.operators.layout as lay
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (0x1234, 0xABCD),
+             (4095, 7), (65536 + 5, 3)]  # last: masked to low 16 bits
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = [r["z"] for r in df.select(
+        lay.morton_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()]
+    assert got == [ref(x & 0xFFFF, y & 0xFFFF) for x, y in cases]
+
+
+def test_zorder_layout_beats_time_sort_on_metric_locality(spark):
+    # 64 metrics x 64 days; split into 16 range partitions: a
+    # time-sorted layout puts ALL 64 metrics in every partition, the
+    # z-ordered layout bounds each partition to a compact square
+    import ceres_spark.operators.layout as lay
+
+    rows = [(f"m{m:02d}", d * 86400, 1.0)
+            for m in range(64) for d in range(64)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    z = lay.zorder_points(df)
+
+    def mean_metrics_per_partition(d, key):
+        parts = d.repartitionByRange(16, key).select(
+            F.spark_partition_id().alias("p"), "metric"
+        ).groupBy("p").agg(F.count_distinct("metric").alias("n")).collect()
+        return sum(r["n"] for r in parts) / len(parts)
+
+    ts_spread = mean_metrics_per_partition(z, F.col("ts"))
+    z_spread = mean_metrics_per_partition(z, F.col("zkey"))
+    assert ts_spread == 64.0          # every partition sees all metrics
+    assert z_spread < 0.5 * ts_spread  # z-order: compact squares
