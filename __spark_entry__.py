@@ -923,6 +923,15 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ana.event_transitions(tbl.load(spark, "events", sf_dir))
 
 
+def _q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per weekly cohort: first view
+    → first purchase at-or-after it, exact discrete p50/p90 deltas
+    (percentile_disc — engine-portable integers)."""
+    return ana.time_to_convert(
+        tbl.load(spark, "events", sf_dir), "view", "purchase"
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture downsampling audit: hash-threshold
     keep decision per (source, doc_id), per-source achieved
@@ -2865,6 +2874,10 @@ _R5_PREFIX = [
     # next (c) tail entry tpch_q11 (driver-green r2, unchanged,
     # parked into the r6 (c) promotion list)
     "zorder_key",
+    # time_to_convert added mid-r5 (conversion-latency percentiles);
+    # displaces the next (c) tail entry tpch_q9 (driver-green r2,
+    # unchanged, parked into the r6 (c) promotion list)
+    "time_to_convert",
     # (c) leftover r2 greens — last driver row CORRECTNESS_r02
     "bucketed_join",
     "order_quartiles_scaled",
@@ -2880,7 +2893,6 @@ _R5_PREFIX = [
     "weighted_sample",
     "dedup_materialize",
     "tpch_q2",
-    "tpch_q9",
     # holt_winters_seasonal UPGRADED mid-r5 (rows-only →
     # hash-checked via the list-carrying seasonal recursive-CTE
     # oracle); displaces the (d) filler anomaly_zscore (driver-green
@@ -2969,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": _q_neardup_triangles,
         "value_transforms": _q_value_transforms,
         "event_transitions": _q_event_transitions,
+        "time_to_convert": _q_time_to_convert,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
@@ -3618,6 +3631,36 @@ SELECT metric, ts - (ts % 3600) AS ts,
                           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
          AS hits
 FROM deduped GROUP BY 1, 2
+""",
+        # same user-cardinality reduction: first view, first purchase
+        # at-or-after it, integer deltas, discrete percentiles (NULL
+        # deltas of non-converters skipped by both engines)
+        "time_to_convert": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+ff AS (
+  SELECT user_id, MIN(t) AS t0 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+pu AS (
+  SELECT ff.user_id, ff.t0,
+         MIN(CASE WHEN p.t >= ff.t0 THEN p.t END) AS t1
+  FROM ff LEFT JOIN (SELECT user_id, t FROM ev
+                     WHERE event_type = 'purchase') p
+    USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT t0 - (t0 % 604800) AS cohort_start,
+       CAST(COUNT(*) AS BIGINT) AS n_started,
+       CAST(COUNT(t1) AS BIGINT) AS n_converted,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY t1 - t0)
+            AS BIGINT) AS p50_latency_s,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY t1 - t0)
+            AS BIGINT) AS p90_latency_s
+FROM pu GROUP BY 1
 """,
         # Morton interleave replicated step by step: same md5 bucket,
         # same integer DIV day index, same four shift-or-mask spreads

@@ -132,3 +132,55 @@ def event_transitions(events: DataFrame) -> DataFrame:
             / F.sum("n_transitions").over(from_tot)
         ).alias("share_from"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    period_s: int = WEEK,
+) -> DataFrame:
+    """Conversion-latency distribution per starting cohort: for each
+    user, the delta from their FIRST ``from_type`` event to their
+    first ``to_type`` event AT OR AFTER it; per cohort period of the
+    starting event, the conversion count and the exact discrete
+    p50/p90 latencies (``percentile_disc`` — observed deltas, so the
+    quantiles are engine-portable integers, not interpolations).
+
+    Plan: two user-cardinality aggregates + one user-keyed join —
+    the raw stream is never self-joined; the percentile sort runs
+    over converted-user counts per cohort, not events.
+    """
+    p = int(period_s)
+    t = _event_secs(events)
+    first_from = (
+        events.filter(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min(t).alias("_t0"))
+    )
+    to_times = events.filter(F.col("event_type") == to_type).select(
+        "user_id", t.alias("_t")
+    )
+    per_user = (
+        first_from.join(to_times, "user_id", "left")
+        .groupBy("user_id", "_t0")
+        .agg(
+            F.min(F.when(F.col("_t") >= F.col("_t0"), F.col("_t"))).alias(
+                "_t1"
+            )
+        )
+        .select(
+            (F.col("_t0") - F.col("_t0") % p).alias("cohort_start"),
+            (F.col("_t1") - F.col("_t0")).alias("_delta"),
+        )
+    )
+    return per_user.groupBy("cohort_start").agg(
+        F.count("*").cast("bigint").alias("n_started"),
+        F.count("_delta").cast("bigint").alias("n_converted"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY _delta)"
+        ).cast("bigint").alias("p50_latency_s"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY _delta)"
+        ).cast("bigint").alias("p90_latency_s"),
+    )

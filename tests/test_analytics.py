@@ -121,3 +121,27 @@ def test_event_transitions_tiebreak_is_event_id(spark):
     got = {(r["from_type"], r["to_type"]) for r in
            ana.event_transitions(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_time_to_convert_deltas_and_percentiles(spark):
+    import ceres_spark.operators.analytics as ana
+
+    # u1: view@100 -> purchase@160 (delta 60); u2: view@100,
+    # purchase@40 BEFORE the view (no conversion); u3: no purchase;
+    # u4: view@100 -> purchases at 100 and 500 -> delta 0 (ties count)
+    NS = 10**9  # LongType ts is the epoch-NANOS read path
+    rows = [(1, 1, 100 * NS, "view"), (2, 1, 160 * NS, "purchase"),
+            (3, 2, 100 * NS, "view"), (4, 2, 40 * NS, "purchase"),
+            (5, 3, 100 * NS, "view"),
+            (6, 4, 100 * NS, "view"), (7, 4, 100 * NS, "purchase"),
+            (8, 4, 500 * NS, "purchase")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = ana.time_to_convert(df, "view", "purchase").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cohort_start"] == 0
+    assert r["n_started"] == 4 and r["n_converted"] == 2
+    # deltas {60, 0}: discrete p50 = 0, p90 = 60
+    assert r["p50_latency_s"] == 0 and r["p90_latency_s"] == 60

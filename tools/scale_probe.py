@@ -327,6 +327,47 @@ def time_r5b_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_r5c_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Late-r5 additions: mergeable-partials incremental rollup (the
+    merge must stay cheap vs a full recompute), Z-order key
+    projection (pure codegen — should track scan speed), clickstream
+    transitions (one user-window + type-pair count), and triangle
+    counting (wedge joins grow with near-dup edge count)."""
+    import ceres_spark.operators.analytics as ana
+    import ceres_spark.operators.dedup as dd
+    import ceres_spark.operators.graph as gr
+    import ceres_spark.operators.layout as lay
+    import ceres_spark.operators.retention as ret
+
+    ev = tbl.load(spark, "events", sf_dir)
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    t = {}
+    t0 = time.perf_counter()
+    even = F.col("ts") % 120 == 0
+    ret.rollup_finalize(
+        ret.rollup_merge(
+            ret.rollup_partials(deduped.filter(even), 3600),
+            ret.rollup_partials(deduped.filter(~even), 3600),
+        ),
+        "average", 60, 3600,
+    ).count()
+    t["rollup_incremental"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    lay.zorder_points(deduped).count()
+    t["zorder_key"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ana.event_transitions(ev).count()
+    t["event_transitions"] = round(time.perf_counter() - t0, 2)
+    docs = tbl.load(spark, "documents", sf_dir)
+    t0 = time.perf_counter()
+    pairs = dd.jaccard_pairs_vectorized(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    gr.triangle_counts(pairs).count()
+    t["neardup_triangles"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
