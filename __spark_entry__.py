@@ -2927,7 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_decode and phash_neardup (image fixtures now cycle
     PPM/PNG/baseline-JPEG through the stdlib codecs; phash runs at
     the production max_hamming=6 dial with planted cross-container
-    JPEG twins); (b) the 26 entries NEW in r5 — expire_catalog,
+    JPEG twins); (b) the 27 entries NEW in r5 — expire_catalog,
     compact_invariance, SIX new streaming replay twins
     (stream_simhash_dedup, stream_cusum, stream_holt_winters,
     stream_ewma, stream_hw_seasonal, stream_kmv), the graphite
@@ -2937,11 +2937,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     moving_window_functions), the portable-sketch/LSH block
     (minhash_pairs_portable, kmv_distinct_users, kmv_overlap_users),
     neardup_triangles, value_transforms, event_transitions,
-    rollup_incremental (mergeable-partials maintenance), and
-    zorder_key (Morton layout); (c) the 15 leftover r2 greens that
-    still fit (bucketed_join … tpch_q9 — the displaced tail
-    tpch_q11/q16/q20 heads the r6 (c) promotion list with the
-    displaced r3 greens). Everything stays covered locally by
+    rollup_incremental (mergeable-partials maintenance), zorder_key
+    (Morton layout), and time_to_convert (conversion latency); (c)
+    the 14 leftover r2 greens that still fit (bucketed_join …
+    tpch_q2 — the displaced tail tpch_q9/q11/q16/q20 heads the r6
+    (c) promotion list with the displaced r3 greens). Everything
+    stays covered locally by
     tools/check_oracle.py at sf0.01 AND sf0.1 regardless of prefix
     position (the sf0.1 pass is stricter — it caught the
     decimal-cast boundary bug the sf0.01 gate missed).
