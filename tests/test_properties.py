@@ -11,6 +11,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
 import ceres_spark.operators.aggregate as agg
 import ceres_spark.operators.compact as cp
 
@@ -461,3 +462,82 @@ def test_text_normalize_is_idempotent(spark, texts):
     a = {r["doc_id"]: r["text"] for r in once.collect()}
     b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
     assert a == b
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(strings=st.lists(
+    st.text(st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=0, max_size=40),
+    min_size=1, max_size=20, unique=True))
+def test_md5_low31_matches_pure_python(spark, strings):
+    # the portable hash every sketch/LSH oracle leans on: Spark's
+    # reversed-hex conv == digest bytes 8..16 LE masked to 31 bits
+    import hashlib
+
+    from ceres_spark.operators.dedup import _md5_low31
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", _md5_low31(F.col("s")).alias("h")).collect()}
+    for s in strings:
+        d = hashlib.md5(s.encode()).digest()
+        assert got[s] == int.from_bytes(d[8:16], "little") & 0x7FFFFFFF, s
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+    min_size=1, max_size=40))
+def test_morton_key_bijective_and_ordered(spark, pairs):
+    # interleave must be invertible (no two cells share a key) and
+    # reproduce the bit-interleave reference on arbitrary 16-bit input
+    import ceres_spark.operators.layout as lay
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [r["z"] for r in
+           df.select(lay.morton_key(F.col("x"), F.col("y")).alias("z"))
+           .collect()]
+    assert got == [ref(x, y) for x, y in pairs]
+    assert len(set(got)) == len(set(pairs))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(0, 10**9), min_size=1, max_size=120),
+    k=st.sampled_from([4, 16, 64]),
+    nsplit=st.integers(1, 4),
+)
+def test_kmv_split_invariance(spark, vals, k, nsplit):
+    # the sketch of a union == sketch of the whole, for ANY split of
+    # the input and ANY duplication across splits — mergeability as a
+    # property, not an example
+    import ceres_spark.operators.sketches as sk
+
+    whole = spark.createDataFrame([("g", v) for v in vals],
+                                  "g string, v long")
+    parts = [("g", v) for i, v in enumerate(vals)] + \
+            [("g", v) for v in vals[::max(1, nsplit)]]  # re-arrivals
+    split_df = spark.createDataFrame(parts, "g string, v long")
+    a = sk.kmv_distinct(whole, "g", "v", k=k).collect()[0]
+    b = sk.kmv_distinct(split_df, "g", "v", k=k).collect()[0]
+    assert (a["n_tracked"], a["est_distinct"]) == (
+        b["n_tracked"], b["est_distinct"])
