@@ -1634,29 +1634,15 @@ def _q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_cusum."""
     import ceres_spark.streaming.stateful as st
 
-    base = _replay_scratch("hw", sf_dir)
-    src, ck = f"{base}/src", f"{base}/ck"
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
-    _write_arrival_files(_with_time_quartile(hourly, "ts"), src, 4)
-    stream = (
-        spark.readStream.schema("metric string, ts long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = st.holt_winters_stream(stream, alpha=0.1, beta=0.0035,
-                                 dev_scale=3.0)
-    with _replay_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"shw_{abs(hash(base)) % 10**9}")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_replay(q, "stream_holt_winters")
-    return spark.table(q.name).select(
+    return _replay_stateful(
+        spark, sf_dir, "hw", "stream_holt_winters", hourly,
+        "metric string, ts long, value double",
+        lambda s: st.holt_winters_stream(
+            s, alpha=0.1, beta=0.0035, dev_scale=3.0
+        ),
+    ).select(
         "metric", "ts", "value", "forecast", "upper", "lower",
         "aberration"
     )
@@ -1673,28 +1659,13 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion bit-for-bit."""
     import ceres_spark.streaming.stateful as st
 
-    base = _replay_scratch("ewma", sf_dir)
-    src, ck = f"{base}/src", f"{base}/ck"
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
-    _write_arrival_files(_with_time_quartile(hourly, "ts"), src, 4)
-    stream = (
-        spark.readStream.schema("metric string, ts long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = st.ewma_stream(stream, alpha=0.3)
-    with _replay_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"sew_{abs(hash(base)) % 10**9}")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_replay(q, "stream_ewma")
-    return spark.table(q.name).select("metric", "ts", "value", "ewma")
+    return _replay_stateful(
+        spark, sf_dir, "ewma", "stream_ewma", hourly,
+        "metric string, ts long, value double",
+        lambda s: st.ewma_stream(s, alpha=0.3),
+    ).select("metric", "ts", "value", "ewma")
 
 
 def _q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,31 +1698,16 @@ def _q_stream_hw_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase means the 4-way batch split cannot desync the season."""
     import ceres_spark.streaming.stateful as st
 
-    base = _replay_scratch("hws", sf_dir)
-    src, ck = f"{base}/src", f"{base}/ck"
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     five_min = agg.aggregate_series(deduped, "average", 300)
-    _write_arrival_files(_with_time_quartile(five_min, "ts"), src, 4)
-    stream = (
-        spark.readStream.schema("metric string, ts long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = st.holt_winters_seasonal_stream(
-        stream, season_length=12, step=300, alpha=0.1, beta=0.0035,
-        gamma=0.1, dev_scale=3.0,
-    )
-    with _replay_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"shws_{abs(hash(base)) % 10**9}")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_replay(q, "stream_hw_seasonal")
-    return spark.table(q.name).select(
+    return _replay_stateful(
+        spark, sf_dir, "hws", "stream_hw_seasonal", five_min,
+        "metric string, ts long, value double",
+        lambda s: st.holt_winters_seasonal_stream(
+            s, season_length=12, step=300, alpha=0.1, beta=0.0035,
+            gamma=0.1, dev_scale=3.0,
+        ),
+    ).select(
         "metric", "ts", "value", "forecast", "upper", "lower",
         "aberration"
     )
@@ -2182,18 +2138,79 @@ def _replay_scratch(name: str, sf_dir: str) -> str:
     a parquet-sink entry reads from this dir — callers collect before
     invoking the same entry again (the driver, bench and check_oracle
     all do)."""
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(), f"ceres_replay_{name}_{key}_{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    # sweep siblings left by DEAD processes: the per-PID key prevents
+    # live runs from deleting each other's streaming source mid-query,
+    # but without this sweep every finished process would leak its
+    # fixture+checkpoint footprint (the leak the stable key fixed)
+    for stale in glob.glob(os.path.join(tmp, f"ceres_replay_{name}_{key}_*")):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    base = os.path.join(tmp, f"ceres_replay_{name}_{key}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     return base
+
+
+def _replay_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    entry_name: str,
+    feed: DataFrame,
+    schema: str,
+    op,
+    n_batches: int = 4,
+    t_col: str = "ts",
+) -> DataFrame:
+    """Shared scaffold for the stateful replay twins (EWMA / Holt /
+    seasonal HW / CUSUM / KMV all differ ONLY in their feed,
+    stream schema, and stateful operator): write ``feed`` as
+    ``n_batches`` time-ordered arrival files, run ``op(stream)``
+    through a checkpointed availableNow memory-sink query scoped to
+    the replay shuffle config, and return the materialized table
+    (callers project/filter their own output columns). One copy of
+    the harness wiring — queryName hashing, checkpoint, trigger —
+    instead of one per entry."""
+    base = _replay_scratch(name, sf_dir)
+    src, ck = f"{base}/src", f"{base}/ck"
+    _write_arrival_files(
+        _with_time_quartile(feed, t_col, n_batches), src, n_batches
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = op(stream)
+    with _replay_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"rp{name}_{abs(hash(base)) % 10**9}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q, entry_name)
+    return spark.table(q.name)
 
 
 def _write_arrival_files(
@@ -2590,32 +2607,16 @@ def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves through the state store."""
     import ceres_spark.streaming.stateful as st
 
-    base = _replay_scratch("kmv", sf_dir)
-    src, ck = f"{base}/src", f"{base}/ck"
     ev = tbl.load(spark, "events", sf_dir)
     sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
     feed = ev.filter(F.col("user_id").isNotNull()).select(
         "event_type", "user_id", sec.alias("ts")
     )
-    _write_arrival_files(_with_time_quartile(feed, "ts"), src, 4)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, user_id long, ts long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    t = _replay_stateful(
+        spark, sf_dir, "kmv", "stream_kmv", feed,
+        "event_type string, user_id long, ts long",
+        lambda s: st.kmv_stream(s, k=64),
     )
-    out = st.kmv_stream(stream, k=64)
-    with _replay_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"skmv_{abs(hash(base)) % 10**9}")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_replay(q, "stream_kmv")
     # last emission per group == the full-data sketch; rows_seen is
     # strictly increasing per group so max-row_number picks exactly
     # one row (the sink table is groups×batches ≈ tens of rows)
@@ -2623,8 +2624,7 @@ def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("event_type").orderBy(F.desc("rows_seen"))
     return (
-        spark.table(q.name)
-        .withColumn("_rn", F.row_number().over(w))
+        t.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("event_type", "rows_seen", "n_tracked", "est_distinct")
     )
@@ -2649,8 +2649,6 @@ def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alert on the 1-/30-min aggregate, not per-event)."""
     import ceres_spark.streaming.stateful as st
 
-    base = _replay_scratch("cusum", sf_dir)
-    src, ck = f"{base}/src", f"{base}/ck"
     deduped = cp.lww_dedup(
         tbl.points(spark, sf_dir).filter(F.col("value").isNotNull())
     )
@@ -2658,24 +2656,11 @@ def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         (F.col("ts") - F.col("ts") % 1800).cast("long").alias("ts"),
     ).agg(agg.agg_expr("average").alias("value"))
-    _write_arrival_files(_with_time_quartile(pts, "ts"), src, 4)
-    stream = (
-        spark.readStream.schema("metric string, ts long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = st.cusum_stream(stream, mu0=10.0, slack=0.5, h=25.0)
-    with _replay_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"scsm_{abs(hash(base)) % 10**9}")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_replay(q, "stream_cusum")
-    return spark.table(q.name).select(
+    return _replay_stateful(
+        spark, sf_dir, "cusum", "stream_cusum", pts,
+        "metric string, ts long, value double",
+        lambda s: st.cusum_stream(s, mu0=10.0, slack=0.5, h=25.0),
+    ).select(
         "metric", "ts", "value", "s_hi", "s_lo", "alarm"
     )
 

@@ -367,7 +367,10 @@ def pagerank_units(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank_units", F.lit(None).cast("long"))
+        # schema must match the non-empty path (node, rank_units, rank)
+        return nodes.withColumn(
+            "rank_units", F.lit(None).cast("long")
+        ).withColumn("rank", F.lit(None).cast("double"))
     deg = e.groupBy("u").agg(F.count("*").alias("_deg"))
     e_deg = e.join(deg, "u").localCheckpoint(eager=True)
     dangling = nodes.join(

@@ -73,23 +73,28 @@ def expire_path(
     )
     affected = df.filter(F.col(partition_col) <= cutoff_date)
     surviving = affected.filter(F.col("ts") >= F.lit(cutoff_q))
+    # a day is FULLY expired iff it has no surviving rows — derived
+    # with the SAME Spark expressions as the partition values, so the
+    # classification is correct in ANY session timezone (a Python
+    # UTC-date comparison here silently deleted the straddling
+    # partition under non-UTC sessions — its date label is
+    # session-tz-derived). Collected BEFORE the overwrite mutates the
+    # table; bounded by #days.
+    surviving_days = {
+        r[0]
+        for r in surviving.select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+    }
     (
         surviving.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
-    # fully-expired partitions are dropped by dynamic overwrite only if
-    # they appear in `surviving`; remove the rest explicitly — every
-    # day strictly before the cutoff's own day is fully expired
-    import datetime
-
-    cutoff_day = (
-        datetime.datetime.fromtimestamp(cutoff_q, datetime.timezone.utc)
-        .date()
-        .isoformat()
-    )
-    drop = [d for d in expired_days if d < cutoff_day]
+    # dynamic overwrite rewrote only days present in `surviving`;
+    # remove the rest explicitly
+    drop = [d for d in expired_days if d not in surviving_days]
     try:
         jvm, hconf = spark._jvm, spark._jsc.hadoopConfiguration()
     except AttributeError:  # Spark Connect: no JVM gateway

@@ -806,10 +806,13 @@ def percentile_of_series(buckets: DataFrame, n: int = 90) -> DataFrame:
     Same non-interpolated rank rule as :func:`n_percentile`, applied
     per ``ts`` bucket instead of per metric. Output: (ts, value).
 
-    Plan: one window + broadcast counts keyed by ts. The per-ts group
-    is #metrics wide (small); the exchange is on ts, so the combine
-    parallelizes across the time axis — the right axis at 100 TB,
-    where time is the unbounded dimension.
+    Plan: one ts-partitioned window + a SHUFFLE join back to the
+    per-ts counts — deliberately NOT a broadcast: counts has one row
+    per timestamp, unbounded along the time axis, and AQE reuses the
+    ts partitioning from the window for the join anyway. The per-ts
+    group is #metrics wide (small); the exchange is on ts, so the
+    combine parallelizes across the time axis — the right axis at
+    100 TB, where time is the unbounded dimension.
     """
     from pyspark.sql.window import Window
 

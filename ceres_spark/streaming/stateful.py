@@ -130,8 +130,15 @@ def holt_winters_stream(
             level, trend, d, inited = state.get
         else:
             level, trend, d, inited = math.nan, 0.0, 0.0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts").reset_index(drop=True)
+        # ONE sort over the whole micro-batch: pandas chunks within a
+        # group carry no cross-chunk ordering guarantee, and a
+        # per-chunk sort would fold the recurrence out of time order
+        # whenever a batch splits into multiple Arrow chunks
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts").reset_index(
+                drop=True
+            )
             vals = pdf["value"].to_numpy(dtype=float)
             n = len(vals)
             import numpy as np
@@ -223,8 +230,12 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.3) -> DataFrame:
         st = state.get[0] if state.exists else math.nan
         if st is None:
             st = math.nan
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts").reset_index(drop=True)
+        # one sort over the whole micro-batch — see holt_winters_stream
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts").reset_index(
+                drop=True
+            )
             vals = pdf["value"].to_numpy(dtype=float)
             out = np.empty_like(vals)
             for i, v in enumerate(vals):
@@ -295,7 +306,9 @@ def holt_winters_seasonal_stream(
         else:
             level, trend, d, inited = math.nan, 0.0, 0.0, 0
             seas = np.zeros(L)
-        for pdf in pdfs:
+        # one sort over the whole micro-batch — see holt_winters_stream
+        chunks = list(pdfs)
+        for pdf in ([pd.concat(chunks)] if chunks else []):
             pdf = pdf.sort_values("ts").reset_index(drop=True)
             vals = pdf["value"].to_numpy(dtype=float)
             idxs = (pdf["ts"].to_numpy(dtype=np.int64) // stp) % L

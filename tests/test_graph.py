@@ -231,7 +231,8 @@ def test_pagerank_units_empty_and_bad_damping(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     out = gr.pagerank_units(e)
-    assert out.columns == ["node", "rank_units"]
+    # empty path must match the non-empty schema (review r5)
+    assert out.columns == ["node", "rank_units", "rank"]
     assert out.count() == 0
     with _pt.raises(ValueError):
         gr.pagerank_units(
