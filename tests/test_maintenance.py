@@ -337,3 +337,33 @@ def test_rollup_partials_xff_matches_direct(spark):
     assert ret.rollup_finalize(merged, "average", 60, 3600, 0.2).count() == 0
     assert ret.rollup(df, "average", 60, 3600, 0.1).count() == 1
     assert ret.rollup(df, "average", 60, 3600, 0.2).count() == 0
+
+
+def test_expire_path_safe_in_non_utc_session(spark, tmp_path):
+    # regression (r5 review): the straddling partition's DATE label is
+    # session-tz-derived; classifying fully-expired days with a Python
+    # UTC date deleted the freshly rewritten straddling partition
+    # under non-UTC sessions. The drop list must come from the same
+    # Spark expressions that produced the labels.
+    path = str(tmp_path / "pts")
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # cutoff Jan 3 01:00 UTC == Jan 2 17:00 PT: in PT the
+        # straddling partition is date=1970-01-02 and holds BOTH
+        # expired (00:30 UTC) and surviving (02:00 UTC) rows
+        cutoff = 2 * 86400 + 3600
+        rows = [("m", 0, 1.0),                 # PT 1969-12-31 — expired
+                ("m", 2 * 86400 + 1800, 2.0),  # PT 01-02, expired
+                ("m", 2 * 86400 + 7200, 3.0),  # PT 01-02, SURVIVES
+                ("m", 4 * 86400, 4.0)]         # untouched
+        d = df(spark, rows).withColumn(
+            "date", F.to_date(F.timestamp_seconds(F.col("ts")))
+        )
+        d.write.partitionBy("date").parquet(path)
+        ret.expire_path(spark, path, cutoff, 60)
+        left = {r["ts"] for r in
+                spark.read.parquet(path).select("ts").collect()}
+        assert left == {2 * 86400 + 7200, 4 * 86400}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
