@@ -2,10 +2,12 @@
 metadata (north-star §2.2).
 
 Decode is REAL for PPM (P6) images, RIFF/PCM16 WAV audio and C444
-Y4M video (numpy header walk + ``frombuffer``), AND for two
+Y4M video (numpy header walk + ``frombuffer``), AND for three
 genuinely compressed containers built-in with stdlib only: PNG
-(zlib inflate + predictive unfilters) and baseline JPEG (huffman
-entropy decode + matrix IDCT + chroma upsampling);
+(zlib inflate + predictive unfilters), baseline JPEG (huffman
+entropy decode + matrix IDCT + chroma upsampling), and FLAC
+(Rice-coded residuals + FIXED/LPC prediction + stereo
+decorrelation — lossless, so decoded audio is bit-identical);
 ``real_features`` computes content statistics from actual
 pixels/samples. Remaining compressed formats (progressive JPEG,
 MP3, H.264...) need codec libraries this container lacks —
@@ -970,6 +972,428 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+# --------------------------------------------------------- FLAC
+# Pure stdlib+numpy FLAC codec (RFC 9639 / xiph spec — public).
+# Decoder covers the full baseline surface: CONSTANT / VERBATIM /
+# FIXED(0-4) / LPC subframes, Rice residual partitions (4- and 5-bit
+# params, escape codes), wasted bits, and all four stereo
+# assignments (independent, left/side, right/side, mid/side). The
+# encoder is the fixture/roundtrip twin: FIXED predictors with
+# per-subframe order search + Rice coding — LOSSLESS, so
+# decode(encode(x)) == x exactly.
+
+_CRC8_TBL = None
+_CRC16_TBL = None
+
+
+def _crc_tables():
+    global _CRC8_TBL, _CRC16_TBL
+    if _CRC8_TBL is None:
+        t8 = []
+        for b in range(256):
+            c = b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            t8.append(c)
+        t16 = []
+        for b in range(256):
+            c = b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            t16.append(c)
+        _CRC8_TBL, _CRC16_TBL = t8, t16
+    return _CRC8_TBL, _CRC16_TBL
+
+
+def _crc8(data: bytes) -> int:
+    t8, _ = _crc_tables()
+    c = 0
+    for b in data:
+        c = t8[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    _, t16 = _crc_tables()
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ t16[((c >> 8) ^ b) & 0xFF]
+    return c
+
+
+class _MSBWriter:
+    """MSB-first bit packer (FLAC's bit order)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _MSBReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def take(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            b = (self.data[self.byte] >> (7 - self.bit)) & 1
+            v = (v << 1) | b
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def take_signed(self, bits: int) -> int:
+        v = self.take(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def take_unary(self) -> int:
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    out, bits = [], 6
+    while n >> bits and bits < 36:
+        bits += 5
+    nbytes = 1 + (bits - 6) // 5
+    lead = (0xFF << (7 - nbytes)) & 0xFF
+    out.append(lead | (n >> (6 * nbytes)) & ((1 << (6 - nbytes)) - 1))
+    for i in range(nbytes - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(r: "_MSBReader") -> int:
+    b0 = r.take(8)
+    if b0 < 0x80:
+        return b0
+    n_follow = 0
+    mask = 0x40
+    while b0 & mask:
+        n_follow += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(n_follow):
+        v = (v << 6) | (r.take(8) & 0x3F)
+    return v
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _zigzag(v: "np.ndarray") -> "np.ndarray":
+    return np.where(v >= 0, v.astype(np.int64) * 2, -2 * v.astype(np.int64) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_flac(
+    samples: "np.ndarray", rate: int = 44100, block_size: int = 4096
+) -> bytes:
+    """FLAC encoder for int16 PCM ((frames,) mono or (frames, ch) up
+    to 2 channels): independent channels, FIXED predictor per
+    subframe (order 0-2 chosen by residual magnitude), single-
+    partition Rice residual with a near-optimal parameter — a small
+    but fully CONFORMANT encoder (CRCs, STREAMINFO, UTF-8 frame
+    numbers), and exactly lossless."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16 or samples.shape[1] not in (1, 2):
+        raise ValueError("encode_flac expects int16 (frames[, 1|2ch])")
+    nfr, nch = samples.shape
+    bps = 16
+
+    out = bytearray(b"fLaC")
+    si = _MSBWriter()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(nfr, 36)
+    sib = si.bytes() if si.n == 0 else None
+    if sib is None:
+        si.align()
+        sib = si.bytes()
+    out += bytes([0x80]) + len(sib + b"\x00" * 16).to_bytes(3, "big")
+    out += sib + b"\x00" * 16  # md5 unset (0 = not provided)
+
+    frame_no = 0
+    for start in range(0, nfr, block_size):
+        blk = samples[start:start + block_size]
+        n = len(blk)
+        hdr = _MSBWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)   # reserved
+        hdr.put(0, 1)   # fixed blocksize strategy
+        hdr.put(0b0111, 4)   # block size: get 16 bit (n-1) at end
+        hdr.put(0b0000, 4)   # sample rate: from STREAMINFO
+        hdr.put(nch - 1, 4)  # independent channels
+        hdr.put(0b100, 3)    # 16 bps
+        hdr.put(0, 1)
+        hdr.align()
+        head = hdr.bytes() + _utf8_code(frame_no)
+        head += struct.pack(">H", n - 1)
+        head += bytes([_crc8(head)])
+
+        body = _MSBWriter()
+        for c in range(nch):
+            x = blk[:, c].astype(np.int64)
+            best, best_cost = 0, None
+            for order in (0, 1, 2):
+                if n <= order:
+                    continue
+                res = x.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = order, cost
+            order = best
+            res = x.copy()
+            for _ in range(order):
+                res = np.diff(res)
+            body.put(0, 1)           # padding
+            body.put(8 + order, 6)   # FIXED, order
+            body.put(0, 1)           # no wasted bits
+            for w in x[:order]:
+                body.put(int(w) & 0xFFFF, bps)
+            # residual: rice method 0, partition order 0
+            body.put(0, 2)
+            body.put(0, 4)
+            zz = _zigzag(res)
+            mean = max(float(zz.mean()) if len(zz) else 0.0, 0.0)
+            p = 0
+            while (1 << (p + 1)) < mean + 1 and p < 14:
+                p += 1
+            body.put(p, 4)
+            for u in zz:
+                u = int(u)
+                body.put_unary(u >> p)
+                if p:
+                    body.put(u & ((1 << p) - 1), p)
+        body.align()
+        bb = body.bytes()
+        frame = head + bb
+        out += frame + struct.pack(">H", _crc16(frame))
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac(payload: bytes):
+    """Decode FLAC to (frames, channels) int16 + rate with stdlib +
+    numpy only: Rice-coded residuals (4/5-bit params, escapes),
+    CONSTANT/VERBATIM/FIXED/LPC subframes, wasted bits, and the four
+    stereo decorrelation modes. >16-bit depth raises
+    NotImplementedError for the codec plug-in chain (same loud-gap
+    contract as progressive JPEG)."""
+    if not payload or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sinfo = None
+    while True:
+        hdr = payload[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if btype == 0:
+            r = _MSBReader(payload, pos + 4)
+            r.take(16); r.take(16); r.take(24); r.take(24)
+            rate = r.take(20)
+            nch = r.take(3) + 1
+            bps = r.take(5) + 1
+            total = r.take(36)
+            sinfo = (rate, nch, bps, total)
+        pos += 4 + ln
+        if last:
+            break
+    if sinfo is None:
+        raise ValueError("FLAC stream without STREAMINFO")
+    rate, nch, bps, total = sinfo
+    if bps > 16:
+        raise NotImplementedError(
+            ">16-bit FLAC needs the codec plug-in"
+        )
+
+    chans = [[] for _ in range(nch)]
+    while pos < len(payload) - 1:
+        r = _MSBReader(payload, pos)
+        sync = r.take(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        r.take(1)
+        r.take(1)
+        bs_code = r.take(4)
+        sr_code = r.take(4)
+        ch_code = r.take(4)
+        ss_code = r.take(3)
+        r.take(1)
+        _utf8_decode(r)
+        if bs_code == 0b0110:
+            n = r.take(8) + 1
+        elif bs_code == 0b0111:
+            n = r.take(16) + 1
+        elif bs_code == 1:
+            n = 192
+        elif 2 <= bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        else:
+            n = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            r.take(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.take(16)
+        r.take(8)  # crc-8 (not re-verified — our own writer)
+
+        if ch_code < 8:
+            n_sub = ch_code + 1
+        else:
+            n_sub = 2  # stereo decorrelation modes
+
+        subs = []
+        for s in range(n_sub):
+            sbps = bps
+            # side channel carries one extra bit
+            if (ch_code == 8 and s == 1) or (ch_code == 9 and s == 0) \
+                    or (ch_code == 10 and s == 1):
+                sbps += 1
+            r.take(1)
+            t = r.take(6)
+            wasted = 0
+            if r.take(1):
+                wasted = 1 + r.take_unary()
+            eff = sbps - wasted
+            if t == 0:  # CONSTANT
+                v = r.take_signed(eff)
+                x = np.full(n, v, dtype=np.int64)
+            elif t == 1:  # VERBATIM
+                x = np.array(
+                    [r.take_signed(eff) for _ in range(n)], dtype=np.int64
+                )
+            elif 8 <= t <= 12 or t >= 32:  # FIXED / LPC
+                order = (t - 8) if t <= 12 else (t & 0x1F) + 1
+                warm = [r.take_signed(eff) for _ in range(order)]
+                if t >= 32:
+                    prec = r.take(4) + 1
+                    shift = r.take_signed(5)
+                    coefs = [r.take_signed(prec) for _ in range(order)]
+                else:
+                    coefs = _FIXED_COEFS[order]
+                    shift = 0
+                # residual
+                method = r.take(2)
+                if method > 1:
+                    raise ValueError("reserved residual method")
+                pbits = 4 if method == 0 else 5
+                po = r.take(4)
+                res = []
+                nparts = 1 << po
+                for part in range(nparts):
+                    cnt = (n >> po) - (order if part == 0 else 0)
+                    param = r.take(pbits)
+                    if param == (1 << pbits) - 1:  # escape: raw
+                        raw_bits = r.take(5)
+                        for _ in range(cnt):
+                            res.append(
+                                r.take_signed(raw_bits) if raw_bits else 0
+                            )
+                    else:
+                        for _ in range(cnt):
+                            q = r.take_unary()
+                            u = (q << param) | (
+                                r.take(param) if param else 0
+                            )
+                            res.append(_unzigzag(u))
+                x = np.empty(n, dtype=np.int64)
+                x[:order] = warm
+                cl = np.array(coefs, dtype=np.int64)
+                for i in range(order, n):
+                    pred = int((x[i - order:i][::-1] * cl).sum()) >> shift
+                    x[i] = pred + res[i - order]
+            else:
+                raise ValueError(f"reserved subframe type {t}")
+            if wasted:
+                x = x << wasted
+            subs.append(x)
+
+        if ch_code < 8:
+            for c in range(n_sub):
+                chans[c].extend(subs[c].tolist())
+        elif ch_code == 8:  # left/side
+            left, side = subs
+            chans[0].extend(left.tolist())
+            chans[1].extend((left - side).tolist())
+        elif ch_code == 9:  # right/side
+            side, right = subs
+            chans[0].extend((right + side).tolist())
+            chans[1].extend(right.tolist())
+        elif ch_code == 10:  # mid/side
+            mid, side = subs
+            left = ((mid << 1) | (side & 1)) + side
+            chans[0].extend((left >> 1).tolist())
+            chans[1].extend(((left >> 1) - side).tolist())
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        r.align()
+        pos = r.byte + 2  # skip crc-16
+
+    arr = np.stack(
+        [np.array(c, dtype=np.int64) for c in chans], axis=1
+    )
+    if total:
+        arr = arr[:total]
+    return arr.astype(np.int16), rate
+
+
 #: Third-party codec hooks for containers the built-in pure-numpy
 #: decoders don't handle (JPEG/PNG/MP3/H.264...). Each hook is
 #: ``fn(payload: bytes, modality: str) -> decoded | None`` where
@@ -1018,6 +1442,9 @@ def decode_real(payload: bytes, modality: str, codecs=None):
             return ("image", decode_jpeg(payload))
         if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
             arr, rate = decode_wav(payload)
+            return ("audio", arr, rate)
+        if head[:4] == b"fLaC":
+            arr, rate = decode_flac(payload)
             return ("audio", arr, rate)
         if head[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(payload)
@@ -1178,7 +1605,21 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                         - 32768
                     ).astype(np.int16)
                     rate = 8000 + (len(raw) % 9) * 1000
-                    payloads.append(encode_wav(samples, rate=rate))
+                    if int(doc_id) % 6 == 1:
+                        # doc_id%6==1: COMPRESSED LOSSLESS (FLAC) with
+                        # samples identical to the WAV twin — decoded
+                        # audio, features and fingerprints are
+                        # container-invariant BIT-FOR-BIT (lossless),
+                        # and the entries exercise the rice+predictor
+                        # decode path
+                        payloads.append(
+                            encode_flac(
+                                samples, rate=rate,
+                                block_size=512 << (int(doc_id) // 6 % 3),
+                            )
+                        )
+                    else:
+                        payloads.append(encode_wav(samples, rate=rate))
                     modalities.append("audio")
                 else:
                     n = 2 + len(raw) % 5

@@ -1,0 +1,282 @@
+"""Stdlib FLAC codec (operators/multimodal.py encode_flac /
+decode_flac): Rice-coded residuals, FIXED/LPC prediction, stereo
+decorrelation — compressed LOSSLESS audio joining PNG/JPEG on the
+built-in codec list. Reference behavior: RFC 9639 (public spec).
+
+The encoder round-trips the FIXED/Rice path; the hand-built streams
+below cover the decoder-only surface (LPC, the three stereo
+decorrelation modes, Rice escapes, 5-bit params, multi-partition
+residuals, wasted bits, CONSTANT/VERBATIM subframes).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+import ceres_spark.operators.multimodal as mm
+
+
+# ------------------------------------------------- roundtrip family
+
+@pytest.mark.parametrize("block_size", [256, 1024, 4096])
+def test_roundtrip_mono_lossless(block_size):
+    rng = np.random.default_rng(5)
+    t = np.arange(5000)
+    x = (3000 * np.sin(t / 20) + rng.normal(0, 120, len(t))).astype(
+        np.int16
+    )
+    out, rate = mm.decode_flac(mm.encode_flac(x, 16000, block_size))
+    assert rate == 16000
+    assert np.array_equal(out[:, 0], x)
+
+
+def test_roundtrip_stereo_and_compression():
+    rng = np.random.default_rng(7)
+    t = np.arange(8000)
+    l = (8000 * np.sin(t / 35)).astype(np.int16)
+    r = (l // 2 + rng.integers(-50, 50, len(t))).astype(np.int16)
+    st = np.stack([l, r], axis=1)
+    p = mm.encode_flac(st, 44100)
+    out, rate = mm.decode_flac(p)
+    assert np.array_equal(out, st)
+    assert len(p) < 0.8 * st.nbytes  # genuinely compressed
+
+
+def test_roundtrip_extremes_and_odd_length():
+    rng = np.random.default_rng(3)
+    cases = [
+        np.full(700, 0, np.int16),
+        np.full(700, -32768, np.int16),
+        np.array([32767, -32768] * 350, np.int16),
+        rng.integers(-32768, 32768, 777).astype(np.int16),
+    ]
+    for x in cases:
+        out, _ = mm.decode_flac(mm.encode_flac(x, 8000, 256))
+        assert np.array_equal(out[:, 0], x)
+
+
+def test_decode_real_routes_flac():
+    x = np.arange(-500, 500, dtype=np.int16)
+    kind, arr, rate = mm.decode_real(mm.encode_flac(x, 8000), "audio")
+    assert kind == "audio" and rate == 8000
+    assert np.array_equal(arr[:, 0], x)
+
+
+# ------------------------------- hand-built decoder-only surfaces
+
+def _stream(n, nch, ch_code, body_fn, bps=16, rate=8000):
+    """Assemble a one-frame FLAC stream whose subframe bits come from
+    ``body_fn(w)`` — an independent construction path from
+    encode_flac, so these tests exercise the decoder alone."""
+    out = bytearray(b"fLaC")
+    si = mm._MSBWriter()
+    si.put(n, 16); si.put(n, 16); si.put(0, 24); si.put(0, 24)
+    si.put(rate, 20); si.put(nch - 1, 3); si.put(bps - 1, 5)
+    si.put(n, 36)
+    sib = si.bytes()
+    out += bytes([0x80]) + (len(sib) + 16).to_bytes(3, "big")
+    out += sib + b"\x00" * 16
+    hdr = mm._MSBWriter()
+    hdr.put(0b11111111111110, 14); hdr.put(0, 1); hdr.put(0, 1)
+    hdr.put(0b0111, 4); hdr.put(0b0000, 4)
+    hdr.put(ch_code, 4); hdr.put(0b100, 3); hdr.put(0, 1)
+    hdr.align()
+    head = hdr.bytes() + mm._utf8_code(0) + struct.pack(">H", n - 1)
+    head += bytes([mm._crc8(head)])
+    w = mm._MSBWriter()
+    body_fn(w)
+    w.align()
+    frame = head + w.bytes()
+    out += frame + struct.pack(">H", mm._crc16(frame))
+    return bytes(out)
+
+
+def _verbatim_sub(w, xs, bits=16):
+    w.put(0, 1); w.put(1, 6); w.put(0, 1)
+    for v in xs:
+        w.put(int(v) & ((1 << bits) - 1), bits)
+
+
+def test_constant_and_verbatim_subframes():
+    n = 64
+    xs = np.arange(-32, 32, dtype=np.int64)
+
+    def body(w):
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)  # CONSTANT
+        w.put(-7 & 0xFFFF, 16)
+        _verbatim_sub(w, xs)
+
+    out, _ = mm.decode_flac(_stream(n, 2, 1, body))
+    assert (out[:, 0] == -7).all()
+    assert np.array_equal(out[:, 1], xs)
+
+
+def test_lpc_subframe():
+    # order-2 LPC, precision 5, shift 2, coefs [3, 1]:
+    # x[i] = ((3*x[i-1] + 1*x[i-2]) >> 2) + res[i]
+    n, warm = 32, [100, 110]
+    res = [(-1) ** i * (i % 5) for i in range(n - 2)]
+    x = list(warm)
+    for rv in res:
+        x.append(((3 * x[-1] + 1 * x[-2]) >> 2) + rv)
+
+    def body(w):
+        w.put(0, 1)
+        w.put(0b100000 | (2 - 1), 6)  # LPC order 2
+        w.put(0, 1)
+        for v in warm:
+            w.put(v & 0xFFFF, 16)
+        w.put(5 - 1, 4)       # precision
+        w.put(2 & 0x1F, 5)    # shift
+        w.put(3 & 0x1F, 5)    # coef 0
+        w.put(1 & 0x1F, 5)    # coef 1
+        w.put(0, 2); w.put(0, 4)  # rice4, 1 partition
+        w.put(2, 4)           # param 2
+        for rv in res:
+            u = 2 * rv if rv >= 0 else -2 * rv - 1
+            w.put_unary(u >> 2)
+            w.put(u & 3, 2)
+
+    out, _ = mm.decode_flac(_stream(n, 1, 0, body))
+    assert np.array_equal(out[:, 0], np.array(x, dtype=np.int16))
+
+
+def _fixed0_sub(w, xs, bits=16, param=3):
+    w.put(0, 1); w.put(8, 6); w.put(0, 1)  # FIXED order 0
+    w.put(0, 2); w.put(0, 4)
+    w.put(param, 4)
+    for v in xs:
+        u = 2 * int(v) if v >= 0 else -2 * int(v) - 1
+        w.put_unary(u >> param)
+        if param:
+            w.put(u & ((1 << param) - 1), param)
+
+
+@pytest.mark.parametrize("mode", [8, 9, 10])
+def test_stereo_decorrelation_modes(mode):
+    n = 48
+    rng = np.random.default_rng(mode)
+    left = rng.integers(-200, 200, n).astype(np.int64)
+    right = rng.integers(-200, 200, n).astype(np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+
+    def body(w):
+        if mode == 8:    # left/side — side carries bps+1
+            _fixed0_sub(w, left, 16)
+            _fixed0_sub(w, side, 17)
+        elif mode == 9:  # right/side
+            _fixed0_sub(w, side, 17)
+            _fixed0_sub(w, right, 16)
+        else:            # mid/side
+            _fixed0_sub(w, mid, 16)
+            _fixed0_sub(w, side, 17)
+
+    out, _ = mm.decode_flac(_stream(n, 2, mode, body))
+    assert np.array_equal(out[:, 0], left.astype(np.int16)), mode
+    assert np.array_equal(out[:, 1], right.astype(np.int16)), mode
+
+
+def test_rice_escape_and_method1_and_partitions():
+    # 4 partitions (order 2); partition 1 escaped raw-9-bit; method 1
+    # (5-bit params) on a second frame... keep one frame: method 0
+    n = 64
+    xs = np.concatenate([
+        np.arange(16), 200 * np.ones(16), np.arange(16), np.zeros(16)
+    ]).astype(np.int64)
+
+    def body(w):
+        w.put(0, 1); w.put(8, 6); w.put(0, 1)  # FIXED order 0
+        w.put(0, 2)
+        w.put(2, 4)  # partition order 2 -> 4 partitions of 16
+        for part in range(4):
+            vals = xs[part * 16:(part + 1) * 16]
+            if part == 1:
+                w.put(0xF, 4)   # escape
+                w.put(10, 5)    # raw 10-bit signed
+                for v in vals:
+                    w.put(int(v) & 0x3FF, 10)
+            else:
+                w.put(2, 4)
+                for v in vals:
+                    u = 2 * int(v) if v >= 0 else -2 * int(v) - 1
+                    w.put_unary(u >> 2)
+                    w.put(u & 3, 2)
+
+    out, _ = mm.decode_flac(_stream(n, 1, 0, body))
+    assert np.array_equal(out[:, 0], xs.astype(np.int16))
+
+
+def test_method1_five_bit_params():
+    n = 32
+    xs = (np.arange(n) * 100 - 1500).astype(np.int64)
+
+    def body(w):
+        w.put(0, 1); w.put(8, 6); w.put(0, 1)
+        w.put(1, 2)   # method 1: 5-bit rice params
+        w.put(0, 4)
+        w.put(7, 5)
+        for v in xs:
+            u = 2 * int(v) if v >= 0 else -2 * int(v) - 1
+            w.put_unary(u >> 7)
+            w.put(u & 127, 7)
+
+    out, _ = mm.decode_flac(_stream(n, 1, 0, body))
+    assert np.array_equal(out[:, 0], xs.astype(np.int16))
+
+
+def test_wasted_bits():
+    # samples all divisible by 4: stored >> 2 with wasted=2
+    n = 24
+    xs = (np.arange(n) * 4 - 40).astype(np.int64)
+
+    def body(w):
+        w.put(0, 1); w.put(1, 6)  # VERBATIM
+        w.put(1, 1)               # wasted-bits flag
+        w.put_unary(1)            # unary(1) -> wasted = 2
+        for v in xs >> 2:
+            w.put(int(v) & 0x3FFF, 14)  # eff = 16 - 2
+
+    out, _ = mm.decode_flac(_stream(n, 1, 0, body))
+    assert np.array_equal(out[:, 0], xs.astype(np.int16))
+
+
+# ------------------------------------------------------ error paths
+
+def test_not_flac_and_deep_bits_raise():
+    with pytest.raises(ValueError):
+        mm.decode_flac(b"RIFFxxxxWAVE")
+    x = np.zeros(16, np.int16)
+    p = bytearray(mm.encode_flac(x, 8000))
+    # STREAMINFO bps field: byte offset 4+4+16.. patch via rebuild:
+    # easier — craft a 24-bit STREAMINFO via _stream's writer
+    si = mm._MSBWriter()
+    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(24 - 1, 5); si.put(16, 36)
+    sib = si.bytes()
+    deep = b"fLaC" + bytes([0x80]) + (len(sib) + 16).to_bytes(3, "big") \
+        + sib + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        mm.decode_flac(deep)
+
+
+# ----------------------------------- cross-container dedup pipeline
+
+def test_audio_fingerprint_container_invariant(spark):
+    # the same samples shipped as WAV and as FLAC must produce the
+    # SAME envelope fingerprint — lossless means the near-dup kernel
+    # cannot tell containers apart (hamming 0)
+    rng = np.random.default_rng(11)
+    t = np.arange(4096)
+    x = (5000 * np.sin(t / 30) + rng.normal(0, 300, len(t))).astype(
+        np.int16
+    )
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(mm.encode_wav(x, rate=16000))),
+         (2, "audio", bytearray(mm.encode_flac(x, rate=16000)))],
+        "asset_id long, modality string, payload binary",
+    )
+    fps = {r["asset_id"]: r["afp"] for r in
+           mm.audio_fingerprint(assets).collect()}
+    assert fps[1] == fps[2]
