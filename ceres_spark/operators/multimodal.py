@@ -1089,10 +1089,14 @@ def _utf8_code(n: int) -> bytes:
     """FLAC's UTF-8-style coded number (frame index)."""
     if n < 0x80:
         return bytes([n])
+    # canonical byte count (RFC 9639 / UTF-8): k continuation bytes
+    # carry 6+5k payload bits, so k is the MINIMAL count with
+    # n < 2**(6+5k) — one extra continuation (overlong form) makes
+    # strict decoders reject frames past the 127th (ADVICE r5)
     out, bits = [], 6
     while n >> bits and bits < 36:
         bits += 5
-    nbytes = 1 + (bits - 6) // 5
+    nbytes = (bits - 6) // 5
     lead = (0xFF << (7 - nbytes)) & 0xFF
     out.append(lead | (n >> (6 * nbytes)) & ((1 << (6 - nbytes)) - 1))
     for i in range(nbytes - 1, -1, -1):
@@ -1240,11 +1244,16 @@ def decode_flac(payload: bytes):
         raise ValueError("not a FLAC payload")
     pos = 4
     sinfo = None
-    while True:
+    last = 0
+    while pos + 4 <= len(payload):
         hdr = payload[pos]
         last = hdr & 0x80
         btype = hdr & 0x7F
         ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if pos + 4 + ln > len(payload):
+            # truncated block body: ValueError (not IndexError) so
+            # decode_real's hook-routing except clause applies
+            raise ValueError("truncated FLAC metadata")
         if btype == 0:
             r = _MSBReader(payload, pos + 4)
             r.take(16); r.take(16); r.take(24); r.take(24)
@@ -1256,6 +1265,8 @@ def decode_flac(payload: bytes):
         pos += 4 + ln
         if last:
             break
+    if not last:
+        raise ValueError("truncated FLAC metadata")
     if sinfo is None:
         raise ValueError("FLAC stream without STREAMINFO")
     rate, nch, bps, total = sinfo

@@ -386,7 +386,13 @@ def rollup_partials(deduped: DataFrame, new_step: int) -> DataFrame:
         F.max(
             F.when(F.col("value").isNotNull(), F.col("ts"))
         ).alias("_last_ts"),
-        F.max_by("value", F.col("ts")).alias("_last_val"),
+        # NULL-guarded like _last_ts and agg_expr('last'): a bucket
+        # whose latest raw row carries a NULL value must finalize to
+        # the last NON-null value, or finalize(merge(partials)) !=
+        # rollup('last') on gap-bearing input (ADVICE r5).
+        F.max_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+        ).alias("_last_val"),
     )
 
 

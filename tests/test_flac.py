@@ -261,6 +261,40 @@ def test_not_flac_and_deep_bits_raise():
         mm.decode_flac(deep)
 
 
+def test_truncated_metadata_raises_value_error():
+    # ADVICE r5: a truncated stream must raise ValueError (hook-
+    # routable), never IndexError out of the metadata loop
+    x = np.zeros(64, np.int16)
+    full = mm.encode_flac(x, 8000)
+    for p in (b"fLaC",                         # nothing after magic
+              full[:6],                        # mid block header
+              full[:20],                       # mid STREAMINFO body
+              b"fLaC" + bytes([0x00, 0xFF, 0xFF, 0xFF])):  # ln > EOF
+        with pytest.raises(ValueError):
+            mm.decode_flac(p)
+
+
+def test_utf8_code_canonical_byte_lengths():
+    # ADVICE r5: frame numbers must use CANONICAL UTF-8-style coding
+    # (RFC 9639 ties byte count to value range) — one continuation
+    # byte too many makes strict decoders reject frames past the
+    # 127th. Check boundary values against the UTF-8 capacity table
+    # and a couple of known encodings.
+    assert mm._utf8_code(0x7F) == b"\x7f"
+    assert mm._utf8_code(0x80) == b"\xc2\x80"
+    assert mm._utf8_code(128) == bytes([0xC2, 0x80])
+    bounds = [(0, 1), (0x7F, 1), (0x80, 2), (0x7FF, 2), (0x800, 3),
+              (0xFFFF, 3), (0x10000, 4), (0x1FFFFF, 4), (0x200000, 5),
+              (0x3FFFFFF, 5), (0x4000000, 6), (0x7FFFFFFF, 6),
+              (0x80000000, 7), ((1 << 36) - 1, 7)]
+    for n, nbytes in bounds:
+        enc = mm._utf8_code(n)
+        assert len(enc) == nbytes, (hex(n), enc.hex())
+        # and the in-repo decoder round-trips it
+        r = mm._MSBReader(enc, 0)
+        assert mm._utf8_decode(r) == n
+
+
 # ----------------------------------- cross-container dedup pipeline
 
 def test_audio_fingerprint_container_invariant(spark):

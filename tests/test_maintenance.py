@@ -294,7 +294,12 @@ def test_rollup_partials_merge_equals_direct_all_methods(spark):
     # bucket straddles A and B (the incremental-maintenance contract)
     rows = [("m", t, float(v)) for t, v in
             zip(range(0, 7200, 60), range(120))] + \
-           [("n", 0, 5.5), ("n", 3660, 2.25)]
+           [("n", 0, 5.5), ("n", 3660, 2.25)] + \
+           [("g", 0, 5.0), ("g", 60, None), ("g", 120, None)]
+    # metric "g": the bucket's LATEST rows carry NULL values (gap rows
+    # from lww_dedup output) — 'last' must finalize to 5.0, the last
+    # NON-null value, on both paths (ADVICE r5: the unguarded max_by
+    # returned NULL on the incremental path)
     df = spark.createDataFrame(rows, "metric string, ts long, value double")
     a = df.filter("ts % 180 = 0")   # interleaved split within buckets
     b = df.filter("ts % 180 != 0")
