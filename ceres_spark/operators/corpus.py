@@ -35,6 +35,12 @@ from pyspark.sql.window import Window
 
 from ceres_spark.operators.text import tokens
 
+#: Cardinality bound for :func:`temperature_mix`'s global remainder
+#: ranking — apportionment is a total order over sources, so past
+#: this many sources the plan raises in-plan instead of silently
+#: single-reducing (VERDICT r5).
+MAX_MIX_SOURCES = 100_000
+
 #: hex-first-char boundaries: 0-b = 12/16 = 75% train, c-d = 12.5%
 #: val, e-f = 12.5% test. md5 is uniform on the first nibble.
 _TRAIN_MAX = "b"
@@ -683,15 +689,29 @@ def temperature_mix(
     # on the source-cardinality table (sources ≪ 10^4, one row per
     # source). Never point this at a document-cardinality frame
     # (VERDICT r4): apportionment is global by definition, so a huge
-    # key domain needs a different algorithm, not this window.
+    # key domain needs a different algorithm, not this window. The
+    # bound is ENFORCED in-plan below (VERDICT r5): past
+    # MAX_MIX_SOURCES ranked rows the query raises loudly instead of
+    # silently single-reducing.
     wnd = Window.orderBy(F.desc("_rem"), "source")
     leftover = F.lit(t) - F.sum("_floor_alloc").over(
         Window.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     )
+    rank_guarded = F.when(
+        F.row_number().over(wnd) <= MAX_MIX_SOURCES,
+        F.row_number().over(wnd),
+    ).otherwise(
+        F.raise_error(F.lit(
+            f"temperature_mix: more than {MAX_MIX_SOURCES} sources — "
+            "apportionment ranks globally (unpartitioned window); a "
+            "key domain this large needs a different algorithm, not "
+            "this operator"
+        ))
+    )
     return (
-        base.withColumn("_rank", F.row_number().over(wnd))
+        base.withColumn("_rank", rank_guarded)
         .withColumn("_left", leftover)
         .select(
             "source",

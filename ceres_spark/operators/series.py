@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 from ceres_spark.errors import InvalidRequest
 from ceres_spark.operators.aggregate import aggregate_series
 
+#: Cardinality bound for the panel-ordering rank in
+#: :func:`sort_by_extrema` — its windows are global by definition
+#: (a total order over the series list), so past this many series
+#: the plan raises in-plan instead of silently single-reducing.
+MAX_RANKED_SERIES = 100_000
+
 
 def time_grid(
     metrics: DataFrame,
@@ -843,6 +849,16 @@ def sort_by_extrema(buckets: DataFrame) -> DataFrame:
     come from the same tiny result (ties break by metric name, so the
     ordering is total and oracle-stable). rank_by_max=1 is the
     sortByMaxima head; rank_by_min=1 the sortByMinima head.
+
+    The two rank windows are UNPARTITIONED — safe ONLY because they
+    run post-aggregate on the series-list table (one row per metric;
+    graphite panels order tens of series, not catalogs). A
+    10^7-metric catalog would single-reducer here, so the plan
+    carries a LOUD in-plan cardinality guard (VERDICT r5): past
+    ``MAX_RANKED_SERIES`` rows the query fails with instructions to
+    rank via the boundary-bucketing ``order_quartiles_scaled`` path
+    instead of silently serializing. raise_error is JVM-side; the
+    happy path stays codegen.
     """
     from pyspark.sql.window import Window
 
@@ -850,7 +866,7 @@ def sort_by_extrema(buckets: DataFrame) -> DataFrame:
         F.max("value").alias("max_value"),
         F.min("value").alias("min_value"),
     )
-    return ext.select(
+    ranked = ext.select(
         "metric",
         "max_value",
         "min_value",
@@ -860,6 +876,26 @@ def sort_by_extrema(buckets: DataFrame) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.asc("min_value"), F.asc("metric")))
         .alias("rank_by_min"),
+    )
+    return ranked.select(
+        "metric",
+        "max_value",
+        "min_value",
+        F.when(
+            F.col("rank_by_max") <= MAX_RANKED_SERIES,
+            F.col("rank_by_max"),
+        )
+        .otherwise(
+            F.raise_error(F.lit(
+                "sort_by_extrema: more than "
+                f"{MAX_RANKED_SERIES} series — this is a panel-"
+                "ordering primitive (unpartitioned rank); use "
+                "order_quartiles_scaled-style boundary bucketing "
+                "for catalog-scale ranking"
+            ))
+        )
+        .alias("rank_by_max"),
+        "rank_by_min",
     )
 
 

@@ -248,3 +248,23 @@ def test_temperature_mix_empty_corpus_raises(spark):
     )
     with pytest.raises(Exception, match="total weight is 0"):
         corp.temperature_mix(empty_texts, 1000).collect()
+
+
+def test_temperature_mix_source_cardinality_guard(spark, monkeypatch):
+    # VERDICT r5: apportionment ranks globally over an unpartitioned
+    # window — past MAX_MIX_SOURCES the plan must raise loudly
+    # in-plan, never silently single-reduce a huge key domain
+    import pytest
+
+    import ceres_spark.operators.corpus as corp
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i}", "a b c") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    monkeypatch.setattr(corp, "MAX_MIX_SOURCES", 5)
+    with pytest.raises(Exception, match="temperature_mix: more than"):
+        corp.temperature_mix(docs, 1000).collect()
+    monkeypatch.setattr(corp, "MAX_MIX_SOURCES", 6)
+    out = corp.temperature_mix(docs, 1000)
+    assert out.agg(F.sum("alloc_tokens")).collect()[0][0] == 1000

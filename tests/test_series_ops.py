@@ -531,6 +531,22 @@ def test_sort_by_extrema_orders_both_ways(spark):
             key=lambda kv: kv[1]["rank_by_min"])] == ["c", "a", "b"]
 
 
+def test_sort_by_extrema_cardinality_guard(spark, monkeypatch):
+    # VERDICT r5: the unpartitioned rank windows are panel-ordering
+    # primitives — past MAX_RANKED_SERIES the plan must raise loudly
+    # in-plan, never silently single-reduce a catalog
+    import pytest
+
+    import ceres_spark.operators.series as ser
+
+    d = _pts(spark, [(f"m{i}", 0, float(i)) for i in range(6)])
+    monkeypatch.setattr(ser, "MAX_RANKED_SERIES", 5)
+    with pytest.raises(Exception, match="sort_by_extrema: more than"):
+        ser.sort_by_extrema(d).collect()
+    monkeypatch.setattr(ser, "MAX_RANKED_SERIES", 6)
+    assert ser.sort_by_extrema(d).count() == 6
+
+
 def test_summarize_align_to_from_vs_epoch(spark):
     import ceres_spark.operators.series as ser
 
