@@ -2630,6 +2630,65 @@ def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLAY-MATERIALIZED streaming ANN index maintenance
+    (streaming/ann_ingest.py — the last streaming op without external
+    lineage, VERDICT r5 #4): embeddings arrive as two vec_id-ordered
+    batches, are coarse-assigned against FROZEN centroids by the
+    production ``assign_stream`` pandas-UDF GEMM, and land through the
+    production ``index_sink`` into the ``partitionBy(_list)`` layout.
+    The returned (vec_id, list_id) table is read back FROM that
+    partitioned sink, so the external check covers the whole ingest
+    path: stream → stateless assignment → partitioned index.
+
+    SQL-expressibility comes from the integer-lattice trick that
+    upgraded nation_pagerank in r5: vectors are quantized to
+    ``floor(x·1000)`` BIGINT lattices (one IEEE multiply + exact
+    floor — portable), and the frozen centroids are the lattice
+    vectors of the 8 smallest vec_ids (an index artifact; the
+    8-row collect is the bounded-sample contract train_centroids
+    already documents). All squared-L2 magnitudes stay ≤ 64·10⁶ —
+    integer-exact in float64 — so the GEMM's argmin (first-min
+    tie-break) must equal the oracle's (d2, cid)-ordered pick
+    bit-for-bit."""
+    import ceres_spark.streaming.ann_ingest as sai
+
+    base = _replay_scratch("annidx", sf_dir)
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    emb = tbl.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    # frozen coarse quantizer: 8 rows, bounded collect (index artifact)
+    cent_rows = quant.orderBy("vec_id").limit(8).collect()
+    centroids = [[int(v) for v in r["qvec"]] for r in cent_rows]
+    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2  # bounded scalar
+    _write_arrival_files(
+        quant.withColumn("_part", (F.col("vec_id") > mid).cast("int")),
+        src,
+        2,
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, qvec array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assigned = sai.assign_stream(
+        stream, centroids, id_col="vec_id", vec_col="qvec"
+    )
+    with _replay_shuffle(spark):
+        q = sai.index_sink(assigned, out, ck)
+        _await_replay(q, "stream_ann_ingest")
+    idx = spark.read.parquet(out)
+    return idx.select(
+        "vec_id", F.col("_list").cast("int").alias("list_id")
+    )
+
+
 def _q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED online CUSUM (streaming/stateful.py —
     Page's sequential test, O(1) state per metric): the LWW-deduped
@@ -2970,6 +3029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert": _q_time_to_convert,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
+        # (b) new in r6: 12th streaming replay twin — the ANN ingest
+        # path gains external lineage via integer-lattice frozen
+        # centroids (VERDICT r5 #4)
+        "stream_ann_ingest": _q_stream_ann_ingest,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5584,6 +5647,40 @@ SELECT event_type, CAST(rows_seen AS BIGINT) AS rows_seen,
        CASE WHEN n_tracked < 64 THEN CAST(n_tracked AS DOUBLE)
             ELSE 63.0 * 2147483648 / hk END AS est_distinct
 FROM agg JOIN tot USING (event_type)
+""",
+        # streaming ANN ingest oracle: the same floor(x·1000) BIGINT
+        # lattice quantization (one IEEE multiply + exact floor),
+        # frozen centroids = lattice vectors of the 8 smallest
+        # vec_ids, exact integer squared-L2, ties to the smallest
+        # centroid id — the GEMM argmin must reproduce this pick for
+        # every vector that travelled through the streaming sink
+        "stream_ann_ingest": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cid,
+         qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT q.vec_id, cent.cid,
+         list_reduce(
+           list_transform(list_zip(q.qv, cent.qv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (x, y) -> x + y
+         ) AS d2
+  FROM q, cent
+)
+SELECT vec_id, cid AS list_id
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
 """,
         # portable KMV sketch oracle: identical md5-low31 user hash,
         # global k-th minimum (the salted two-phase Spark plan is
