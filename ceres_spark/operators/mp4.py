@@ -1,0 +1,458 @@
+"""MP4 / ISO-BMFF container layer — the video-manifest half of the
+multimodal family (VERDICT r5 #7).
+
+What a real multimodal corpus actually contains is MP4 (camera and
+web video). Hand-writing an H.264 *frame* decoder is the wrong
+boundary (patents, complexity — same call as progressive JPEG), but
+the CONTAINER is stdlib territory: ISO/IEC 14496-12 box grammar with
+the sample tables (stsd / stts / stsc / stsz / stco / stss) that a
+data pipeline needs to plan work — codec identity, geometry, sample
+count/durations, and keyframe BYTE OFFSETS (the seek points a
+frame-sampling job hands to a plugged-in decoder so it never scans
+the whole file).
+
+:func:`parse_mp4` walks the box tree and DERIVES every manifest
+field from the tables (nothing echoed from fixture inputs);
+:func:`encode_mp4` is the muxer twin used to build deterministic
+fixtures (mdat-before-moov, the camera-file layout). Frame decode
+stays behind the codec plug-in hook in
+:mod:`ceres_spark.operators.multimodal` — the manifest is exactly
+what that hook needs to do bounded work.
+
+Reference parity note: ceres has no media surface at all; this module
+belongs to the mandated north-star extensions (SURVEY §2.2), codec
+strategy per VERDICT r5 ("ship an MP4 container parser … route frame
+decode through the codec plug-in hook").
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------- mux
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _full(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B", version)
+                + struct.pack(">I", flags)[1:] + body)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _avc1_entry(width: int, height: int, profile: int, level: int) -> bytes:
+    """VisualSampleEntry('avc1') + avcC decoder-config child (zero
+    SPS/PPS — structurally valid per 14496-15 §5.3.3; fixtures carry
+    no real bitstream, a plug-in decoder brings its own params)."""
+    avcc = _box(
+        b"avcC",
+        bytes([
+            1,                   # configurationVersion
+            profile & 0xFF,      # AVCProfileIndication
+            0,                   # profile_compatibility
+            level & 0xFF,        # AVCLevelIndication
+            0xFC | 3,            # reserved(6) + lengthSizeMinusOne=3
+            0xE0 | 0,            # reserved(3) + numOfSPS=0
+            0,                   # numOfPPS
+        ]),
+    )
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)        # reserved + dref idx
+        + b"\x00" * 16                             # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                     # frame_count
+        + b"\x00" * 32                             # compressorname
+        + struct.pack(">Hh", 24, -1)               # depth, pre_defined
+        + avcc
+    )
+    return _box(b"avc1", body)
+
+
+def encode_mp4(
+    samples: list[bytes],
+    *,
+    width: int,
+    height: int,
+    timescale: int = 600,
+    sample_delta: int = 100,
+    keyframe_every: int = 3,
+    profile: int = 66,
+    level: int = 30,
+) -> bytes:
+    """Mux pre-encoded video samples into a minimal conformant
+    ISO-BMFF file: ``ftyp`` + ``mdat`` + trailing ``moov`` (the
+    camera/progressive layout — chunk offsets are known before the
+    index is written). Two chunks whenever there are ≥2 samples so
+    the stsc/stco walk is genuinely exercised; sync samples every
+    ``keyframe_every``-th sample, starting at the first."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("encode_mp4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat_payload = b"".join(samples)
+    mdat_off = len(ftyp)                 # mdat box starts after ftyp
+    data_off = mdat_off + 8              # first sample byte
+    sizes = [len(s) for s in samples]
+
+    # two chunks: first ceil(n/2) samples, then the rest
+    c1 = (n + 1) // 2
+    chunk_offs = [data_off]
+    stsc_rows = [(1, c1, 1)]
+    if n > c1:
+        chunk_offs.append(data_off + sum(sizes[:c1]))
+        stsc_rows.append((2, n - c1, 1))
+
+    keyframes = list(range(1, n + 1, int(keyframe_every)))  # 1-based
+
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _avc1_entry(width, height, profile, level))
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">III", 1, n, sample_delta))
+    stss = _full(b"stss", 0, 0, struct.pack(">I", len(keyframes))
+                 + b"".join(struct.pack(">I", k) for k in keyframes))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(stsc_rows))
+                 + b"".join(struct.pack(">III", *r) for r in stsc_rows))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
+                 + b"".join(struct.pack(">I", o) for o in chunk_offs))
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+
+    duration = n * sample_delta
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))  # lang 'und'
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0) + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + _UNITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+# ----------------------------------------------------------- demux
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for sibling boxes in
+    [start, end). Raises ValueError on truncation/garbage so the
+    mapInPandas hook-routing contract holds (same rule as FLAC)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack(">I", buf[pos:pos + 4])
+        fourcc = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                      # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize")
+            (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:                    # box runs to EOF
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find(buf: bytes, start: int, end: int, fourcc: bytes):
+    for fc, b, e in _walk(buf, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO-BMFF payload into a planning manifest. Every
+    field is DERIVED from the container tables:
+
+    - ``brand`` (ftyp), ``codec`` fourcc + ``profile``/``level``
+      (stsd → avc1 → avcC),
+    - ``width``/``height`` (sample entry), ``timescale``/
+      ``duration`` (mdhd),
+    - ``n_samples`` (stsz) cross-checked against stts Σcounts,
+    - per-sample byte offsets from the stsc × stco × stsz walk, and
+      ``keyframe_offsets`` — the stss sync samples resolved to file
+      offsets (what a frame decoder seeks to),
+    - ``mdat_bytes`` (mdat body length).
+
+    Unsupported codec entries still parse (the manifest is
+    codec-agnostic); only FRAME DECODE routes to the plug-in chain.
+    """
+    if len(payload) < 12:
+        raise ValueError("not an MP4 payload")
+    try:
+        top = list(_walk(payload, 0, len(payload)))
+    except ValueError:
+        raise
+    boxes = {fc: (b, e) for fc, b, e in top}
+    if b"ftyp" not in boxes or b"moov" not in boxes:
+        raise ValueError("not an MP4 payload (missing ftyp/moov)")
+    fb, fe = boxes[b"ftyp"]
+    brand = payload[fb:fb + 4].decode("latin-1")
+    mdat_bytes = 0
+    for fc, b, e in top:
+        if fc == b"mdat":
+            mdat_bytes += e - b
+
+    mb, me = boxes[b"moov"]
+    trak = _find(payload, mb, me, b"trak")
+    if trak is None:
+        raise ValueError("MP4 moov without trak")
+    mdia = _find(payload, *trak, b"mdia")
+    mdhd = _find(payload, *mdia, b"mdhd")
+    hb, he = mdhd
+    version = payload[hb]
+    if version == 1:
+        timescale, duration = struct.unpack(
+            ">IQ", payload[hb + 20:hb + 32])
+    else:
+        timescale, duration = struct.unpack(
+            ">II", payload[hb + 12:hb + 20])
+    minf = _find(payload, *mdia, b"minf")
+    stbl = _find(payload, *minf, b"stbl")
+
+    def table(fourcc: bytes):
+        loc = _find(payload, *stbl, fourcc)
+        return loc
+
+    # --- stsd: codec fourcc, geometry, avcC profile/level
+    sb, se = table(b"stsd")
+    entry_start = sb + 8                       # fullbox hdr + count
+    (esize,) = struct.unpack(">I", payload[entry_start:entry_start + 4])
+    codec = payload[entry_start + 4:entry_start + 8].decode("latin-1")
+    width = height = profile = level = None
+    if codec in ("avc1", "avc3", "hvc1", "hev1", "mp4v"):
+        geo = entry_start + 8 + 6 + 2 + 16
+        width, height = struct.unpack(">HH", payload[geo:geo + 4])
+        # child boxes start after the fixed 78-byte VisualSampleEntry
+        child0 = entry_start + 8 + 78
+        cfg = _find(payload, child0, entry_start + esize, b"avcC")
+        if cfg is not None:
+            cb, _ = cfg
+            profile, level = payload[cb + 1], payload[cb + 3]
+
+    # --- stsz: per-sample sizes (or constant)
+    zb, ze = table(b"stsz")
+    const_size, n_samples = struct.unpack(">II", payload[zb + 4:zb + 12])
+    if const_size:
+        sizes = [const_size] * n_samples
+    else:
+        sizes = list(struct.unpack(
+            f">{n_samples}I", payload[zb + 12:zb + 12 + 4 * n_samples]))
+
+    # --- stts cross-check + total ticks
+    tb, te = table(b"stts")
+    (n_tt,) = struct.unpack(">I", payload[tb + 4:tb + 8])
+    tt = struct.unpack(f">{2 * n_tt}I", payload[tb + 8:tb + 8 + 8 * n_tt])
+    stts_samples = sum(tt[0::2])
+    if stts_samples != n_samples:
+        raise ValueError(
+            f"stts sample count {stts_samples} != stsz {n_samples}")
+
+    # --- stsc × stco → per-sample offsets
+    cb, ce = table(b"stsc")
+    (n_sc,) = struct.unpack(">I", payload[cb + 4:cb + 8])
+    sc = [struct.unpack(">III", payload[cb + 8 + 12 * i:cb + 20 + 12 * i])
+          for i in range(n_sc)]
+    ob, oe = table(b"stco")
+    (n_co,) = struct.unpack(">I", payload[ob + 4:ob + 8])
+    chunk_offs = struct.unpack(
+        f">{n_co}I", payload[ob + 8:ob + 8 + 4 * n_co])
+    offsets, si = [], 0
+    for ci in range(n_co):
+        # samples-per-chunk of the last stsc row whose first_chunk
+        # <= this chunk (the 14496-12 run-length rule)
+        spc = next(r[1] for r in reversed(sc) if r[0] <= ci + 1)
+        off = chunk_offs[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            offsets.append(off)
+            off += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError("stsc/stco walk did not cover all samples")
+
+    # --- stss sync samples → keyframe byte offsets
+    sync = table(b"stss")
+    if sync is None:
+        kf = list(range(1, n_samples + 1))     # no stss = all sync
+    else:
+        yb, ye = sync
+        (n_ss,) = struct.unpack(">I", payload[yb + 4:yb + 8])
+        kf = list(struct.unpack(
+            f">{n_ss}I", payload[yb + 8:yb + 8 + 4 * n_ss]))
+    kf_offsets = [offsets[k - 1] for k in kf]
+
+    return {
+        "brand": brand,
+        "codec": codec,
+        "profile": profile,
+        "level": level,
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration": duration,
+        "n_samples": n_samples,
+        "sizes": sizes,
+        "sample_offsets": offsets,
+        "keyframes": kf,
+        "keyframe_offsets": kf_offsets,
+        "mdat_bytes": mdat_bytes,
+    }
+
+
+# ------------------------------------------------- Spark operators
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("profile", T.LongType(), True),
+    T.StructField("level", T.LongType(), True),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("timescale", T.LongType(), True),
+    T.StructField("duration", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), False),
+    T.StructField("n_keyframes", T.LongType(), False),
+    T.StructField("first_kf_offset", T.LongType(), True),
+    T.StructField("sum_kf_offsets", T.LongType(), True),
+    T.StructField("mdat_bytes", T.LongType(), False),
+])
+
+
+def video_manifest(assets: DataFrame) -> DataFrame:
+    """Per-asset MP4 planning manifest via one ``mapInPandas`` pass —
+    payload bytes never leave the task (the multimodal family's
+    standard shape); the output is the small typed table a
+    frame-sampling job joins against to plan bounded decoder work.
+    Scalar aggregates of the offset walk (first/sum of keyframe
+    offsets) stand in for the full list so the result stays
+    driver-hashable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = parse_mp4(bytes(payload))
+                rows.append({
+                    "asset_id": int(aid),
+                    "brand": m["brand"],
+                    "codec": m["codec"],
+                    "profile": m["profile"],
+                    "level": m["level"],
+                    "width": m["width"],
+                    "height": m["height"],
+                    "timescale": m["timescale"],
+                    "duration": m["duration"],
+                    "n_samples": m["n_samples"],
+                    "n_keyframes": len(m["keyframes"]),
+                    "first_kf_offset": m["keyframe_offsets"][0]
+                    if m["keyframe_offsets"] else None,
+                    "sum_kf_offsets": sum(m["keyframe_offsets"]),
+                    "mdat_bytes": m["mdat_bytes"],
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MANIFEST_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, MANIFEST_SCHEMA)
+
+
+def mp4_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MP4 fixtures over the video documents
+    (``doc_id % 3 == 2``, the slot real_assets_from_documents gives
+    Y4M). Every container parameter is an arithmetic function of
+    (doc_id, n_chars), so a SQL oracle recomputes the whole manifest
+    — the same fixture discipline as the image/audio codecs:
+
+    - n_samples  = 2 + n_chars % 5
+    - size_i     = 64 + (n_chars % 64) + (i % 4)
+    - width      = 16 * (1 + n_chars % 4)
+    - height     = 16 * (1 + (n_chars * 3) % 4)
+    - timescale  = 600 + (n_chars % 5) * 120 ; delta = 100 ticks
+    - profile    = [66, 77, 100][(doc_id div 3) % 3]
+    - level      = 30 + ((doc_id div 3) % 4) * 10
+    - keyframes  = every 3rd sample from the first
+    """
+    from pyspark.sql import functions as F
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        profiles = [66, 77, 100]
+        for pdf in batches:
+            out = []
+            for doc_id, text, c in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                c = int(c)
+                raw = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8)
+                n = 2 + c % 5
+                base = 64 + (c % 64)
+                samples = [
+                    np.resize(raw, base + (i % 4)).tobytes()
+                    for i in range(n)
+                ]
+                payload = encode_mp4(
+                    samples,
+                    width=16 * (1 + c % 4),
+                    height=16 * (1 + (c * 3) % 4),
+                    timescale=600 + (c % 5) * 120,
+                    sample_delta=100,
+                    keyframe_every=3,
+                    profile=profiles[(int(doc_id) // 3) % 3],
+                    level=30 + ((int(doc_id) // 3) % 4) * 10,
+                )
+                out.append({
+                    "asset_id": int(doc_id),
+                    "modality": "video",
+                    "payload": payload,
+                })
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "payload"])
+
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "text", "n_chars")
+    # CPU-bound Python mux: spread across the session's cores (the
+    # r5 media-parallelism rule — production inputs arrive pre-split)
+    par = vids.sparkSession.sparkContext.defaultParallelism
+    return vids.repartition(par).mapInPandas(enc, schema)

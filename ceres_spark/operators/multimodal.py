@@ -1460,6 +1460,17 @@ def decode_real(payload: bytes, modality: str, codecs=None):
         if head[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(payload)
             return ("video", frames, fps)
+        if head[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): the CONTAINER parses built-in
+            # (operators/mp4.parse_mp4 — manifest, sample tables,
+            # keyframe offsets) but FRAME decode is real-codec
+            # territory (H.264/HEVC) — plug-in chain, loud gap
+            raise NotImplementedError(
+                "MP4 frame decode needs a codec plug-in "
+                "(register_codec); use ceres_spark.operators.mp4."
+                "video_manifest for the container manifest and "
+                "keyframe seek offsets"
+            )
     except NotImplementedError:
         # built-in recognised the container but can't decode this
         # variant (e.g. subsampled-chroma Y4M) — a plug-in may
