@@ -252,3 +252,66 @@ def test_golden_bytes_pin_codec_conventions():
     assert mm.decode_jpeg(mm.encode_jpeg(red, 95))[4, 4].tolist() == [
         255, 0, 0,
     ]
+
+
+# ------------------------------------ multi-scan sequential (r6)
+
+def test_multiscan_pixels_equal_interleaved():
+    # same quantized coefficients, different scan layout — the
+    # decoded pixels must be IDENTICAL (VERDICT r5 #8 conformance:
+    # the encoder twin proves the multi-scan walk reads the same
+    # blocks the interleaved walk does)
+    rng = np.random.default_rng(5)
+    for (h, w) in [(16, 16), (17, 23), (40, 56), (8, 8), (33, 31)]:
+        for sub in (1, 2):
+            for ri in (0, 3):
+                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                a = mm.decode_jpeg(mm.encode_jpeg(
+                    px, 90, sub, ri, scans="interleaved"))
+                b = mm.decode_jpeg(mm.encode_jpeg(
+                    px, 90, sub, ri, scans="separate"))
+                assert np.array_equal(a, b), (h, w, sub, ri)
+
+
+def test_multiscan_truncated_raises_value_error():
+    # a 3-component frame whose stream ends after the Y scan is
+    # MALFORMED (not a variant gap): ValueError, not a silent
+    # gray image and not NotImplementedError
+    full = mm.encode_jpeg(
+        np.zeros((16, 16, 3), np.uint8), 90, scans="separate")
+    i1 = full.index(b"\xff\xda")
+    i2 = full.index(b"\xff\xda", i1 + 2)
+    with pytest.raises(ValueError, match="before all components"):
+        mm.decode_jpeg(full[:i2] + b"\xff\xd9")
+
+
+def test_multiscan_is_mainstream_shape():
+    # three SOS markers, each a single-component scan
+    p = mm.encode_jpeg(
+        np.arange(768, dtype=np.uint8).reshape(16, 16, 3),
+        90, scans="separate")
+    sos = []
+    i = 0
+    while True:
+        j = p.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        sos.append(p[j + 4])  # ns byte of the SOS header
+        i = j + 2
+    assert sos == [1, 1, 1]
+
+
+def test_multiscan_with_restarts_and_chroma_subsampling():
+    # 4:2:0 multi-scan with restart markers: per-scan MCU counting
+    # over the T.81 A.2.2 non-interleaved grids
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [(xx * 9) % 256, (yy * 5) % 256, ((xx * yy) // 3) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    a = mm.decode_jpeg(mm.encode_jpeg(px, 85, 2, 2, scans="separate"))
+    b = mm.decode_jpeg(mm.encode_jpeg(px, 85, 2, 2, scans="interleaved"))
+    assert np.array_equal(a, b)
+    # and the separate stream really contains RSTn markers
+    p = mm.encode_jpeg(px, 85, 2, 2, scans="separate")
+    assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))
