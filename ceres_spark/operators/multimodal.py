@@ -273,13 +273,59 @@ def _paeth_predict(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray"):
     )
 
 
-def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as PNG (color type 2, bit depth 8,
-    non-interlaced) with only stdlib ``zlib`` — the fixture/export
-    twin of :func:`decode_png`. ``filter_type`` applies ONE of the
-    five PNG scanline filters (0=None 1=Sub 2=Up 3=Average 4=Paeth)
-    to every line, so tests can exercise each unfilter path with
-    payloads produced entirely in-repo."""
+#: Adam7 pass grid (PNG spec §8.2): (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_bytes(mat: "np.ndarray", bpp: int, ft: int) -> bytes:
+    """Apply ONE scanline filter to a (h, stride) byte matrix (PNG
+    filters operate on BYTES with a ``bpp``-byte left offset — the
+    rule that makes the same code serve 8- and 16-bit depths)."""
+    h, stride = mat.shape
+    raw = mat.astype(np.int16)  # headroom for filter arithmetic
+    zeros = np.zeros(bpp, np.int16)
+    lines = []
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([zeros, cur[:-bpp]]) if stride else cur
+        ul = np.concatenate([zeros, prev[:-bpp]]) if stride else prev
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth_predict(left, prev, ul)
+        lines.append(
+            bytes([ft]) + (filt % 256).astype(np.uint8).tobytes()
+        )
+        prev = cur
+    return b"".join(lines)
+
+
+def encode_png(
+    arr: "np.ndarray",
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PNG (color type 2) with only
+    stdlib ``zlib`` — the fixture/export twin of :func:`decode_png`.
+    ``filter_type`` applies ONE of the five PNG scanline filters
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) to every line, so tests can
+    exercise each unfilter path with payloads produced entirely
+    in-repo. ``interlace=True`` emits Adam7 (each of the 7 passes
+    filtered as its own sub-image, per spec §8.2); ``depth=16``
+    widens samples to v·257 big-endian (the exact 8→16 expansion, so
+    the decoded MSB round-trips losslessly) — both r6, closing the
+    named PNG dialect gaps."""
     import struct
     import zlib
 
@@ -288,30 +334,29 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
         raise ValueError("encode_png expects (h, w, 3) uint8")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError("filter_type must be 0..4")
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
     h, w = a.shape[:2]
-    raw = a.astype(np.int16)  # headroom for filter arithmetic
-    zeros = np.zeros((w, 3), np.int16)
-    lines = []
-    prev = zeros
-    for y in range(h):
-        cur = raw[y]
-        left = np.vstack([zeros[:1], cur[:-1]])
-        ul = np.vstack([zeros[:1], prev[:-1]])
-        if filter_type == 0:
-            filt = cur
-        elif filter_type == 1:
-            filt = cur - left
-        elif filter_type == 2:
-            filt = cur - prev
-        elif filter_type == 3:
-            filt = cur - (left + prev) // 2
-        else:
-            filt = cur - _paeth_predict(left, prev, ul)
-        lines.append(
-            bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
-        )
-        prev = cur
-    body = zlib.compress(b"".join(lines))
+    bps = depth // 8
+    bpp = 3 * bps
+    if depth == 16:
+        px = (a.astype(np.uint16) * 257).astype(">u2")
+        byte_img = np.frombuffer(px.tobytes(), np.uint8).reshape(h, w, bpp)
+    else:
+        byte_img = a.reshape(h, w, bpp)
+    if interlace:
+        parts = []
+        for x0, dx, y0, dy in _ADAM7:
+            sub = byte_img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass: NO bytes at all (spec §8.2)
+            parts.append(_png_filter_bytes(
+                sub.reshape(ph, pw * bpp), bpp, filter_type))
+        body = zlib.compress(b"".join(parts))
+    else:
+        body = zlib.compress(_png_filter_bytes(
+            byte_img.reshape(h, w * bpp), bpp, filter_type))
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         c = typ + data
@@ -320,7 +365,9 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(c))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -329,21 +376,71 @@ def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
     )
 
 
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``w·bpp`` bytes starting at
+    ``raw[off]`` (one filter byte per line). Returns
+    ``(bytes_consumed, (h, w·bpp) uint8)``. PNG filters operate on
+    BYTES with a ``bpp``-byte left offset — one code path serves
+    8/16-bit depths and every Adam7 sub-image."""
+    stride = w * bpp
+    need = h * (stride + 1)
+    if len(raw) < off + need:
+        raise ValueError("truncated PNG scanlines")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        o = off + y * (stride + 1)
+        ft = raw[o]
+        cur = np.frombuffer(raw[o + 1:o + 1 + stride], np.uint8).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: exact mod-256 prefix sum per filter unit
+            cur = (
+                np.cumsum(cur.reshape(w, bpp), axis=0,
+                          dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps — mod 256 for free
+            cur += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 255
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                cur[x] = (int(cur[x]) + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter byte {ft}")
+        out[y] = cur
+        prev = cur
+    return need, out
+
+
 def decode_png(payload: bytes) -> "np.ndarray":
     """Decode PNG to (h, w, 3) uint8 with only stdlib ``zlib`` +
     numpy — the first genuinely COMPRESSED container that decodes
     built-in (PNG spec, RFC 2083 / ISO 15948: chunked container,
     zlib-deflated scanlines, 5 per-line predictive filters).
 
-    Supported: bit depth 8, color types 0 (grey → replicated), 2
-    (RGB), 3 (palette via PLTE), 4 (grey+alpha), 6 (RGBA — alpha
-    dropped, matching the (h,w,3) decode_real contract), interlace 0.
-    Adam7 / 16-bit raise ``NotImplementedError`` so the codec-hook
-    chain can claim them (same loud-gap contract as subsampled Y4M).
+    Supported: bit depths 8 AND 16 (big-endian; 16-bit reduces to
+    the MSB, the standard strip-16 rule), color types 0 (grey →
+    replicated), 2 (RGB), 3 (palette via PLTE), 4 (grey+alpha), 6
+    (RGBA — alpha dropped, matching the (h,w,3) decode_real
+    contract), interlace 0 AND Adam7 (each of the 7 passes
+    unfiltered as its own sub-image, then scattered onto the
+    ``[y0::dy, x0::dx]`` grid). Both dialects are r6 — the last
+    named PNG gaps; sub-8-bit depths remain plug-in territory.
 
     Unfiltering: Up is one vectorized row op, Sub is an exact
-    mod-256 cumulative sum per channel; Average/Paeth carry an
-    inherent left-neighbor dependency, so they run per-sample on the
+    mod-256 cumulative sum per filter unit; Average/Paeth carry an
+    inherent left-neighbor dependency, so they run per-byte on the
     one scanline (w·bpp-bounded — the payload never leaves the task,
     and a production deployment hooks a C codec for bulk JPEG/PNG
     anyway)."""
@@ -371,54 +468,37 @@ def decode_png(payload: bytes) -> "np.ndarray":
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
     if comp != 0 or filt_method != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace == 1:
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise NotImplementedError(
-            "Adam7-interlaced PNG needs the codec plug-in"
+            "only bit-depth-8/16 PNG decodes built-in"
         )
-    if depth != 8:
-        raise NotImplementedError("only bit-depth-8 PNG decodes built-in")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"invalid PNG color type {ctype}")
+    bps = depth // 8
+    bpp = channels * bps
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG scanlines")
-    rows = []
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        cur = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8).copy()
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub: exact mod-256 prefix sum per channel
-            cur = (
-                np.cumsum(cur.reshape(w, channels), axis=0,
-                          dtype=np.uint64) % 256
-            ).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up: uint8 addition wraps — mod 256 for free
-            cur += prev
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - channels]) if x >= channels else 0
-                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 255
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = (
-                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                )
-                cur[x] = (int(cur[x]) + pred) & 255
-        else:
-            raise ValueError(f"invalid PNG filter byte {ft}")
-        rows.append(cur)
-        prev = cur
-    img = np.stack(rows).reshape(h, w, channels)
+    if interlace == 0:
+        _, byte_img = _png_unfilter(raw, 0, w, h, bpp)
+    elif interlace == 1:  # Adam7
+        byte_img = np.zeros((h, w * bpp), np.uint8)
+        view = byte_img.reshape(h, w, bpp)
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes zero bytes
+            used, mat = _png_unfilter(raw, off, pw, ph, bpp)
+            off += used
+            view[y0::dy, x0::dx] = mat.reshape(ph, pw, bpp)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    # big-endian samples: byte 0 is the MSB, so taking every bps-th
+    # byte IS the 16→8 strip; for bps=1 it's the identity
+    img = np.ascontiguousarray(
+        byte_img.reshape(h, w, channels, bps)[:, :, :, 0]
+    )
     if ctype == 2:
         return img
     if ctype == 6:
@@ -1678,9 +1758,17 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                         # pixels identical to the PPM twin — decoded
                         # features / aHash fingerprints are
                         # container-invariant and the registry
-                        # entries exercise the zlib+unfilter path
+                        # entries exercise the zlib+unfilter path.
+                        # r6: every 3rd PNG is Adam7-interlaced and
+                        # every 4th is 16-bit (v·257 — lossless both
+                        # ways), so the dialect decoders run on the
+                        # driver fixtures too
                         payloads.append(encode_png(
-                            px, filter_type=(int(doc_id) // 6) % 5
+                            px,
+                            filter_type=(int(doc_id) // 6) % 5,
+                            interlace=(int(doc_id) // 6) % 3 == 1,
+                            depth=16 if (int(doc_id) // 6) % 4 == 2
+                            else 8,
                         ))
                     elif int(doc_id) % 12 == 9:
                         # doc_id%12==9: COMPRESSED lossy (baseline

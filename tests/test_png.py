@@ -75,16 +75,16 @@ def test_color_types_grey_rgba_greyalpha_palette():
     assert (out[0, 1] == [0, 255, 0]).all()
 
 
-def test_loud_gaps_adam7_depth16_palette_without_plte():
+def test_loud_gaps_subbyte_depth_palette_without_plte():
+    # r6: Adam7 and 16-bit are FEATURES now — the remaining loud
+    # depth gap is sub-8-bit (1/2/4), plus the malformed-stream
+    # ValueErrors
     img = _img(4, 4)
     ok = mm.encode_png(img)
-    # Adam7: NotImplementedError (codec hooks may claim it)
-    bad = bytearray(ok)
-    assert bad[8 + 8 + 12] == 0  # interlace byte of IHDR
     with pytest.raises(NotImplementedError):
-        mm.decode_png(_png_raw(2, 1, 8, 2, 1, bytes(7)))
+        mm.decode_png(_png_raw(8, 1, 4, 0, 0, bytes(5)))  # 4-bit grey
     with pytest.raises(NotImplementedError):
-        mm.decode_png(_png_raw(2, 1, 16, 2, 0, bytes(13)))
+        mm.decode_png(_png_raw(2, 1, 16, 3, 0, bytes(3)))  # 16-bit pal
     with pytest.raises(ValueError):
         mm.decode_png(_png_raw(2, 1, 8, 3, 0, bytes([0, 0, 1])))  # no PLTE
     with pytest.raises(ValueError):
@@ -93,16 +93,61 @@ def test_loud_gaps_adam7_depth16_palette_without_plte():
         mm.decode_png(ok[:40])  # truncated scanlines/missing IEND path
 
 
-def test_adam7_falls_through_to_codec_hook():
+def test_subbyte_depth_falls_through_to_codec_hook():
     claimed = []
 
     def hook(payload, modality):
         claimed.append(modality)
         return ("image", np.zeros((1, 1, 3), np.uint8))
 
-    payload = _png_raw(2, 1, 8, 2, 1, bytes(7))
+    payload = _png_raw(8, 1, 4, 0, 0, bytes(5))
     kind, px = mm.decode_real(payload, "image", codecs=(hook,))
     assert kind == "image" and claimed == ["image"]
+
+
+# --------------------------------------- Adam7 + 16-bit (r6)
+
+def test_adam7_and_depth16_roundtrip_matrix():
+    rng = np.random.default_rng(7)
+    for (h, w) in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (31, 17)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            for il in (False, True):
+                for depth in (8, 16):
+                    out = mm.decode_png(mm.encode_png(
+                        px, filter_type=ft, interlace=il, depth=depth))
+                    assert np.array_equal(out, px), (h, w, ft, il, depth)
+
+
+def test_adam7_pass_structure_small_images():
+    # images smaller than the 8×8 Adam7 tile exercise EMPTY passes
+    # (which must contribute zero bytes, not zero-size scanlines)
+    for (h, w) in [(1, 1), (1, 8), (8, 1), (2, 2), (4, 5), (3, 9)]:
+        px = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(
+            np.uint8).reshape(h, w, 3)
+        assert np.array_equal(
+            mm.decode_png(mm.encode_png(px, 2, interlace=True)), px)
+
+
+def test_depth16_strips_to_msb():
+    # hand-built 16-bit scanline: sample 0x1234 must decode to 0x12
+    line = b"\x00" + bytes.fromhex("123456789abc")  # one RGB pixel
+    p = _png_raw(1, 1, 16, 2, 0, line)
+    assert mm.decode_png(p)[0, 0].tolist() == [0x12, 0x56, 0x9A]
+
+
+def test_adam7_16bit_grey_and_rgba():
+    # interlaced 16-bit grey (type 0): 2×2, values v*257 → MSB v
+    vals = np.array([[3, 200], [117, 255]], np.uint8)
+    # Adam7 on 2×2: pass1=(0,0), pass6=(0,1), pass7=(1,0),(1,1)
+    def px16(v):
+        return struct.pack(">H", int(v) * 257)
+    body = (b"\x00" + px16(vals[0, 0])        # pass 1: 1×1
+            + b"\x00" + px16(vals[0, 1])      # pass 6: 1×1
+            + b"\x00" + px16(vals[1, 0]) + px16(vals[1, 1]))  # pass 7
+    p = _png_raw(2, 2, 16, 0, 1, body)
+    out = mm.decode_png(p)
+    assert np.array_equal(out, np.repeat(vals[:, :, None], 3, axis=2))
 
 
 def test_real_assets_alternate_ppm_png_with_identical_pixels(spark):

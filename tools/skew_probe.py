@@ -162,19 +162,61 @@ def probe(spark, pts_dir: str, ev_dir: str, li_dir: str) -> dict:
     # fact-fact sort-merge join on the (possibly hot) orderkey;
     # broadcast suppressed so the probe exercises the shuffle path
     # AQE must rescue, as it would at real fact×fact scale
-    t0 = time.perf_counter()
-    j = li.hint("merge").join(
-        orders, li.l_orderkey == orders.o_orderkey
-    ).groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.sum("l_extendedprice").alias("rev"),
-    )
-    j.count()
-    t["fact_join"] = round(time.perf_counter() - t0, 2)
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    t["fact_join_aqe_skew_split"] = ("skew=true" in plan) or (
-        "skewed" in plan.lower()
-    )
+    def join_once() -> tuple[float, bool]:
+        t0 = time.perf_counter()
+        # five carried fact columns: skew DETECTION is byte-based on
+        # the shuffle files, and a pruned-to-the-join-key hot
+        # partition (one constant value) compresses to ~nothing —
+        # realistic fact rows are what make the hot partition big
+        j = li.hint("merge").join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("l_extendedprice").alias("rev"),
+            F.sum("l_discount").alias("disc"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_partkey").alias("pk"),
+            F.sum("l_suppkey").alias("sk"),
+        )
+        # collect() (tiny: one row per priority) executes THIS
+        # DataFrame's own QueryExecution — count() would wrap it in a
+        # new one and the AQE-final plan would never be visible here
+        j.collect()
+        dt = round(time.perf_counter() - t0, 2)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return dt, ("skew=true" in plan) or ("skewed" in plan.lower())
+
+    t["fact_join"], t["fact_join_aqe_skew_split"] = join_once()
+
+    # same join with the AQE skew dials scaled to TOY partition
+    # sizes: production defaults trigger at 256 MB — a 50%-hot toy
+    # partition is a few MB, so at fixture scale the default dial
+    # correctly does nothing. Scaling threshold/advisory down by the
+    # same ratio demonstrates the MECHANISM engaging (what a 100 TB
+    # hot partition would hit at the default dial).
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1m",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        (
+            t["fact_join_scaled_dial"],
+            t["fact_join_scaled_dial_skew_split"],
+        ) = join_once()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
     return t
 
 
@@ -207,7 +249,10 @@ def main() -> None:
         print(json.dumps({
             "summary": f"skew/uniform at x{m}",
             "ratios": {k: round(s[k] / max(u[k], 1e-9), 2) for k in ops},
-            "aqe_skew_split_engaged": s["fact_join_aqe_skew_split"],
+            "aqe_skew_split_default_dial":
+                s["fact_join_aqe_skew_split"],
+            "aqe_skew_split_scaled_dial":
+                s["fact_join_scaled_dial_skew_split"],
         }))
 
 
