@@ -9,8 +9,10 @@ entropy decode + matrix IDCT + chroma upsampling), and FLAC
 (Rice-coded residuals + FIXED/LPC prediction + stereo
 decorrelation — lossless, so decoded audio is bit-identical);
 ``real_features`` computes content statistics from actual
-pixels/samples. Remaining compressed formats (progressive JPEG,
-MP3, H.264...) need codec libraries this container lacks —
+pixels/samples. JPEG covers baseline, multi-scan sequential AND
+progressive (Annex G) layouts; PNG covers Adam7 + 16-bit. Remaining
+compressed formats (MP3, H.264/HEVC frames — the MP4 CONTAINER
+parses via operators/mp4.py) need codec libraries this box lacks —
 ``decode_real`` detects them and raises ``NotImplementedError`` so
 a production deployment can plug a codec into the same slot;
 ``_stub_features`` remains as the hash-based fallback. Everything
@@ -624,6 +626,21 @@ def _ijg_scale(tbl: "np.ndarray", quality: int) -> "np.ndarray":
     return np.clip((tbl * scale + 50) // 100, 1, 255)
 
 
+#: Progressive-scan AC table: the Annex K baseline tables define no
+#: EOBn symbols for n ≥ 1 (their code space is complete — only the
+#: forbidden all-ones 16-bit point is free), which is exactly why
+#: real progressive encoders ship custom DHTs. This is a flat
+#: canonical 8-bit-code table covering every symbol a progressive AC
+#: scan can emit: EOB0, EOB1..EOB14 runs, ZRL, and (run, size) for
+#: run 0..15 × size 1..14 — 240 symbols, a valid (incomplete) prefix
+#: code any conformant decoder reads from the DHT segment.
+_HUFF_AC_PROG = (
+    [0] * 7 + [240] + [0] * 8,
+    [0x00] + [n << 4 for n in range(1, 15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -676,8 +693,10 @@ def encode_jpeg(
     multi-scan path."""
     import struct
 
-    if scans not in ("interleaved", "separate"):
-        raise ValueError("scans must be 'interleaved' or 'separate'")
+    if scans not in ("interleaved", "separate", "progressive"):
+        raise ValueError(
+            "scans must be 'interleaved', 'separate' or 'progressive'"
+        )
     gray = arr.ndim == 2
     if gray:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -760,7 +779,212 @@ def encode_jpeg(
 
     entropy = b""
     scan_blobs: list[bytes] = []
-    if scans == "separate":
+    prog_scans: list[tuple[bytes, bytes]] = []
+    if scans == "progressive":
+        # T.81 Annex G script: DC first (interleaved, Al=1) → per-comp
+        # AC first (full band 1..63, Al=1, EOB runs) → per-comp AC
+        # refinement (Ah=1→Al=0) → DC refinement (raw bits). One full
+        # successive-approximation level exercises every progressive
+        # decode path; spectral ordering rules respected.
+        if restart_interval:
+            raise ValueError(
+                "restart markers unsupported with progressive scans"
+            )
+        # progressive AC scans need EOBn run symbols the Annex K
+        # tables don't define — use the extended tables (emitted in
+        # this file's DHT segments below)
+        enc_ac = [_huff_encode_table(*_HUFF_AC_PROG),
+                  _huff_encode_table(*_HUFF_AC_PROG)]
+
+        def block_coefs(plane, t):
+            qd = qlum8 if t == 0 else qchrom8
+            hh_, ww_ = plane.shape
+            nby, nbx = hh_ // 8, ww_ // 8
+            out = np.zeros((nby, nbx, 64), np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    block = plane[by * 8:by * 8 + 8,
+                                  bx * 8:bx * 8 + 8] - 128.0
+                    fq = np.round(
+                        (C @ block @ C.T) / qd
+                    ).astype(np.int64)
+                    out[by, bx] = fq.reshape(64)[_ZIGZAG]
+            return out
+
+        grids = [block_coefs(y, 0), block_coefs(cb, 1),
+                 block_coefs(cr, 1)]
+        factors = [s, 1, 1]
+
+        # scan 1: DC first, interleaved, Al=1 (arithmetic shift)
+        bw = _BitWriter()
+        pred = [0, 0, 0]
+        for m_y in range(my):
+            for m_x in range(mx):
+                for ci in range(3):
+                    f_ = factors[ci]
+                    t = 0 if ci == 0 else 1
+                    for byy in range(f_):
+                        for bxx in range(f_):
+                            dc = int(
+                                grids[ci][m_y * f_ + byy,
+                                          m_x * f_ + bxx, 0]
+                            ) >> 1
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            sz, bits_v = _mag_bits(diff)
+                            code, ln = enc_dc[t][sz]
+                            bw.put(code, ln)
+                            if sz:
+                                bw.put(bits_v, sz)
+        prog_scans.append((
+            bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01]),
+            bw.flush(),
+        ))
+
+        def comp_grid_dims(f_):
+            cw_ = -(-w * f_ // s)
+            ch_ = -(-h * f_ // s)
+            return -(-ch_ // 8), -(-cw_ // 8)
+
+        # per-comp AC first scans (Ss=1 Se=63 Ah=0 Al=1)
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            t = 0 if ci == 0 else 1
+            nby, nbx = comp_grid_dims(factors[ci])
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    code, ln = enc_ac[t][nb << 4]
+                    bw.put(code, ln)
+                    if nb:
+                        bw.put(eobrun - (1 << nb), nb)
+                    eobrun = 0
+
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = grids[ci][by, bx]
+                    r = 0
+                    for k in range(1, 64):
+                        v = int(blk[k])
+                        av = abs(v) >> 1  # Al=1, trunc toward zero
+                        if av == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            code, ln = enc_ac[t][0xF0]
+                            bw.put(code, ln)
+                            r -= 16
+                        sv = av if v > 0 else -av
+                        sz, bits_v = _mag_bits(sv)
+                        code, ln = enc_ac[t][(r << 4) | sz]
+                        bw.put(code, ln)
+                        bw.put(bits_v, sz)
+                        r = 0
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            prog_scans.append((
+                bytes([1, cid, (t << 4) | t, 1, 63, 0x01]),
+                bw.flush(),
+            ))
+
+        # per-comp AC refinement scans (Ah=1 → Al=0)
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            t = 0 if ci == 0 else 1
+            nby, nbx = comp_grid_dims(factors[ci])
+            bw = _BitWriter()
+            eobrun = 0
+            brbits: list[int] = []
+
+            def flush_eob_r():
+                nonlocal eobrun, brbits
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    code, ln = enc_ac[t][nb << 4]
+                    bw.put(code, ln)
+                    if nb:
+                        bw.put(eobrun - (1 << nb), nb)
+                for b in brbits:
+                    bw.put(b, 1)
+                eobrun = 0
+                brbits = []
+
+            for by in range(nby):
+                for bx in range(nbx):
+                    blk = grids[ci][by, bx]
+                    absv = [abs(int(blk[k])) for k in range(64)]
+                    eob_k = 0
+                    for k in range(1, 64):
+                        if absv[k] == 1:
+                            eob_k = k  # last NEWLY-significant coef
+                    r = 0
+                    pend: list[int] = []
+                    for k in range(1, 64):
+                        av = absv[k]
+                        if av == 0:
+                            r += 1
+                            continue
+                        # ZRL flush at EVERY nonzero encounter (the
+                        # libjpeg span-safety rule): any buffered
+                        # correction bit was appended while r <= 15,
+                        # so it lies inside the 16-zero span this ZRL
+                        # covers and the decoder's inline walk reads
+                        # it in order
+                        while r > 15 and k <= eob_k:
+                            flush_eob_r()
+                            code, ln = enc_ac[t][0xF0]
+                            bw.put(code, ln)
+                            r -= 16
+                            for b in pend:
+                                bw.put(b, 1)
+                            pend = []
+                        if av > 1:
+                            # nonzero history → one correction bit
+                            pend.append(av & 1)
+                            continue
+                        # newly significant (±1 at this Al)
+                        flush_eob_r()
+                        code, ln = enc_ac[t][(r << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if int(blk[k]) > 0 else 0, 1)
+                        for b in pend:
+                            bw.put(b, 1)
+                        pend = []
+                        r = 0
+                    if r > 0 or pend:
+                        eobrun += 1
+                        brbits.extend(pend)
+                        if eobrun == 0x7FFF:
+                            flush_eob_r()
+            flush_eob_r()
+            prog_scans.append((
+                bytes([1, cid, (t << 4) | t, 1, 63, 0x10]),
+                bw.flush(),
+            ))
+
+        # final scan: DC refinement — one raw bit per block
+        bw = _BitWriter()
+        for m_y in range(my):
+            for m_x in range(mx):
+                for ci in range(3):
+                    f_ = factors[ci]
+                    for byy in range(f_):
+                        for bxx in range(f_):
+                            bw.put(int(
+                                grids[ci][m_y * f_ + byy,
+                                          m_x * f_ + bxx, 0]
+                            ) & 1, 1)
+        prog_scans.append((
+            bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10]),
+            bw.flush(),
+        ))
+    elif scans == "separate":
         # one NON-interleaved scan per component: T.81 A.2.2 grids
         # (ceil(comp_dim/8) blocks — the MCU pad blocks of the
         # interleaved layout are NOT coded), per-scan predictors and
@@ -826,16 +1050,26 @@ def encode_jpeg(
         return out + entropy + b"\xff\xd9"
     out += seg(b"\xff\xdb", b"\x01" + bytes(qchrom[_ZIGZAG].tolist()))
     out += seg(
-        b"\xff\xc0",
+        b"\xff\xc2" if scans == "progressive" else b"\xff\xc0",
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, s << 4 | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += seg(b"\xff\xc4", dht(0, 0, *_HUFF_DC_LUM))
-    out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
+    if scans == "progressive":
+        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_PROG))
+    else:
+        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
     out += seg(b"\xff\xc4", dht(0, 1, *_HUFF_DC_CHROM))
-    out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_CHROM))
+    if scans == "progressive":
+        out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_PROG))
+    else:
+        out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_CHROM))
     if restart_interval:
         out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+    if scans == "progressive":
+        for hdr, blob in prog_scans:
+            out += seg(b"\xff\xda", hdr) + blob
+        return out + b"\xff\xd9"
     if scans == "separate":
         # Y (tables 0/0), Cb, Cr (tables 1/1) — one SOS each
         for (cid, tsel), blob in zip(
@@ -895,6 +1129,87 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _ac_first_scan(br, tab, blk, ss, se, al, state):
+    """Progressive AC first scan for one block (T.81 G.1.2.2):
+    run-length coding of ``coef >> al`` magnitudes with EOB RUNS —
+    the (r, 0) symbol with r < 15 ends 2^r + r-appended-bits blocks
+    at once. ``state['eobrun']`` carries the remaining run across
+    blocks (this block consumed)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index out of range")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_scan(br, tab, blk, ss, se, al, state):
+    """Progressive AC refinement for one block (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1·2^al with runs
+    counted over ZERO-history positions only; every nonzero-history
+    position passed over reads one correction bit (applied when bit
+    ``al`` is still clear — the libjpeg-identical rule, two's
+    complement semantics for negatives)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.read_symbol(tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    # store the FULL run: the tail walk below still
+                    # owes this block its correction bits, then
+                    # consumes one run slot
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "bad progressive refinement magnitude"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # correction bits for the rest of the band, then consume one
+        # block of the run
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """Decode baseline JPEG/JFIF to (h, w, 3) uint8 with stdlib +
     numpy only — huffman entropy decode, dequantize, de-zigzag,
@@ -908,10 +1223,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     decoded one after another into the shared component planes, with
     per-scan predictors/restart state and the T.81 A.2 geometry
     rules (non-interleaved scans use ceil(comp_dim/8) block grids,
-    NOT the MCU-padded grid). Progressive (SOF2), arithmetic coding,
+    NOT the MCU-padded grid). PROGRESSIVE (SOF2, T.81 Annex G)
+    decodes built-in as well (r6): scans refine a per-component
+    coefficient store — DC first/refinement, AC spectral bands with
+    multi-block EOB runs, successive-approximation correction bits —
+    and dequantize+IDCT run once at EOI. Arithmetic coding, lossless,
     12-bit precision, and fractional sampling ratios still raise
-    ``NotImplementedError`` so the codec-hook chain can claim them —
-    same loud-gap contract as Adam7 PNG. Per-block Python loops are
+    ``NotImplementedError`` so the codec-hook chain can claim them. Per-block Python loops are
     fine for the fixture-scale payloads this container sees; a
     production deployment registers a C codec for bulk JPEG anyway
     (the plug-in path)."""
@@ -925,6 +1243,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     sof = None
     restart = 0
     planes: dict | None = None
+    coefs: dict | None = None  # progressive: per-comp (bh, bw, 64)
+    progressive = False
     decoded: set[int] = set()
     C = _dct_matrix()
     while pos + 4 <= len(payload):
@@ -969,10 +1289,22 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC2:  # progressive DCT, huffman (r6: built-in)
+            prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "12-bit JPEG needs the codec plug-in"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (ih, iw, comps)
+            progressive = True
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic JPEG needs the codec plug-in"
+                "lossless/arithmetic JPEG needs the codec plug-in"
             )
         elif m == 0xDD:  # DRI (may be redefined between scans)
             (restart,) = struct.unpack(">H", data[:2])
@@ -991,6 +1323,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             ns = data[0]
             scan = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
                      data[2 + 2 * i] & 15) for i in range(ns)]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             cmap = {cid: (hh, v, tq) for cid, hh, v, tq in comps}
             for cid, _, _ in scan:
                 if cid not in cmap:
@@ -1017,22 +1351,104 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 i += 1
             segments.append(bytes(cur))
 
-            dc_tab = {cid: huff[(0, td)] for cid, td, _ in scan}
-            ac_tab = {cid: huff[(1, ta)] for cid, _, ta in scan}
-            qtab = {cid: qt[cmap[cid][2]][np.argsort(_ZIGZAG)]
-                    .reshape(8, 8) for cid, _, _ in scan}
+            # tables looked up lazily: progressive refinement scans
+            # legitimately reference no DC table (raw bits only)
+            dc_tab = {cid: huff.get((0, td)) for cid, td, _ in scan}
+            ac_tab = {cid: huff.get((1, ta)) for cid, _, ta in scan}
             br = _BitReader(segments)
             pred = {cid: 0 for cid, _, _ in scan}
-            state = {"n": 0}
+            state = {"n": 0, "eobrun": 0}
 
             def unit_start():
                 # T.81: restart interval counts MCUs within a scan;
-                # predictors reset at each restart marker
+                # predictors and the EOB run reset at each restart
                 if restart and state["n"] and state["n"] % restart == 0:
                     br.next_segment()
+                    state["eobrun"] = 0
                     for cc in pred:
                         pred[cc] = 0
                 state["n"] += 1
+
+            if progressive:
+                # --- progressive DCT (T.81 Annex G): scans refine a
+                # per-component COEFFICIENT store (zigzag order);
+                # dequantize+IDCT happen once, after EOI
+                if coefs is None:
+                    coefs = {
+                        cid: np.zeros((my * v, mx * hh, 64), np.int32)
+                        for cid, hh, v, _ in comps
+                    }
+                if ss == 0:
+                    # DC scan — first (diff-coded, shifted) or
+                    # refinement (one raw bit per block)
+                    def dc_block(cid, by, bx):
+                        blk = coefs[cid][by, bx]
+                        if ah == 0:
+                            s = br.read_symbol(dc_tab[cid])
+                            diff = (
+                                _extend(br.read_bits(s), s) if s else 0
+                            )
+                            pred[cid] += diff
+                            blk[0] = pred[cid] << al
+                        elif br.read_bit():
+                            blk[0] |= 1 << al
+
+                    if ns == 1:
+                        cid = scan[0][0]
+                        hh, v, _tq = cmap[cid]
+                        comp_w = -(-iw * hh // hmax)
+                        comp_h = -(-ih * v // vmax)
+                        bw_n = -(-comp_w // 8)
+                        bh_n = -(-comp_h // 8)
+                        for by in range(bh_n):
+                            for bx in range(bw_n):
+                                unit_start()
+                                dc_block(cid, by, bx)
+                    else:
+                        for m_y in range(my):
+                            for m_x in range(mx):
+                                unit_start()
+                                for cid, _, _ in scan:
+                                    hh, v, _tq = cmap[cid]
+                                    for by in range(v):
+                                        for bx in range(hh):
+                                            dc_block(
+                                                cid,
+                                                m_y * v + by,
+                                                m_x * hh + bx,
+                                            )
+                else:
+                    # AC scan — always single-component (T.81 G.1);
+                    # EOB runs span blocks within the scan
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scan with >1 component"
+                        )
+                    cid = scan[0][0]
+                    hh, v, _tq = cmap[cid]
+                    comp_w = -(-iw * hh // hmax)
+                    comp_h = -(-ih * v // vmax)
+                    bw_n = -(-comp_w // 8)
+                    bh_n = -(-comp_h // 8)
+                    tab = ac_tab[cid]
+                    for by in range(bh_n):
+                        for bx in range(bw_n):
+                            unit_start()
+                            blk = coefs[cid][by, bx]
+                            if ah == 0:
+                                _ac_first_scan(
+                                    br, tab, blk, ss, se, al, state
+                                )
+                            else:
+                                _ac_refine_scan(
+                                    br, tab, blk, ss, se, al, state
+                                )
+                decoded.update(cid for cid, _, _ in scan)
+                pos = i
+                continue
+
+            qtab = {cid: qt[cmap[cid][2]][np.argsort(_ZIGZAG)]
+                    .reshape(8, 8) for cid, _, _ in scan}
 
             def decode_block(cid):
                 s = br.read_symbol(dc_tab[cid])
@@ -1092,7 +1508,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos = i
             continue
         pos = pos + 2 + ln
-    if sof is None or planes is None:
+    if sof is None or (planes is None and coefs is None):
         raise ValueError("missing SOF/SOS in JPEG stream")
     ih, iw, comps = sof
     if decoded != {cid for cid, *_ in comps}:
@@ -1101,6 +1517,22 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if progressive:
+        # one dequantize + batched IDCT per component, after all
+        # scans have refined the coefficient store
+        planes = {}
+        for cid, hh, v, tq in comps:
+            zz = coefs[cid].astype(np.int64) * qt[tq][None, None, :]
+            nat = np.zeros_like(zz)
+            nat[:, :, _ZIGZAG] = zz  # de-zigzag all blocks at once
+            bh_, bw_ = nat.shape[:2]
+            f = nat.reshape(bh_ * bw_, 8, 8).astype(np.float64)
+            px = np.einsum("ij,njk,kl->nil", C.T, f, C) + 128.0
+            planes[cid] = (
+                px.reshape(bh_, bw_, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh_ * 8, bw_ * 8)
+            )
 
     full = {}
     for cid, hh, v, _ in comps:
@@ -1776,16 +2208,24 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                         # intervals) — pixels near but not equal to
                         # the source tile, the real-world image case;
                         # exercises huffman+IDCT+upsample+RST decode.
-                        # doc_id%24==21 emits MULTI-SCAN SEQUENTIAL
-                        # (one SOS per component — the other layout
-                        # camera firmwares write; r6)
+                        # doc_id%48==21 emits MULTI-SCAN SEQUENTIAL
+                        # (one SOS per component), %48==45 emits
+                        # PROGRESSIVE (SOF2, Annex G scan script) —
+                        # the other two layouts real files use (r6)
+                        if int(doc_id) % 48 == 45:
+                            jscans = "progressive"
+                        elif int(doc_id) % 48 == 21:
+                            jscans = "separate"
+                        else:
+                            jscans = "interleaved"
                         payloads.append(encode_jpeg(
                             px,
                             quality=95,
                             subsample=1 + (int(doc_id) // 12) % 2,
-                            restart_interval=(int(doc_id) // 24) % 3,
-                            scans="separate"
-                            if int(doc_id) % 24 == 21 else "interleaved",
+                            restart_interval=0
+                            if jscans == "progressive"
+                            else (int(doc_id) // 24) % 3,
+                            scans=jscans,
                         ))
                     else:
                         # doc_id%12==3: uncompressed P6 PPM

@@ -89,15 +89,17 @@ def test_decode_real_routes_jpeg():
     assert _psnr(px, img) > 40
 
 
-def test_progressive_raises_loud_gap():
-    # flip SOF0 (FFC0) to SOF2 (FFC2) in a valid stream: recognized
-    # container, unsupported coding process → NotImplementedError so
-    # the codec-hook chain can claim it
-    p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
-    i = bytes(p).find(b"\xff\xc0")
-    p[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
-        mm.decode_jpeg(bytes(p))
+def test_arithmetic_coding_raises_loud_gap():
+    # r6: progressive (SOF2) decodes built-in now — the remaining
+    # coding-process gaps are arithmetic (SOF9+) and lossless (SOF3):
+    # recognized container, unsupported process → NotImplementedError
+    # so the codec-hook chain can claim it
+    for marker in (0xC9, 0xC3, 0xCA):
+        p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
+        i = bytes(p).find(b"\xff\xc0")
+        p[i + 1] = marker
+        with pytest.raises(NotImplementedError):
+            mm.decode_jpeg(bytes(p))
 
 
 def test_16bit_quant_table_raises_loud_gap():
@@ -315,3 +317,62 @@ def test_multiscan_with_restarts_and_chroma_subsampling():
     # and the separate stream really contains RSTn markers
     p = mm.encode_jpeg(px, 85, 2, 2, scans="separate")
     assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))
+
+
+# --------------------------------------- progressive DCT (r6)
+
+def test_progressive_pixels_equal_baseline():
+    # same quantized coefficients through the Annex G scan script
+    # (DC first Al=1 -> per-comp AC first with EOB runs -> AC
+    # refinement -> DC refinement) must reconstruct IDENTICAL pixels
+    # to the baseline layout
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (17, 23), (40, 56), (33, 31)]:
+        for sub in (1, 2):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            a = mm.decode_jpeg(mm.encode_jpeg(px, 90, sub, 0,
+                                              scans="interleaved"))
+            b = mm.decode_jpeg(mm.encode_jpeg(px, 90, sub, 0,
+                                              scans="progressive"))
+            assert np.array_equal(a, b), (h, w, sub)
+
+
+def test_progressive_eob_runs_across_blocks():
+    # a near-constant image makes most blocks AC-empty: multi-block
+    # EOB runs (EOBn symbols, n >= 1) in both first and refinement
+    # scans — the path the flat custom DHT exists for
+    px = np.full((64, 64, 3), 127, np.uint8)
+    px[0, 0] = 130
+    p = mm.encode_jpeg(px, 85, 1, 0, scans="progressive")
+    assert b"\xff\xc2" in p  # SOF2
+    base = mm.decode_jpeg(mm.encode_jpeg(px, 85, 1, 0))
+    assert np.array_equal(mm.decode_jpeg(p), base)
+
+
+def test_progressive_is_sof2_with_multiple_scans():
+    p = mm.encode_jpeg(
+        np.arange(768, dtype=np.uint8).reshape(16, 16, 3),
+        90, scans="progressive")
+    assert p.index(b"\xff\xc2") < p.index(b"\xff\xda")
+    n_sos = p.count(b"\xff\xda")
+    assert n_sos == 8  # DC first + 3x AC first + 3x AC refine + DC refine
+
+
+def test_progressive_dc_only_prefix_decodes():
+    # successive approximation means a stream truncated after the
+    # first (DC) scan is still a decodable approximation — cut after
+    # scan 1 and append EOI; decoded blocks are flat DC values
+    px = np.full((16, 16, 3), 99, np.uint8)
+    p = mm.encode_jpeg(px, 90, 1, 0, scans="progressive")
+    i1 = p.index(b"\xff\xda")
+    i2 = p.index(b"\xff\xda", i1 + 2)
+    out = mm.decode_jpeg(p[:i2] + b"\xff\xd9")
+    assert out.shape == (16, 16, 3)
+    # DC-only at Al=1 of a constant image is within quant error
+    assert np.abs(out.astype(int) - 99).max() <= 4
+
+
+def test_progressive_restart_rejected_by_encoder():
+    with pytest.raises(ValueError, match="restart"):
+        mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90, 1, 2,
+                       scans="progressive")

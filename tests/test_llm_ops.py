@@ -111,16 +111,17 @@ def test_multimodal_feature_extraction(spark, docs):
 
 
 def test_multimodal_decode_real_rejects_unsupported_containers():
-    # baseline JPEG now decodes built-in (test_jpeg.py); the loud-gap
-    # contract moves to containers with no pure-numpy decoder (MP3)
-    # and to JPEG variants beyond baseline (progressive SOF2) — both
-    # raise so a codec library can be plugged into the same slot
+    # baseline, multi-scan AND progressive JPEG now decode built-in
+    # (test_jpeg.py); the loud-gap contract moves to containers with
+    # no pure-numpy decoder (MP3) and to coding processes beyond DCT+
+    # huffman (arithmetic SOF9) — both raise so a codec library can
+    # be plugged into the same slot
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"ID3\x04\x00 not decodable audio", "audio")
     import numpy as np
     p = bytearray(mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90))
     i = bytes(p).find(b"\xff\xc0")
-    p[i + 1] = 0xC2  # progressive
+    p[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(NotImplementedError):
         mm.decode_real(bytes(p), "image")
 
