@@ -2848,6 +2848,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dict entries): (a) changed in r5 → (b) new in r5 → (c) the 18
 #: leftover r2 greens → (d) the 17 oldest r3 greens. See the
 #: ROTATION STATE section in the queries() docstring.
+_R6_PREFIX = [
+    # (a) changed in r6 — fixture/codec/guard/partials changes
+    "multimodal_decode",       # image fixtures: multi-scan+progressive
+    #                            JPEG, Adam7 + 16-bit PNG cycles
+    "phash_neardup",           # same fixture surface, production dial
+    "multimodal_frames_real",  # shares real_assets_from_documents
+    "temperature_mix",         # MAX_MIX_SOURCES in-plan guard
+    "sort_by_extrema",         # MAX_RANKED_SERIES in-plan guard
+    "rollup_incremental",      # rollup_partials _last_val null guard
+    # (b) new in r6
+    "stream_ann_ingest",       # 12th streaming replay twin
+    "video_manifest",          # MP4/ISO-BMFF container manifest
+    # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
+    # entries, staler than the r3 block the written plan named — the
+    # plan predates knowing these never rotated back in). The r2
+    # leftovers (tpch_q9/q11/q16/q20) and the r3 block head the r7
+    # promotion list.
+    "agg_methods",
+    "aggregate_series",
+    "merge_series",
+    "fetch_per_node_method",
+    "rollup_xff",
+    "rollup_per_node",
+    "multi_resolution",
+    "has_data_for_interval",
+    "find_glob",
+    "delete_before",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "pii_scrub",
+    "repetition_stats",
+    "neardup_clusters",
+    "corpus_pipeline",
+    "jaccard_pairs",
+    "topk_cosine",
+    "topk_cosine_lsh",
+    "topk_cosine_ivf",
+    "embedding_neardup",
+    "label_centroid_sim",
+    "topk_cosine_q8",
+    "sliding_window",
+    "session_window",
+    "props_extract",
+    "contamination",
+    "doc_chunks",
+    "funnel",
+    "cohort_retention",
+    "approx_distinct_users",
+    "token_counts",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "asof_join",
+]
+
 _R5_PREFIX = [
     # (a) changed in r5
     "temperature_mix",
@@ -2980,7 +3041,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 5, final): executed exactly as the r4 plan
+    ROTATION STATE (round 6, final): the 50-slot prefix is the
+    explicit ``_R6_PREFIX`` list — (a) the 6 entries changed in r6
+    (multimodal_decode / phash_neardup / multimodal_frames_real:
+    image fixtures now cycle multi-scan AND progressive JPEG plus
+    Adam7/16-bit PNG through the extended built-in codecs;
+    temperature_mix and sort_by_extrema: loud in-plan cardinality
+    guards on their global rank windows; rollup_incremental:
+    null-guarded _last_val in rollup_partials), (b) the 2 entries NEW
+    in r6 (stream_ann_ingest — the 12th streaming replay twin,
+    integer-lattice frozen centroids through the production
+    assign_stream + partitioned index_sink; video_manifest —
+    MP4/ISO-BMFF sample-table parsing, oracle = the fixture's
+    arithmetic manifest recomputed from documents), and (c) the
+    ENTIRE 42-entry block whose last driver row was
+    CORRECTNESS_r01 — computed from the five CORRECTNESS files, this
+    block was two rounds STALER than the r3 block the r5-written
+    plan named, so oldest-first wins over the written order (the
+    plan predates knowing r1 never rotated back in).
+
+    ROTATION PLAN (round 7): promote (a) anything changed in r7,
+    (b) new r7 entries, (c) the r2 leftovers (tpch_q9, tpch_q11,
+    tpch_q16, tpch_q20), then the r3 block oldest-first
+    (intersect_custkeys, anti_join, pivot_status, except_custkeys,
+    cube_orders, top_parts, running_totals, rank_window,
+    grouping_sets, range_frame_sum, as_percent, percentiles,
+    time_shift_join, forward_fill, anomaly_zscore, top_series,
+    moving_median, winsorize, simhash_pairs_global, topk_cosine_pq,
+    topk_cosine_ivfpq, slice_roundtrip, bigram_lm,
+    quality_classifier, token_budget_fill, vocab_drift, corpus_card,
+    embedding_decontamination, cusum_changepoints,
+    semantic_dedup_docs, bpe_train, bpe_segment, semantic_dedup,
+    fuzzy_pairs, series_transform, series_linreg, frequent_items,
+    minhash_pairs, order_analytics, fetch_dense, quantize_lww), then
+    (d) r4 greens (hash_embed … fuzzy_pairs_banded). Keep any entry
+    whose semantics changed in-round inside the prefix (ADVICE r2).
+
+    ROTATION STATE (round 5, historical): executed exactly as the r4 plan
     wrote it — the 50-slot prefix is the explicit ``_R5_PREFIX`` list
     below (the dict is reordered from it at call time, so the audit
     trail is one list): (a) the 9 entries changed/upgraded in r5 —
@@ -3235,7 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R5_PREFIX}
+    out = {k: base.pop(k) for k in _R6_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
