@@ -32,6 +32,7 @@ import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.ivfpq as ivfpq
 import ceres_spark.operators.pq as pqmod
+import ceres_spark.operators.mp3 as mp3
 import ceres_spark.operators.mp4 as mp4
 import ceres_spark.operators.multimodal as mm
 import ceres_spark.operators.relational as rel
@@ -1057,6 +1058,24 @@ def _q_video_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.load(spark, "documents", sf_dir)
     )
     return mp4.video_manifest(assets)
+
+
+def _q_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header census over deterministic fixture streams —
+    the audio analog of video_manifest (mid-r6): audio documents are
+    muxed into structurally valid VBR Layer III streams (ID3v2 tag +
+    per-frame bitrate/padding from the public 32-bit header grammar),
+    then ONE mapInPandas pass walks the headers and derives frame
+    count, sample rate, total samples, VBR flag, bitrate min/max/sum
+    and byte extents — the duration/bitrate manifest a pipeline runs
+    over 100 TB of audio WITHOUT any decoder. Fixture parameters are
+    arithmetic in (doc_id, n_chars), so the oracle recomputes the
+    whole manifest (including the per-frame 144000·br//sr + padding
+    size walk) from documents alone."""
+    assets = mp3.mp3_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mp3.audio_manifest(assets)
 
 
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2860,6 +2879,10 @@ _R6_PREFIX = [
     # (b) new in r6
     "stream_ann_ingest",       # 12th streaming replay twin
     "video_manifest",          # MP4/ISO-BMFF container manifest
+    # audio_manifest added mid-r6 (MP3 frame-header census — the
+    # audio analog of video_manifest); displaces the LAST (c) entry
+    # asof_join (r1-green, unchanged — heads the r7 (c) list)
+    "audio_manifest",
     # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
     # entries, staler than the r3 block the written plan named — the
     # plan predates knowing these never rotated back in). The r2
@@ -2906,7 +2929,6 @@ _R6_PREFIX = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "asof_join",
 ]
 
 _R5_PREFIX = [
@@ -3061,7 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plan predates knowing r1 never rotated back in).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
-    (b) new r7 entries, (c) the r2 leftovers (tpch_q9, tpch_q11,
+    (b) new r7 entries, (c) asof_join (displaced from this prefix
+    mid-r6 by audio_manifest), the r2 leftovers (tpch_q9, tpch_q11,
     tpch_q16, tpch_q20), then the r3 block oldest-first
     (intersect_custkeys, anti_join, pivot_status, except_custkeys,
     cube_orders, top_parts, running_totals, rank_window,
@@ -3155,6 +3178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # half of the codec story at the right boundary (VERDICT r5
         # #7: parse the container, plug in the frame decoder)
         "video_manifest": _q_video_manifest,
+        # (b) new in r6: MP3 frame-header census — the audio analog
+        # of video_manifest (duration/bitrate manifest with NO
+        # decoder; frame decode stays plug-in)
+        "audio_manifest": _q_audio_manifest,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5818,6 +5845,45 @@ SELECT v.doc_id AS asset_id,
        CAST(a.sum_kf AS BIGINT) AS sum_kf_offsets,
        CAST(a.mdat_bytes AS BIGINT) AS mdat_bytes
 FROM vid v JOIN agg a USING (doc_id)
+""",
+        # MP3 manifest oracle: the frame-size walk (144000·br // sr
+        # + padding) and the VBR bitrate cycle recomputed from
+        # documents arithmetic — the parser output must match a
+        # census it derived purely from the 32-bit header grammar
+        "audio_manifest": """
+WITH aud AS (
+  SELECT doc_id, n_chars AS c, 3 + n_chars % 6 AS n,
+         CASE n_chars % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr
+  FROM documents WHERE doc_id % 3 = 1
+),
+f AS (
+  SELECT doc_id, c, n, sr, unnest(range(0, n)) AS i FROM aud
+),
+fr AS (
+  SELECT doc_id, sr, i,
+         ([32, 40, 48, 56, 64])[CAST((c + i) % 5 AS INTEGER) + 1]
+           AS br
+  FROM f
+),
+agg AS (
+  SELECT doc_id,
+         MIN(br) AS bmin, MAX(br) AS bmax, SUM(br) AS bsum,
+         COUNT(DISTINCT br) > 1 AS vbr,
+         SUM(144000 * br // sr + (i % 2)) AS abytes
+  FROM fr GROUP BY doc_id
+)
+SELECT a.doc_id AS asset_id,
+       CAST(a.n AS BIGINT) AS n_frames,
+       CAST(a.sr AS BIGINT) AS sample_rate,
+       CAST(a.n * 1152 AS BIGINT) AS total_samples,
+       g.vbr AS is_vbr,
+       CAST(g.bmin AS BIGINT) AS bitrate_min,
+       CAST(g.bmax AS BIGINT) AS bitrate_max,
+       CAST(g.bsum AS BIGINT) AS bitrate_sum,
+       CAST(g.abytes AS BIGINT) AS audio_bytes,
+       CAST(10 + a.c % 50 AS BIGINT) AS id3_bytes
+FROM aud a JOIN agg g USING (doc_id)
 """,
         # streaming ANN ingest oracle: the same floor(x·1000) BIGINT
         # lattice quantization (one IEEE multiply + exact floor),

@@ -2049,6 +2049,22 @@ def decode_real(payload: bytes, modality: str, codecs=None):
         if head[:9] == b"YUV4MPEG2":
             frames, fps = decode_y4m(payload)
             return ("video", frames, fps)
+        # (JPEG's \xff\xd8\xff prefix matched above, so a remaining
+        # 0xFF + 3-sync-bits head is an MP3 frame header)
+        if head[:3] == b"ID3" or (
+            len(head) >= 2
+            and head[0] == 0xFF
+            and head[1] & 0xE0 == 0xE0
+        ):
+            # MP3 (ID3v2 tag or bare frame sync): the frame-header
+            # CENSUS parses built-in (operators/mp3.parse_mp3 —
+            # duration/bitrate manifest, no decoder), but sample
+            # decode is real-codec territory — plug-in chain
+            raise NotImplementedError(
+                "MP3 sample decode needs a codec plug-in "
+                "(register_codec); use ceres_spark.operators.mp3."
+                "audio_manifest for the frame-header census"
+            )
         if head[4:8] == b"ftyp":
             # ISO-BMFF (MP4/MOV): the CONTAINER parses built-in
             # (operators/mp4.parse_mp4 — manifest, sample tables,
