@@ -232,7 +232,11 @@ def parse_mp4(payload: bytes) -> dict:
     if trak is None:
         raise ValueError("MP4 moov without trak")
     mdia = _find(payload, *trak, b"mdia")
+    if mdia is None:
+        raise ValueError("MP4 trak without mdia")
     mdhd = _find(payload, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("MP4 mdia without mdhd")
     hb, he = mdhd
     version = payload[hb]
     if version == 1:
@@ -242,10 +246,18 @@ def parse_mp4(payload: bytes) -> dict:
         timescale, duration = struct.unpack(
             ">II", payload[hb + 12:hb + 20])
     minf = _find(payload, *mdia, b"minf")
+    if minf is None:
+        raise ValueError("MP4 mdia without minf")
     stbl = _find(payload, *minf, b"stbl")
+    if stbl is None:
+        raise ValueError("MP4 minf without stbl")
 
-    def table(fourcc: bytes):
+    def table(fourcc: bytes, required: bool = True):
         loc = _find(payload, *stbl, fourcc)
+        if loc is None and required:
+            raise ValueError(
+                f"MP4 stbl without {fourcc.decode('latin-1')}"
+            )
         return loc
 
     # --- stsd: codec fourcc, geometry, avcC profile/level
@@ -307,7 +319,7 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError("stsc/stco walk did not cover all samples")
 
     # --- stss sync samples → keyframe byte offsets
-    sync = table(b"stss")
+    sync = table(b"stss", required=False)  # no stss = all sync
     if sync is None:
         kf = list(range(1, n_samples + 1))     # no stss = all sync
     else:

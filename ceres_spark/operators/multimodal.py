@@ -1352,9 +1352,25 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             segments.append(bytes(cur))
 
             # tables looked up lazily: progressive refinement scans
-            # legitimately reference no DC table (raw bits only)
+            # legitimately reference no DC table (raw bits only) —
+            # but a scan that NEEDS a table its file never defined is
+            # malformed and must raise ValueError (hook-routable),
+            # not AttributeError out of the bit reader
             dc_tab = {cid: huff.get((0, td)) for cid, td, _ in scan}
             ac_tab = {cid: huff.get((1, ta)) for cid, _, ta in scan}
+            needs_dc = (not progressive) or (ss == 0 and ah == 0)
+            needs_ac = (not progressive) or ss > 0
+            for cid, _, _ in scan:
+                if needs_dc and dc_tab[cid] is None:
+                    raise ValueError(
+                        "JPEG scan references undefined DC huffman "
+                        "table"
+                    )
+                if needs_ac and ac_tab[cid] is None:
+                    raise ValueError(
+                        "JPEG scan references undefined AC huffman "
+                        "table"
+                    )
             br = _BitReader(segments)
             pred = {cid: 0 for cid, _, _ in scan}
             state = {"n": 0, "eobrun": 0}
