@@ -1060,6 +1060,41 @@ def _q_video_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4.video_manifest(assets)
 
 
+def _q_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF PROBE MECHANISM externally hash-checked (mid-r6 —
+    minhash_pairs_portable's role for the ANN family, extending the
+    stream_ann_ingest lattice trick from assignment to the whole
+    query path): vectors quantized to the floor(x·1000) BIGINT
+    lattice, frozen centroids = the 8 smallest vec_ids' lattice
+    vectors, then the REAL ivf.build_index + ivf.search run the
+    production plan — stable-argsort probe-list ranking, broadcast
+    query explode, list-join candidate restriction, cosine re-rank,
+    top-k window. Every distance/dot addend is integer-exact in
+    float64 and sqrt/division are IEEE-deterministic, so the oracle
+    reproduces the probe SET and the ranked result bit-for-bit: a
+    probe that scanned one wrong list would hash-mismatch. The
+    production entry (topk_cosine_ivf, float k-means centroids)
+    stays rows-only by design; THIS twin is why its mechanism can be
+    trusted."""
+    emb = tbl.load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    cent_rows = quant.orderBy("vec_id").limit(8).collect()  # bounded
+    centroids = [[int(v) for v in r["qvec"]] for r in cent_rows]
+    index = ivf.build_index(quant, centroids, vec_col="qvec")
+    queries = quant.filter(F.col("vec_id") % 50 == 0)
+    return ivf.search(
+        index, queries, centroids, k=5, nprobe=3, vec_col="qvec"
+    )
+
+
 def _q_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 frame-header census over deterministic fixture streams —
     the audio analog of video_manifest (mid-r6): audio documents are
@@ -2883,6 +2918,11 @@ _R6_PREFIX = [
     # audio analog of video_manifest); displaces the LAST (c) entry
     # asof_join (r1-green, unchanged — heads the r7 (c) list)
     "audio_manifest",
+    # topk_ivf_portable added mid-r6 (the IVF probe mechanism's
+    # integer-lattice twin — minhash_pairs_portable's role for the
+    # ANN family); displaces the next (c) tail entry tpch_q5
+    # (r1-green, unchanged — joins asof_join on the r7 (c) list)
+    "topk_ivf_portable",
     # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
     # entries, staler than the r3 block the written plan named — the
     # plan predates knowing these never rotated back in). The r2
@@ -2928,7 +2968,6 @@ _R6_PREFIX = [
     "multimodal_resize",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q5",
 ]
 
 _R5_PREFIX = [
@@ -3083,8 +3122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plan predates knowing r1 never rotated back in).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
-    (b) new r7 entries, (c) asof_join (displaced from this prefix
-    mid-r6 by audio_manifest), the r2 leftovers (tpch_q9, tpch_q11,
+    (b) new r7 entries, (c) asof_join and tpch_q5 (displaced from
+    this prefix mid-r6 by audio_manifest and topk_ivf_portable), the
+    r2 leftovers (tpch_q9, tpch_q11,
     tpch_q16, tpch_q20), then the r3 block oldest-first
     (intersect_custkeys, anti_join, pivot_status, except_custkeys,
     cube_orders, top_parts, running_totals, rank_window,
@@ -3182,6 +3222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of video_manifest (duration/bitrate manifest with NO
         # decoder; frame decode stays plug-in)
         "audio_manifest": _q_audio_manifest,
+        # (b) new in r6: the IVF probe mechanism hash-checked via the
+        # integer-lattice formulation (assignment + probe ranking +
+        # candidate restriction + cosine re-rank, all oracle-exact)
+        "topk_ivf_portable": _q_topk_ivf_portable,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5845,6 +5889,69 @@ SELECT v.doc_id AS asset_id,
        CAST(a.sum_kf AS BIGINT) AS sum_kf_offsets,
        CAST(a.mdat_bytes AS BIGINT) AS mdat_bytes
 FROM vid v JOIN agg a USING (doc_id)
+""",
+        # IVF probe-mechanism oracle: identical lattice quantization
+        # and frozen centroids as stream_ann_ingest, extended to the
+        # QUERY path — assignment (QUALIFY=1), per-query nprobe=3
+        # probe set (QUALIFY<=3, ties to smallest cid), candidate
+        # restriction by list join, and the double-cast fold cosine
+        # the brute-force oracles already proved portable; every
+        # addend integer-exact, sqrt/div IEEE-deterministic
+        "topk_ivf_portable": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cid,
+         qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT q.vec_id, cent.cid,
+         list_reduce(
+           list_transform(list_zip(q.qv, cent.qv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (x, y) -> x + y
+         ) AS d2
+  FROM q, cent
+),
+assign AS (
+  SELECT vec_id, cid AS lst FROM d
+  QUALIFY row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS lst
+  FROM d WHERE vec_id % 50 = 0
+  QUALIFY row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, cid) <= 3
+),
+qd AS (
+  SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+  FROM q
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos('qq.v', 'nn.v')} AS cosine_sim
+  FROM probes p
+  JOIN assign a ON a.lst = p.lst AND a.vec_id != p.query_id
+  JOIN qd qq ON qq.vec_id = p.query_id
+  JOIN qd nn ON nn.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         # MP3 manifest oracle: the frame-size walk (144000·br // sr
         # + padding) and the VBR bitrate cycle recomputed from
