@@ -1095,6 +1095,41 @@ def _q_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_codes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ ENCODE mechanism externally hash-checked (mid-r6 —
+    completing the portable-twin set: banded LSH r5, IVF probe and
+    now subspace quantization): vectors on the floor(x·1000) BIGINT
+    lattice, frozen integer codebooks = the 16 smallest vec_ids'
+    lattice subvectors (m=8 subspaces × 8 dims), run through the
+    PRODUCTION ``encode_pq`` Arrow pass with ``normalize=False`` so
+    every squared-L2 addend is integer-exact in float64. The output
+    is the 8-byte code itself as hex — one wrong nearest-codeword
+    pick in any subspace changes the string. ADC scan + refine stay
+    pinned by the refine≥corpus == brute pytest; the float-trained
+    production entries remain rows-only by design."""
+    emb = tbl.load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    cw = quant.orderBy("vec_id").limit(16).collect()  # bounded: 16
+    codebooks = [
+        [[float(v) for v in r["qvec"][j * 8:(j + 1) * 8]] for r in cw]
+        for j in range(8)
+    ]
+    codes = pqmod.encode_pq(
+        quant, codebooks, vec_col="qvec", normalize=False
+    )
+    return codes.select(
+        "vec_id", F.hex(F.col("codes")).alias("code_hex")
+    )
+
+
 def _q_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 frame-header census over deterministic fixture streams —
     the audio analog of video_manifest (mid-r6): audio documents are
@@ -2923,6 +2958,10 @@ _R6_PREFIX = [
     # ANN family); displaces the next (c) tail entry tpch_q5
     # (r1-green, unchanged — joins asof_join on the r7 (c) list)
     "topk_ivf_portable",
+    # pq_codes_portable added mid-r6 (the PQ subspace-quantization
+    # mechanism's integer-lattice twin); displaces the next (c) tail
+    # entry tpch_q3 (r1-green, unchanged — joins the r7 (c) list)
+    "pq_codes_portable",
     # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
     # entries, staler than the r3 block the written plan named — the
     # plan predates knowing these never rotated back in). The r2
@@ -2967,7 +3006,6 @@ _R6_PREFIX = [
     "multimodal_frames",
     "multimodal_resize",
     "tpch_q1",
-    "tpch_q3",
 ]
 
 _R5_PREFIX = [
@@ -3122,8 +3160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plan predates knowing r1 never rotated back in).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
-    (b) new r7 entries, (c) asof_join and tpch_q5 (displaced from
-    this prefix mid-r6 by audio_manifest and topk_ivf_portable), the
+    (b) new r7 entries, (c) asof_join, tpch_q5 and tpch_q3
+    (displaced from this prefix mid-r6 by audio_manifest,
+    topk_ivf_portable and pq_codes_portable), the
     r2 leftovers (tpch_q9, tpch_q11,
     tpch_q16, tpch_q20), then the r3 block oldest-first
     (intersect_custkeys, anti_join, pivot_status, except_custkeys,
@@ -3226,6 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-lattice formulation (assignment + probe ranking +
         # candidate restriction + cosine re-rank, all oracle-exact)
         "topk_ivf_portable": _q_topk_ivf_portable,
+        # (b) new in r6: the PQ encode mechanism hash-checked — the
+        # 8-byte subspace codes themselves as hex
+        "pq_codes_portable": _q_pq_codes_portable,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5952,6 +5994,46 @@ FROM (
   ) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        # PQ codes oracle: per (vector, subspace) the nearest of the
+        # 16 frozen integer codewords by exact squared L2 (ties to
+        # the smallest codeword id = np.argmin first-min), assembled
+        # into the same 8-byte uppercase hex string Spark emits
+        "pq_codes_portable": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+cw AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS c,
+         qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)
+),
+sub AS (
+  SELECT q.vec_id, j.j, cw.c,
+         list_reduce(
+           list_transform(
+             range(1, 9),
+             i -> (q.qv[j.j * 8 + i] - cw.qv[j.j * 8 + i])
+                  * (q.qv[j.j * 8 + i] - cw.qv[j.j * 8 + i])
+           ),
+           (x, y) -> x + y
+         ) AS d2
+  FROM q, (SELECT unnest(range(0, 8)) AS j) j, cw
+),
+pick AS (
+  SELECT vec_id, j, c FROM sub
+  QUALIFY row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY d2, c) = 1
+)
+SELECT vec_id,
+       string_agg(printf('%02X', c), '' ORDER BY j) AS code_hex
+FROM pick GROUP BY vec_id
 """,
         # MP3 manifest oracle: the frame-size walk (144000·br // sr
         # + padding) and the VBR bitrate cycle recomputed from

@@ -181,10 +181,16 @@ def encode_pq(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes binary) — m bytes per vector. One Arrow-batched
     pass; per subspace a (batch × k_sub) matmul picks the nearest
-    sub-centroid (argmin = first-min tie-break, everywhere)."""
+    sub-centroid (argmin = first-min tie-break, everywhere).
+
+    ``normalize=False`` skips the unit-sphere projection — the dial
+    the integer-lattice portable twin uses so every distance addend
+    stays integer-exact (production cosine search keeps the
+    default)."""
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(B)
     sub = B[0].shape[1]
@@ -192,9 +198,10 @@ def encode_pq(
     @F.pandas_udf("binary")
     def codes(batch: pd.Series) -> pd.Series:
         V = np.vstack(batch.to_numpy()).astype(np.float64)
-        n = np.linalg.norm(V, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        V = V / n
+        if normalize:
+            n = np.linalg.norm(V, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            V = V / n
         out = np.empty((len(V), m), dtype=np.uint8)
         for j in range(m):
             Vj = V[:, j * sub : (j + 1) * sub]
