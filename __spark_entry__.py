@@ -1095,6 +1095,41 @@ def _q_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup MECHANISM externally hash-checked (mid-r6, the
+    last big rows-only mechanism): lattice vectors + the frozen
+    8-centroid quantizer run the PRODUCTION semantic_dedup plan
+    (coarse assignment → per-cluster applyInPandas components →
+    min-id representative), with the new ``exact_tau`` kernel dial:
+    the edge test cos ≥ 9/10 is evaluated as
+    ``dot > 0 AND 100·dot² ≥ 81·|a|²·|b|²`` in pure int64, so every
+    pair verdict — and therefore every component and keeper — is
+    engine-portable. The oracle replays assignment, the integer
+    threshold, and the transitive closure as a recursive CTE. The
+    float-k-means production entry stays rows-only by design (its
+    kernel equality to numpy is pytest-pinned); THIS twin is why the
+    cluster-bounded component mechanism can be trusted."""
+    emb = tbl.load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    cent_rows = quant.orderBy("vec_id").limit(8).collect()  # bounded
+    centroids = [[float(v) for v in r["qvec"]] for r in cent_rows]
+    return sdd.semantic_dedup(
+        quant,
+        k=8,
+        vec_col="qvec",
+        centroids=centroids,
+        exact_tau=(9, 10),
+    )
+
+
 def _q_pq_codes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ ENCODE mechanism externally hash-checked (mid-r6 —
     completing the portable-twin set: banded LSH r5, IVF probe and
@@ -2962,6 +2997,11 @@ _R6_PREFIX = [
     # mechanism's integer-lattice twin); displaces the next (c) tail
     # entry tpch_q3 (r1-green, unchanged — joins the r7 (c) list)
     "pq_codes_portable",
+    # semantic_dedup_portable added mid-r6 (the SemDeDup component
+    # mechanism's integer-lattice twin — exact rational threshold);
+    # displaces the next (c) tail entry tpch_q1 (r1-green, unchanged
+    # — joins the r7 (c) list)
+    "semantic_dedup_portable",
     # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
     # entries, staler than the r3 block the written plan named — the
     # plan predates knowing these never rotated back in). The r2
@@ -3005,7 +3045,6 @@ _R6_PREFIX = [
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
-    "tpch_q1",
 ]
 
 _R5_PREFIX = [
@@ -3160,7 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plan predates knowing r1 never rotated back in).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
-    (b) new r7 entries, (c) asof_join, tpch_q5 and tpch_q3
+    (b) new r7 entries, (c) asof_join, tpch_q5, tpch_q3 and tpch_q1
     (displaced from this prefix mid-r6 by audio_manifest,
     topk_ivf_portable and pq_codes_portable), the
     r2 leftovers (tpch_q9, tpch_q11,
@@ -3268,6 +3307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in r6: the PQ encode mechanism hash-checked — the
         # 8-byte subspace codes themselves as hex
         "pq_codes_portable": _q_pq_codes_portable,
+        # (b) new in r6: the SemDeDup component mechanism
+        # hash-checked — exact int64 threshold, closure vs a
+        # recursive-CTE oracle
+        "semantic_dedup_portable": _q_semantic_dedup_portable,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -5994,6 +6037,77 @@ FROM (
   ) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        # SemDeDup portable oracle: lattice assignment (same frozen
+        # 8-centroid quantizer as the ANN twins), the EXACT integer
+        # edge test (dot>0 AND 100·dot² >= 81·|a|²·|b|²), transitive
+        # closure as a recursive CTE, min-id head per component,
+        # singletons keep themselves
+        "semantic_dedup_portable": """
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cid,
+         qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+),
+dd AS (
+  SELECT q.vec_id, cent.cid,
+         list_reduce(
+           list_transform(list_zip(q.qv, cent.qv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (x, y) -> x + y
+         ) AS d2
+  FROM q, cent
+),
+assign AS (
+  SELECT vec_id, cid AS lst FROM dd
+  QUALIFY row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+v AS (
+  SELECT a.vec_id, a.lst, q.qv,
+         list_reduce(list_transform(list_zip(q.qv, q.qv),
+                                    p -> p[1] * p[2]),
+                     (x, y) -> x + y) AS n2
+  FROM assign a JOIN q USING (vec_id)
+),
+pd_ AS (
+  SELECT x.vec_id AS s, y.vec_id AS t,
+         list_reduce(list_transform(list_zip(x.qv, y.qv),
+                                    p -> p[1] * p[2]),
+                     (a, b) -> a + b) AS dot,
+         x.n2 AS n2s, y.n2 AS n2t
+  FROM v x JOIN v y ON x.lst = y.lst AND x.vec_id < y.vec_id
+),
+pairs AS (
+  SELECT s, t FROM pd_
+  WHERE dot > 0 AND 100 * dot * dot >= 81 * n2s * n2t
+),
+edges AS (
+  SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+  SELECT s AS node, LEAST(s, MIN(t)) AS component
+  FROM reach GROUP BY s
+)
+SELECT v.vec_id,
+       CAST(v.lst AS INTEGER) AS cluster,
+       COALESCE(c.component, v.vec_id) AS group_head,
+       COALESCE(c.component, v.vec_id) = v.vec_id AS is_kept
+FROM v LEFT JOIN comp c ON v.vec_id = c.node
 """,
         # PQ codes oracle: per (vector, subspace) the nearest of the
         # 16 frozen integer codewords by exact squared L2 (ties to

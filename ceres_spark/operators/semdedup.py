@@ -63,6 +63,47 @@ def _group_components(ids: np.ndarray, V: np.ndarray, tau: float) -> np.ndarray:
     return ids[roots]
 
 
+def _group_components_exact(
+    ids: np.ndarray, V: np.ndarray, num: int, den: int
+) -> np.ndarray:
+    """Integer-exact twin of :func:`_group_components` for LATTICE
+    vectors: the edge test cos(a,b) ≥ num/den is evaluated as
+    ``dot > 0 AND den²·dot² ≥ num²·|a|²·|b|²`` — pure int64
+    arithmetic, no normalization, no float threshold, so an external
+    engine reproduces every verdict bit-for-bit. Bounds are checked
+    loudly: den²·dot_max² must fit int64."""
+    n = len(ids)
+    if n == 0:
+        return ids
+    Vi = np.asarray(V, dtype=np.int64)
+    dot_max = int(np.abs(Vi).max() or 1) ** 2 * Vi.shape[1]
+    if den * den * dot_max * dot_max >= 2**62:
+        raise ValueError(
+            "lattice magnitudes too large for the exact int64 "
+            "threshold test — rescale the lattice"
+        )
+    G = Vi @ Vi.T                      # exact: integer addends
+    n2 = np.diag(G).copy()
+    edge = (G > 0) & (
+        (den * den) * G * G >= (num * num) * np.outer(n2, n2)
+    )
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii, jj = np.nonzero(np.triu(edge, k=1))
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    return ids[roots]
+
+
 #: per-cluster row cap: the in-task GEMM is |cluster|² doubles, so
 #: 20k rows ≈ 3.2 GB — the last size that fits a default executor
 #: task. Oversized clusters fail LOUDLY with a re-dial hint instead
@@ -79,6 +120,8 @@ def semantic_dedup(
     cache_key: str = "semantic_dedup",
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
     target_cluster_rows: int | None = None,
+    centroids: list[list[float]] | None = None,
+    exact_tau: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-vector semantic-dup verdict: ``vec_id, cluster, group_head,
     is_kept`` where ``group_head`` is the smallest id in the vector's
@@ -96,9 +139,13 @@ def semantic_dedup(
     if target_cluster_rows is not None:
         n = vectors.count()
         k = max(int(k), -(-n // int(target_cluster_rows)))
-    centroids = train_centroids_cached(
-        vectors, cache_key, k=int(k), id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        # production: deterministic Lloyd's on a bounded sample
+        centroids = train_centroids_cached(
+            vectors, cache_key, k=int(k), id_col=id_col, vec_col=vec_col
+        )
+    # else: FROZEN quantizer (the integer-lattice portable twin —
+    # assignment becomes SQL-expressible, see semantic_dedup_portable)
     assigned = _assign(vectors, centroids, id_col, vec_col)
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -112,7 +159,10 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        heads = _group_components(ids, V, float(tau))
+        if exact_tau is not None:
+            heads = _group_components_exact(ids, V, *exact_tau)
+        else:
+            heads = _group_components(ids, V, float(tau))
         return pd.DataFrame(
             {
                 "vec_id": ids,

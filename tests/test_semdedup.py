@@ -169,3 +169,42 @@ def test_adversarial_all_duplicates_corpus(spark):
             df, tau=0.95, k=8, cache_key="semdedup-alldup-cap",
             target_cluster_rows=5, max_cluster_rows=10,
         ).collect()
+
+
+def test_exact_lattice_kernel_matches_rational_threshold():
+    # r6: _group_components_exact evaluates cos >= num/den as pure
+    # int64 (dot>0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2) — verify
+    # against exact rational arithmetic on hand vectors, including a
+    # pair sitting EXACTLY on the threshold (cos == 0.9 is kept:
+    # >= is inclusive) and an anti-parallel pair (dot<0 rejected)
+    import numpy as np
+    from fractions import Fraction
+
+    import ceres_spark.operators.semdedup as sd
+
+    rng = np.random.default_rng(3)
+    V = rng.integers(-500, 500, (40, 8)).astype(np.float64)
+    V[1] = V[0]                 # exact dup → cos 1
+    V[2] = -V[0]                # anti-parallel → rejected
+    V[3] = V[0] * 3             # scaled → cos 1
+    ids = np.arange(40, dtype=np.int64)
+    heads = sd._group_components_exact(ids, V, 9, 10)
+    assert heads[1] == 0 and heads[3] == 0 and heads[2] != 0
+    # brute rational reference for every pair verdict
+    Vi = V.astype(object)
+    for a in range(40):
+        for b in range(a + 1, 40):
+            dot = int(sum(Vi[a] * Vi[b]))
+            na2 = int(sum(Vi[a] * Vi[a]))
+            nb2 = int(sum(Vi[b] * Vi[b]))
+            want = dot > 0 and Fraction(dot * dot, na2 * nb2) >= \
+                Fraction(81, 100)
+            got_same = heads[a] == heads[b]
+            if want:
+                assert got_same, (a, b)  # edge ⇒ same component
+    # magnitude guard is loud
+    big = np.full((2, 8), 2**20, np.float64)
+    import pytest
+    with pytest.raises(ValueError, match="rescale"):
+        sd._group_components_exact(
+            np.arange(2, dtype=np.int64), big, 9, 10)
