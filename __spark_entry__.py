@@ -77,6 +77,27 @@ _DOT = (
 )
 
 
+#: the topk_lsh_portable oracle inlines the SAME ±1 hyperplane
+#: matrices the production operator derives (similarity.hyperplane
+#: splitmix signs) as SQL VALUES literals — 8 tables × 8 planes × 64
+#: dims of ±1
+def _lsh_planes_sql(n_tables: int = 8, n_planes: int = 8,
+                    dim: int = 64) -> str:
+    from ceres_spark.operators.similarity import hyperplane
+
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            comps = ",".join(
+                str(int(c)) for c in hyperplane(t * n_planes + p, dim)
+            )
+            rows.append(f"({t}, {p}, [{comps}])")
+    return ", ".join(rows)
+
+
+_LSH_PLANES_SQL = _lsh_planes_sql()
+
+
 def _cos(a: str, b: str) -> str:
     return (
         f"{_DOT.format(a=a, b=b)} / "
@@ -1127,6 +1148,35 @@ def _q_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="qvec",
         centroids=centroids,
         exact_tau=(9, 10),
+    )
+
+
+def _q_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The random-hyperplane LSH mechanism externally hash-checked
+    (mid-r6, completing the ANN set): the hyperplanes were ALWAYS
+    integer (±1 splitmix signs), so lattice vectors make the bucket
+    bits ([v·plane > 0]) integer-exact — the PRODUCTION topk_lsh
+    plan (8 tables × 8 planes, posexplode + bucket join + distinct +
+    fold-cosine re-rank) runs unchanged over qvec, and the oracle
+    recomputes every bucket id from the SAME ±1 matrices (inlined as
+    SQL literals by the shared hyperplane() derivation), the same
+    OR-amplified candidate set, and the same ranked result. One
+    flipped bucket bit anywhere changes the candidate set and
+    hash-mismatches."""
+    emb = tbl.load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    queries = quant.filter(F.col("vec_id") % 50 == 0)
+    return sim.topk_lsh(
+        quant, queries, k=5, dim=64, n_planes=8, n_tables=8,
+        vec_col="qvec",
     )
 
 
@@ -3002,6 +3052,11 @@ _R6_PREFIX = [
     # displaces the next (c) tail entry tpch_q1 (r1-green, unchanged
     # — joins the r7 (c) list)
     "semantic_dedup_portable",
+    # topk_lsh_portable added mid-r6 (the hyperplane-LSH bucket
+    # mechanism's lattice twin — the planes were already ±1 integer);
+    # displaces the next (c) tail entry multimodal_resize (r1-green,
+    # unchanged — joins the r7 (c) list)
+    "topk_lsh_portable",
     # (c) oldest-first: the ENTIRE last-checked-in-r1 block (42
     # entries, staler than the r3 block the written plan named — the
     # plan predates knowing these never rotated back in). The r2
@@ -3044,7 +3099,6 @@ _R6_PREFIX = [
     "token_counts",
     "multimodal_features",
     "multimodal_frames",
-    "multimodal_resize",
 ]
 
 _R5_PREFIX = [
@@ -3199,7 +3253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plan predates knowing r1 never rotated back in).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
-    (b) new r7 entries, (c) asof_join, tpch_q5, tpch_q3 and tpch_q1
+    (b) new r7 entries, (c) asof_join, tpch_q5, tpch_q3, tpch_q1
+    and multimodal_resize
     (displaced from this prefix mid-r6 by audio_manifest,
     topk_ivf_portable and pq_codes_portable), the
     r2 leftovers (tpch_q9, tpch_q11,
@@ -3311,6 +3366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checked — exact int64 threshold, closure vs a
         # recursive-CTE oracle
         "semantic_dedup_portable": _q_semantic_dedup_portable,
+        # (b) new in r6: the hyperplane-LSH bucket mechanism
+        # hash-checked — ±1 planes over the lattice, bucket ids and
+        # OR-amplified candidates oracle-exact
+        "topk_lsh_portable": _q_topk_lsh_portable,
         # ===== r4 prefix order (historical; the ACTUAL r5 order is
         # _R5_PREFIX + the rest of this dict) =====================
         # (a) changed in r4: hash_embed output reshaped to vec_str
@@ -6028,6 +6087,60 @@ scored AS (
   JOIN assign a ON a.lst = p.lst AND a.vec_id != p.query_id
   JOIN qd qq ON qq.vec_id = p.query_id
   JOIN qd nn ON nn.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        # hyperplane-LSH portable oracle: the SAME ±1 splitmix plane
+        # matrices inlined as literals (via similarity.hyperplane),
+        # integer bucket bits over the lattice, OR-amplified DISTINCT
+        # candidates, fold-cosine re-rank — the full topk_lsh plan
+        "topk_lsh_portable": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+pl(tbl, p, comp) AS (VALUES {_LSH_PLANES_SQL}),
+bits AS (
+  SELECT q.vec_id, pl.tbl, pl.p,
+         CASE WHEN list_reduce(
+                list_transform(list_zip(q.qv, pl.comp),
+                               z -> z[1] * z[2]),
+                (a, b) -> a + b) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM q, pl
+),
+bkt AS (
+  SELECT vec_id, tbl,
+         SUM(bit * (CAST(1 AS BIGINT) << p)) AS bkt
+  FROM bits GROUP BY vec_id, tbl
+),
+qs AS (SELECT * FROM bkt WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qs JOIN bkt c
+    ON c.tbl = qs.tbl AND c.bkt = qs.bkt AND c.vec_id != qs.vec_id
+),
+qd AS (
+  SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+  FROM q
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cos('qq.v', 'nn.v')} AS cosine_sim
+  FROM cand
+  JOIN qd qq ON qq.vec_id = cand.query_id
+  JOIN qd nn ON nn.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine_sim,
        CAST(rank AS BIGINT) AS rank
