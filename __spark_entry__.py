@@ -3240,17 +3240,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Adam7/16-bit PNG through the extended built-in codecs;
     temperature_mix and sort_by_extrema: loud in-plan cardinality
     guards on their global rank windows; rollup_incremental:
-    null-guarded _last_val in rollup_partials), (b) the 2 entries NEW
-    in r6 (stream_ann_ingest — the 12th streaming replay twin,
-    integer-lattice frozen centroids through the production
-    assign_stream + partitioned index_sink; video_manifest —
-    MP4/ISO-BMFF sample-table parsing, oracle = the fixture's
-    arithmetic manifest recomputed from documents), and (c) the
-    ENTIRE 42-entry block whose last driver row was
-    CORRECTNESS_r01 — computed from the five CORRECTNESS files, this
-    block was two rounds STALER than the r3 block the r5-written
-    plan named, so oldest-first wins over the written order (the
-    plan predates knowing r1 never rotated back in).
+    null-guarded _last_val in rollup_partials), (b) the 7 entries
+    NEW in r6 — stream_ann_ingest (12th streaming replay twin),
+    video_manifest + audio_manifest (MP4/MP3 container manifests,
+    no decoder), and the portable-twin completion topk_ivf_portable
+    / pq_codes_portable / semantic_dedup_portable / topk_lsh_portable
+    (every approximate mechanism now externally hash-checked via
+    integer-lattice formulations of its PRODUCTION plan) — and (c)
+    the 37 remaining entries of the 42-entry block whose last driver
+    row was CORRECTNESS_r01 (computed from the five CORRECTNESS
+    files, two rounds STALER than the r3 block the r5-written plan
+    named, so oldest-first won over the written order; the displaced
+    tail asof_join/tpch_q5/tpch_q3/tpch_q1/multimodal_resize heads
+    the r7 (c) list).
 
     ROTATION PLAN (round 7): promote (a) anything changed in r7,
     (b) new r7 entries, (c) asof_join, tpch_q5, tpch_q3, tpch_q1
