@@ -368,6 +368,49 @@ def time_r5c_ops(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def time_r6_ops(spark, sf_dir: str) -> dict[str, float]:
+    """r6 additions: the MP4/MP3 container manifests (map-only
+    mapInPandas parses — must track scan speed) and the IVF portable
+    twin (lattice assignment + probe + list-restricted re-rank —
+    candidate work ∝ corpus/k_lists per query, never corpus²)."""
+    from pyspark.sql import functions as FF
+
+    import ceres_spark.operators.ivf as ivf
+    import ceres_spark.operators.mp3 as mp3
+    import ceres_spark.operators.mp4 as mp4
+
+    docs = tbl.load(spark, "documents", sf_dir)
+    t = {}
+    t0 = time.perf_counter()
+    mp4.video_manifest(mp4.mp4_assets_from_documents(docs)).count()
+    t["video_manifest"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mp3.audio_manifest(mp3.mp3_assets_from_documents(docs)).count()
+    t["audio_manifest"] = round(time.perf_counter() - t0, 2)
+    emb = tbl.load(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    quant = emb.select(
+        "vec_id",
+        FF.transform(
+            FF.col("embedding"),
+            lambda x: FF.floor(x.cast("double") * FF.lit(1000.0)),
+        ).alias("qvec"),
+    )
+    t0 = time.perf_counter()
+    cents = [
+        [int(v) for v in r["qvec"]]
+        for r in quant.orderBy("vec_id").limit(8).collect()
+    ]
+    idx = ivf.build_index(quant, cents, vec_col="qvec")
+    ivf.search(
+        idx, quant.filter(FF.col("vec_id") % 50 == 0), cents,
+        k=5, nprobe=3, vec_col="qvec",
+    ).count()
+    t["topk_ivf_lattice"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -379,6 +422,7 @@ def main() -> None:
     time_r4_ops(spark, base)
     time_r5_ops(spark, base)
     time_r5b_ops(spark, base)
+    time_r6_ops(spark, base)
     results = {}
     for m in mults:
         with tempfile.TemporaryDirectory() as td:
@@ -405,6 +449,7 @@ def main() -> None:
             timings.update(time_r4_ops(spark, td))
             timings.update(time_r5_ops(spark, td))
             timings.update(time_r5b_ops(spark, td))
+            timings.update(time_r6_ops(spark, td))
             results[f"x{m}"] = {"rows": rows, **timings}
             print(json.dumps({f"x{m}": results[f"x{m}"]}))
     # per-row scaling summary
