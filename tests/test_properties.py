@@ -541,3 +541,71 @@ def test_kmv_split_invariance(spark, vals, k, nsplit):
     b = sk.kmv_distinct(split_df, "g", "v", k=k).collect()[0]
     assert (a["n_tracked"], a["est_distinct"]) == (
         b["n_tracked"], b["est_distinct"])
+
+
+# ----------------------------- r6 container layers (pure Python)
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400),
+                   min_size=1, max_size=12),
+    kf_every=st.integers(min_value=1, max_value=5),
+    delta=st.integers(min_value=1, max_value=3000),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_manifest_matches_construction(sizes, kf_every, delta):
+    # parse_mp4 derives everything from the sample tables — for ANY
+    # mux input the manifest must equal the construction arithmetic
+    import ceres_spark.operators.mp4 as m4
+
+    samples = [bytes([(i * 31) % 251]) * s for i, s in enumerate(sizes)]
+    p = m4.encode_mp4(samples, width=64, height=32, timescale=90000,
+                      sample_delta=delta, keyframe_every=kf_every)
+    m = m4.parse_mp4(p)
+    assert m["n_samples"] == len(sizes)
+    assert m["sizes"] == sizes
+    assert m["duration"] == len(sizes) * delta
+    assert m["mdat_bytes"] == sum(sizes)
+    offs, acc = [], 32
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    assert m["sample_offsets"] == offs
+    kf = list(range(0, len(sizes), kf_every))
+    assert m["keyframes"] == [k + 1 for k in kf]
+    assert m["keyframe_offsets"] == [offs[k] for k in kf]
+
+
+@given(
+    brs=st.lists(st.sampled_from([32, 40, 48, 56, 64, 80, 96, 112,
+                                  128, 160, 192, 224, 256, 320]),
+                 min_size=1, max_size=10),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    id3=st.sampled_from([0, 10, 37, 59]),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_census_matches_construction(brs, sr, id3):
+    import ceres_spark.operators.mp3 as m3
+
+    m = m3.parse_mp3(m3.encode_mp3_frames(brs, rate=sr, id3_bytes=id3))
+    assert m["n_frames"] == len(brs)
+    assert m["total_samples"] == len(brs) * 1152
+    assert m["is_vbr"] == (len(set(brs)) > 1)
+    assert m["bitrate_sum"] == sum(brs)
+    assert m["id3_bytes"] == id3
+    assert m["audio_bytes"] == sum(
+        144000 * b // sr + (i % 2) for i, b in enumerate(brs))
+
+
+@given(n=st.integers(min_value=0, max_value=(1 << 36) - 1))
+@settings(max_examples=200, deadline=None)
+def test_flac_utf8_code_roundtrips_and_is_canonical(n):
+    # ADVICE r5: canonical byte count per the 6+5k capacity table,
+    # and the in-repo reader inverts the writer for EVERY value
+    import ceres_spark.operators.multimodal as mm
+
+    enc = mm._utf8_code(n)
+    bits = n.bit_length()
+    want = 1 if bits <= 7 else 1 + -(-(bits - 6) // 5)
+    assert len(enc) == want, (hex(n), enc.hex())
+    r = mm._MSBReader(enc, 0)
+    assert mm._utf8_decode(r) == n
