@@ -72,3 +72,47 @@ def test_stream_assignment_equals_batch(spark, tmp_path):
     assert "PartitionFilters" in plan or pruned.count() == sum(
         1 for v in want.values() if v == one_list
     )
+
+
+def test_index_sink_checkpoint_restart_appends_only_new(spark, tmp_path):
+    """Stop the ingest query, land MORE vectors in the source, start
+    a NEW query on the SAME checkpoint: the restarted sink must
+    process only the unseen files (no duplicate index rows) and the
+    merged index must equal a one-shot batch assignment — the
+    durability half of the maintenance contract (the assignment half
+    is externally hash-checked by the stream_ann_ingest registry
+    entry)."""
+    base = make_vectors(spark, 0, 60)
+    cents = ivf.train_centroids_cached(base, "ann-restart-test", k=4)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ai.index_sink(ai.assign_stream(stream, cents), idx, ck)
+        assert q.awaitTermination(120)
+
+    make_vectors(spark, 0, 30).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n1 = spark.read.parquet(idx).count()
+    assert n1 == 30
+    # late arrivals land AFTER the first query finished
+    make_vectors(spark, 30, 60).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {
+        r["vec_id"]: r["_list"]
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert len(got) == 60  # each vector exactly once — no replays
+    want = {
+        r["vec_id"]: r["_list"]
+        for r in ivf._assign(base, cents, "vec_id", "embedding").collect()
+    }
+    assert got == want
