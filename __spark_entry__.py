@@ -946,6 +946,33 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ana.event_transitions(tbl.load(spark, "events", sf_dir))
 
 
+def _q_event_transitions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED hot-key-salted twin of event_transitions (r7, VERDICT
+    #2): users above the hot threshold run the per-user LEAD window
+    per (user, time-chunk) with a tiny boundary merge (~32-way
+    parallel for a 50%-hot user); everyone else takes the unchanged
+    window. SAME oracle as the unsalted entry — the salted plan must
+    be bit-identical. hot_min_rows=60 here so BOTH paths (chunked hot
+    users AND cold users, ~66 events/user in the fixtures) are inside
+    the external hash check; the skew win and the ≈1.0× uniform
+    overhead are measured in tools/skew_probe.py (SCALING.md §SKEW)."""
+    return ana.event_transitions_salted(
+        tbl.load(spark, "events", sf_dir), n_chunks=32, hot_min_rows=60
+    )
+
+
+def _q_funnel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED salted-reach-join twin of funnel (r7, VERDICT #2):
+    hot users' reach rows exploded ×16 salts and joined on
+    (user_id, hash(event_id) mod 16); cold users join unchanged; the
+    groupBy-min merge is already skew-neutral. SAME oracle as the
+    unsalted entry — output must not change. hot_min_rows=60 puts
+    both the salted and the cold join inside the hash check."""
+    return ana.funnel_salted(
+        tbl.load(spark, "events", sf_dir), n_salts=16, hot_min_rows=60
+    )
+
+
 def _q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-latency distribution per weekly cohort: first view
     → first purchase at-or-after it, exact discrete p50/p90 deltas
@@ -970,7 +997,9 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct users per event_type, computed the way
     a warehouse would: per-day sketches unioned per type (rows-only:
     DuckDB's approx sketch differs by construction; accuracy vs exact
-    and merge-exactness are pytest's job — tests/test_sketches.py)."""
+    and merge-exactness are pytest's job — tests/test_sketches.py —
+    and the register MECHANISM is externally hash-checked since r7
+    via approx_distinct_portable's portable-hash twin)."""
     ev = tbl.load(spark, "events", sf_dir)
     sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
     return sk.approx_distinct_reagg(
@@ -979,12 +1008,34 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event_type with externally auditable
+    registers (r7 — the LAST mechanism without driver lineage): the
+    portable-hash HLL (sketches.hll_portable) runs the PRODUCTION
+    two-level shape — per-day sketches unioned per type, exactly
+    approx_distinct_reagg's plan — while bucket index, ρ and every
+    register stay integer-exact functions of the md5-low31 hash. The
+    oracle recomputes the registers DIRECTLY (no day level): register
+    union is max, so two-level == direct is part of what the hash
+    check proves (the mergeability claim itself, externally checked).
+    Emits V, the scaled register sum, a position-sensitive register
+    checksum, and the bias-corrected estimate (linear counting below
+    2.5 m — rounded at 4 decimals to absorb ln() ulp skew)."""
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
+    return sk.hll_portable(
+        ev, "event_type", "user_id", p=8,
+        bucket_expr=F.to_date(F.timestamp_seconds(sec)),
+    )
+
+
 def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event_type — the engine-portable
     twin of approx_distinct_users: tracked set, k-th minimum, and the
     (k-1)·2³¹/h_k estimate are all exact functions of the input, so
-    the sketch path is externally hash-checked (HLL registers can't
-    be; that entry stays rows-only by construction)."""
+    the sketch path is externally hash-checked (DataSketches HLL
+    registers are implementation-defined; since r7 the HLL MECHANISM
+    has its own register-level twin, approx_distinct_portable)."""
     return sk.kmv_distinct(
         tbl.load(spark, "events", sf_dir), "event_type", "user_id", k=64
     )
@@ -3338,10 +3389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_above": _q_average_above,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "approx_distinct_portable": _q_approx_distinct_portable,
         "kmv_overlap_users": _q_kmv_overlap_users,
         "neardup_triangles": _q_neardup_triangles,
         "value_transforms": _q_value_transforms,
         "event_transitions": _q_event_transitions,
+        "event_transitions_salted": _q_event_transitions_salted,
+        "funnel_salted": _q_funnel_salted,
         "time_to_convert": _q_time_to_convert,
         "moving_window_functions": _q_moving_window_functions,
         "stream_kmv": _q_stream_kmv,
@@ -3558,7 +3612,7 @@ def oracle_sql() -> dict[str, str]:
     t1 = T0 + DAY
     cutoff = T0 + 15 * DAY + 17
     cutoff_q = cutoff + (-cutoff) % 60
-    return {
+    d = {
         "fetch_dense": f"""
 WITH {POINTS_CTE},
 agg AS (
@@ -6341,6 +6395,57 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
         # global k-th minimum (the salted two-phase Spark plan is
         # result-identical by min-k mergeability), same
         # (k-1)·2^31/h_k double arithmetic
+        # HLL register twin (r7): same md5-low31 hash, bucket = low 8
+        # bits, rho = 23-bit leading-zero count + 1 via the binary
+        # STRING length (no float log2 — a ulp at a power of two
+        # would flip a register), registers recomputed DIRECTLY (no
+        # day level: register union is max, so matching the Spark
+        # plan's per-day-then-union registers IS the mergeability
+        # proof). Estimate expression mirrored term-for-term; the one
+        # transcendental (ln in the linear-counting branch) sits
+        # behind round(.,4).
+        "approx_distinct_portable": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              & 2147483647 AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+b AS (
+  SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 24
+                  ELSE 24 - length(bin(w)) END) AS reg
+  FROM b GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         COUNT(*) AS present,
+         SUM(CAST(1 AS BIGINT) << (24 - reg)) AS s_present,
+         SUM((bucket + 1) * reg) AS register_checksum
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT event_type,
+         CAST(256 - present AS BIGINT) AS n_zero_registers,
+         CAST(s_present + (256 - present) * 16777216 AS BIGINT)
+           AS register_sum_scaled,
+         CAST(register_checksum AS BIGINT) AS register_checksum
+  FROM g
+)
+SELECT event_type, n_zero_registers, register_sum_scaled,
+       register_checksum,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       * 16777216.0 / register_sum_scaled <= 640.0
+                   AND n_zero_registers > 0
+                  THEN 256.0 * ln(256.0 / n_zero_registers)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       * 16777216.0 / register_sum_scaled
+             END, 4) AS est_distinct
+FROM e
+""",
         "kmv_distinct_users": """
 WITH h AS (
   SELECT DISTINCT event_type,
@@ -7145,3 +7250,10 @@ SELECT doc_id, component,
 FROM lab
 """,
     }
+    # the salted twins (r7) share the unsalted oracles VERBATIM: the
+    # salt/chunk machinery must be invisible in the output — same
+    # rows, same hashes — so one oracle string serves both entries
+    # and any divergence the salting introduced hash-mismatches
+    d["event_transitions_salted"] = d["event_transitions"]
+    d["funnel_salted"] = d["funnel"]
+    return d

@@ -184,3 +184,211 @@ def time_to_convert(
             "percentile_disc(0.9) WITHIN GROUP (ORDER BY _delta)"
         ).cast("bigint").alias("p90_latency_s"),
     )
+
+
+def hot_keys(df: DataFrame, key_col: str, hot_min_rows: int) -> DataFrame:
+    """Keys owning at least ``hot_min_rows`` rows — the targeted-
+    salting prefilter shared by :func:`event_transitions_salted` and
+    :func:`funnel_salted`. One grouped COUNT (map-side combinable, so
+    the detection itself is skew-neutral) filtered to a set whose
+    size is BOUNDED by construction: at most N / hot_min_rows keys,
+    so with the threshold set ≳ the rows a single task comfortably
+    owns (the only regime where salting helps at all), the hot set is
+    always broadcast-small. Everything below the threshold takes the
+    unchanged unsalted plan — uniform data pays one cheap aggregate
+    and nothing else.
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= int(hot_min_rows))
+        .select(key_col)
+    )
+
+
+def event_transitions_salted(
+    events: DataFrame, n_chunks: int = 32, hot_min_rows: int = 50_000
+) -> DataFrame:
+    """:func:`event_transitions` with hot-key serialization salted
+    away (VERDICT r6 #2 — the one measured genuine scale cost,
+    docs/SCALING.md §SKEW): a user owning half the stream pins that
+    many rows to ONE task in the per-user LEAD window; sequence
+    semantics mean no engine can split an order it must honor —
+    UNLESS the order itself is split order-contiguously. Consecutive-
+    pair counting is associative over time-chunks of a user's
+    timeline: within-chunk pairs come from a per-(user, chunk) window
+    (n_chunks-way parallel for the hot user), and the only cross-
+    chunk work is the boundary pair (last event of a chunk → first
+    event of the next non-empty one), recovered from a partial-
+    aggregatable min_by/max_by and one tiny per-user window over
+    ≤ n_chunks rows.
+
+    TARGETED, one-pass: :func:`hot_keys` users (≥ hot_min_rows rows —
+    the bounded, broadcast-small set; i.e. actually serialization-
+    bound) are flagged by ONE broadcast left-join and get the time-
+    chunk id; everyone else gets the constant chunk 0 — for a cold
+    user one chunk IS the whole timeline, so the same (user, chunk)
+    window runs the exact unsalted sequence for them (no second scan,
+    no anti-join: a blanket two-branch semi/anti split measured
+    SLOWER than the skew it removed). Cold single-chunk users fall
+    out of the boundary pass by construction (lead over one row is
+    NULL). With no hot keys at all the plan early-exits to the
+    unsalted form after one bounded probe of the hot set.
+
+    Output is bit-identical to :func:`event_transitions` (the
+    registry entry shares its oracle verbatim): within-chunk +
+    boundary pairs are exactly the consecutive pairs of the full
+    (ts, event_id) order. Chunk id = integer time-range bucket of the
+    event second — order-contiguous with the sort (seconds coarsen
+    raw ts), from one bounded min/max scalar job. Measured (x64
+    fixtures, 6.4M events, min-of-3): uniform parity, 50%-hot 4.8 s →
+    3.6 s, 90%-hot 6.9 s → 3.7 s (tools/skew_probe.py, §SKEW).
+    """
+    from pyspark.sql.window import Window
+
+    n = int(n_chunks)
+    hot = hot_keys(events, "user_id", hot_min_rows)
+    # one bounded probe of the (≤ N/hot_min_rows-row) hot set: with
+    # no hot keys uniform data pays the detection aggregate only and
+    # runs the EXACT unsalted plan
+    if not hot.limit(1).count():
+        return event_transitions(events)
+    s = _event_secs(events)
+    lo, hi = events.agg(F.min(s), F.max(s)).collect()[0]  # bounded: 1 row
+    span = int(hi) - int(lo) + 1
+    flagged = events.select(
+        "user_id", "event_id", "event_type", "ts", s.alias("_s")
+    ).join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "user_id", "left"
+    )
+    chunked = flagged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.expr(f"({n} * (_s - {int(lo)})) div {span}"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_chunk"),
+    )
+    wc = Window.partitionBy("user_id", "_chunk").orderBy(
+        F.col("ts").asc(), F.col("event_id")
+    )
+    within = chunked.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wc).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    # boundary pass: map-side-combinable agg over (user, chunk) — a
+    # cold user has ONE chunk, so their lead is NULL and they emit
+    # nothing; only hot users' cross-chunk seams survive
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    edges = chunked.groupBy("user_id", "_chunk").agg(
+        F.min_by("event_type", order_key).alias("_first"),
+        F.max_by("event_type", order_key).alias("_last"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("_chunk")
+    boundary = edges.select(
+        F.col("_last").alias("from_type"),
+        F.lead("_first").over(wu).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+
+    pairs = (
+        within.unionByName(boundary)
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    from_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(from_tot)
+        ).alias("share_from"),
+    )
+
+
+def funnel_salted(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    n_salts: int = 16,
+    hot_min_rows: int = 50_000,
+) -> DataFrame:
+    """:func:`funnel` with its reach join salted (VERDICT r6 #2): the
+    unsalted plan's at-scale skew point is ``hits ⋈ reach ON
+    user_id`` — at toy scale AQE broadcasts the tiny reach side and
+    skew vanishes, but at user-cardinality reach (billions of rows)
+    the join is sort-merge and a hot user sends that many EVENT-
+    cardinality hits through one task.
+
+    TARGETED, one-pass: hits carry ``_salt = hash(event_id) mod
+    n_salts`` for :func:`hot_keys` users (flagged by ONE broadcast
+    left-join) and the constant 0 for everyone else; reach rows
+    explode into n_salts copies for hot users and exactly one (salt
+    0) for the rest; ONE sort-merge join on (user_id, _salt) then
+    serves both populations, spreading the hot user across n_salts
+    tasks. Each step's reach feeds the next step ONCE — an earlier
+    two-branch semi/anti design consumed reach twice per step, and
+    with funnel's sequential step chain that recomputed every prior
+    join per branch (measured 4.5× SLOWER than unsalted at 50%-hot;
+    this form is what shipped). The merge back is the groupBy-min the
+    plan already ran, whose partial aggregation is skew-neutral
+    (0.90× in §SKEW). With no hot keys: one bounded probe, then the
+    exact unsalted plan. Output is bit-identical to :func:`funnel`
+    (shared oracle): the min over salted partitions is the min.
+    """
+    ns = int(n_salts)
+    hot = hot_keys(events, "user_id", hot_min_rows)
+    if not hot.limit(1).count():
+        return funnel(events, steps)
+    hot_f = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+    base = (
+        events.select(
+            "user_id", "event_id", "event_type", _event_secs(events).alias("t")
+        )
+        .join(hot_f, "user_id", "left")
+        .select(
+            "user_id",
+            "event_type",
+            "t",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("event_id"), F.lit(ns)),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("_salt"),
+        )
+    )
+    out = None
+    reach = None
+    for i, step in enumerate(steps):
+        hits = base.filter(F.col("event_type") == step)
+        if reach is not None:
+            reach_s = reach.join(hot_f, "user_id", "left").select(
+                "user_id",
+                "t_reach",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.when(
+                            F.col("_hot").isNotNull(),
+                            F.lit(ns - 1).cast("bigint"),
+                        ).otherwise(F.lit(0).cast("bigint")),
+                    )
+                ).alias("_salt"),
+            )
+            hits = hits.join(reach_s, ["user_id", "_salt"]).filter(
+                F.col("t") >= F.col("t_reach")
+            ).drop("t_reach")
+        reach = hits.groupBy("user_id").agg(F.min("t").alias("t_reach"))
+        row = reach.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

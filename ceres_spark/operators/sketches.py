@@ -374,3 +374,120 @@ def kmv_overlap(
         jacc.alias("jaccard_est"),
         (jacc * est_union).alias("est_intersection"),
     )
+
+
+def hll_portable(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    bucket_expr=None,
+) -> DataFrame:
+    """HyperLogLog with every register an exact integer function of
+    the input — the engine-portable twin of :func:`approx_distinct`
+    (Flajolet et al. 2007): bucket index = low ``p`` bits of the
+    portable md5-low31 hash, ρ = leading-zero count of the remaining
+    ``31-p`` bits + 1, register = max ρ per bucket. All three are
+    integer-exact and SQL-expressible (bit length via the binary
+    string, no float log2 whose ulp could flip a power-of-two edge),
+    so an external engine recomputes the registers AND the
+    bias-corrected estimate bit-for-bit — closing the one sketch
+    mechanism (sketches.py:26's DataSketches registers are
+    implementation-defined) that external hash-checking couldn't
+    reach. Same mergeability story as the production path: pass
+    ``bucket_expr`` (e.g. a day) to sketch per (group, day) first and
+    union per group — register union is max, exact, so the two-level
+    result is identical to direct.
+
+    Estimator: with m = 2^p registers M_j, scale = 2^(31-p+1) so
+    every 2^-M_j term is the integer 2^(scale_bits - M_j);
+    S = Σ_j 2^(scale_bits - M_j) is an exact BIGINT (absent buckets
+    contribute M_j = 0). raw = α_m · m² · 2^scale_bits / S; below
+    2.5 m with V > 0 empty registers, linear counting m·ln(m/V).
+    α_m is written as the same literal expression ``0.7213 /
+    (1 + 1.079/m)`` on both sides so the doubles agree bit-for-bit;
+    the one transcendental (ln) sits behind a round(·, 4) with
+    ~1e-13 relative ulp slack — not a correctness dial, a
+    representation one.
+
+    Output one row per group: ``n_zero_registers`` (V),
+    ``register_sum_scaled`` (S — pins the ρ multiset),
+    ``register_checksum`` (Σ (bucket+1)·M_j — pins ρ positions) and
+    ``est_distinct``. Scale shape: two grouped MAX aggregations
+    (map-side combinable) over value-cardinality rows, then one
+    m-row-per-group aggregate — no windows, no collects.
+    """
+    pp = int(p)
+    m = 1 << pp
+    rho_bits = 31 - pp  # hash bits left for the leading-zero count
+    scale_bits = rho_bits + 1  # max rho = rho_bits + 1 -> min term 2^0
+    from ceres_spark.operators.dedup import _md5_low31
+
+    hv = _md5_low31(F.col(value_col).cast("string"))
+    w = (F.col("_hv") / F.lit(m)).cast("bigint")  # high rho_bits bits
+    # bit length of w via the decimal->binary string (exact); w == 0
+    # means all rho_bits bits are zero -> rho = rho_bits + 1
+    bitlen = F.length(F.conv(F.col("_w").cast("string"), 10, 2))
+    rho = F.when(F.col("_w") == 0, F.lit(rho_bits + 1)).otherwise(
+        F.lit(rho_bits + 1) - bitlen
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())  # COUNT DISTINCT semantics
+        .select(
+            F.col(group_col),
+            *([bucket_expr.alias("_bk")] if bucket_expr is not None else []),
+            hv.alias("_hv"),
+        )
+        .withColumn("_bucket", F.col("_hv") % F.lit(m))
+        .withColumn("_w", w)
+        .withColumn("_rho", rho.cast("int"))
+    )
+    if bucket_expr is not None:  # per-(group, day) sketches ...
+        daily = hashed.groupBy(group_col, "_bk", "_bucket").agg(
+            F.max("_rho").alias("_rho")
+        )
+        regs = daily.groupBy(group_col, "_bucket").agg(  # ... unioned
+            F.max("_rho").alias("_reg")
+        )
+    else:
+        regs = hashed.groupBy(group_col, "_bucket").agg(
+            F.max("_rho").alias("_reg")
+        )
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").alias("_present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(scale_bits) - F.col("_reg")).cast(
+                "bigint"
+            )
+        ).alias("_s_present"),
+        F.sum((F.col("_bucket") + 1) * F.col("_reg")).alias(
+            "register_checksum"
+        ),
+    )
+    v_zero = F.lit(m) - F.col("_present")
+    s = (
+        F.col("_s_present") + v_zero * F.lit(1 << scale_bits)
+    ).cast("bigint")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << scale_bits))
+        / F.col("register_sum_scaled")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
+    ).otherwise(raw)
+    return (
+        per_group.withColumn("n_zero_registers", v_zero.cast("bigint"))
+        .withColumn("register_sum_scaled", s)
+        .select(
+            group_col,
+            "n_zero_registers",
+            "register_sum_scaled",
+            "register_checksum",
+            F.round(est, 4).alias("est_distinct"),
+        )
+    )

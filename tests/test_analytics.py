@@ -145,3 +145,94 @@ def test_time_to_convert_deltas_and_percentiles(spark):
     assert r["n_started"] == 4 and r["n_converted"] == 2
     # deltas {60, 0}: discrete p50 = 0, p90 = 60
     assert r["p50_latency_s"] == 0 and r["p90_latency_s"] == 60
+
+
+def _skewed_events(spark, n_users=40, hot_share=0.5, n=2000, seed=7):
+    """Synthetic clickstream where ONE user owns ~hot_share of the
+    rows — the §SKEW shape the salted variants exist for."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for eid in range(n):
+        u = 0 if rng.random() < hot_share else rng.randrange(1, n_users)
+        rows.append((eid, u, rng.randrange(0, 10**6) * NS,
+                     types[rng.randrange(4)]))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+
+
+def test_event_transitions_salted_bit_equal(spark):
+    df = _skewed_events(spark)
+    want = {tuple(r) for r in ana.event_transitions(df).collect()}
+    # thresholds chosen to cover: everyone hot (1), the skewed mix
+    # (the probe regime: one hot user + cold tail), and all-cold
+    # (default 50k — degenerates to the plain window)
+    for n_chunks, hot_min in ((1, 1), (3, 200), (32, 1), (32, 50_000)):
+        got = {
+            tuple(r)
+            for r in ana.event_transitions_salted(
+                df, n_chunks=n_chunks, hot_min_rows=hot_min
+            ).collect()
+        }
+        assert got == want, (n_chunks, hot_min)
+
+
+def test_event_transitions_salted_ties_and_boundaries(spark):
+    # simultaneous events + single-event users, across chunk edges
+    rows = [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 20, "c"),
+            (4, 1, 10**6, "a"), (5, 2, 50, "b"), (6, 3, 99, "c")]
+    df = spark.createDataFrame(
+        [(e, u, t * NS, ty) for e, u, t, ty in rows],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    want = {tuple(r) for r in ana.event_transitions(df).collect()}
+    got = {
+        tuple(r)
+        for r in ana.event_transitions_salted(
+            df, n_chunks=5, hot_min_rows=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hot_keys_bounded_and_exact(spark):
+    df = _skewed_events(spark, n=1000, hot_share=0.5)
+    hot = {r["user_id"] for r in ana.hot_keys(df, "user_id", 300).collect()}
+    counts = {
+        r["user_id"]: r["n"]
+        for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert hot == {u for u, n in counts.items() if n >= 300}
+    assert 0 in hot  # the planted 50% user
+
+
+def test_funnel_salted_bit_equal(spark):
+    df = _skewed_events(spark, n=1500)
+    want = [tuple(r) for r in ana.funnel(df).collect()]
+    # everyone hot / mixed (probe regime) / all cold
+    for ns, hot_min in ((1, 1), (4, 400), (16, 1), (16, 50_000)):
+        got = [
+            tuple(r)
+            for r in ana.funnel_salted(
+                df, n_salts=ns, hot_min_rows=hot_min
+            ).collect()
+        ]
+        assert got == want, (ns, hot_min)
+
+
+def test_funnel_salted_order_matters(spark):
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+        (4, 2, 10, "click"), (5, 2, 20, "view"),
+        (6, 3, 10, "view"), (7, 3, 10, "click"),
+        (8, 4, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t * NS, ty) for e, u, t, ty in rows],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    out = {r["step"]: r["n_users"] for r in ana.funnel_salted(df).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}

@@ -259,3 +259,76 @@ def test_kmv_overlap_partitioning_independent(spark, events):
         events.repartition(13, "event_id"), "event_type", "user_id"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_portable_registers_match_python_reference(spark):
+    """Every register of the portable HLL equals a pure-Python
+    recomputation (md5 low-64 LE word & 0x7FFFFFFF, low 8 bits
+    bucket, 23-bit leading-zero rho) — the same derivation the
+    external DuckDB oracle runs, pinned here at pytest granularity."""
+    import hashlib
+    import math
+
+    vals = [f"user{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, val string"
+    )
+    regs = {}
+    for v in vals:
+        hv = (
+            int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
+            & 0x7FFFFFFF
+        )
+        bucket, w = hv % 256, hv // 256
+        rho = 24 if w == 0 else 24 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(1 << (24 - r) for r in regs.values()) + (256 - len(regs)) * (
+        1 << 24
+    )
+    v_zero = 256 - len(regs)
+    checksum = sum((b + 1) * r for b, r in regs.items())
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 256.0 * 256.0 * 16777216.0 / s
+    est = (
+        256.0 * math.log(256.0 / v_zero)
+        if raw <= 640.0 and v_zero > 0
+        else raw
+    )
+    [row] = sk.hll_portable(df, "grp", "val").collect()
+    assert row["n_zero_registers"] == v_zero
+    assert row["register_sum_scaled"] == s
+    assert row["register_checksum"] == checksum
+    assert row["est_distinct"] == round(est, 4)
+    assert abs(row["est_distinct"] - 500) / 500 < 0.20  # ~3 sigma at m=256
+
+
+def test_hll_portable_two_level_equals_direct(spark, events):
+    direct = sk.hll_portable(events, "event_type", "user_id")
+    merged = sk.hll_portable(
+        events, "event_type", "user_id",
+        bucket_expr=F.to_date(F.timestamp_seconds(
+            tbl.epoch_seconds(events.schema["ts"].dataType)
+        )),
+    )
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in merged.collect()
+    }  # register union is max: pre-bucketing is free, externally too
+
+
+def test_hll_portable_partitioning_independent(spark, events):
+    a = sk.hll_portable(events, "event_type", "user_id")
+    b = sk.hll_portable(
+        events.repartition(7, "user_id"), "event_type", "user_id"
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_hll_portable_estimate_accuracy_at_scale(spark):
+    """Out of the linear-counting regime (n >> m): the raw HLL
+    estimator lands within ~3 sigma (1.04/sqrt(256) = 6.5% RSE)."""
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("val")
+    )
+    [row] = sk.hll_portable(df, "grp", "val").collect()
+    assert abs(row["est_distinct"] - n) / n < 0.20

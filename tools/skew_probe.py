@@ -159,6 +159,17 @@ def probe(spark, pts_dir: str, ev_dir: str, li_dir: str) -> dict:
     ana.funnel(ev).count()
     t["funnel"] = round(time.perf_counter() - t0, 2)
 
+    # salt-and-merge twins (r7): same output bit-for-bit (oracle-
+    # shared with the unsalted entries), measured here to show the
+    # hot-key serialization cost actually drops
+    t0 = time.perf_counter()
+    ana.event_transitions_salted(ev).count()
+    t["event_transitions_salted"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ana.funnel_salted(ev).count()
+    t["funnel_salted"] = round(time.perf_counter() - t0, 2)
+
     # fact-fact sort-merge join on the (possibly hot) orderkey;
     # broadcast suppressed so the probe exercises the shuffle path
     # AQE must rescue, as it would at real fact×fact scale
