@@ -2391,7 +2391,17 @@ def _replay_scratch(name: str, sf_dir: str) -> str:
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tmp = tempfile.gettempdir()
+    # prefer tmpfs for the replay scratch (r7, VERDICT #4): the
+    # checkpoint's offset/commit/state files are many tiny writes per
+    # micro-batch, and /tmp is disk-backed here — /dev/shm removes
+    # that I/O from the fixed replay floor (measured ~0.3-0.5 s per
+    # entry; the toy scratch is a few MB, far under any shm limit)
+    shm = "/dev/shm"
+    tmp = (
+        shm
+        if os.path.isdir(shm) and os.access(shm, os.W_OK)
+        else tempfile.gettempdir()
+    )
     # sweep siblings left by DEAD processes: the per-PID key prevents
     # live runs from deleting each other's streaming source mid-query,
     # but without this sweep every finished process would leak its
@@ -2466,17 +2476,34 @@ def _write_arrival_files(
     order (``part_col`` values 0..n-1, dropped before write), pinning
     each batch's file mtimes to a distinct synthetic epoch — the file
     streaming source triggers by modification time and two fast
-    appends can share a tick, which would scramble arrival order."""
-    import os
+    appends can share a tick, which would scramble arrival order.
 
+    ONE Spark job (r7, VERDICT #4): a partitionBy write into a
+    staging dir, then driver-side renames into the flat layout the
+    file source reads. The previous form ran n sequential
+    filter+coalesce jobs, each rescanning the fixture — ~1.5-3 s of
+    the per-replay floor at n=4. repartition(n, part_col) puts every
+    part value in exactly one task, so each partition dir holds
+    exactly one file and the n-files == n-micro-batches contract is
+    unchanged."""
+    import glob
+    import os
+    import shutil
+
+    stage = src.rstrip("/") + "_stage"
+    (
+        df.repartition(n, F.col(part_col))
+        .write.partitionBy(part_col)
+        .parquet(stage)
+    )
+    os.makedirs(src, exist_ok=True)
     for i in range(n):
-        df.filter(F.col(part_col) == i).drop(part_col).coalesce(
-            1
-        ).write.mode("append").parquet(src)
-        for f in os.listdir(src):
-            fp = os.path.join(src, f)
-            if f.endswith(".parquet") and os.path.getmtime(fp) > 1e6:
-                os.utime(fp, (1000 + i, 1000 + i))
+        files = glob.glob(os.path.join(stage, f"{part_col}={i}", "*.parquet"))
+        assert len(files) == 1, (src, i, files)
+        dst = os.path.join(src, f"arrival-{i:02d}.parquet")
+        os.replace(files[0], dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _with_time_quartile(df: DataFrame, t_col: str, n: int = 4) -> DataFrame:
@@ -2501,13 +2528,13 @@ class _replay_shuffle:
     operators disable AQE, so every micro-batch pays a fixed task per
     shuffle partition per stateful stage — at 32 partitions × 4
     batches that overhead dwarfs the toy data (measured 20 s on the
-    stream-stream join; ~4 s at 8). State-partition count is burned
-    into the checkpoint at first start; the scratch dir is wiped per
-    call, so scoping the conf around start() is safe. Every replay
-    aggregate is partitioning-independent by construction (the repo's
-    determinism contract), which the oracles re-verify."""
+    stream-stream join; ~4 s at 8; another ~0.6 s off at 4, where r7
+    moved the default — still multi-partition, so the oracles keep
+    re-proving partitioning independence). State-partition count is
+    burned into the checkpoint at first start; the scratch dir is
+    wiped per call, so scoping the conf around start() is safe."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
 
     def __enter__(self):

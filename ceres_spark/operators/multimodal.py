@@ -378,13 +378,18 @@ def encode_png(
     )
 
 
-def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
-    """Unfilter ``h`` scanlines of ``w·bpp`` bytes starting at
-    ``raw[off]`` (one filter byte per line). Returns
-    ``(bytes_consumed, (h, w·bpp) uint8)``. PNG filters operate on
-    BYTES with a ``bpp``-byte left offset — one code path serves
-    8/16-bit depths and every Adam7 sub-image."""
-    stride = w * bpp
+def _png_unfilter(
+    raw: bytes, off: int, w: int, h: int, bpp: int, stride: int | None = None
+):
+    """Unfilter ``h`` scanlines of ``stride`` bytes (default
+    ``w·bpp``) starting at ``raw[off]`` (one filter byte per line).
+    Returns ``(bytes_consumed, (h, stride) uint8)``. PNG filters
+    operate on BYTES with a ``bpp``-byte left offset — one code path
+    serves 8/16-bit depths, every Adam7 sub-image, AND (r7) the
+    sub-8-bit packed rows, where the caller passes the ceil(w·d/8)
+    byte stride with the spec's bpp=1 filter offset."""
+    if stride is None:
+        stride = w * bpp
     need = h * (stride + 1)
     if len(raw) < off + need:
         raise ValueError("truncated PNG scanlines")
@@ -398,7 +403,7 @@ def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
             pass
         elif ft == 1:  # Sub: exact mod-256 prefix sum per filter unit
             cur = (
-                np.cumsum(cur.reshape(w, bpp), axis=0,
+                np.cumsum(cur.reshape(-1, bpp), axis=0,
                           dtype=np.uint64) % 256
             ).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up: uint8 addition wraps — mod 256 for free
@@ -425,20 +430,115 @@ def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
     return need, out
 
 
+def _png_unpack_bits(mat: "np.ndarray", w: int, depth: int) -> "np.ndarray":
+    """Unpack ``(h, stride)`` filtered bytes into ``(h, w)`` samples
+    for sub-8-bit depths: pixels pack MSB-first within each byte
+    (PNG spec §7.2), rows pad to a byte boundary."""
+    h = mat.shape[0]
+    bits = np.unpackbits(mat, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (
+        (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+    )
+
+
+def _png_pack_bits(samples: "np.ndarray", depth: int) -> "np.ndarray":
+    """Pack ``(h, w)`` samples (< 2^depth) into MSB-first rows padded
+    to byte boundaries — the encoder twin of :func:`_png_unpack_bits`."""
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    c = typ + data
+    return struct.pack(">I", len(data)) + c + struct.pack(
+        ">I", zlib.crc32(c)
+    )
+
+
+def encode_png_packed(
+    samples: "np.ndarray",
+    depth: int,
+    palette: "np.ndarray | None" = None,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode ``(h, w)`` samples as a sub-8-bit PNG (r7 — the encoder
+    twin closing the last PNG dialect gap): color type 0 greyscale
+    when ``palette`` is None, else color type 3 with a PLTE built
+    from the ``(n, 3)`` uint8 palette. ``depth`` ∈ {1, 2, 4}; every
+    sample must be < 2^depth. Same filter/interlace dials as
+    :func:`encode_png`, with the spec's bpp=1 byte-offset filters
+    over the packed rows, so tests can exercise every unfilter ×
+    unpack × Adam7 combination from payloads produced in-repo."""
+    import zlib
+
+    s = np.ascontiguousarray(samples, dtype=np.uint8)
+    if s.ndim != 2:
+        raise ValueError("encode_png_packed expects (h, w) samples")
+    if depth not in (1, 2, 4):
+        raise ValueError("depth must be 1, 2 or 4")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    if s.size and int(s.max()) >= (1 << depth):
+        raise ValueError(f"sample out of range for depth {depth}")
+    h, w = s.shape
+    if interlace:
+        parts = []
+        for x0, dx, y0, dy in _ADAM7:
+            sub = s[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: NO bytes at all (spec §8.2)
+            parts.append(
+                _png_filter_bytes(_png_pack_bits(sub, depth), 1, filter_type)
+            )
+        body = zlib.compress(b"".join(parts))
+    else:
+        body = zlib.compress(
+            _png_filter_bytes(_png_pack_bits(s, depth), 1, filter_type)
+        )
+    import struct
+
+    ctype = 0 if palette is None else 3
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        p = np.ascontiguousarray(palette, dtype=np.uint8)
+        if p.ndim != 2 or p.shape[1] != 3 or p.shape[0] > (1 << depth):
+            raise ValueError("palette must be (n<=2^depth, 3) uint8")
+        out += _png_chunk(b"PLTE", p.tobytes())
+    return out + _png_chunk(b"IDAT", body) + _png_chunk(b"IEND", b"")
+
+
 def decode_png(payload: bytes) -> "np.ndarray":
     """Decode PNG to (h, w, 3) uint8 with only stdlib ``zlib`` +
     numpy — the first genuinely COMPRESSED container that decodes
     built-in (PNG spec, RFC 2083 / ISO 15948: chunked container,
     zlib-deflated scanlines, 5 per-line predictive filters).
 
-    Supported: bit depths 8 AND 16 (big-endian; 16-bit reduces to
-    the MSB, the standard strip-16 rule), color types 0 (grey →
-    replicated), 2 (RGB), 3 (palette via PLTE), 4 (grey+alpha), 6
-    (RGBA — alpha dropped, matching the (h,w,3) decode_real
-    contract), interlace 0 AND Adam7 (each of the 7 passes
-    unfiltered as its own sub-image, then scattered onto the
-    ``[y0::dy, x0::dx]`` grid). Both dialects are r6 — the last
-    named PNG gaps; sub-8-bit depths remain plug-in territory.
+    Supported: EVERY valid IHDR combination (spec §11.2.2) — bit
+    depths 8/16 (big-endian; 16-bit reduces to the MSB, the standard
+    strip-16 rule) across color types 0 (grey → replicated), 2
+    (RGB), 3 (palette via PLTE), 4 (grey+alpha), 6 (RGBA — alpha
+    dropped, matching the (h,w,3) decode_real contract), PLUS (r7)
+    the sub-8-bit depths 1/2/4 for grey (left-bit-replication scale
+    to 8-bit) and palette (direct index), with MSB-first bit packing
+    and byte-padded rows; interlace 0 AND Adam7 (each of the 7
+    passes unfiltered as its own sub-image — packed to its OWN
+    ceil(pw·d/8) stride at sub-8 depths — then scattered onto the
+    ``[y0::dy, x0::dx]`` grid). No named PNG dialect gaps remain;
+    invalid depth×color combinations raise ValueError.
 
     Unfiltering: Up is one vectorized row op, Sub is an exact
     mod-256 cumulative sum per filter unit; Average/Paeth carry an
@@ -470,16 +570,46 @@ def decode_png(payload: bytes) -> "np.ndarray":
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
     if comp != 0 or filt_method != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if depth not in (8, 16) or (depth == 16 and ctype == 3):
-        raise NotImplementedError(
-            "only bit-depth-8/16 PNG decodes built-in"
-        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"invalid PNG color type {ctype}")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        ctype, (8, 16)
+    )
+    if depth not in valid_depths:
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {ctype}"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    if depth < 8:  # packed rows: bpp=1 byte filters + MSB-first bits
+        if interlace == 0:
+            _, mat = _png_unfilter(
+                raw, 0, w, h, 1, stride=(w * depth + 7) // 8
+            )
+            samples = _png_unpack_bits(mat, w, depth)
+        elif interlace == 1:
+            samples = np.zeros((h, w), np.uint8)
+            off = 0
+            for x0, dx, y0, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                used, mat = _png_unfilter(
+                    raw, off, pw, ph, 1, stride=(pw * depth + 7) // 8
+                )
+                off += used
+                samples[y0::dy, x0::dx] = _png_unpack_bits(mat, pw, depth)
+        else:
+            raise ValueError(f"invalid PNG interlace method {interlace}")
+        if ctype == 0:  # left-bit-replication: 255/85/17 at d=1/2/4
+            g = samples * np.uint8(255 // ((1 << depth) - 1))
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[samples]
     bps = depth // 8
     bpp = channels * bps
-    raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
         _, byte_img = _png_unfilter(raw, 0, w, h, bpp)
     elif interlace == 1:  # Adam7

@@ -75,34 +75,111 @@ def test_color_types_grey_rgba_greyalpha_palette():
     assert (out[0, 1] == [0, 255, 0]).all()
 
 
-def test_loud_gaps_subbyte_depth_palette_without_plte():
-    # r6: Adam7 and 16-bit are FEATURES now — the remaining loud
-    # depth gap is sub-8-bit (1/2/4), plus the malformed-stream
-    # ValueErrors
+def test_loud_gaps_invalid_combos_and_malformed_streams():
+    # r7: sub-8-bit depths are FEATURES now — PNG has no dialect gaps
+    # left; what stays loud is the spec-INVALID depth×color matrix
+    # (ValueError, §11.2.2) and the malformed-stream ValueErrors
     img = _img(4, 4)
     ok = mm.encode_png(img)
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(_png_raw(8, 1, 4, 0, 0, bytes(5)))  # 4-bit grey
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.decode_png(_png_raw(2, 1, 16, 3, 0, bytes(3)))  # 16-bit pal
     with pytest.raises(ValueError):
+        mm.decode_png(_png_raw(2, 1, 4, 2, 0, bytes(4)))  # 4-bit RGB
+    with pytest.raises(ValueError):
+        mm.decode_png(_png_raw(2, 1, 2, 6, 0, bytes(2)))  # 2-bit RGBA
+    with pytest.raises(ValueError):
         mm.decode_png(_png_raw(2, 1, 8, 3, 0, bytes([0, 0, 1])))  # no PLTE
+    with pytest.raises(ValueError):
+        mm.decode_png(
+            _png_raw(2, 1, 1, 3, 0, bytes([0, 0, 0]))  # 1-bit pal, no PLTE
+        )
     with pytest.raises(ValueError):
         mm.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
     with pytest.raises(ValueError):
         mm.decode_png(ok[:40])  # truncated scanlines/missing IEND path
 
 
-def test_subbyte_depth_falls_through_to_codec_hook():
+def test_unsupported_codec_falls_through_to_hook():
+    # the loud-gap → plug-in chain contract, exercised through a
+    # still-unimplemented dialect (arithmetic-coded JPEG, SOF9)
     claimed = []
 
     def hook(payload, modality):
         claimed.append(modality)
         return ("image", np.zeros((1, 1, 3), np.uint8))
 
-    payload = _png_raw(8, 1, 4, 0, 0, bytes(5))
+    payload = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(6)
     kind, px = mm.decode_real(payload, "image", codecs=(hook,))
     assert kind == "image" and claimed == ["image"]
+
+
+# --------------------------------------- sub-8-bit depths (r7)
+
+def test_subbyte_grey_roundtrip_matrix():
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (1, 8), (3, 5), (8, 8), (9, 13), (16, 31)]:
+        for depth in (1, 2, 4):
+            s = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+            scale = 255 // ((1 << depth) - 1)
+            want = np.repeat((s * scale)[:, :, None], 3, axis=2)
+            for ft in range(5):
+                for il in (False, True):
+                    out = mm.decode_png(mm.encode_png_packed(
+                        s, depth, filter_type=ft, interlace=il))
+                    assert np.array_equal(out, want), (h, w, depth, ft, il)
+
+
+def test_subbyte_palette_roundtrip_matrix():
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        for (h, w) in [(1, 3), (5, 7), (9, 16)]:
+            s = rng.integers(0, n, (h, w), dtype=np.uint8)
+            for ft in (0, 2, 4):
+                for il in (False, True):
+                    out = mm.decode_png(mm.encode_png_packed(
+                        s, depth, palette=pal, filter_type=ft,
+                        interlace=il))
+                    assert np.array_equal(out, pal[s]), (depth, h, w, ft, il)
+
+
+def test_subbyte_handbuilt_bit_packing_msb_first():
+    # 1-bit grey, w=10: bits 1100000001 pack MSB-first into 0xC0 0x40
+    p = _png_raw(10, 1, 1, 0, 0, bytes([0, 0xC0, 0x40]))
+    out = mm.decode_png(p)
+    assert out.shape == (1, 10, 3)
+    assert out[0, :, 0].tolist() == [255, 255, 0, 0, 0, 0, 0, 0, 0, 255]
+    # 2-bit grey: 0b11_00_01_10 -> samples 3,0,1,2 -> 255,0,85,170
+    p = mm.decode_png(_png_raw(4, 1, 2, 0, 0, bytes([0, 0b11000110])))
+    assert p[0, :, 0].tolist() == [255, 0, 85, 170]
+    # 4-bit palette: byte 0x21 -> indices 2,1
+    plte = _chunk(b"PLTE", bytes([9, 9, 9, 1, 2, 3, 200, 100, 50]))
+    out = mm.decode_png(_png_raw(2, 1, 4, 3, 0, bytes([0, 0x21]), extra=plte))
+    assert out[0, 0].tolist() == [200, 100, 50]
+    assert out[0, 1].tolist() == [1, 2, 3]
+
+
+def test_subbyte_rows_pad_to_byte_boundary_per_adam7_pass():
+    # w=9 at depth 1: stride 2 bytes with 7 pad bits per row; Adam7
+    # passes each pack to their OWN stride — a 9-wide pass-6 row
+    # (4 samples) packs into 1 byte
+    s = (np.arange(90, dtype=np.int64) % 2).astype(np.uint8).reshape(9, 10)
+    for il in (False, True):
+        out = mm.decode_png(mm.encode_png_packed(s, 1, interlace=il))
+        assert np.array_equal(out[:, :, 0], s * 255), il
+
+
+def test_encode_png_packed_validates():
+    with pytest.raises(ValueError):
+        mm.encode_png_packed(np.zeros((2, 2), np.uint8), 3)
+    with pytest.raises(ValueError):
+        mm.encode_png_packed(np.full((2, 2), 4, np.uint8), 2)  # range
+    with pytest.raises(ValueError):
+        mm.encode_png_packed(
+            np.zeros((2, 2), np.uint8), 2,
+            palette=np.zeros((5, 3), np.uint8),  # > 2^depth entries
+        )
 
 
 # --------------------------------------- Adam7 + 16-bit (r6)

@@ -87,29 +87,89 @@ def time_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
-def synthesize_docs(spark, base_dir: str, mult: int, out: str) -> int:
+def synthesize_docs(
+    spark, base_dir: str, mult: int, out: str, dup_rate: float | None = None
+) -> int:
     """N× documents as id-shifted copies with DISTINCT source/label
     block keys per copy: block COUNT scales, block size stays fixed —
     the dimension blocked pairwise ops must scale along (within-block
-    work is quadratic by design; more corpus = more blocks)."""
+    work is quadratic by design; more corpus = more blocks).
+
+    dup_rate=None (default) keeps the historical shape: every copy
+    carries the VERBATIM base text, so each base doc's copies are
+    mutual near-dups and pair output grows ~quadratically with mult —
+    fine for correctness-at-volume, but it made the r5/r6 16× probes
+    of near-dup ops OUTPUT-bound (the recurring 'verbatim-copy
+    fixture confound' caveat, VERDICT r6 missing #4).
+
+    dup_rate=r holds duplicate DENSITY constant instead, so probes
+    measure compute scaling: every doc in every copy gets a
+    per-(doc, copy) salt token appended to each word (JVM-side HOF —
+    kills word-shingle Jaccard AND simhash feature overlap across
+    copies and across the base corpus's natural near-dups), then each
+    copy plants verbatim twins for an r-fraction of its docs (twin =
+    extra row, same salted text, same per-copy source block, fresh
+    doc_id). Expected dup pairs = r·n per copy — linear in mult, and
+    the ONLY near-dup pairs by construction."""
     docs = tbl.load(spark, "documents", base_dir)
     n = docs.count()
+    stride = 2 * n  # room per copy for the planted-twin rows
     parts = []
     for i in range(mult):
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + i * n).alias("doc_id"),
-                "text",
-                "lang",
-                F.concat(F.col("source"), F.lit(f"#{i}")).alias("source"),
-                "n_chars",
+        src = F.concat(F.col("source"), F.lit(f"#{i}")).alias("source")
+        if dup_rate is None:
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * n).alias("doc_id"),
+                    "text",
+                    "lang",
+                    src,
+                    "n_chars",
+                )
             )
+            continue
+        salt = F.conv(
+            F.abs(F.xxhash64(F.col("doc_id"), F.lit(i))).cast("string"),
+            10,
+            36,
         )
+        salted_text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("~"), salt),
+            ),
+            " ",
+        )
+        # salt FIRST, shift ids SECOND: aliasing the shifted id as
+        # ``doc_id`` in the same select would make Spark's lateral
+        # column alias resolution bind the salt to the NEW id —
+        # donor and twin would silently get different salts
+        prepared = docs.select(
+            "doc_id",
+            salted_text.alias("text"),
+            "lang",
+            src,
+            F.length(salted_text).cast(
+                docs.schema["n_chars"].dataType
+            ).alias("n_chars"),
+        )
+        out_cols = ["text", "lang", "source", "n_chars"]
+        salted = prepared.select(
+            (F.col("doc_id") + i * stride).alias("doc_id"), *out_cols
+        )
+        donor = (
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1000 + i)), 1_000_000)
+            < int(dup_rate * 1_000_000)
+        )
+        twins = prepared.filter(donor).select(
+            (F.col("doc_id") + i * stride + n).alias("doc_id"), *out_cols
+        )
+        parts.append(salted.unionByName(twins))
     allp = parts[0]
     for q in parts[1:]:
         allp = allp.unionByName(q)
     allp.write.mode("overwrite").parquet(out)
-    return n * mult
+    return spark.read.parquet(out).count() if dup_rate is not None else n * mult
 
 
 def time_text_pipeline(spark, sf_dir: str) -> dict[str, float]:
@@ -438,7 +498,11 @@ def main() -> None:
                     os.symlink(src, dst)
             docs_out = f"{td}/documents.parquet"
             os.unlink(docs_out)  # replace the symlink with N× data
-            synthesize_docs(spark, base, m, docs_out)
+            dup_rate = os.environ.get("DUP_RATE")  # see synthesize_docs
+            synthesize_docs(
+                spark, base, m, docs_out,
+                dup_rate=float(dup_rate) if dup_rate else None,
+            )
             emb_out = f"{td}/embeddings.parquet"
             os.unlink(emb_out)
             synthesize_emb(spark, base, m, emb_out)

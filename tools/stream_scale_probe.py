@@ -49,8 +49,14 @@ def main() -> None:
                 if not os.path.exists(dst):
                     os.symlink(src, dst)
             os.unlink(f"{td}/documents.parquet")
+            # DUP_RATE env (e.g. 0.02): constant-duplicate-density
+            # synthesis — near-dup probe output grows linearly with
+            # mult instead of quadratically, so the time ratio
+            # measures COMPUTE scaling (VERDICT r6 missing #4)
+            dup_rate = os.environ.get("DUP_RATE")
             doc_rows = synthesize_docs(
-                spark, base, m, f"{td}/documents.parquet")
+                spark, base, m, f"{td}/documents.parquet",
+                dup_rate=float(dup_rate) if dup_rate else None)
             t = {}
             t0 = time.perf_counter()
             qs["stream_windowed_rollup"](spark, td).count()
