@@ -3096,10 +3096,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
 
 
-#: The r5 driver-checked prefix (the driver verifies the FIRST 50
-#: dict entries): (a) changed in r5 → (b) new in r5 → (c) the 18
-#: leftover r2 greens → (d) the 17 oldest r3 greens. See the
-#: ROTATION STATE section in the queries() docstring.
+#: The r7 driver-checked prefix (the driver verifies the FIRST 50
+#: dict entries): (a) changed in r7 → (b) new in r7 → (c) the
+#: displaced r1 five + r2 leftovers + the r3 block oldest-first. See
+#: the ROTATION STATE section in the queries() docstring. This list
+#: is machine-checked: tests/test_rotation_guard.py recomputes
+#: staleness from the CORRECTNESS_r0*.json files and per-entry
+#: source hashes (tools/prefix_state.py) and fails on any
+#: changed-but-parked entry, uncovered module change, or
+#: staler-than-parked promotion.
+_R7_PREFIX = [
+    # (a) changed in r7 — ALL 12 replay twins: the shared replay
+    # harness was rebuilt (ONE partitionBy arrival-file job, tmpfs
+    # scratch, 4 state partitions — TIMINGS.md r7; family 61→44 s),
+    # so every entry's executed streaming path differs even though
+    # the _q_ sources are unchanged
+    "stream_windowed_rollup",
+    "stream_sessions",
+    "stream_interval_join",
+    "stream_corpus_ingest",
+    "stream_simhash_dedup",
+    "stream_kmv",
+    "stream_ann_ingest",
+    "stream_cusum",
+    "stream_ewma",
+    "stream_holt_winters",
+    "stream_hw_seasonal",
+    "stream_store_replay",
+    # (a) changed in r7 — image fixtures now cycle 4-bit-grey and
+    # 2-bit-palette packed PNGs through the new sub-8-bit decoder
+    # (multimodal.py r7), so the decode surface differs
+    "multimodal_decode",
+    "phash_neardup",
+    # (b) new in r7
+    "approx_distinct_portable",   # HLL register twin — the LAST
+    #                               externally unchecked mechanism
+    "event_transitions_salted",   # hot-key salt-and-merge twins,
+    "funnel_salted",              # oracle-shared with the unsalted
+    #                               entries (bit-identical contract)
+    # (c) oldest-first promotions: the five displaced mid-r6
+    # (last-checked r1) ...
+    "asof_join",
+    "tpch_q5",
+    "tpch_q3",
+    "tpch_q1",
+    "multimodal_resize",
+    # ... the r2 leftovers ...
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    # ... then the r3 block in the written plan order (24 of 41 fit;
+    # the tail token_budget_fill … quantize_lww heads the r8 list)
+    "intersect_custkeys",
+    "anti_join",
+    "pivot_status",
+    "except_custkeys",
+    "cube_orders",
+    "top_parts",
+    "running_totals",
+    "rank_window",
+    "grouping_sets",
+    "range_frame_sum",
+    "as_percent",
+    "percentiles",
+    "time_shift_join",
+    "forward_fill",
+    "anomaly_zscore",
+    "top_series",
+    "moving_median",
+    "winsorize",
+    "simhash_pairs_global",
+    "topk_cosine_pq",
+    "topk_cosine_ivfpq",
+    "slice_roundtrip",
+    "bigram_lm",
+    "quality_classifier",
+]
+
+#: r6 prefix (historical; superseded by _R7_PREFIX)
 _R6_PREFIX = [
     # (a) changed in r6 — fixture/codec/guard/partials changes
     "multimodal_decode",       # image fixtures: multi-scan+progressive
@@ -3311,7 +3386,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 6, final): the 50-slot prefix is the
+    ROTATION STATE (round 7, final): the 50-slot prefix is the
+    explicit ``_R7_PREFIX`` list — (a) the 14 entries changed in r7:
+    ALL 12 streaming replay twins (the shared replay harness was
+    rebuilt this round — single-job partitionBy arrival-file write,
+    tmpfs scratch, 4 state partitions; TIMINGS.md r7 — so every
+    replay's executed path differs even though the _q_ sources are
+    unchanged) plus multimodal_decode and phash_neardup (image
+    fixtures now cycle 4-bit-grey / 2-bit-palette packed PNGs
+    through the r7 sub-8-bit decoder); (b) the 3 entries NEW in r7 —
+    approx_distinct_portable (the HLL register twin, closing the
+    last externally unchecked mechanism), event_transitions_salted
+    and funnel_salted (hot-key salt-and-merge twins sharing the
+    unsalted entries' oracles verbatim — the bit-identical
+    contract); (c) 33 oldest-first promotions exactly as the r6 plan
+    wrote them: the five displaced mid-r6 (asof_join, tpch_q5/q3/q1,
+    multimodal_resize — last checked r1), the r2 leftovers
+    (tpch_q9/q11/q16/q20), then the first 24 of the r3 block in plan
+    order (intersect_custkeys … quality_classifier). NEW in r7: the
+    rotation rule is machine-checked — tests/test_rotation_guard.py
+    + tools/prefix_state.py recompute staleness from the
+    CORRECTNESS_r0*.json files and per-entry/module source hashes
+    (tools/prefix_baseline.json), so a changed-but-parked entry, an
+    uncovered module change, or a staler-than-parked promotion fails
+    pytest instead of relying on this docstring.
+
+    ROTATION PLAN (round 8): promote (a) anything changed in r8,
+    (b) new r8 entries, (c) the r3-block tail (token_budget_fill,
+    vocab_drift, corpus_card, embedding_decontamination,
+    cusum_changepoints, semantic_dedup_docs, bpe_train, bpe_segment,
+    semantic_dedup, fuzzy_pairs, series_transform, series_linreg,
+    frequent_items, minhash_pairs, order_analytics, fetch_dense,
+    quantize_lww — 17 entries, last checked r3), then (d) r4 greens
+    oldest-first (hash_embed … fuzzy_pairs_banded). After rotating,
+    run ``python tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 6, historical): the 50-slot prefix was the
     explicit ``_R6_PREFIX`` list — (a) the 6 entries changed in r6
     (multimodal_decode / phash_neardup / multimodal_frames_real:
     image fixtures now cycle multi-scan AND progressive JPEG plus
@@ -3332,7 +3443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail asof_join/tpch_q5/tpch_q3/tpch_q1/multimodal_resize heads
     the r7 (c) list).
 
-    ROTATION PLAN (round 7): promote (a) anything changed in r7,
+    ROTATION PLAN (round 7, historical — executed as written, see
+    STATE r7 above): promote (a) anything changed in r7,
     (b) new r7 entries, (c) asof_join, tpch_q5, tpch_q3, tpch_q1
     and multimodal_resize
     (displaced from this prefix mid-r6 by audio_manifest,
@@ -3630,7 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R6_PREFIX}
+    out = {k: base.pop(k) for k in _R7_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 

@@ -2355,15 +2355,39 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                         # entries exercise the zlib+unfilter path.
                         # r6: every 3rd PNG is Adam7-interlaced and
                         # every 4th is 16-bit (v·257 — lossless both
-                        # ways), so the dialect decoders run on the
-                        # driver fixtures too
-                        payloads.append(encode_png(
-                            px,
-                            filter_type=(int(doc_id) // 6) % 5,
-                            interlace=(int(doc_id) // 6) % 3 == 1,
-                            depth=16 if (int(doc_id) // 6) % 4 == 2
-                            else 8,
-                        ))
+                        # ways). r7: two sub-cycle slots emit the
+                        # sub-8-bit dialects — 4-bit grey (high
+                        # nibble, left-bit-replicated on decode) and
+                        # 2-bit palette — so no PNG dialect exists
+                        # only in unit tests
+                        k = int(doc_id) // 6
+                        if k % 7 == 5:  # 4-bit greyscale, packed
+                            payloads.append(encode_png_packed(
+                                (px[:, :, 0] >> 4).astype(np.uint8),
+                                depth=4,
+                                filter_type=k % 5,
+                                interlace=k % 3 == 1,
+                            ))
+                        elif k % 7 == 6:  # 2-bit palette, packed
+                            pal = np.array(
+                                [[0, 0, 0], [85, 40, 200],
+                                 [170, 220, 30], [255, 255, 255]],
+                                np.uint8,
+                            )
+                            payloads.append(encode_png_packed(
+                                (px[:, :, 0] >> 6).astype(np.uint8),
+                                depth=2,
+                                palette=pal,
+                                filter_type=k % 5,
+                                interlace=k % 3 == 1,
+                            ))
+                        else:
+                            payloads.append(encode_png(
+                                px,
+                                filter_type=k % 5,
+                                interlace=k % 3 == 1,
+                                depth=16 if k % 4 == 2 else 8,
+                            ))
                     elif int(doc_id) % 12 == 9:
                         # doc_id%12==9: COMPRESSED lossy (baseline
                         # JPEG q95, cycling 4:4:4/4:2:0 and restart

@@ -1,0 +1,258 @@
+"""Machine-check the registry-prefix rotation (VERDICT r6 #8).
+
+The driver's CORRECTNESS gate verifies only the FIRST 50 ``queries()``
+entries each round, so the rotation — which entries sit in that
+checked prefix — is the highest-stakes manual step per round. This
+module turns the rotation rule into data so a pytest
+(tests/test_rotation_guard.py) can enforce it:
+
+RULE (the ``queries()`` docstring contract, judged every round):
+  1. every entry whose query function changed since its LAST driver
+     check must be in the live prefix (plus entries never checked,
+     and entries whose latest driver row is red);
+  2. every operator module changed since the last baseline must have
+     at least one referencing entry in the prefix (the judge's
+     module-granularity check);
+  3. the backlog slots promote OLDEST-first — no unchanged prefix
+     entry may be fresher (later last-checked round) than a parked
+     entry it displaced.
+
+State lives in ``tools/prefix_baseline.json``:
+  - ``entries``: per entry, the md5 of its ``_q_*`` function source
+    AS OF its last driver check (or pending current-round check for
+    prefix entries), plus that round number;
+  - ``modules``: md5 per ceres_spark source file at baseline time.
+
+Maintenance protocol (enforced, not optional): at round end, AFTER
+the prefix list is final, run ``python tools/prefix_state.py regen``.
+regen restamps ONLY live-prefix entries (current hash, pending
+round = max known round + 1) and carries parked entries' recorded
+hashes forward UNCHANGED — so editing a parked entry without
+promoting it makes the guard fail, which is the point.
+
+CLI:
+  python tools/prefix_state.py check   # what the pytest runs
+  python tools/prefix_state.py regen   # restamp prefix entries
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(REPO, "tools", "prefix_baseline.json")
+PREFIX_LEN = 50
+
+
+def _md5(text: str | bytes) -> str:
+    if isinstance(text, str):
+        text = text.encode()
+    return hashlib.md5(text).hexdigest()
+
+
+def last_checked_rounds() -> dict[str, tuple[int, bool]]:
+    """{entry: (latest round with a driver row, latest row green)}.
+    Green = hash/rows matched, or a rows-only row with spark_rows
+    recorded (the driver's weaker by-design check)."""
+    out: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("err") == "no_oracle":
+                green = row.get("spark_rows") is not None
+            else:
+                green = (
+                    row.get("err") in (None, "")
+                    and row.get("rows_match") is not False
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                )
+            out[name] = (rnd, bool(green))
+    return out
+
+
+def entry_sources() -> dict[str, str]:
+    """{entry: source text of its queries() callable}."""
+    import __spark_entry__ as entrymod
+
+    return {
+        name: inspect.getsource(fn)
+        for name, fn in entrymod.queries().items()
+    }
+
+
+def live_prefix() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    return list(entrymod.queries())[:PREFIX_LEN]
+
+
+def module_files() -> dict[str, str]:
+    """{repo-relative path: md5} for every ceres_spark source file."""
+    out = {}
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "ceres_spark", "**", "*.py"),
+                  recursive=True)
+    ):
+        rel = os.path.relpath(path, REPO)
+        out[rel] = _md5(open(path, "rb").read())
+    return out
+
+
+def entry_module_refs() -> dict[str, set[str]]:
+    """{entry: repo-relative ceres_spark files its query function
+    references}, via the import-alias names used in the entry source
+    (the entry functions call through module aliases like ``ana.`` /
+    ``sk.`` / ``tbl.``)."""
+    import __spark_entry__ as entrymod
+
+    alias_to_file: dict[str, str] = {}
+    for alias, obj in vars(entrymod).items():
+        mod = inspect.getmodule(obj) if not inspect.ismodule(obj) else obj
+        if mod is None:
+            continue
+        f = getattr(mod, "__file__", None)
+        if f and os.path.abspath(f).startswith(
+            os.path.join(REPO, "ceres_spark")
+        ):
+            alias_to_file[alias] = os.path.relpath(os.path.abspath(f), REPO)
+    refs: dict[str, set[str]] = {}
+    for name, src in entry_sources().items():
+        used = set()
+        for alias, rel in alias_to_file.items():
+            if re.search(rf"\b{re.escape(alias)}\s*\.", src):
+                used.add(rel)
+        refs[name] = used
+    return refs
+
+
+def check(baseline: dict | None = None) -> list[str]:
+    """Return a list of rotation-rule violations (empty == clean)."""
+    if baseline is None:
+        if not os.path.exists(BASELINE):
+            return [f"missing {os.path.relpath(BASELINE, REPO)} — "
+                    "run `python tools/prefix_state.py regen`"]
+        baseline = json.load(open(BASELINE))
+    problems: list[str] = []
+    prefix = set(live_prefix())
+    sources = entry_sources()
+    rounds = last_checked_rounds()
+    base_entries = baseline.get("entries", {})
+
+    # 1a. changed-since-last-check entries must be in the prefix
+    for name, src in sources.items():
+        rec = base_entries.get(name)
+        if name in prefix:
+            continue
+        if rec is None:
+            problems.append(f"{name}: never baselined/checked but parked")
+        elif rec["qfn_md5"] != _md5(src):
+            problems.append(
+                f"{name}: query fn changed since its r{rec['round']} "
+                "check but is parked outside the prefix"
+            )
+    # 1b. red latest driver row must stay in the prefix
+    for name, (rnd, green) in rounds.items():
+        if not green and name in sources and name not in prefix:
+            problems.append(
+                f"{name}: latest driver row (r{rnd}) is RED but parked"
+            )
+    # 2. changed modules need a referencing entry in the prefix
+    base_modules = baseline.get("modules", {})
+    refs = entry_module_refs()
+    for rel, h in module_files().items():
+        if base_modules.get(rel) == h:
+            continue
+        covering = [
+            e for e in prefix if rel in refs.get(e, ())
+        ]
+        if not covering:
+            problems.append(
+                f"{rel}: changed since baseline with no referencing "
+                "entry in the prefix"
+            )
+    # 3. oldest-first: no unchanged prefix-backlog entry fresher than
+    # a parked entry (ties allowed; unchecked/new entries exempt)
+    backlog_rounds = [
+        rounds[e][0]
+        for e in prefix
+        if e in rounds
+        and e in base_entries
+        and base_entries[e].get("qfn_md5") == _md5(sources.get(e, ""))
+        and base_entries[e].get("round") != baseline.get("pending_round")
+    ]
+    parked_rounds = [
+        rounds[e][0] for e in sources if e not in prefix and e in rounds
+    ]
+    if backlog_rounds and parked_rounds:
+        if max(backlog_rounds) > min(parked_rounds):
+            problems.append(
+                f"oldest-first violated: prefix backlog contains an "
+                f"r{max(backlog_rounds)} entry while an "
+                f"r{min(parked_rounds)} entry is parked"
+            )
+    return problems
+
+
+def regen() -> dict:
+    """Restamp the baseline: prefix entries get current hashes and
+    the pending round; parked entries keep their recorded state (or
+    are bootstrapped at their last driver round if absent — first
+    run only)."""
+    old = (
+        json.load(open(BASELINE)) if os.path.exists(BASELINE) else {}
+    )
+    old_entries = old.get("entries", {})
+    sources = entry_sources()
+    rounds = last_checked_rounds()
+    pending = max((r for r, _ in rounds.values()), default=0) + 1
+    prefix = set(live_prefix())
+    entries = {}
+    for name, src in sources.items():
+        if name in prefix:
+            entries[name] = {"round": pending, "qfn_md5": _md5(src)}
+        elif name in old_entries:
+            entries[name] = old_entries[name]
+        else:  # bootstrap: parked + never baselined — record as-is at
+            # its last driver round (valid only while the working tree
+            # matches what that round checked; true at first regen)
+            entries[name] = {
+                "round": rounds.get(name, (0, False))[0],
+                "qfn_md5": _md5(src),
+            }
+    state = {
+        "pending_round": pending,
+        "entries": entries,
+        "modules": module_files(),
+    }
+    with open(BASELINE, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    return state
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if cmd == "regen":
+        st = regen()
+        print(
+            f"baseline restamped: {len(st['entries'])} entries, "
+            f"pending round r{st['pending_round']:02d}, "
+            f"{len(st['modules'])} module hashes"
+        )
+    else:
+        probs = check()
+        for p in probs:
+            print("VIOLATION:", p)
+        print("clean" if not probs else f"{len(probs)} violation(s)")
+        sys.exit(1 if probs else 0)
