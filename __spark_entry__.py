@@ -2405,8 +2405,14 @@ def _replay_scratch(name: str, sf_dir: str) -> str:
     # sweep siblings left by DEAD processes: the per-PID key prevents
     # live runs from deleting each other's streaming source mid-query,
     # but without this sweep every finished process would leak its
-    # fixture+checkpoint footprint (the leak the stable key fixed)
-    for stale in glob.glob(os.path.join(tmp, f"ceres_replay_{name}_{key}_*")):
+    # fixture+checkpoint footprint (the leak the stable key fixed).
+    # Both roots are swept so pre-r7 /tmp leftovers don't linger after
+    # the scratch moved to tmpfs.
+    for stale in (
+        p
+        for root in {tmp, tempfile.gettempdir()}
+        for p in glob.glob(os.path.join(root, f"ceres_replay_{name}_{key}_*"))
+    ):
         try:
             pid = int(stale.rsplit("_", 1)[-1])
         except ValueError:

@@ -35,7 +35,12 @@ def _live_replay_siblings() -> int:
     processes — a concurrent check_oracle/bench run shares the host
     and inflates wall clocks."""
     n = 0
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), "ceres_replay_*")):
+    roots = {tempfile.gettempdir(), "/dev/shm"}  # r7: scratch moved
+    #                                              to tmpfs when present
+    for d in (
+        p for root in roots
+        for p in glob.glob(os.path.join(root, "ceres_replay_*"))
+    ):
         try:
             pid = int(d.rsplit("_", 1)[-1])
         except ValueError:

@@ -207,7 +207,7 @@ def hot_keys(df: DataFrame, key_col: str, hot_min_rows: int) -> DataFrame:
 
 
 def event_transitions_salted(
-    events: DataFrame, n_chunks: int = 32, hot_min_rows: int = 50_000
+    events: DataFrame, n_chunks: int = 32, hot_min_rows: int = 1_000_000
 ) -> DataFrame:
     """:func:`event_transitions` with hot-key serialization salted
     away (VERDICT r6 #2 — the one measured genuine scale cost,
@@ -242,7 +242,17 @@ def event_transitions_salted(
     event second — order-contiguous with the sort (seconds coarsen
     raw ts), from one bounded min/max scalar job. Measured (x64
     fixtures, 6.4M events, min-of-3): uniform parity, 50%-hot 4.8 s →
-    3.6 s, 90%-hot 6.9 s → 3.7 s (tools/skew_probe.py, §SKEW).
+    3.6 s, 90%-hot 6.9 s → 3.7 s (tools/salt_probe.py, §SKEW).
+
+    The ``hot_min_rows`` default (1M) is the measured ENGAGE
+    threshold, not a guess: the chunk/boundary machinery costs a
+    roughly fixed ~1–1.5 s, so salting a 200k-row hot key LOSES
+    (quiet-host skew_probe x4: 0.88 s unsalted vs 2.48 s salted)
+    while a 3.2M-row hot key wins 0.87× and 5.8M wins 0.55×
+    (salt_probe x64). Below the default the plan early-exits to the
+    exact unsalted form after the one detection aggregate — so the
+    twin is never worse than the original on data that doesn't need
+    it. (SCALING.md §SKEW holds both tables.)
     """
     from pyspark.sql.window import Window
 
@@ -316,7 +326,7 @@ def funnel_salted(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     n_salts: int = 16,
-    hot_min_rows: int = 50_000,
+    hot_min_rows: int = 1_000_000,
 ) -> DataFrame:
     """:func:`funnel` with its reach join salted (VERDICT r6 #2): the
     unsalted plan's at-scale skew point is ``hits ⋈ reach ON
