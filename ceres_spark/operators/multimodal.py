@@ -9,8 +9,10 @@ entropy decode + matrix IDCT + chroma upsampling), and FLAC
 (Rice-coded residuals + FIXED/LPC prediction + stereo
 decorrelation — lossless, so decoded audio is bit-identical);
 ``real_features`` computes content statistics from actual
-pixels/samples. JPEG covers baseline, multi-scan sequential AND
-progressive (Annex G) layouts; PNG covers Adam7 + 16-bit. Remaining
+pixels/samples. JPEG covers baseline, multi-scan sequential,
+progressive (Annex G), 12-bit precision AND lossless (Annex H —
+the DNG/camera-raw compression); PNG covers every valid IHDR
+combination (Adam7, 16-bit, and the 1/2/4-bit packed depths). Remaining
 compressed formats (MP3, H.264/HEVC frames — the MP4 CONTAINER
 parses via operators/mp4.py) need codec libraries this box lacks —
 ``decode_real`` detects them and raises ``NotImplementedError`` so
@@ -806,6 +808,7 @@ def encode_jpeg(
     subsample: int = 1,
     restart_interval: int = 0,
     scans: str = "interleaved",
+    depth: int = 8,
 ) -> bytes:
     """Baseline JFIF encoder (SOF0, Annex K tables scaled by the IJG
     quality rule) for (h, w, 3) uint8 RGB or (h, w) uint8 grayscale —
@@ -820,13 +823,21 @@ def encode_jpeg(
     non-interleaved SOS per component (Y, then Cb, then Cr) over
     T.81 A.2.2 ceil(comp_dim/8) block grids — the other layout real
     camera firmwares write, and the decoder-conformance twin for the
-    multi-scan path."""
+    multi-scan path. ``depth=12`` (r7) emits EXTENDED SEQUENTIAL
+    (SOF1) or 12-bit progressive: samples widened ×16 into the
+    12-bit domain, level shift 2048, 16-bit (Pq=1) quantization
+    tables, and — because Annex K's tables stop at DC category 11 /
+    AC size 10 — the flat 17-symbol DC table and the extended AC
+    table in the DHT segments (the same custom-table story as
+    progressive and lossless)."""
     import struct
 
     if scans not in ("interleaved", "separate", "progressive"):
         raise ValueError(
             "scans must be 'interleaved', 'separate' or 'progressive'"
         )
+    if depth not in (8, 12):
+        raise ValueError("depth must be 8 or 12")
     gray = arr.ndim == 2
     if gray:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
@@ -864,19 +875,32 @@ def encode_jpeg(
     # block); DQT stores them in ZIGZAG order per T.81
     qlum = _ijg_scale(_QUANT_LUM, quality)
     qchrom = _ijg_scale(_QUANT_CHROM, quality)
+    if depth == 12:
+        # widen samples and tables ×16 into the 12-bit domain: same
+        # effective quality, level shift 2^11, Pq=1 DQT fields
+        y, cb, cr = y * 16.0, cb * 16.0, cr * 16.0
+        qlum = qlum * 16
+        qchrom = qchrom * 16
+    level = float(1 << (depth - 1))
     qlum8 = qlum.reshape(8, 8).astype(np.float64)
     qchrom8 = qchrom.reshape(8, 8).astype(np.float64)
     C = _dct_matrix()
-    enc_dc = [_huff_encode_table(*_HUFF_DC_LUM),
-              _huff_encode_table(*_HUFF_DC_CHROM)]
-    enc_ac = [_huff_encode_table(*_HUFF_AC_LUM),
-              _huff_encode_table(*_HUFF_AC_CHROM)]
+    if depth == 12:
+        # Annex K tables stop at DC cat 11 / AC size 10 — 12-bit
+        # frames need the extended flat tables (emitted in DHT below)
+        enc_dc = [_huff_encode_table(*_HUFF_DC_LOSSLESS)] * 2
+        enc_ac = [_huff_encode_table(*_HUFF_AC_PROG)] * 2
+    else:
+        enc_dc = [_huff_encode_table(*_HUFF_DC_LUM),
+                  _huff_encode_table(*_HUFF_DC_CHROM)]
+        enc_ac = [_huff_encode_table(*_HUFF_AC_LUM),
+                  _huff_encode_table(*_HUFF_AC_CHROM)]
     bw = _BitWriter()
     pred = [0, 0, 0]
 
     def put_block(plane, by, bx, comp):
         t = 0 if comp == 0 else 1
-        block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - level
         fq = np.round(
             (C @ block @ C.T) / (qlum8 if t == 0 else qchrom8)
         ).astype(np.int64)
@@ -934,7 +958,7 @@ def encode_jpeg(
             for by in range(nby):
                 for bx in range(nbx):
                     block = plane[by * 8:by * 8 + 8,
-                                  bx * 8:bx * 8 + 8] - 128.0
+                                  bx * 8:bx * 8 + 8] - level
                     fq = np.round(
                         (C @ block @ C.T) / qd
                     ).astype(np.int64)
@@ -1164,36 +1188,56 @@ def encode_jpeg(
     def dht(tc, th, bits, vals):
         return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
+    def dqt(tid, tbl):
+        # Pq=1 (16-bit fields) whenever any entry exceeds a byte —
+        # the 12-bit frames' ×16 tables need it
+        zz = tbl[_ZIGZAG]
+        if int(zz.max()) > 255:
+            return bytes([0x10 | tid]) + zz.astype(">u2").tobytes()
+        return bytes([tid]) + bytes(zz.tolist())
+
+    # SOF marker: SOF0 baseline (8-bit sequential), SOF1 extended
+    # sequential (12-bit), SOF2 progressive (either precision)
+    if scans == "progressive":
+        sof_marker = b"\xff\xc2"
+    elif depth == 12:
+        sof_marker = b"\xff\xc1"
+    else:
+        sof_marker = b"\xff\xc0"
+    dc_lum_tbl = _HUFF_DC_LOSSLESS if depth == 12 else _HUFF_DC_LUM
+    dc_chrom_tbl = _HUFF_DC_LOSSLESS if depth == 12 else _HUFF_DC_CHROM
+    ac_lum_tbl = (
+        _HUFF_AC_PROG if (depth == 12 or scans == "progressive")
+        else _HUFF_AC_LUM
+    )
+    ac_chrom_tbl = (
+        _HUFF_AC_PROG if (depth == 12 or scans == "progressive")
+        else _HUFF_AC_CHROM
+    )
     out = b"\xff\xd8"
     out += seg(b"\xff\xe0", b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(b"\xff\xdb", b"\x00" + bytes(qlum[_ZIGZAG].tolist()))
+    out += seg(b"\xff\xdb", dqt(0, qlum))
     if gray:
         out += seg(
-            b"\xff\xc0",
-            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+            sof_marker,
+            struct.pack(">BHHB", depth, h, w, 1) + bytes([1, 0x11, 0]),
         )
-        out += seg(b"\xff\xc4", dht(0, 0, *_HUFF_DC_LUM))
-        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
+        out += seg(b"\xff\xc4", dht(0, 0, *dc_lum_tbl))
+        out += seg(b"\xff\xc4", dht(1, 0, *ac_lum_tbl))
         if restart_interval:
             out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
         out += seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
         return out + entropy + b"\xff\xd9"
-    out += seg(b"\xff\xdb", b"\x01" + bytes(qchrom[_ZIGZAG].tolist()))
+    out += seg(b"\xff\xdb", dqt(1, qchrom))
     out += seg(
-        b"\xff\xc2" if scans == "progressive" else b"\xff\xc0",
-        struct.pack(">BHHB", 8, h, w, 3)
+        sof_marker,
+        struct.pack(">BHHB", depth, h, w, 3)
         + bytes([1, s << 4 | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    out += seg(b"\xff\xc4", dht(0, 0, *_HUFF_DC_LUM))
-    if scans == "progressive":
-        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_PROG))
-    else:
-        out += seg(b"\xff\xc4", dht(1, 0, *_HUFF_AC_LUM))
-    out += seg(b"\xff\xc4", dht(0, 1, *_HUFF_DC_CHROM))
-    if scans == "progressive":
-        out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_PROG))
-    else:
-        out += seg(b"\xff\xc4", dht(1, 1, *_HUFF_AC_CHROM))
+    out += seg(b"\xff\xc4", dht(0, 0, *dc_lum_tbl))
+    out += seg(b"\xff\xc4", dht(1, 0, *ac_lum_tbl))
+    out += seg(b"\xff\xc4", dht(0, 1, *dc_chrom_tbl))
+    out += seg(b"\xff\xc4", dht(1, 1, *ac_chrom_tbl))
     if restart_interval:
         out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
     if scans == "progressive":
@@ -1357,12 +1401,18 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     decodes built-in as well (r6): scans refine a per-component
     coefficient store — DC first/refinement, AC spectral bands with
     multi-block EOB runs, successive-approximation correction bits —
-    and dequantize+IDCT run once at EOI. Arithmetic coding, lossless,
-    12-bit precision, and fractional sampling ratios still raise
-    ``NotImplementedError`` so the codec-hook chain can claim them. Per-block Python loops are
-    fine for the fixture-scale payloads this container sees; a
-    production deployment registers a C codec for bulk JPEG anyway
-    (the plug-in path)."""
+    and dequantize+IDCT run once at EOI. r7 adds the last two
+    Huffman-coded processes: 12-BIT precision (SOF1/extended
+    sequential AND 12-bit progressive — Pq=1 16-bit quantization
+    tables, level shift 2^11, output stripped to the 8-bit domain)
+    and LOSSLESS (SOF3, Annex H — dispatched to
+    :func:`_decode_jpeg_lossless`). What remains loud is exactly the
+    arithmetic-coded and differential-hierarchy processes (patent-
+    adjacent/rare) plus fractional sampling ratios —
+    ``NotImplementedError`` so the codec-hook chain can claim them.
+    Per-block Python loops are fine for the fixture-scale payloads
+    this container sees; a production deployment registers a C codec
+    for bulk JPEG anyway (the plug-in path)."""
     import struct
 
     if not payload or payload[:3] != b"\xff\xd8\xff":
@@ -1375,6 +1425,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     planes: dict | None = None
     coefs: dict | None = None  # progressive: per-comp (bh, bw, 64)
     progressive = False
+    frame_prec = 8  # sample precision from SOF (8 or 12)
     decoded: set[int] = set()
     C = _dct_matrix()
     while pos + 4 <= len(payload):
@@ -1391,14 +1442,16 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         if m == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(data):
-                if data[i] >> 4:
-                    raise NotImplementedError(
-                        "16-bit quant tables need the codec plug-in"
-                    )
-                qt[data[i] & 15] = np.frombuffer(
-                    data[i + 1:i + 65], np.uint8
-                ).astype(np.int64)
-                i += 65
+                if data[i] >> 4:  # Pq=1: 16-bit entries (12-bit frames)
+                    qt[data[i] & 15] = np.frombuffer(
+                        data[i + 1:i + 129], ">u2"
+                    ).astype(np.int64)
+                    i += 129
+                else:
+                    qt[data[i] & 15] = np.frombuffer(
+                        data[i + 1:i + 65], np.uint8
+                    ).astype(np.int64)
+                    i += 65
         elif m == 0xC4:  # DHT
             i = 0
             while i < len(data):
@@ -1409,10 +1462,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
         elif m == 0xC0 or m == 0xC1:  # baseline / ext. sequential
-            prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
+            frame_prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
+            if frame_prec not in (8, 12):  # r7: 12-bit built-in
                 raise NotImplementedError(
-                    "12-bit JPEG needs the codec plug-in"
+                    f"{frame_prec}-bit JPEG needs the codec plug-in"
                 )
             comps = []
             for c in range(nc):
@@ -1420,10 +1473,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
         elif m == 0xC2:  # progressive DCT, huffman (r6: built-in)
-            prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
+            frame_prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
+            if frame_prec not in (8, 12):  # r7: 12-bit built-in
                 raise NotImplementedError(
-                    "12-bit JPEG needs the codec plug-in"
+                    f"{frame_prec}-bit JPEG needs the codec plug-in"
                 )
             comps = []
             for c in range(nc):
@@ -1431,10 +1484,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
             progressive = True
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC3:  # lossless (Annex H) — r7: built-in
+            return _decode_jpeg_lossless(payload)
+        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic JPEG needs the codec plug-in"
+                "differential/arithmetic JPEG needs the codec plug-in"
             )
         elif m == 0xDD:  # DRI (may be redefined between scans)
             (restart,) = struct.unpack(">H", data[:2])
@@ -1618,7 +1673,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                     k += 1
                 blk = np.zeros(64, np.int64)
                 blk[_ZIGZAG] = zz
-                return C.T @ (blk.reshape(8, 8) * qtab[cid]) @ C + 128.0
+                return (
+                    C.T @ (blk.reshape(8, 8) * qtab[cid]) @ C
+                    + float(1 << (frame_prec - 1))  # level shift 2^(P-1)
+                )
 
             if ns == 1:
                 # T.81 A.2.2: single-component scan is NON-interleaved
@@ -1673,7 +1731,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             nat[:, :, _ZIGZAG] = zz  # de-zigzag all blocks at once
             bh_, bw_ = nat.shape[:2]
             f = nat.reshape(bh_ * bw_, 8, 8).astype(np.float64)
-            px = np.einsum("ij,njk,kl->nil", C.T, f, C) + 128.0
+            px = np.einsum("ij,njk,kl->nil", C.T, f, C) + float(
+                1 << (frame_prec - 1)
+            )
             planes[cid] = (
                 px.reshape(bh_, bw_, 8, 8)
                 .transpose(0, 2, 1, 3)
@@ -1689,7 +1749,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         p = np.repeat(
             np.repeat(planes[cid], vmax // v, axis=0), hmax // hh, axis=1
         )
-        full[cid] = p[:ih, :iw]
+        # 12-bit frames reduce to the 8-bit domain here (÷2^(P−8), the
+        # strip-high-bits rule) so the shared YCbCr→RGB stays 128-centered
+        full[cid] = p[:ih, :iw] / float(1 << (frame_prec - 8))
     if len(comps) == 1:
         g = np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
@@ -1705,6 +1767,339 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------- JPEG lossless (Annex H)
+# Predictive DPCM, no DCT/quantization — the compression inside DNG
+# and several camera-raw containers, so a multimodal pipeline
+# ingesting raws actually meets SOF3 (unlike the arithmetic-coded
+# dialects, which stay plug-in).
+
+#: Lossless DC diff categories run 0..16 (T.81 H.1.2.2; category 16
+#: has NO appended bits, diff ≡ 32768 mod 2^16). Annex K's baseline
+#: DC tables stop at 11, so — like the progressive AC case — a
+#: conformant lossless encoder ships its own DHT: 17 symbols, flat
+#: canonical 5-bit codes (all-ones code unused, as required).
+_HUFF_DC_LOSSLESS = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def _lossless_predict(
+    plane: "np.ndarray", y: int, x: int, sel: int, default: int
+) -> int:
+    """T.81 H.1.2.1 prediction for sample (y, x): a=left, b=above,
+    c=above-left; first sample → ``default`` (2^(P-Pt-1)), rest of
+    the first line → a, first column → b."""
+    if y == 0:
+        return int(plane[0, x - 1]) if x else default
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    return (
+        a if sel == 1 else
+        b if sel == 2 else
+        c if sel == 3 else
+        a + b - c if sel == 4 else
+        a + ((b - c) >> 1) if sel == 5 else
+        b + ((a - c) >> 1) if sel == 6 else
+        (a + b) >> 1
+    )
+
+
+def _decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
+    """Decode lossless JPEG (SOF3, T.81 Annex H) to (h, w, 3) uint8:
+    Huffman-coded DPCM residuals (categories 0..16, category 16 =
+    +32768 with no appended bits), the seven spec predictors, point
+    transform Pt (samples shift left by Pt on reconstruction),
+    modulo-2^16 arithmetic, precision 2..16. Supports 1- and
+    3-component frames with 1:1 sampling, single-component scans AND
+    sample-interleaved multi-component scans, restart markers
+    (prediction resets to the scan-start state). 3-component lossless
+    carries no mandated color transform — components are returned as
+    RGB directly (the DNG/raw convention), not YCbCr. Output strips
+    P>8 to the top byte (the encoder twin widens by pure left-shift,
+    so strip∘widen is the identity and 8-bit roundtrips are exact);
+    P<8 scales by 255/(2^P−1)."""
+    import struct
+
+    pos = 2
+    huff: dict[tuple[int, int], dict] = {}
+    prec = None
+    comps = None
+    restart = 0
+    planes: dict[int, "np.ndarray"] = {}
+    decoded: set[int] = set()
+    ih = iw = 0
+    pt_used = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        m = payload[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + ln]
+        if m == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif m == 0xC3:  # SOF3
+            prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG needs the plug-in"
+                    )
+                comps.append(cid)
+            for cid in comps:
+                planes[cid] = np.zeros((ih, iw), np.int32)
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", data[:2])
+        elif m == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("lossless SOS before SOF3")
+            ns = data[0]
+            scan = [(data[1 + 2 * i], data[2 + 2 * i] >> 4)
+                    for i in range(ns)]
+            sel = data[1 + 2 * ns]          # Ss = predictor selector
+            pt = data[3 + 2 * ns] & 15      # Al = point transform
+            pt_used = pt
+            if not 1 <= sel <= 7:
+                raise ValueError(f"invalid lossless predictor {sel}")
+            tabs = {}
+            for cid, td in scan:
+                if cid not in planes:
+                    raise ValueError(
+                        "JPEG scan references unknown component"
+                    )
+                t = huff.get((0, td))
+                if t is None:
+                    raise ValueError(
+                        "JPEG scan references undefined DC huffman "
+                        "table"
+                    )
+                tabs[cid] = t
+            # de-stuff entropy bytes, split at RSTn (same walk as the
+            # DCT path)
+            segments, cur = [], bytearray()
+            i = pos + 2 + ln
+            while i < len(payload):
+                b = payload[i]
+                if b == 0xFF:
+                    nxt = (
+                        payload[i + 1] if i + 1 < len(payload) else 0xD9
+                    )
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break
+                cur.append(b)
+                i += 1
+            segments.append(bytes(cur))
+            br = _BitReader(segments)
+            default = 1 << (prec - pt - 1)
+            state = {"n": 0, "fresh": {cid: False for cid, _ in scan}}
+
+            def diff_of(tab) -> int:
+                s = br.read_symbol(tab)
+                if s == 0:
+                    return 0
+                if s == 16:  # H.1.2.2: no appended bits
+                    return 32768
+                return _extend(br.read_bits(s), s)
+
+            def unit_start():
+                if restart and state["n"] and state["n"] % restart == 0:
+                    br.next_segment()
+                    for cid in state["fresh"]:
+                        state["fresh"][cid] = True
+                state["n"] += 1
+
+            def sample(cid, y, x):
+                if state["fresh"][cid]:
+                    px = default  # H.2.2: restart == scan start
+                    state["fresh"][cid] = False
+                else:
+                    px = _lossless_predict(
+                        planes[cid], y, x, sel, default
+                    )
+                planes[cid][y, x] = (px + diff_of(tabs[cid])) & 0xFFFF
+
+            if ns == 1:
+                cid = scan[0][0]
+                for y in range(ih):
+                    for x in range(iw):
+                        unit_start()
+                        sample(cid, y, x)
+            else:  # sample-interleaved (1:1 factors → MCU = 1 sample)
+                for y in range(ih):
+                    for x in range(iw):
+                        unit_start()
+                        for cid, _ in scan:
+                            sample(cid, y, x)
+            decoded.update(cid for cid, _ in scan)
+            pos = i
+            continue
+        pos = pos + 2 + ln
+    if comps is None or not decoded:
+        raise ValueError("missing SOF3/SOS in lossless JPEG stream")
+    if decoded != set(comps):
+        raise ValueError(
+            "JPEG stream ended before all components were decoded"
+        )
+    out = []
+    for cid in comps:
+        v = (planes[cid].astype(np.int64) << pt_used) & 0xFFFF
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            v = (v * 255) // ((1 << prec) - 1)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    if len(out) != 3:
+        raise NotImplementedError(
+            "n-component lossless JPEG needs the plug-in"
+        )
+    return np.stack(out, axis=2)
+
+
+def encode_jpeg_lossless(
+    arr: "np.ndarray",
+    predictor: int = 4,
+    precision: int = 8,
+    point_transform: int = 0,
+    interleaved: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG encoder (SOF3) — the fixture/roundtrip twin of
+    :func:`_decode_jpeg_lossless`: (h, w, 3) RGB or (h, w) grayscale
+    uint8, widened to ``precision`` bits by pure left-shift (so the
+    decoder's top-byte strip inverts it exactly and 8-bit roundtrips
+    are bit-identical — LOSSLESS end to end). Ships the flat
+    17-symbol DC table (Annex K defines no category-12..16 codes —
+    the same why-custom-DHT story as the progressive AC table).
+    ``predictor`` ∈ 1..7, ``point_transform`` shifts samples right
+    before coding (decoder shifts back), ``interleaved`` picks one
+    3-component sample-interleaved scan vs one scan per component,
+    ``restart_interval`` emits DRI + RSTn every r samples/MCUs with
+    scan-start prediction resets."""
+    import struct
+
+    if not 1 <= int(predictor) <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 8 <= int(precision) <= 16:
+        raise ValueError("precision must be 8..16 for the twin")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError("point_transform out of range")
+    gray = arr.ndim == 2
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if gray:
+        chans = [a]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        chans = [a[:, :, i] for i in range(3)]
+    else:
+        raise ValueError(
+            "encode_jpeg_lossless expects (h, w, 3) or (h, w) uint8"
+        )
+    h, w = chans[0].shape
+    prec = int(precision)
+    samples = [
+        (c.astype(np.int64) << (prec - 8)) >> pt for c in chans
+    ]
+    default = 1 << (prec - pt - 1)
+    sel = int(predictor)
+    enc = _huff_encode_table(*_HUFF_DC_LOSSLESS)
+
+    def put_diff(bw, s_val, px):
+        d = (s_val - px) & 0xFFFF
+        if d == 32768:
+            code, ln = enc[16]
+            bw.put(code, ln)
+            return
+        signed = d - 65536 if d > 32768 else d
+        sz, bits_v = _mag_bits(signed)
+        code, ln = enc[sz]
+        bw.put(code, ln)
+        if sz:
+            bw.put(bits_v, sz)
+
+    def encode_scan(scan_chans):
+        bw = _BitWriter()
+        blob = b""
+        fresh = [False] * len(scan_chans)
+        n = 0
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and n and n % restart_interval == 0:
+                    blob += bw.flush()
+                    blob += bytes(
+                        [0xFF, 0xD0 + ((n // restart_interval) - 1) % 8]
+                    )
+                    bw = _BitWriter()
+                    fresh = [True] * len(scan_chans)
+                n += 1
+                for ci, plane in enumerate(scan_chans):
+                    if fresh[ci]:
+                        px = default
+                        fresh[ci] = False
+                    else:
+                        px = _lossless_predict(plane, y, x, sel, default)
+                    put_diff(bw, int(plane[y, x]), px)
+        return blob + bw.flush()
+
+    def seg(marker, payload_):
+        return marker + struct.pack(">H", len(payload_) + 2) + payload_
+
+    nc = len(samples)
+    out = b"\xff\xd8"
+    out += seg(
+        b"\xff\xc3",
+        struct.pack(">BHHB", prec, h, w, nc)
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+    )
+    out += seg(
+        b"\xff\xc4",
+        bytes([0x00])
+        + bytes(_HUFF_DC_LOSSLESS[0])
+        + bytes(_HUFF_DC_LOSSLESS[1]),
+    )
+    if restart_interval:
+        out += seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+    if gray or interleaved:
+        out += seg(
+            b"\xff\xda",
+            bytes([nc])
+            + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+            + bytes([sel, 0, pt]),
+        )
+        out += encode_scan(samples)
+    else:
+        for i, plane in enumerate(samples):
+            out += seg(
+                b"\xff\xda", bytes([1, i + 1, 0x00, sel, 0, pt])
+            )
+            out += encode_scan([plane])
+    return out + b"\xff\xd9"
 
 
 # --------------------------------------------------------- FLAC
@@ -2398,21 +2793,34 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
                         # (one SOS per component), %48==45 emits
                         # PROGRESSIVE (SOF2, Annex G scan script) —
                         # the other two layouts real files use (r6)
+                        # r7 sub-cycles: %48==33 emits LOSSLESS
+                        # (SOF3, predictor cycling 1..7 — the
+                        # DNG-style payload, decoded pixels EQUAL
+                        # the PPM twin's), %96==9 emits 12-BIT
+                        # extended sequential (SOF1, Pq=1 tables)
                         if int(doc_id) % 48 == 45:
                             jscans = "progressive"
                         elif int(doc_id) % 48 == 21:
                             jscans = "separate"
                         else:
                             jscans = "interleaved"
-                        payloads.append(encode_jpeg(
-                            px,
-                            quality=95,
-                            subsample=1 + (int(doc_id) // 12) % 2,
-                            restart_interval=0
-                            if jscans == "progressive"
-                            else (int(doc_id) // 24) % 3,
-                            scans=jscans,
-                        ))
+                        if int(doc_id) % 48 == 33:
+                            payloads.append(encode_jpeg_lossless(
+                                px,
+                                predictor=1 + (int(doc_id) // 48) % 7,
+                            ))
+                        else:
+                            payloads.append(encode_jpeg(
+                                px,
+                                quality=95,
+                                subsample=1 + (int(doc_id) // 12) % 2,
+                                restart_interval=0
+                                if jscans == "progressive"
+                                else (int(doc_id) // 24) % 3,
+                                scans=jscans,
+                                depth=12 if int(doc_id) % 96 == 9
+                                else 8,
+                            ))
                     else:
                         # doc_id%12==3: uncompressed P6 PPM
                         payloads.append(encode_ppm(px))

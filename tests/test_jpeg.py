@@ -90,24 +90,17 @@ def test_decode_real_routes_jpeg():
 
 
 def test_arithmetic_coding_raises_loud_gap():
-    # r6: progressive (SOF2) decodes built-in now — the remaining
-    # coding-process gaps are arithmetic (SOF9+) and lossless (SOF3):
-    # recognized container, unsupported process → NotImplementedError
-    # so the codec-hook chain can claim it
-    for marker in (0xC9, 0xC3, 0xCA):
+    # r7: lossless (SOF3) and 12-bit decode built-in now — the
+    # remaining coding-process gaps are arithmetic (SOF9+) and the
+    # differential hierarchy (SOF5+): recognized container,
+    # unsupported process → NotImplementedError so the codec-hook
+    # chain can claim it
+    for marker in (0xC9, 0xC5, 0xCA):
         p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
         i = bytes(p).find(b"\xff\xc0")
         p[i + 1] = marker
         with pytest.raises(NotImplementedError):
             mm.decode_jpeg(bytes(p))
-
-
-def test_16bit_quant_table_raises_loud_gap():
-    p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
-    i = bytes(p).find(b"\xff\xdb")
-    p[i + 4] = 0x10  # precision nibble -> 16-bit
-    with pytest.raises(NotImplementedError):
-        mm.decode_jpeg(bytes(p))
 
 
 def test_not_a_jpeg_raises_value_error():
@@ -376,3 +369,130 @@ def test_progressive_restart_rejected_by_encoder():
     with pytest.raises(ValueError, match="restart"):
         mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90, 1, 2,
                        scans="progressive")
+
+
+# ---------------------------------------- lossless (SOF3, r7)
+
+def _rand_img(h, w, seed=5, chans=3):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, chans) if chans else (h, w)
+    return rng.randint(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_lossless_roundtrip_every_predictor():
+    img = _rand_img(13, 17)
+    for sel in range(1, 8):
+        out = mm.decode_jpeg(mm.encode_jpeg_lossless(img, predictor=sel))
+        assert np.array_equal(out, img), sel  # LOSSLESS: bit-exact
+
+
+def test_lossless_gray_and_scan_layouts():
+    g = _rand_img(9, 11, seed=8, chans=0)
+    out = mm.decode_jpeg(mm.encode_jpeg_lossless(g))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    img = _rand_img(7, 5, seed=9)
+    a = mm.decode_jpeg(mm.encode_jpeg_lossless(img, interleaved=True))
+    b = mm.decode_jpeg(mm.encode_jpeg_lossless(img, interleaved=False))
+    assert np.array_equal(a, img) and np.array_equal(b, img)
+
+
+def test_lossless_precision_widening_strips_exactly():
+    img = _rand_img(6, 10, seed=11)
+    for prec in (8, 12, 16):
+        out = mm.decode_jpeg(
+            mm.encode_jpeg_lossless(img, precision=prec, predictor=7)
+        )
+        assert np.array_equal(out, img), prec  # left-shift widen ∘ strip
+
+
+def test_lossless_point_transform_quantizes_low_bits():
+    img = _rand_img(5, 7, seed=13)
+    out = mm.decode_jpeg(
+        mm.encode_jpeg_lossless(img, point_transform=2)
+    )
+    assert np.array_equal(out, (img >> 2) << 2)  # Pt drops 2 LSBs
+
+
+def test_lossless_restart_markers_reset_prediction():
+    img = _rand_img(8, 8, seed=17)
+    out = mm.decode_jpeg(
+        mm.encode_jpeg_lossless(img, restart_interval=5)
+    )
+    assert np.array_equal(out, img)
+
+
+def test_lossless_category16_diff_roundtrips():
+    # force the +32768 (no appended bits) code path: precision 16,
+    # alternating 0x00/0xFF source bytes widen to 0/0xFF00 — with
+    # predictor 1 the mod-2^16 diffs hit 32768 repeatedly
+    img = np.zeros((2, 16, 3), np.uint8)
+    img[:, 1::2] = 0x80  # widened diff = 0x8000 = 32768
+    out = mm.decode_jpeg(mm.encode_jpeg_lossless(img, precision=16,
+                                                 predictor=1))
+    assert np.array_equal(out, img)
+
+
+def test_lossless_decode_real_routes_and_loud_gaps():
+    img = _rand_img(4, 6, seed=19)
+    kind, px = mm.decode_real(mm.encode_jpeg_lossless(img), "image")
+    assert kind == "image" and np.array_equal(px, img)
+    # differential/arithmetic SOFs still fall through loudly
+    import struct
+    for sof in (0xC5, 0xC9, 0xCB, 0xCF):
+        payload = (b"\xff\xd8\xff" + bytes([sof])
+                   + struct.pack(">H", 8) + bytes(6))
+        with pytest.raises(NotImplementedError):
+            mm.decode_jpeg(payload)
+
+
+# ---------------------------------------- 12-bit precision (r7)
+
+def test_depth12_sequential_matches_depth8_closely():
+    img = _gradient(32, 40)
+    d8 = mm.decode_jpeg(mm.encode_jpeg(img, quality=95))
+    d12 = mm.decode_jpeg(mm.encode_jpeg(img, quality=95, depth=12))
+    # same effective quantization (tables x16, samples x16): the two
+    # decodes agree to within a couple of 8-bit LSBs everywhere
+    assert _psnr(d8, d12) > 40
+    assert _psnr(img, d12) > 30
+
+
+def test_depth12_emits_sof1_and_16bit_dqt():
+    p = mm.encode_jpeg(_gradient(16, 16), depth=12)
+    assert b"\xff\xc1" in p and b"\xff\xc0" not in p
+    # first DQT segment uses Pq=1 (0x10 | table id)
+    i = p.index(b"\xff\xdb")
+    assert p[i + 4] == 0x10
+    assert p[i + 2] << 8 | p[i + 3] == 2 + 1 + 128  # len: id + 64 u16
+
+
+def test_depth12_gray_subsample_restart_progressive():
+    g = _gradient(24, 24)[:, :, 0]
+    out = mm.decode_jpeg(mm.encode_jpeg(g, quality=95, depth=12))
+    assert _psnr(np.repeat(g[:, :, None], 3, axis=2), out) > 30
+    img = _gradient(24, 32)
+    for kw in (dict(subsample=2), dict(restart_interval=2),
+               dict(scans="separate"), dict(scans="progressive")):
+        out = mm.decode_jpeg(
+            mm.encode_jpeg(img, quality=95, depth=12, **kw))
+        assert _psnr(img, out) > 28, kw
+
+
+def test_depth12_vs_depth8_same_dialect_pixel_parity():
+    # the r6 pixel-equality trick, one precision level up: a 12-bit
+    # progressive and a 12-bit interleaved encode of the same source
+    # must decode to nearly identical pixels (same coefficients, same
+    # tables - only the scan layout differs)
+    img = _rand_img(17, 23, seed=23)
+    a = mm.decode_jpeg(mm.encode_jpeg(img, quality=90, depth=12))
+    b = mm.decode_jpeg(mm.encode_jpeg(img, quality=90, depth=12,
+                                      scans="progressive"))
+    assert np.array_equal(a, b)
+
+
+def test_unsupported_precision_still_loud():
+    import struct
+    payload = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 9)
+               + struct.pack(">BHHB", 10, 2, 2, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(payload)
