@@ -6,7 +6,10 @@ time. DuckDB executes the literal oracle SQL — the same work, one
 thread, no JVM — so the delta shows (a) fixed Spark overhead on tiny
 queries and (b) parallel wins on compute-heavy ones.
 
-Usage: python tools/compare_timing.py [sf_dir]
+Usage: python tools/compare_timing.py [sf_dir] [query ...]
+(r7: rows print incrementally as `ROW name spark duck`, so a subset
+run — or a killed full run — still yields its measurements; the
+sorted markdown table prints at the end.)
 """
 
 from __future__ import annotations
@@ -35,6 +38,9 @@ def main() -> None:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    subset = sys.argv[2:]
+    if subset:
+        oracles = {k: oracles[k] for k in subset if k in oracles}
     # warm both engines
     entrymod.entry(spark).count()
     spark.range(1).mapInPandas(lambda it: it, "id long").count()
@@ -50,6 +56,7 @@ def main() -> None:
         con.execute(sql).fetchall()
         t_duck = time.perf_counter() - t0
         rows.append((name, t_spark, t_duck))
+        print(f"ROW {name} {t_spark:.3f} {t_duck:.3f}", flush=True)
     rows.sort(key=lambda r: -r[1])
     print("| query | spark (warm) | duckdb | ratio |")
     print("|---|---|---|---|")
