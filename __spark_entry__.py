@@ -3155,8 +3155,9 @@ _R7_PREFIX = [
     "stream_hw_seasonal",
     "stream_store_replay",
     # (a) changed in r7 — image fixtures now cycle 4-bit-grey and
-    # 2-bit-palette packed PNGs through the new sub-8-bit decoder
-    # (multimodal.py r7), so the decode surface differs
+    # 2-bit-palette packed PNGs, LOSSLESS (SOF3) JPEGs with predictor
+    # cycling, and 12-bit (SOF1) JPEGs through the new r7 decoders,
+    # so the decode surface differs
     "multimodal_decode",
     "phash_neardup",
     # (b) new in r7
@@ -3424,8 +3425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tmpfs scratch, 4 state partitions; TIMINGS.md r7 — so every
     replay's executed path differs even though the _q_ sources are
     unchanged) plus multimodal_decode and phash_neardup (image
-    fixtures now cycle 4-bit-grey / 2-bit-palette packed PNGs
-    through the r7 sub-8-bit decoder); (b) the 3 entries NEW in r7 —
+    fixtures now cycle 4-bit-grey / 2-bit-palette packed PNGs,
+    lossless SOF3 JPEGs, and 12-bit SOF1 JPEGs through the r7
+    decoders); (b) the 3 entries NEW in r7 —
     approx_distinct_portable (the HLL register twin, closing the
     last externally unchecked mechanism), event_transitions_salted
     and funnel_salted (hot-key salt-and-merge twins sharing the
