@@ -2514,14 +2514,26 @@ def _write_arrival_files(
         tbl = None
     os.makedirs(src, exist_ok=True)
     if tbl is not None:
-        col = tbl.column(part_col)
-        for i in range(n):
-            sub = tbl.filter(pc.equal(col, i)).drop([part_col])
-            assert sub.num_rows > 0, (src, i)  # empty batch = bad split
-            dst = os.path.join(src, f"arrival-{i:02d}.parquet")
-            pq.write_table(sub, dst)
-            os.utime(dst, (1000 + i, 1000 + i))
-        return
+        try:
+            col = tbl.column(part_col)
+            for i in range(n):
+                sub = tbl.filter(pc.equal(col, i)).drop([part_col])
+                if sub.num_rows == 0:
+                    # a real exception, not assert: under python -O an
+                    # assert vanishes and an empty arrival file would
+                    # silently change the micro-batch count (ADVICE r7)
+                    raise _BadArrivalSplit(f"empty arrival batch {i} ({src})")
+                dst = os.path.join(src, f"arrival-{i:02d}.parquet")
+                pq.write_table(sub, dst)
+                os.utime(dst, (1000 + i, 1000 + i))
+            return
+        except _BadArrivalSplit:
+            raise  # logic error — the fallback would produce it too
+        except Exception:
+            # mid-write failure (disk, arrow) → remove partial files so
+            # the partitionBy fallback starts from a clean src dir
+            for part in glob.glob(os.path.join(src, "arrival-*.parquet")):
+                os.remove(part)
     stage = src.rstrip("/") + "_stage"
     (
         df.repartition(n, F.col(part_col))
@@ -2530,11 +2542,20 @@ def _write_arrival_files(
     )
     for i in range(n):
         files = glob.glob(os.path.join(stage, f"{part_col}={i}", "*.parquet"))
-        assert len(files) == 1, (src, i, files)
+        if len(files) != 1:
+            raise _BadArrivalSplit(
+                f"arrival batch {i} has {len(files)} files ({src})"
+            )
         dst = os.path.join(src, f"arrival-{i:02d}.parquet")
         os.replace(files[0], dst)
         os.utime(dst, (1000 + i, 1000 + i))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+class _BadArrivalSplit(RuntimeError):
+    """An arrival quartile came out empty or multi-file — the replay
+    would run with the wrong micro-batch count. Always raised (never
+    assert) so ``python -O`` cannot strip the invariant."""
 
 
 def _with_time_quartile(df: DataFrame, t_col: str, n: int = 4) -> DataFrame:
@@ -6609,15 +6630,21 @@ e AS (
 )
 SELECT event_type, n_zero_registers, register_sum_scaled,
        register_checksum,
-       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                       * 16777216.0 / register_sum_scaled <= 640.0
-                   AND n_zero_registers > 0
-                  THEN 256.0 * ln(256.0 / n_zero_registers)
-                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                       * 16777216.0 / register_sum_scaled
-             END, 4) AS est_distinct
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 16777216.0 / register_sum_scaled <= 640.0
+              AND n_zero_registers > 0
+            THEN list_extract(__HLL_LC__, CAST(n_zero_registers AS INT))
+            ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       * 16777216.0 / register_sum_scaled, 4)
+       END AS est_distinct
 FROM e
-""",
+""".replace(
+            # the linear-counting branch reads the SAME Python-evaluated
+            # literal table as sketches.hll_portable — no in-engine ln()
+            # on either side (ADVICE r7)
+            "__HLL_LC__",
+            "[" + ", ".join(repr(x) for x in sk.hll_lc_table(256)) + "]",
+        ),
         "kmv_distinct_users": """
 WITH h AS (
   SELECT DISTINCT event_type,

@@ -206,6 +206,44 @@ def hot_keys(df: DataFrame, key_col: str, hot_min_rows: int) -> DataFrame:
     )
 
 
+# Past this many hot keys the literal isin() predicate stops being the
+# cheap path (plan-string bloat); the collected list rides a driver-
+# local broadcast DataFrame instead. Either way detection runs ONCE.
+MAX_HOT_ISIN = 4096
+
+
+def collect_hot_keys(
+    df: DataFrame, key_col: str, hot_min_rows: int
+) -> list:
+    """Driver-side hot-key set — ONE detection job, reused everywhere.
+
+    The set is broadcast-small by construction (≤ N / hot_min_rows
+    keys), so collecting it is no heavier than the broadcast the
+    salted plans already paid. Collecting instead of re-referencing
+    the aggregate subtree means detection runs EXACTLY once per call:
+    the earlier form paid the limit(1) probe job, a min/max collect,
+    and a recompute of the hot_keys aggregate wherever the broadcast
+    frame was referenced (once per funnel step) unless AQE exchange
+    reuse happened to kick in (ADVICE r7).
+    """
+    return [r[0] for r in hot_keys(df, key_col, hot_min_rows).collect()]
+
+
+def _is_hot_expr(df: DataFrame, key_col: str, hot_list: list):
+    """A boolean Column marking hot keys, plus the (possibly joined)
+    frame it is valid on. Small sets become a literal ``isin`` (pure
+    codegen, zero extra join); large sets ride one broadcast join
+    against a driver-local table (LocalTableScan — no recompute)."""
+    if len(hot_list) <= MAX_HOT_ISIN:
+        return df, F.col(key_col).isin(hot_list)
+    spark = df.sparkSession
+    hot_df = spark.createDataFrame(
+        [(k,) for k in hot_list], schema=df.select(key_col).schema
+    ).withColumn("_hot", F.lit(True))
+    joined = df.join(F.broadcast(hot_df), key_col, "left")
+    return joined, F.col("_hot").isNotNull()
+
+
 def event_transitions_salted(
     events: DataFrame, n_chunks: int = 32, hot_min_rows: int = 1_000_000
 ) -> DataFrame:
@@ -257,27 +295,27 @@ def event_transitions_salted(
     from pyspark.sql.window import Window
 
     n = int(n_chunks)
-    hot = hot_keys(events, "user_id", hot_min_rows)
-    # one bounded probe of the (≤ N/hot_min_rows-row) hot set: with
-    # no hot keys uniform data pays the detection aggregate only and
-    # runs the EXACT unsalted plan
-    if not hot.limit(1).count():
+    # detection runs EXACTLY once: the bounded hot set is collected
+    # driver-side and re-enters the plan as a literal predicate (or
+    # one LocalTableScan broadcast past MAX_HOT_ISIN) — no probe job,
+    # no aggregate-subtree recompute (ADVICE r7)
+    hot_list = collect_hot_keys(events, "user_id", hot_min_rows)
+    if not hot_list:
         return event_transitions(events)
     s = _event_secs(events)
     lo, hi = events.agg(F.min(s), F.max(s)).collect()[0]  # bounded: 1 row
     span = int(hi) - int(lo) + 1
-    flagged = events.select(
+    proj = events.select(
         "user_id", "event_id", "event_type", "ts", s.alias("_s")
-    ).join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))), "user_id", "left"
     )
+    flagged, is_hot = _is_hot_expr(proj, "user_id", hot_list)
     chunked = flagged.select(
         "user_id",
         "event_id",
         "event_type",
         "ts",
         F.when(
-            F.col("_hot").isNotNull(),
+            is_hot,
             F.expr(f"({n} * (_s - {int(lo)})) div {span}"),
         )
         .otherwise(F.lit(0))
@@ -352,40 +390,40 @@ def funnel_salted(
     (shared oracle): the min over salted partitions is the min.
     """
     ns = int(n_salts)
-    hot = hot_keys(events, "user_id", hot_min_rows)
-    if not hot.limit(1).count():
+    # one detection job total (ADVICE r7): the earlier broadcast-frame
+    # form re-evaluated the hot_keys aggregate once per funnel step
+    hot_list = collect_hot_keys(events, "user_id", hot_min_rows)
+    if not hot_list:
         return funnel(events, steps)
-    hot_f = F.broadcast(hot.withColumn("_hot", F.lit(True)))
-    base = (
-        events.select(
-            "user_id", "event_id", "event_type", _event_secs(events).alias("t")
+    proj = events.select(
+        "user_id", "event_id", "event_type", _event_secs(events).alias("t")
+    )
+    flagged, is_hot = _is_hot_expr(proj, "user_id", hot_list)
+    base = flagged.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.when(
+            is_hot,
+            F.pmod(F.xxhash64("event_id"), F.lit(ns)),
         )
-        .join(hot_f, "user_id", "left")
-        .select(
-            "user_id",
-            "event_type",
-            "t",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64("event_id"), F.lit(ns)),
-            )
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("_salt"),
-        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("_salt"),
     )
     out = None
     reach = None
     for i, step in enumerate(steps):
         hits = base.filter(F.col("event_type") == step)
         if reach is not None:
-            reach_s = reach.join(hot_f, "user_id", "left").select(
+            reach_f, reach_hot = _is_hot_expr(reach, "user_id", hot_list)
+            reach_s = reach_f.select(
                 "user_id",
                 "t_reach",
                 F.explode(
                     F.sequence(
                         F.lit(0).cast("bigint"),
                         F.when(
-                            F.col("_hot").isNotNull(),
+                            reach_hot,
                             F.lit(ns - 1).cast("bigint"),
                         ).otherwise(F.lit(0).cast("bigint")),
                     )

@@ -18,9 +18,23 @@ tests/test_sketches.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 from pyspark.sql import functions as F
+
+
+def hll_lc_table(m: int) -> list[float]:
+    """Linear-counting estimates ``round(m·ln(m/V), 4)`` for V=1..m,
+    evaluated ONCE in Python and inlined as identical double literals
+    on both the Spark and the oracle side of :func:`hll_portable`
+    (ADVICE r7: an in-engine ln() whose 5th decimal sits within a ulp
+    of the .5 boundary could round differently under Spark's
+    java.lang.Math.log vs DuckDB's libm log — a rare flaky mismatch;
+    a shared literal table removes the transcendental from both
+    query plans entirely)."""
+    return [round(m * math.log(m / v), 4) for v in range(1, m + 1)]
 
 
 def approx_distinct(
@@ -476,10 +490,16 @@ def hll_portable(
         * F.lit(float(1 << scale_bits))
         / F.col("register_sum_scaled")
     )
+    # linear counting via the shared literal table — V ≤ m means the
+    # whole ln() domain is enumerable, so neither engine evaluates a
+    # transcendental at query time (hll_lc_table docstring)
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in hll_lc_table(m)]),
+        F.col("n_zero_registers").cast("int"),
+    )
     est = F.when(
-        (raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
-    ).otherwise(raw)
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0), lc
+    ).otherwise(F.round(raw, 4))
     return (
         per_group.withColumn("n_zero_registers", v_zero.cast("bigint"))
         .withColumn("register_sum_scaled", s)
@@ -488,6 +508,6 @@ def hll_portable(
             "n_zero_registers",
             "register_sum_scaled",
             "register_checksum",
-            F.round(est, 4).alias("est_distinct"),
+            est.alias("est_distinct"),
         )
     )

@@ -496,3 +496,93 @@ def test_unsupported_precision_still_loud():
                + struct.pack(">BHHB", 10, 2, 2, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(payload)
+
+
+# ------------------------------ hand-assembled SOF3 byte fixture (r8)
+# ADVICE r7: the lossless paths were validated only against their
+# in-repo encoder twin, so a twin-symmetric nonconformance (restart
+# prediction reset per T.81 H.2.2, point-transform level handling)
+# would cancel out and go undetected. These bytes are assembled by
+# hand from the spec with expected pixels derived on paper —
+# independent of encode_jpeg_lossless.
+
+class _BitW:
+    """MSB-first bit packer with JPEG 1-bit padding + byte stuffing."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self):
+        bs = bytearray()
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            bs.append(b)
+            if b == 0xFF:
+                bs.append(0x00)
+        return bytes(bs)
+
+
+def _cat_bits(d):
+    """(category, appended-bits value) per T.81 H.1.2.2."""
+    if d == 0:
+        return 0, 0
+    s = abs(d).bit_length()
+    return s, (d if d > 0 else d + (1 << s) - 1)
+
+
+def test_lossless_handbuilt_restart_and_point_transform():
+    # 2x4 grayscale SOF3, P=8, Pt=1, predictor 1 (left), DRI=4: the
+    # restart lands exactly at the row seam, so sample (1,0) MUST
+    # restart from the scan-start default 2^(P-Pt-1) = 64 (T.81
+    # H.2.2) - a decoder that instead applies the first-column
+    # predictor (b = above = 70) reconstructs 56<<1 = 112 there and
+    # 58/60/57<<1 down the row; the encoder twin would mirror that
+    # misreading, which is why these bytes are hand-assembled. Every
+    # output pixel = reconstructed value << Pt.
+    import struct
+
+    diffs = [+6, -20, 0, +13, -14, +1, +2, -3]
+    # Pt-domain planes: 64+6=70, 50, 50, 63 | restart: 64-14=50, 51,
+    # 53, 50 -> output doubles them
+    expect = np.array(
+        [[140, 100, 100, 126], [100, 102, 106, 100]], dtype=np.uint8
+    )
+
+    def seg(ds):
+        w = _BitW()
+        for d in ds:
+            s, v = _cat_bits(d)
+            w.put(s, 5)  # flat canonical 5-bit table: code == category
+            if s:
+                w.put(v, s)
+        return w.tobytes()
+
+    dht = (
+        bytes([0x00])
+        + bytes([0, 0, 0, 0, 17] + [0] * 11)
+        + bytes(range(17))
+    )
+    payload = b"".join([
+        b"\xff\xd8",
+        b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht,
+        b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 2, 4, 1)
+        + bytes([1, 0x11, 0]),
+        b"\xff\xdd" + struct.pack(">HH", 4, 4),
+        b"\xff\xda" + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 1, 0, 0x01]),   # ns=1, c1/t0, Ss=1, Al=1
+        seg(diffs[:4]),
+        b"\xff\xd0",
+        seg(diffs[4:]),
+        b"\xff\xd9",
+    ])
+    out = mm.decode_jpeg(payload)
+    assert out.shape == (2, 4, 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], expect), c
