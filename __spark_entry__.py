@@ -3083,6 +3083,18 @@ def _q_summarize_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.summarize(deduped, 3600, "sum", align_to_from=True)
 
 
+def _q_consolidate_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite consolidateBy(series, 'average') under
+    maxDataPoints=40 (r8 — completes the read-API story): the render
+    layer derives valuesPerPoint = ceil(dense_slots / 40) PER SERIES
+    from the data, anchors buckets at each series' own first
+    timestamp, and consolidates with the user-chosen method; the
+    computed step rides along as c_step so the derived dial itself is
+    hash-checked."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.consolidate_by(deduped, max_points=40, method="average")
+
+
 def _q_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graphite hitcount(series, '1hour'): Σ value·step per hour
     bucket — rate back to absolute hits; DECIMAL accumulation."""
@@ -3575,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_of_series": _q_percentile_of_series,
         "sort_by_extrema": _q_sort_by_extrema,
         "summarize_align": _q_summarize_align,
+        "consolidate_by": _q_consolidate_by,
         "hitcount": _q_hitcount,
         "integral_by_interval": _q_integral_by_interval,
         "remove_above_percentile": _q_remove_above_percentile,
@@ -4497,6 +4510,27 @@ SELECT metric, t0 + ((ts - t0) // 3600) * 3600 AS ts,
        {DEC_SUM} AS value
 FROM deduped JOIN anchors USING (metric)
 GROUP BY metric, 2
+""",
+        # maxDataPoints consolidation: vpp derived per series from the
+        # dense slot count, buckets anchored at the series' own t0
+        "consolidate_by": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+  SELECT metric, min(ts) AS t0,
+         ((max(ts) - min(ts)) // 60 + 40) // 40 AS vpp
+  FROM deduped GROUP BY metric
+)
+SELECT d.metric,
+       CAST(t0 + ((d.ts - t0) // (vpp * 60)) * (vpp * 60) AS BIGINT)
+         AS ts,
+       CAST(vpp * 60 AS BIGINT) AS c_step,
+       {DEC_AVG} AS value
+FROM deduped d JOIN v USING (metric)
+GROUP BY d.metric, 2, 3
 """,
         # compaction is result-invariant: the oracle aggregates the
         # RAW points (pre-fragmentation, pre-compaction) directly

@@ -55,6 +55,48 @@ def _live_replay_siblings() -> int:
     return n
 
 
+#: Measurement-condition gates (VERDICT r7 "what's wrong #1", a
+#: recurring artifact conflict since r4): the r7 driver bench ran at
+#: loadavg 4.7 / noise-p90 1.88× and produced a 1.20× tail that the
+#: idle-host interleaved delta (0.88×, loadavg 0.39 / p90 1.34)
+#: contradicted. A hot-host run must self-identify IN THE ARTIFACT so
+#: a later delta read never mistakes host load for a regression.
+#: Thresholds sit between every recorded idle run and every recorded
+#: hot run; env-overridable for testing the stamp end-to-end.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+NOISE_GATE = float(os.environ.get("SPARK_GRAFT_NOISE_GATE", "1.4"))
+
+
+def measurement_gate(
+    load1: float,
+    noise_p90: float | None,
+    siblings: int,
+    load_gate: float = None,
+    noise_gate: float = None,
+) -> list[str]:
+    """Reasons this bench run's timings should NOT be trusted for
+    cross-round comparison — empty list == reliable. Pure so the gate
+    itself is pytest-checkable without running a bench."""
+    lg = LOAD_GATE if load_gate is None else load_gate
+    ng = NOISE_GATE if noise_gate is None else noise_gate
+    reasons = []
+    if load1 > lg:
+        reasons.append(
+            f"loadavg_start {load1:.2f} > {lg} (host busy before warmup)"
+        )
+    if noise_p90 is not None and noise_p90 > ng:
+        reasons.append(
+            f"noise_p90_maxmin {noise_p90:.3f} > {ng} "
+            "(inter-pass spread says timings are host-bound)"
+        )
+    if siblings > 0:
+        reasons.append(
+            f"{siblings} live concurrent replay-scratch sibling(s) "
+            "(another bench/check_oracle shares the host)"
+        )
+    return reasons
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -102,15 +144,28 @@ def main() -> None:
         "noise_p90_maxmin": round(ratios[int(len(ratios) * 0.9)], 3)
         if ratios else None,
     }
+    reasons = measurement_gate(
+        load_start[0], noise["noise_p90_maxmin"], siblings
+    )
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "method": "min_of_2_passes",
+        "reliable": not reasons,
         "conditions": noise,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if reasons:
+        payload["unreliable_reasons"] = reasons
+        # the one-JSON-line stdout contract stays intact (the stamp
+        # rides inside the payload); the human-readable alarm goes to
+        # stderr so a log reader can't miss it either
+        print(
+            "BENCH UNRELIABLE: " + "; ".join(reasons),
+            file=sys.stderr,
+        )
     # the round artifact captures only the TAIL of stdout (~82 of 139+
     # queries survived in r1–r3) — persist the complete per-query
     # table to a file so every timing is diffable across rounds.

@@ -1120,6 +1120,57 @@ def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
     return buckets.join(F.broadcast(avg), "metric", "semi")
 
 
+def consolidate_by(
+    points: DataFrame,
+    max_points: int,
+    method: str = "average",
+    step: int = 60,
+) -> DataFrame:
+    """consolidateBy(series, func) + maxDataPoints — graphite's
+    RENDER-layer consolidation (graphite-web functions.consolidateBy
+    + render/datalib consolidation; the ceres layer below it is
+    aggregateSeries, ceres.py ≈L1033): when a fetched series holds
+    more slots than the requester's maxDataPoints, the renderer
+    coalesces every ``vpp = ceil(n / maxDataPoints)`` consecutive
+    slots with the user-chosen consolidation function (default
+    'average'). The consolidated step is a RESULT of the data
+    (vpp · step), not a caller input — aggregate_series with a
+    derived factor, which is why it's emitted as a checked column
+    (``c_step``) instead of asserted in a docstring.
+
+    Table shape: per-metric dense slot count n = (max_ts − min_ts) /
+    step + 1 (gaps count — the renderer consolidates a dense values
+    list), vpp from one bounded per-metric min/max aggregate
+    broadcast back, buckets anchored at each series' own first
+    timestamp; the 5-method null-skipping kernel aggregates each
+    bucket (all-NULL bucket → NULL, exactly graphite's None). Scale:
+    one tiny grouped min/max + one broadcast join + one grouped
+    aggregate over point-cardinality rows — no windows, no collects.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    mp = int(max_points)
+    if mp <= 0:
+        raise ValueError(f"max_points must be positive, got {max_points}")
+    step = int(step)
+    vpp = points.groupBy("metric").agg(
+        F.min("ts").alias("_t0"),
+        F.expr(
+            f"((max(ts) - min(ts)) div {step} + {mp}) div {mp}"
+        ).alias("_vpp"),  # ceil((slots)/mp): slots-1 + mp == n-1+mp
+    )
+    j = points.join(F.broadcast(vpp), "metric")
+    cstep = (F.col("_vpp") * F.lit(step)).cast("long")
+    bucket = (
+        F.col("_t0")
+        + F.expr(f"(ts - _t0) div (_vpp * {step})")
+        * (F.col("_vpp") * F.lit(step))
+    ).cast("long")
+    return j.groupBy(
+        "metric", bucket.alias("ts"), cstep.alias("c_step")
+    ).agg(agg_expr(method).alias("value"))
+
+
 def summarize(
     buckets: DataFrame,
     interval: int,

@@ -673,3 +673,38 @@ def test_value_transforms_family(spark):
     assert got[120]["clamped"] == 50.0   # in range untouched
     assert got[180]["clamped"] == 100.0  # clamp ceiling
     assert got[240]["abs_value"] is None # NULL propagates
+
+
+def test_consolidate_by_derived_vpp_and_anchor(spark):
+    # series m: 10 dense slots at step 60 from t0=120; maxDataPoints=4
+    # -> vpp = ceil(10/4) = 3, c_step = 180, buckets anchored at 120
+    rows = [("m", 120 + 60 * i, float(i), i) for i in range(10)]
+    # series s: 3 slots -> vpp = ceil(3/4) = 1 (consolidation no-op)
+    rows += [("s", 0, 5.0, 20), ("s", 60, 7.0, 21), ("s", 120, 9.0, 22)]
+    out = ser.consolidate_by(pts(spark, rows), max_points=4, method="average")
+    got = {
+        (r["metric"], r["ts"]): (r["c_step"], r["value"])
+        for r in out.collect()
+    }
+    # graphite: buckets of 3 consecutive slots, partial tail still
+    # consolidated (values 9 alone in the last bucket)
+    assert got[("m", 120)] == (180, 1.0)        # (0+1+2)/3
+    assert got[("m", 300)] == (180, 4.0)        # (3+4+5)/3
+    assert got[("m", 480)] == (180, 7.0)        # (6+7+8)/3
+    assert got[("m", 660)] == (180, 9.0)        # partial bucket
+    assert got[("s", 0)] == (60, 5.0)
+    assert got[("s", 60)] == (60, 7.0)
+    assert got[("s", 120)] == (60, 9.0)
+    assert len(got) == 7
+
+
+def test_consolidate_by_gaps_count_toward_slots_and_method_dial(spark):
+    # gaps widen the DENSE slot count: two points 9 slots apart is
+    # n=10 even though only 2 rows exist -> vpp=ceil(10/5)=2
+    rows = [("g", 0, 2.0, 0), ("g", 540, 8.0, 1)]
+    out = ser.consolidate_by(pts(spark, rows), max_points=5, method="max")
+    got = {(r["metric"], r["ts"]): (r["c_step"], r["value"])
+           for r in out.collect()}
+    assert got == {("g", 0): (120, 2.0), ("g", 480): (120, 8.0)}
+    with pytest.raises(ValueError):
+        ser.consolidate_by(pts(spark, rows), max_points=0)
