@@ -2575,26 +2575,81 @@ def _await_replay(q, name: str) -> None:
         raise RuntimeError(f"{name} replay timed out")
 
 
+#: State-store provider configurations for the replay twins. r8
+#: measured all three on the full 12-twin family (interleaved
+#: min-of-2, sf0.1, tools/state_store_probe.py): hdfs 47.1 s, rocksdb
+#: 44.0 s, rocksdb+changelog 41.8 s, results bit-equal across modes —
+#: changelog checkpointing replaces the per-batch full-snapshot upload
+#: with a delta WAL, which is exactly the offset/WAL-commit slice the
+#: TIMINGS.md r7 decomposition identified. rocksdb_changelog is the
+#: default; SPARK_GRAFT_STATE_STORE selects a mode for A/B probes.
+#: At production state sizes the gap widens in RocksDB's favor (the
+#: HDFS provider keeps the whole store on-heap; RocksDB spills).
+STATE_STORE_MODES = {
+    "hdfs": {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "false",
+    },
+    "rocksdb": {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "false",
+    },
+    "rocksdb_changelog": {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    },
+}
+
+
 class _replay_shuffle:
-    """Scope the streaming replay to few state partitions: stateful
-    operators disable AQE, so every micro-batch pays a fixed task per
-    shuffle partition per stateful stage — at 32 partitions × 4
-    batches that overhead dwarfs the toy data (measured 20 s on the
-    stream-stream join; ~4 s at 8; another ~0.6 s off at 4, where r7
-    moved the default — still multi-partition, so the oracles keep
-    re-proving partitioning independence). State-partition count is
-    burned into the checkpoint at first start; the scratch dir is
-    wiped per call, so scoping the conf around start() is safe."""
+    """Scope the streaming replay to few state partitions AND the
+    measured-fastest state store: stateful operators disable AQE, so
+    every micro-batch pays a fixed task per shuffle partition per
+    stateful stage — at 32 partitions × 4 batches that overhead
+    dwarfed the toy data (measured 20 s on the stream-stream join;
+    ~4 s at 8; another ~0.6 s off at 4, where r7 moved the default —
+    still multi-partition, so the oracles keep re-proving
+    partitioning independence). r8 adds the STATE_STORE_MODES
+    selection (default rocksdb_changelog, −11% family-wide). Both
+    the partition count and the provider are burned into the
+    checkpoint at first start; the scratch dir is wiped per call, so
+    scoping the confs around start() is safe."""
 
     def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        import os
+
+        conf = self.spark.conf
+        self.old = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", str(self.n))
+        mode = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb_changelog")
+        self.saved = {}
+        for k, v in STATE_STORE_MODES.get(mode, {}).items():
+            # rocksdb.* keys are provider confs without registered
+            # SQLConf defaults — get(key) raises on them, get(key,
+            # None) does not
+            self.saved[k] = conf.get(k, None)
+            conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        conf = self.spark.conf
+        conf.set("spark.sql.shuffle.partitions", self.old)
+        for k, v in self.saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
