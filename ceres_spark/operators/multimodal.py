@@ -106,6 +106,34 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------
 
 
+def _loud_corruption(container: str):
+    """Decoder-boundary guard: damaged payloads of a RECOGNIZED
+    container must surface as ``ValueError`` — loud and routable —
+    never as the internal accident of wherever the bytes ran out
+    (``struct.error`` unpacking a cut header, ``IndexError`` walking
+    a cut table). This is clause 4 of the codec contract
+    (docs/CODECS.md) applied to the engine's own built-ins, pinned by
+    the exhaustive truncation sweep in tests/test_codec_contract.py.
+    ``ValueError``/``NotImplementedError`` pass through untouched."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(payload, *a, **kw):
+            try:
+                return fn(payload, *a, **kw)
+            except (_struct.error, IndexError, _zlib.error) as e:
+                raise ValueError(
+                    f"corrupt/truncated {container} payload: {e}"
+                ) from e
+
+        return wrapped
+
+    return deco
+
+
 def encode_ppm(arr: "np.ndarray") -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM (P6, maxval 255)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -115,6 +143,7 @@ def encode_ppm(arr: "np.ndarray") -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+@_loud_corruption("PPM")
 def decode_ppm(payload: bytes) -> "np.ndarray":
     """Decode binary PPM (P6, maxval<=255, '#' comments) to (h, w, 3)
     uint8. Header grammar per the netpbm spec: magic, whitespace-
@@ -169,6 +198,7 @@ def encode_wav(
     return hdr + data
 
 
+@_loud_corruption("WAV")
 def decode_wav(payload: bytes):
     """Decode RIFF/WAVE PCM16 to ((frames, channels) int16, rate).
     Walks chunks (so extra LIST/fact chunks are fine); PCM16 only."""
@@ -181,6 +211,11 @@ def decode_wav(payload: bytes):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # the chunk header PROMISED size bytes — silently decoding
+            # the shorter remainder would mask corruption (codec
+            # contract clause 4)
+            raise ValueError(f"truncated WAV {cid!r} chunk")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
@@ -219,6 +254,7 @@ def encode_y4m(
     return b"".join(parts)
 
 
+@_loud_corruption("Y4M")
 def decode_y4m(payload: bytes):
     """Decode YUV4MPEG2 ``C444`` to ((n, h, w, 3) uint8 YUV, fps).
     Header grammar per yuv4mpeg(5): space-separated tagged params
@@ -523,6 +559,7 @@ def encode_png_packed(
     return out + _png_chunk(b"IDAT", body) + _png_chunk(b"IEND", b"")
 
 
+@_loud_corruption("PNG")
 def decode_png(payload: bytes) -> "np.ndarray":
     """Decode PNG to (h, w, 3) uint8 with only stdlib ``zlib`` +
     numpy — the first genuinely COMPRESSED container that decodes
@@ -1263,17 +1300,33 @@ class _BitReader:
         self.data = segments[0] if segments else b""
         self.pos = 0
         self.bit = 0
+        self.overrun = 0  # bits read past the segment end
 
     def next_segment(self) -> None:
         """Byte-align and jump past the next restart marker."""
         self.seg_i += 1
+        if self.seg_i >= len(self.segments):
+            # a truncated stream loses its tail restart segments —
+            # damaged payloads must surface as ValueError (the codec
+            # contract clause 4, docs/CODECS.md), never IndexError
+            raise ValueError(
+                "truncated JPEG entropy stream (missing restart segment)"
+            )
         self.data = self.segments[self.seg_i]
         self.pos = 0
         self.bit = 0
+        self.overrun = 0  # each segment pads to its own byte boundary
 
     def read_bit(self) -> int:
         if self.pos >= len(self.data):
-            return 0  # T.81: pad reads past the end decode as 0
+            # T.81 pads the FINAL byte to alignment, so a conformant
+            # stream never needs more than 7 phantom bits; reading
+            # further means the entropy data was cut — silent zeros
+            # would decode wrong pixels (codec contract clause 4)
+            self.overrun += 1
+            if self.overrun > 7:
+                raise ValueError("truncated JPEG entropy stream")
+            return 0
         b = (self.data[self.pos] >> (7 - self.bit)) & 1
         self.bit += 1
         if self.bit == 8:
@@ -1384,6 +1437,7 @@ def _ac_refine_scan(br, tab, blk, ss, se, al, state):
         state["eobrun"] -= 1
 
 
+@_loud_corruption("JPEG")
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """Decode baseline JPEG/JFIF to (h, w, 3) uint8 with stdlib +
     numpy only — huffman entropy decode, dequantize, de-zigzag,
@@ -1427,6 +1481,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     progressive = False
     frame_prec = 8  # sample precision from SOF (8 or 12)
     decoded: set[int] = set()
+    saw_eoi = False
     C = _dct_matrix()
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1436,6 +1491,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos += 1
         m = payload[pos + 1]
         if m == 0xD9:  # EOI
+            saw_eoi = True
             break
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         data = payload[pos + 4:pos + 2 + ln]
@@ -1714,6 +1770,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         pos = pos + 2 + ln
     if sof is None or (planes is None and coefs is None):
         raise ValueError("missing SOF/SOS in JPEG stream")
+    if not saw_eoi:
+        # the loop needs marker+length lookahead (pos+4), so a
+        # trailing EOI — two bytes, no length field — exits the loop
+        # unseen; recognize it (plus optional 0xFF fill bytes) here
+        t = payload[pos:]
+        while len(t) >= 3 and t[0] == 0xFF and t[1] == 0xFF:
+            t = t[1:]
+        saw_eoi = t[:2] == b"\xff\xd9"
+    if not saw_eoi:
+        # T.81 requires EOI; without it a truncation that removed
+        # whole trailing scans (progressive refinements, later
+        # components) would decode silently coarse/partial (codec
+        # contract clause 4)
+        raise ValueError("JPEG stream ended without EOI")
     ih, iw, comps = sof
     if decoded != {cid for cid, *_ in comps}:
         raise ValueError(
@@ -1832,6 +1902,7 @@ def _decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
     decoded: set[int] = set()
     ih = iw = 0
     pt_used = 0
+    saw_eoi = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -1839,6 +1910,7 @@ def _decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             pos += 1
         m = payload[pos + 1]
         if m == 0xD9:
+            saw_eoi = True
             break
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         data = payload[pos + 4:pos + 2 + ln]
@@ -1961,6 +2033,17 @@ def _decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
         pos = pos + 2 + ln
     if comps is None or not decoded:
         raise ValueError("missing SOF3/SOS in lossless JPEG stream")
+    if not saw_eoi:
+        # same lookahead quirk + contract as the DCT path: a trailing
+        # two-byte EOI exits the loop unseen; require it, so a cut
+        # that shaved the final entropy bytes can't decode silently
+        # wrong under the ≤7-bit pad tolerance
+        t = payload[pos:]
+        while len(t) >= 3 and t[0] == 0xFF and t[1] == 0xFF:
+            t = t[1:]
+        saw_eoi = t[:2] == b"\xff\xd9"
+    if not saw_eoi:
+        raise ValueError("JPEG stream ended without EOI")
     if decoded != set(comps):
         raise ValueError(
             "JPEG stream ended before all components were decoded"
@@ -2191,6 +2274,10 @@ class _MSBReader:
     def take(self, bits: int) -> int:
         v = 0
         for _ in range(bits):
+            if self.byte >= len(self.data):
+                # damaged payloads surface as ValueError (the codec
+                # contract clause 4, docs/CODECS.md), never IndexError
+                raise ValueError("truncated FLAC bitstream")
             b = (self.data[self.byte] >> (7 - self.bit)) & 1
             v = (v << 1) | b
             self.bit += 1
@@ -2363,6 +2450,7 @@ def encode_flac(
     return bytes(out)
 
 
+@_loud_corruption("FLAC")
 def decode_flac(payload: bytes):
     """Decode FLAC to (frames, channels) int16 + rate with stdlib +
     numpy only: Rice-coded residuals (4/5-bit params, escapes),
@@ -2531,6 +2619,13 @@ def decode_flac(payload: bytes):
         [np.array(c, dtype=np.int64) for c in chans], axis=1
     )
     if total:
+        if len(arr) < total:
+            # STREAMINFO promised more samples — a truncation that
+            # happened to cut at a frame boundary would otherwise
+            # decode silently short (codec contract clause 4)
+            raise ValueError(
+                f"truncated FLAC stream: {len(arr)} of {total} samples"
+            )
         arr = arr[:total]
     return arr.astype(np.int16), rate
 
