@@ -3224,6 +3224,82 @@ def entry(spark: SparkSession) -> DataFrame:
 #: source hashes (tools/prefix_state.py) and fails on any
 #: changed-but-parked entry, uncovered module change, or
 #: staler-than-parked promotion.
+_R8_PREFIX = [
+    # (a) changed in r8 — ALL 12 replay twins again: the replay
+    # harness's executed path changed twice (hardened Arrow arrival
+    # writer with real-exception invariants + the state store flipped
+    # to RocksDB + changelog checkpointing, TIMINGS.md r8), so every
+    # twin's streaming execution differs from its r7 driver row
+    "stream_windowed_rollup",
+    "stream_sessions",
+    "stream_interval_join",
+    "stream_corpus_ingest",
+    "stream_simhash_dedup",
+    "stream_kmv",
+    "stream_ann_ingest",
+    "stream_cusum",
+    "stream_ewma",
+    "stream_holt_winters",
+    "stream_hw_seasonal",
+    "stream_store_replay",
+    # (a) changed in r8 — the codec-contract hardening touched the
+    # decode surface these run on (ValueError truncation boundary,
+    # EOI requirement, entropy pad cap — valid streams decode
+    # identically, pixel suites pinned, but the executed module
+    # changed)
+    "multimodal_decode",
+    "phash_neardup",
+    "multimodal_frames",
+    # (a) changed in r8 — single-pass hot-key detection (ADVICE r7;
+    # bit-identical contract, shared unsalted oracles)
+    "event_transitions_salted",
+    "funnel_salted",
+    # (a) changed in r8 — linear-counting ln() replaced by the shared
+    # Python-evaluated literal table on BOTH engine sides
+    "approx_distinct_portable",
+    # (b) new in r8
+    "consolidate_by",             # graphite render-layer
+    #                               consolidateBy + maxDataPoints
+    # (c) the r3-block tail exactly as the r7 plan wrote it
+    # (17 entries, last driver-checked r3)
+    "token_budget_fill",
+    "vocab_drift",
+    "corpus_card",
+    "embedding_decontamination",
+    "cusum_changepoints",
+    "semantic_dedup_docs",
+    "bpe_train",
+    "bpe_segment",
+    "semantic_dedup",
+    "fuzzy_pairs",
+    "series_transform",
+    "series_linreg",
+    "frequent_items",
+    "minhash_pairs",
+    "order_analytics",
+    "fetch_dense",
+    "quantize_lww",
+    # (d) r4 greens oldest-first (the first 14 of the 41 whose last
+    # driver row is CORRECTNESS_r04, in that file's key order; the
+    # remainder source_similarity-tail … fuzzy_pairs_banded heads the
+    # r9 (d) list)
+    "hash_embed",
+    "source_similarity",
+    "ngram_novelty",
+    "audio_neardup",
+    "dataset_diff",
+    "length_percentile_gate",
+    "rollup_catalog",
+    "embedding_pca",
+    "split_leak_check",
+    "bloom_decontaminate",
+    "text_normalize",
+    "hard_negatives",
+    "range_band_join",
+    "tpch_q6",
+]
+
+#: r7 prefix (historical; superseded by _R8_PREFIX)
 _R7_PREFIX = [
     # (a) changed in r7 — ALL 12 replay twins: the shared replay
     # harness was rebuilt (ONE partitionBy arrival-file job, tmpfs
@@ -3506,7 +3582,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 7, final): the 50-slot prefix is the
+    ROTATION STATE (round 8, final): the 50-slot prefix is the
+    explicit ``_R8_PREFIX`` list — (a) the 18 entries changed in r8:
+    ALL 12 streaming replay twins (the replay harness's executed path
+    changed twice — hardened Arrow arrival writer, state store
+    flipped to RocksDB + changelog checkpointing), the three
+    decode-path entries multimodal_decode / phash_neardup /
+    multimodal_frames (codec-contract hardening: truncation →
+    ValueError everywhere, EOI required, entropy pad cap), the two
+    salted twins (single-pass hot-key detection, ADVICE r7) and
+    approx_distinct_portable (table-driven linear counting, ADVICE
+    r7); (b) the 1 new entry consolidate_by; (c) the 17-entry
+    r3-block tail exactly as the r7 plan wrote it (token_budget_fill
+    … quantize_lww); (d) the first 14 r4 greens in CORRECTNESS_r04
+    key order (hash_embed … tpch_q6).
+
+    ROTATION PLAN (round 9): promote (a) anything changed in r9,
+    (b) new r9 entries, (c) the remaining 27 r4 greens in
+    CORRECTNESS_r04 key order (tpch_q10, tpch_q4, tpch_q14,
+    tpch_q18, tpch_q19, tpch_q22, tpch_q7, tpch_q8, tpch_q13,
+    tpch_q15, tpch_q17, series_functions, per_second_rate,
+    slice_runs, moving_stddev, series_arithmetic, group_by_node,
+    salted_join, table_profile, melt_stats, histogram_quantiles,
+    stratified_split, vocab_top_n, tfidf_top_terms, packed_sequences,
+    mixture_sample, fuzzy_pairs_banded), then (d) r5 greens
+    oldest-first. After rotating, run ``python tools/prefix_state.py
+    regen`` and keep tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 7, historical — superseded by r8): the
+    50-slot prefix was the
     explicit ``_R7_PREFIX`` list — (a) the 14 entries changed in r7:
     ALL 12 streaming replay twins (the shared replay harness was
     rebuilt this round — single-job partitionBy arrival-file write,
@@ -3532,7 +3636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     uncovered module change, or a staler-than-parked promotion fails
     pytest instead of relying on this docstring.
 
-    ROTATION PLAN (round 8): promote (a) anything changed in r8,
+    ROTATION PLAN (round 8, historical — executed as written, see
+    STATE r8 above): promote (a) anything changed in r8,
     (b) new r8 entries, (c) the r3-block tail (token_budget_fill,
     vocab_drift, corpus_card, embedding_decontamination,
     cusum_changepoints, semantic_dedup_docs, bpe_train, bpe_segment,
@@ -3864,7 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R7_PREFIX}
+    out = {k: base.pop(k) for k in _R8_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
