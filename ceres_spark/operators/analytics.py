@@ -207,9 +207,14 @@ def hot_keys(df: DataFrame, key_col: str, hot_min_rows: int) -> DataFrame:
 
 
 # Past this many hot keys the literal isin() predicate stops being the
-# cheap path (plan-string bloat); the collected list rides a driver-
-# local broadcast DataFrame instead. Either way detection runs ONCE.
-MAX_HOT_ISIN = 4096
+# cheap path: every branch of the plan that references the flagged
+# frame re-inlines the full literal list into analysis/codegen, and in
+# funnel's chained step lineage that multiplies (measured 0.81→3.83 s
+# at sf0.1 with a 1,222-key list under the old 4096 threshold). The
+# collected list rides a driver-local broadcast DataFrame instead —
+# a compact LocalTableScan whose plan cost is constant in list size.
+# Either way detection runs ONCE.
+MAX_HOT_ISIN = 64
 
 
 def collect_hot_keys(
@@ -229,19 +234,28 @@ def collect_hot_keys(
     return [r[0] for r in hot_keys(df, key_col, hot_min_rows).collect()]
 
 
-def _is_hot_expr(df: DataFrame, key_col: str, hot_list: list):
-    """A boolean Column marking hot keys, plus the (possibly joined)
-    frame it is valid on. Small sets become a literal ``isin`` (pure
-    codegen, zero extra join); large sets ride one broadcast join
-    against a driver-local table (LocalTableScan — no recompute)."""
+def _flag_hot(df: DataFrame, key_col: str, hot_list: list) -> DataFrame:
+    """``df`` plus a materialized boolean ``_hot`` column (never null).
+
+    Tiny sets become a literal ``isin`` (pure codegen, zero extra
+    join); anything larger rides one broadcast join against a
+    driver-local table (LocalTableScan — constant plan cost however
+    long the list, and no aggregate-subtree recompute). Callers that
+    derive per-key frames downstream should CARRY the column through
+    their aggregates (``F.max("_hot")`` — hotness is constant per
+    key) rather than re-flagging the derived frame: re-application
+    chains the flag machinery into every branch of the lineage."""
     if len(hot_list) <= MAX_HOT_ISIN:
-        return df, F.col(key_col).isin(hot_list)
+        return df.withColumn("_hot", F.col(key_col).isin(hot_list))
     spark = df.sparkSession
     hot_df = spark.createDataFrame(
         [(k,) for k in hot_list], schema=df.select(key_col).schema
-    ).withColumn("_hot", F.lit(True))
-    joined = df.join(F.broadcast(hot_df), key_col, "left")
-    return joined, F.col("_hot").isNotNull()
+    ).withColumn("_hot_flag", F.lit(True))
+    return (
+        df.join(F.broadcast(hot_df), key_col, "left")
+        .withColumn("_hot", F.coalesce(F.col("_hot_flag"), F.lit(False)))
+        .drop("_hot_flag")
+    )
 
 
 def event_transitions_salted(
@@ -308,14 +322,14 @@ def event_transitions_salted(
     proj = events.select(
         "user_id", "event_id", "event_type", "ts", s.alias("_s")
     )
-    flagged, is_hot = _is_hot_expr(proj, "user_id", hot_list)
+    flagged = _flag_hot(proj, "user_id", hot_list)
     chunked = flagged.select(
         "user_id",
         "event_id",
         "event_type",
         "ts",
         F.when(
-            is_hot,
+            F.col("_hot"),
             F.expr(f"({n} * (_s - {int(lo)})) div {span}"),
         )
         .otherwise(F.lit(0))
@@ -398,32 +412,35 @@ def funnel_salted(
     proj = events.select(
         "user_id", "event_id", "event_type", _event_secs(events).alias("t")
     )
-    flagged, is_hot = _is_hot_expr(proj, "user_id", hot_list)
+    flagged = _flag_hot(proj, "user_id", hot_list)
     base = flagged.select(
         "user_id",
         "event_type",
         "t",
         F.when(
-            is_hot,
+            F.col("_hot"),
             F.pmod(F.xxhash64("event_id"), F.lit(ns)),
         )
         .otherwise(F.lit(0).cast("bigint"))
         .alias("_salt"),
+        "_hot",
     )
     out = None
     reach = None
     for i, step in enumerate(steps):
         hits = base.filter(F.col("event_type") == step)
         if reach is not None:
-            reach_f, reach_hot = _is_hot_expr(reach, "user_id", hot_list)
-            reach_s = reach_f.select(
+            # reach CARRIES its _hot flag from the aggregate below —
+            # hotness is constant per user, so no re-flagging (and no
+            # per-step join/literal chained into the lineage)
+            reach_s = reach.select(
                 "user_id",
                 "t_reach",
                 F.explode(
                     F.sequence(
                         F.lit(0).cast("bigint"),
                         F.when(
-                            reach_hot,
+                            F.col("_hot"),
                             F.lit(ns - 1).cast("bigint"),
                         ).otherwise(F.lit(0).cast("bigint")),
                     )
@@ -432,7 +449,9 @@ def funnel_salted(
             hits = hits.join(reach_s, ["user_id", "_salt"]).filter(
                 F.col("t") >= F.col("t_reach")
             ).drop("t_reach")
-        reach = hits.groupBy("user_id").agg(F.min("t").alias("t_reach"))
+        reach = hits.groupBy("user_id").agg(
+            F.min("t").alias("t_reach"), F.max("_hot").alias("_hot")
+        )
         row = reach.agg(F.count("*").alias("n_users")).select(
             F.lit(i + 1).cast("long").alias("step_idx"),
             F.lit(step).alias("step"),
