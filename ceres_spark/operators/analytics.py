@@ -234,6 +234,34 @@ def collect_hot_keys(
     return [r[0] for r in hot_keys(df, key_col, hot_min_rows).collect()]
 
 
+def collect_hot_keys_and_bounds(
+    df: DataFrame, key_col: str, hot_min_rows: int, sec_col
+) -> tuple[list, int | None, int | None]:
+    """Hot-key set PLUS global min/max of ``sec_col`` in ONE job.
+
+    :func:`event_transitions_salted` needs both the hot set and the
+    time-range bounds; computing them separately is two full scans
+    and two driver round-trips. The per-key aggregate already visits
+    every row, so the global bounds fall out of a second-level
+    aggregate over the per-key partials: one shuffle, one collected
+    row. The hot array stays bounded exactly as before (≤ N /
+    hot_min_rows entries — ``collect_list`` skips the NULLs the
+    below-threshold keys produce)."""
+    per_key = df.groupBy(key_col).agg(
+        F.count("*").alias("_n"),
+        F.min(sec_col).alias("_lo"),
+        F.max(sec_col).alias("_hi"),
+    )
+    row = per_key.agg(
+        F.collect_list(
+            F.when(F.col("_n") >= int(hot_min_rows), F.col(key_col))
+        ).alias("_hot"),
+        F.min("_lo").alias("_glo"),
+        F.max("_hi").alias("_ghi"),
+    ).collect()[0]
+    return list(row[0]), row[1], row[2]
+
+
 def _flag_hot(df: DataFrame, key_col: str, hot_list: list) -> DataFrame:
     """``df`` plus a materialized boolean ``_hot`` column (never null).
 
@@ -309,15 +337,17 @@ def event_transitions_salted(
     from pyspark.sql.window import Window
 
     n = int(n_chunks)
-    # detection runs EXACTLY once: the bounded hot set is collected
-    # driver-side and re-enters the plan as a literal predicate (or
-    # one LocalTableScan broadcast past MAX_HOT_ISIN) — no probe job,
-    # no aggregate-subtree recompute (ADVICE r7)
-    hot_list = collect_hot_keys(events, "user_id", hot_min_rows)
+    # detection runs EXACTLY once: the bounded hot set AND the global
+    # time bounds come from ONE fused aggregate job (two scans and
+    # two driver round-trips before), then re-enter the plan as a
+    # driver-local broadcast (or a literal for tiny sets) — no probe
+    # job, no aggregate-subtree recompute (ADVICE r7)
+    s = _event_secs(events)
+    hot_list, lo, hi = collect_hot_keys_and_bounds(
+        events, "user_id", hot_min_rows, s
+    )
     if not hot_list:
         return event_transitions(events)
-    s = _event_secs(events)
-    lo, hi = events.agg(F.min(s), F.max(s)).collect()[0]  # bounded: 1 row
     span = int(hi) - int(lo) + 1
     proj = events.select(
         "user_id", "event_id", "event_type", "ts", s.alias("_s")
