@@ -66,6 +66,80 @@ def _live_replay_siblings() -> int:
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
 NOISE_GATE = float(os.environ.get("SPARK_GRAFT_NOISE_GATE", "1.4"))
 
+#: Pre-flight quiet-wait (r8): stamping a hot run unreliable is only
+#: half the fix — when the noise is a BURST (this container's
+#: neighbors come and go on minute scales; a raw single-core loop was
+#: observed swinging 1.6× across seconds at loadavg 0.0), waiting a
+#: bounded window for it to pass yields a reliable artifact instead
+#: of a stamped-useless one. Budget is bounded so a driver-invoked
+#: run can never hang on a persistently busy host; 0 disables.
+BENCH_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
+PROBE_SPREAD_GATE = float(
+    os.environ.get("SPARK_GRAFT_PROBE_GATE", "1.3")
+)
+
+
+def _cpu_probe(reps: int = 5) -> tuple[float, float]:
+    """(median_sec, max/min spread) of a fixed single-core loop.
+
+    The spread WITHIN a burst of back-to-back identical loops is an
+    instantaneous neighbor-noise signal that loadavg cannot see
+    (loadavg counts only this container's runnable tasks). The
+    absolute median is recorded for the artifact but never gated on —
+    host generations differ; only the self-relative spread is
+    comparable everywhere."""
+    ts = []
+    for _ in range(int(reps)):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], ts[-1] / ts[0]
+
+
+def wait_for_quiet_host(
+    budget_s: float,
+    probe=_cpu_probe,
+    get_load=None,
+    sleep=time.sleep,
+    load_gate: float = None,
+    spread_gate: float = None,
+    poll_s: float = 10.0,
+) -> dict:
+    """Poll until loadavg AND the CPU-probe spread are under their
+    gates, or the budget is spent. Returns a summary dict that rides
+    in the payload's ``conditions.preflight`` either way, so the
+    artifact records what the host looked like BEFORE warmup and how
+    long the run waited for it. Injectable probe/load/sleep keep the
+    loop pytest-checkable without burning wall clock."""
+    lg = LOAD_GATE if load_gate is None else load_gate
+    sg = PROBE_SPREAD_GATE if spread_gate is None else spread_gate
+    gl = get_load if get_load is not None else (lambda: os.getloadavg()[0])
+    t0 = time.monotonic()
+    probes = []
+    while True:
+        load1 = gl()
+        med, spread = probe()
+        probes.append(
+            {
+                "load1": round(load1, 2),
+                "probe_med_ms": round(med * 1000.0, 1),
+                "probe_spread": round(spread, 3),
+            }
+        )
+        quiet = load1 <= lg and spread <= sg
+        waited = time.monotonic() - t0
+        if quiet or waited >= budget_s:
+            return {
+                "quiet": quiet,
+                "waited_s": round(waited, 1),
+                "polls": len(probes),
+                "last_probes": probes[-3:],
+            }
+        sleep(min(poll_s, max(0.0, budget_s - waited)))
+
 
 def measurement_gate(
     load1: float,
@@ -100,6 +174,14 @@ def measurement_gate(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    preflight = wait_for_quiet_host(BENCH_WAIT) if BENCH_WAIT > 0 else None
+    if preflight is not None and not preflight["quiet"]:
+        print(
+            "BENCH PRE-FLIGHT: host still noisy after "
+            f"{preflight['waited_s']}s wait — proceeding, conditions "
+            "will be stamped",
+            file=sys.stderr,
+        )
     load_start = os.getloadavg()
     siblings = _live_replay_siblings()
     spark = get_spark("ceres-spark-bench")
@@ -135,6 +217,7 @@ def main() -> None:
         worst[q] / timings[q] for q in timings if timings[q] > 0
     )
     noise = {
+        "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "live_replay_siblings": siblings,

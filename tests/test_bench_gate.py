@@ -40,3 +40,72 @@ def test_missing_noise_probe_is_not_a_failure():
 def test_gate_overrides():
     assert bench.measurement_gate(0.5, 1.1, 0, load_gate=0.1) != []
     assert bench.measurement_gate(0.5, 1.1, 0, noise_gate=1.0) != []
+
+
+# --- pre-flight quiet-wait (r8): injectable probe/load/sleep, no wall
+# clock burned ---
+
+
+def test_preflight_returns_immediately_on_quiet_host():
+    out = bench.wait_for_quiet_host(
+        60,
+        probe=lambda: (0.1, 1.05),
+        get_load=lambda: 0.2,
+        sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    assert out["quiet"] and out["polls"] == 1
+
+
+def test_preflight_waits_out_a_noise_burst():
+    # probe spread decays 1.8 -> 1.5 -> 1.1 across polls; the loop
+    # must sleep twice and then report quiet
+    spreads = iter([1.8, 1.5, 1.1])
+    sleeps = []
+    out = bench.wait_for_quiet_host(
+        60,
+        probe=lambda: (0.1, next(spreads)),
+        get_load=lambda: 0.2,
+        sleep=sleeps.append,
+        poll_s=10,
+    )
+    assert out["quiet"] and out["polls"] == 3 and len(sleeps) == 2
+
+
+def test_preflight_gives_up_at_budget_and_says_so():
+    t = {"now": 0.0}
+    orig = bench.time.monotonic
+    bench.time.monotonic = lambda: t["now"]
+    try:
+        def fake_sleep(s):
+            t["now"] += s
+        out = bench.wait_for_quiet_host(
+            30,
+            probe=lambda: (0.1, 2.0),  # never quiet
+            get_load=lambda: 0.2,
+            sleep=fake_sleep,
+            poll_s=10,
+        )
+    finally:
+        bench.time.monotonic = orig
+    assert not out["quiet"] and out["waited_s"] >= 30
+
+
+def test_preflight_loadavg_alone_blocks_quiet():
+    spreads = iter([1.0, 1.0])
+    loads = iter([5.0, 0.3])
+    sleeps = []
+    out = bench.wait_for_quiet_host(
+        60,
+        probe=lambda: (0.1, next(spreads)),
+        get_load=lambda: next(loads),
+        sleep=sleeps.append,
+    )
+    assert out["quiet"] and out["polls"] == 2
+
+
+def test_preflight_artifact_records_probe_history():
+    out = bench.wait_for_quiet_host(
+        60, probe=lambda: (0.123, 1.01), get_load=lambda: 0.1
+    )
+    p = out["last_probes"][-1]
+    assert p["probe_med_ms"] == 123.0 and p["probe_spread"] == 1.01
