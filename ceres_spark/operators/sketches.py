@@ -492,9 +492,12 @@ def hll_portable(
     )
     # linear counting via the shared literal table — V ≤ m means the
     # whole ln() domain is enumerable, so neither engine evaluates a
-    # transcendental at query time (hll_lc_table docstring)
+    # transcendental at query time (hll_lc_table docstring). ONE
+    # array-typed Literal node, not m scalar literals under a
+    # CreateArray: the m-wide expression tree measurably taxed
+    # analysis/codegen (0.28→0.46 s at m=256 in the r8 bench).
     lc = F.element_at(
-        F.array(*[F.lit(x) for x in hll_lc_table(m)]),
+        F.lit(hll_lc_table(m)),
         F.col("n_zero_registers").cast("int"),
     )
     est = F.when(
