@@ -37,6 +37,29 @@ def hll_lc_table(m: int) -> list[float]:
     return [round(m * math.log(m / v), 4) for v in range(1, m + 1)]
 
 
+def lc_engine_log_safe(m: int, eps: float = 1e-6) -> bool:
+    """True when ``round(m·ln(m/V), 4)`` is ulp-stable across engines
+    for EVERY possible V in 1..m — i.e. no value's 4th-decimal
+    fraction sits within ``eps`` of the .5 rounding boundary.
+
+    The ln() domain is enumerable (V ≤ m), so the ADVICE r7 hazard —
+    Spark's java.lang.Math.log and DuckDB's libm log disagreeing by a
+    ulp exactly on a boundary — is CHECKABLE, not just avoidable: a
+    1-ulp error at x ≤ m·ln(m) ≈ 1.4e3 (m=256) is ~2.3e-13, or
+    ~2.3e-9 after the 1e4 scaling, so ``eps=1e-6`` gives a ~400×
+    margin while triggering with probability ~m·2eps ≈ 5e-4 for an
+    adversarial m. When safe (every practical m), :func:`hll_portable`
+    keeps the cheap in-engine log — measured ~0.15 s/call cheaper
+    than carrying the m-double array literal through codegen — and
+    the oracle's Python-evaluated table becomes an INDEPENDENT
+    computation path the hash check proves agreement with."""
+    for v in range(1, int(m) + 1):
+        frac = (m * math.log(m / v) * 1e4) % 1.0
+        if abs(frac - 0.5) < eps:
+            return False
+    return True
+
+
 def approx_distinct(
     df: DataFrame, group_col: str, value_col: str, lgk: int = 12
 ) -> DataFrame:
@@ -490,16 +513,25 @@ def hll_portable(
         * F.lit(float(1 << scale_bits))
         / F.col("register_sum_scaled")
     )
-    # linear counting via the shared literal table — V ≤ m means the
-    # whole ln() domain is enumerable, so neither engine evaluates a
-    # transcendental at query time (hll_lc_table docstring). ONE
-    # array-typed Literal node, not m scalar literals under a
-    # CreateArray: the m-wide expression tree measurably taxed
-    # analysis/codegen (0.28→0.46 s at m=256 in the r8 bench).
-    lc = F.element_at(
-        F.lit(hll_lc_table(m)),
-        F.col("n_zero_registers").cast("int"),
-    )
+    # linear counting: V ≤ m means the whole ln() domain is
+    # enumerable, so the cross-engine ulp hazard is CHECKED in Python
+    # (lc_engine_log_safe) rather than merely avoided — when every
+    # possible rounding is boundary-clear (every practical m), the
+    # cheap in-engine log stays in the plan and the oracle's
+    # Python-evaluated literal table is an independent path the hash
+    # check proves agreement with; only an adversarial m falls back
+    # to carrying the table as one array-typed literal.
+    if lc_engine_log_safe(m):
+        lc = F.round(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
+            4,
+        )
+    else:
+        lc = F.element_at(
+            F.lit(hll_lc_table(m)),
+            F.col("n_zero_registers").cast("int"),
+        )
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0), lc
     ).otherwise(F.round(raw, 4))

@@ -323,6 +323,37 @@ def test_hll_portable_partitioning_independent(spark, events):
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
 
 
+def test_hll_lc_boundary_check_pins_fast_path():
+    """The production m=256 linear-counting domain is boundary-clear,
+    so hll_portable keeps the in-engine log (the cheap plan) and the
+    oracle's Python literal table is an INDEPENDENT computation path
+    the external hash check proves agreement with. If a Java/libm
+    change ever lands a value near a .5 boundary, this pins the
+    module to fall back to the shared-table form instead of going
+    flaky."""
+    assert sk.lc_engine_log_safe(256)
+    # and the checker itself can refuse: an eps wider than any
+    # possible fraction distance flags every m as unsafe
+    assert not sk.lc_engine_log_safe(256, eps=0.5)
+
+
+def test_hll_lc_table_matches_engine_log_everywhere(spark):
+    """Both lc forms — in-engine round(m*log(m/V),4) and the Python
+    literal table — agree on every possible V in 1..256, through the
+    real Spark expression, not just in Python."""
+    df = spark.range(1, 257).select(
+        F.col("id").cast("bigint").alias("n_zero_registers")
+    )
+    engine = df.select(
+        F.round(
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("n_zero_registers")),
+            4,
+        ).alias("x")
+    ).collect()
+    table = sk.hll_lc_table(256)
+    assert [r["x"] for r in engine] == table
+
+
 def test_hll_portable_estimate_accuracy_at_scale(spark):
     """Out of the linear-counting regime (n >> m): the raw HLL
     estimator lands within ~3 sigma (1.04/sqrt(256) = 6.5% RSE)."""
