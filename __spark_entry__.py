@@ -3150,6 +3150,48 @@ def _q_consolidate_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.consolidate_by(deduped, max_points=40, method="average")
 
 
+def _q_counter_wrap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite nonNegativeDerivative(series, maxValue) + perSecond
+    (r8 function-layer widening): counter-wrap RECOVERY — a negative
+    delta whose new value fits the counter bound reconstructs the
+    true increment maxValue − prev + value + 1 instead of the NULL
+    per_second emits; the bound here (100) sits INSIDE the fixture's
+    0–490 value range so all THREE branches — plain delta, wrap
+    recovery, and unexplainable-reset NULL — land in the external
+    hash check."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.counter_wrap_rate(deduped, max_value=100.0)
+
+
+def _q_time_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite timeStack(series, '1day', 0, 3) (r8): three
+    period-over-period replicas per series from ONE scan (explode
+    over a literal shift array — not 3 unioned scans), copy k
+    relabeled k·86400 s forward with the copy index carried."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.time_stack(deduped, period=86400, copies=3)
+
+
+def _q_changed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite changed() + delay(3) + isNonNull() in one window
+    projection (r8): NULL-safe change flag (None→value transitions
+    count, exactly graphite), a 3-step delayed copy, and the 0/1
+    presence indicator — one per-metric sort serves all three."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.changed_points(deduped, delay_steps=3)
+
+
+def _q_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite weightedAverage(avgList, weightList) (r8): the
+    LWW-deduped slot value weighted by the RAW arrival count per
+    slot — Σ(aᵢwᵢ)/Σwᵢ per ts across series, decimal-exact products,
+    NOT reducible to a plain mean because dedup collapses each slot
+    to its last write while the weight counts every arrival."""
+    raw = tbl.points(spark, sf_dir)
+    deduped = cp.compact(raw, 60)
+    return ser.weighted_average(raw, deduped)
+
+
 def _q_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graphite hitcount(series, '1hour'): Σ value·step per hour
     bucket — rate back to absolute hits; DECIMAL accumulation."""
@@ -3260,6 +3302,13 @@ _R8_PREFIX = [
     # (b) new in r8
     "consolidate_by",             # graphite render-layer
     #                               consolidateBy + maxDataPoints
+    "counter_wrap_rate",          # nonNegativeDerivative(maxValue)
+    #                               with counter-wrap recovery
+    "time_stack",                 # timeStack period-over-period
+    #                               replicas from ONE scan
+    "changed_points",             # changed()+delay()+isNonNull()
+    "weighted_average",           # weightedAverage: LWW values
+    #                               weighted by raw arrival counts
     # (c) the r3-block tail exactly as the r7 plan wrote it
     # (17 entries, last driver-checked r3)
     "token_budget_fill",
@@ -3279,10 +3328,12 @@ _R8_PREFIX = [
     "order_analytics",
     "fetch_dense",
     "quantize_lww",
-    # (d) r4 greens oldest-first (the first 14 of the 41 whose last
-    # driver row is CORRECTNESS_r04, in that file's key order; the
-    # remainder source_similarity-tail … fuzzy_pairs_banded heads the
-    # r9 (d) list)
+    # (d) r4 greens oldest-first (the first 10 of the 41 whose last
+    # driver row is CORRECTNESS_r04, in that file's key order — was
+    # 14 until the four late-r8 function-layer entries took the (b)
+    # slots; the displaced text_normalize / hard_negatives /
+    # range_band_join / tpch_q6 head the r9 (d) list, then the
+    # remainder source_similarity-tail … fuzzy_pairs_banded)
     "hash_embed",
     "source_similarity",
     "ngram_novelty",
@@ -3293,10 +3344,6 @@ _R8_PREFIX = [
     "embedding_pca",
     "split_leak_check",
     "bloom_decontaminate",
-    "text_normalize",
-    "hard_negatives",
-    "range_band_join",
-    "tpch_q6",
 ]
 
 #: r7 prefix (historical; superseded by _R8_PREFIX)
@@ -3592,14 +3639,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ValueError everywhere, EOI required, entropy pad cap), the two
     salted twins (single-pass hot-key detection, ADVICE r7) and
     approx_distinct_portable (table-driven linear counting, ADVICE
-    r7); (b) the 1 new entry consolidate_by; (c) the 17-entry
-    r3-block tail exactly as the r7 plan wrote it (token_budget_fill
-    … quantize_lww); (d) the first 14 r4 greens in CORRECTNESS_r04
-    key order (hash_embed … tpch_q6).
+    r7, then ulp-checked in-engine log late-r8 — still prefix-(a));
+    (b) the 5 new entries — consolidate_by, plus the late-r8
+    function-layer widening counter_wrap_rate / time_stack /
+    changed_points / weighted_average; (c) the 17-entry r3-block
+    tail exactly as the r7 plan wrote it (token_budget_fill …
+    quantize_lww); (d) the first 10 r4 greens in CORRECTNESS_r04 key
+    order (hash_embed … bloom_decontaminate — was 14 until the four
+    late-r8 (b) entries took the slots).
 
     ROTATION PLAN (round 9): promote (a) anything changed in r9,
-    (b) new r9 entries, (c) the remaining 27 r4 greens in
-    CORRECTNESS_r04 key order (tpch_q10, tpch_q4, tpch_q14,
+    (b) new r9 entries, (c) the four r4 greens displaced late-r8
+    (text_normalize, hard_negatives, range_band_join, tpch_q6) then
+    the remaining 27 r4 greens in CORRECTNESS_r04 key order
+    (tpch_q10, tpch_q4, tpch_q14,
     tpch_q18, tpch_q19, tpch_q22, tpch_q7, tpch_q8, tpch_q13,
     tpch_q15, tpch_q17, series_functions, per_second_rate,
     slice_runs, moving_stddev, series_arithmetic, group_by_node,
@@ -3748,6 +3801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_extrema": _q_sort_by_extrema,
         "summarize_align": _q_summarize_align,
         "consolidate_by": _q_consolidate_by,
+        "counter_wrap_rate": _q_counter_wrap_rate,
+        "time_stack": _q_time_stack,
+        "changed_points": _q_changed_points,
+        "weighted_average": _q_weighted_average,
         "hitcount": _q_hitcount,
         "integral_by_interval": _q_integral_by_interval,
         "remove_above_percentile": _q_remove_above_percentile,
@@ -4549,6 +4606,87 @@ SELECT metric, ts, value,
        value * value AS squared,
        LEAST(GREATEST(value, 10.0), 90.0) AS clamped
 FROM deduped
+""",
+        # wrap expression written in the SAME left-to-right
+        # association as the Spark column (100.0 - prev + value + 1.0)
+        # so the doubles agree bit-for-bit; the rate divides by actual
+        # elapsed seconds from the same lag
+        "counter_wrap_rate": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT metric, ts, value,
+         lag(value) OVER w AS prev,
+         CAST(ts - lag(ts) OVER w AS DOUBLE) AS dt
+  FROM deduped
+  WINDOW w AS (PARTITION BY metric ORDER BY ts)
+)
+SELECT metric, ts, value,
+       CASE WHEN value - prev >= 0 THEN value - prev
+            WHEN value <= 100.0 THEN 100.0 - prev + value + 1.0
+       END AS nn_delta,
+       CASE WHEN value - prev >= 0 THEN (value - prev) / dt
+            WHEN value <= 100.0 THEN (100.0 - prev + value + 1.0) / dt
+       END AS rate_per_s
+FROM lagged
+""",
+        # one generate_series cross join == the Spark explode over a
+        # literal shift array: 3 copies, copy k relabeled k*86400 s
+        "time_stack": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, CAST(k AS BIGINT) AS shift_idx,
+       CAST(ts + k * 86400 AS BIGINT) AS ts, value
+FROM deduped CROSS JOIN generate_series(0, 2) AS t(k)
+""",
+        # NULL-safe inequality == Spark's eqNullSafe negation; the
+        # deduped fixture drops NULL rows, so is_non_null is the
+        # degenerate all-1 column BY CONSTRUCTION here — the NULL arm
+        # is pinned in pytest on a hand-built gap series
+        "changed_points": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       CASE WHEN row_number() OVER w = 1 THEN 0
+            WHEN value IS DISTINCT FROM lag(value) OVER w THEN 1
+            ELSE 0 END AS changed,
+       lag(value, 3) OVER w AS delayed,
+       CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_non_null
+FROM deduped
+WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        # LWW slot value weighted by RAW arrival count per slot;
+        # products ride the string-routed DECIMAL sum, weights exact
+        "weighted_average": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+weights AS (
+  SELECT metric, ts, COUNT(value) AS w FROM points GROUP BY 1, 2
+),
+j AS (
+  SELECT d.ts, d.value, w.w
+  FROM deduped d JOIN weights w ON d.metric = w.metric AND d.ts = w.ts
+)
+SELECT ts,
+       CAST(CAST(SUM(CAST(CAST(value * w AS VARCHAR)
+                          AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / SUM(CASE WHEN value IS NOT NULL THEN w END) AS weighted_avg,
+       CAST(SUM(CASE WHEN value IS NOT NULL THEN w END) AS BIGINT)
+         AS total_weight,
+       CAST(COUNT(value) AS BIGINT) AS n_series
+FROM j GROUP BY ts
 """,
         "moving_window_functions": f"""
 WITH {POINTS_CTE},

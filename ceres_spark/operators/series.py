@@ -1120,6 +1120,156 @@ def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
     return buckets.join(F.broadcast(avg), "metric", "semi")
 
 
+def counter_wrap_rate(
+    buckets: DataFrame, max_value: float = 4294967295.0
+) -> DataFrame:
+    """nonNegativeDerivative(series, maxValue) + perSecond with
+    counter-wrap RECOVERY (graphite-web functions.py
+    nonNegativeDerivative/_nonNegativeDelta): :func:`per_second`
+    nulls a negative delta; with ``maxValue`` given, graphite instead
+    reconstructs the true increment across a bounded-counter wrap —
+    ``maxValue − prev + value + 1`` — whenever the new value still
+    fits the counter (``value ≤ maxValue``); a reset (value above
+    maxValue is impossible for a real counter, so a negative delta
+    with no wrap explanation) stays NULL. The default is the 32-bit
+    SNMP counter bound, THE case this function exists for.
+
+    One lag window per metric; the wrap expression is evaluated in
+    the same left-to-right association on both engine sides so the
+    doubles match bit-for-bit. Rate divides by actual elapsed
+    seconds from the same window (gap-correct, like per_second).
+    Scale: one per-metric sort — state per task is one series run.
+    """
+    from pyspark.sql.window import Window
+
+    mv = float(max_value)
+    w = Window.partitionBy("metric").orderBy("ts")
+    prev = F.lag("value").over(w)
+    dv = F.col("value") - prev
+    dt = (F.col("ts") - F.lag("ts").over(w)).cast("double")
+    wrap = F.lit(mv) - prev + F.col("value") + F.lit(1.0)
+    delta = F.when(dv >= 0, dv).when(
+        F.col("value") <= F.lit(mv), wrap
+    )
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        delta.alias("nn_delta"),
+        (delta / dt).alias("rate_per_s"),
+    )
+
+
+def time_stack(
+    buckets: DataFrame, period: int = 86400, copies: int = 3
+) -> DataFrame:
+    """timeStack(series, shiftUnit, 0, copies) — graphite-web's
+    period-over-period overlay: ``copies`` time-shifted replicas of
+    each series, copy k relabeled ``k·period`` seconds FORWARD so
+    last period's points align with this period's timestamps on one
+    axis (copy 0 is the live series). The week-over-week dashboard
+    workhorse :func:`time_shift` only single-shifts.
+
+    One ``explode`` over a literal shift array — a single scan
+    producing all copies (NOT ``copies`` unioned scans of the
+    source, which is what a naive per-shift union plan does and what
+    a 100 TB fetch cannot afford). Pure map-side: no shuffle, no
+    window; output is (copies ×) point cardinality with the copy
+    index carried for the renderer's legend/alpha.
+    """
+    p = int(period)
+    n = int(copies)
+    if n <= 0:
+        raise ValueError(f"copies must be positive, got {copies}")
+    k = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n)])
+    ).alias("shift_idx")
+    return buckets.select("metric", "ts", "value", k).select(
+        "metric",
+        F.col("shift_idx"),
+        (F.col("ts") + F.col("shift_idx") * F.lit(p)).cast("long").alias(
+            "ts"
+        ),
+        "value",
+    )
+
+
+def changed_points(buckets: DataFrame, delay_steps: int = 3) -> DataFrame:
+    """changed() + delay() + isNonNull() in one window projection
+    (graphite-web functions.py changed/delay/isNonNull): ``changed``
+    is 1 when the value differs from the previous point of the same
+    series (graphite emits 0 for the first point and for no-change —
+    NULL-safe inequality, so NULL→value and value→NULL transitions
+    count as changes exactly like graphite's ``!=`` on None);
+    ``delayed`` is the value ``delay_steps`` points back (graphite
+    delay — the alignment tool for feedback-loop dashboards);
+    ``is_non_null`` is the 0/1 presence indicator.
+
+    One per-metric sort serves all three columns. Scale: window
+    state is one series run per task; no second shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    d = int(delay_steps)
+    w = Window.partitionBy("metric").orderBy("ts")
+    prev = F.lag("value").over(w)
+    first = F.row_number().over(w) == 1
+    return buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.when(first, F.lit(0))
+        .otherwise((~F.col("value").eqNullSafe(prev)).cast("int"))
+        .alias("changed"),
+        F.lag("value", d).over(w).alias("delayed"),
+        F.col("value").isNotNull().cast("int").alias("is_non_null"),
+    )
+
+
+def weighted_average(points: DataFrame, lww: DataFrame) -> DataFrame:
+    """weightedAverage(avgSeriesList, weightSeriesList) — graphite-web
+    functions.py weightedAverage: pair each series in the first list
+    with its weight series in the second (graphite pairs by path
+    node; the table shape pairs on the metric key) and emit
+    Σᵢ(aᵢ·wᵢ) / Σᵢwᵢ per timestamp. Here the avg list is the
+    LWW-deduped value per slot (the read path's resolved point) and
+    the weight list is the RAW sample count per slot (the hitcount
+    series) — the event-volume-weighted average, NOT reducible to a
+    plain per-ts mean because dedup collapses each slot to its last
+    write while the weight still counts every arrival.
+
+    Determinism: products accumulate through the string-routed
+    DECIMAL sum (order-independent), weights are exact BIGINTs, and
+    the single final division is one IEEE op — the same shape the
+    oracle recomputes. Scale: two grouped aggregates sharing the
+    (metric, ts) shuffle key, one join on that same key (no second
+    exchange for the join side), then a per-ts aggregate whose
+    cardinality is the time axis, not the corpus. Zero-weight
+    timestamps (all arrivals NULL-valued) emit NULL, matching
+    graphite's None-safe division.
+    """
+    weights = points.groupBy("metric", "ts").agg(
+        F.count("value").alias("_w")
+    )
+    j = lww.join(weights, ["metric", "ts"])
+    prod = (F.col("value") * F.col("_w")).cast("string").cast(
+        "decimal(30,10)"
+    )
+    return (
+        j.groupBy("ts")
+        .agg(
+            (
+                F.sum(prod).cast("string").cast("double")
+                / F.sum(F.when(F.col("value").isNotNull(), F.col("_w")))
+            ).alias("weighted_avg"),
+            F.sum(
+                F.when(F.col("value").isNotNull(), F.col("_w"))
+            ).cast("bigint").alias("total_weight"),
+            F.count("value").cast("bigint").alias("n_series"),
+        )
+    )
+
+
 def consolidate_by(
     points: DataFrame,
     max_points: int,

@@ -708,3 +708,90 @@ def test_consolidate_by_gaps_count_toward_slots_and_method_dial(spark):
     assert got == {("g", 0): (120, 2.0), ("g", 480): (120, 8.0)}
     with pytest.raises(ValueError):
         ser.consolidate_by(pts(spark, rows), max_points=0)
+
+
+def test_counter_wrap_rate_recovers_wrap_and_nulls_reset(spark):
+    # 8-bit-style counter, max_value=255: 250 -> 40 is a WRAP
+    # (delta = 255-250+40+1 = 46 over 60 s); 40 -> 900 exceeds the
+    # bound so the NEXT negative delta (900 -> 10) has no wrap
+    # explanation at value<=255... 10 <= 255 though — graphite only
+    # checks the NEW value fits, so it reconstructs; a true
+    # unexplainable reset is new value > maxValue with delta < 0.
+    df = pts(
+        spark,
+        [
+            ("c", 0, 100.0, 0),
+            ("c", 60, 250.0, 1),   # +150 plain
+            ("c", 120, 40.0, 2),   # wrap: 255-250+40+1 = 46
+            ("c", 240, 400.0, 3),  # +360 plain (gap: dt=120)
+            ("c", 300, 300.0, 4),  # negative, 300 > 255 -> NULL
+        ],
+    )
+    got = {
+        r["ts"]: (r["nn_delta"], r["rate_per_s"])
+        for r in ser.counter_wrap_rate(df, max_value=255.0).collect()
+    }
+    assert got[0] == (None, None)            # first point
+    assert got[60] == (150.0, 2.5)
+    assert got[120] == (46.0, 46.0 / 60.0)   # wrap recovered
+    assert got[240] == (360.0, 3.0)          # gap-correct dt=120
+    assert got[300] == (None, None)          # unexplainable reset
+
+
+def test_time_stack_copies_and_relabel(spark):
+    df = pts(spark, [("m", 0, 1.0, 0), ("m", 60, 2.0, 1)])
+    out = ser.time_stack(df, period=1000, copies=2).collect()
+    got = {(r["shift_idx"], r["ts"]): r["value"] for r in out}
+    assert got == {
+        (0, 0): 1.0, (0, 60): 2.0,          # copy 0 == live series
+        (1, 1000): 1.0, (1, 1060): 2.0,     # copy 1 shifted forward
+    }
+    with pytest.raises(ValueError):
+        ser.time_stack(df, period=1000, copies=0)
+
+
+def test_changed_points_null_transitions_count(spark):
+    # the external fixture is NULL-free by construction (LWW dedup
+    # drops null slots); the None->value and value->None arms of
+    # graphite's changed() live here
+    df = pts(
+        spark,
+        [
+            ("m", 0, 5.0, 0),
+            ("m", 60, 5.0, 1),     # no change
+            ("m", 120, None, 2),   # value -> None: changed
+            ("m", 180, None, 3),   # None -> None: no change
+            ("m", 240, 7.0, 4),    # None -> value: changed
+        ],
+    )
+    got = {
+        r["ts"]: (r["changed"], r["delayed"], r["is_non_null"])
+        for r in ser.changed_points(df, delay_steps=2).collect()
+    }
+    assert got[0] == (0, None, 1)      # first point: 0 by definition
+    assert got[60] == (0, None, 1)
+    assert got[120] == (1, 5.0, 0)
+    assert got[180] == (0, 5.0, 0)
+    assert got[240] == (1, None, 1)    # delayed lands on a gap
+
+
+def test_weighted_average_weights_by_raw_arrivals(spark):
+    # metric a: slot 0 has 3 arrivals (LWW keeps value 30), metric b:
+    # 1 arrival of 10 -> weighted avg = (30*3 + 10*1) / 4 = 25, NOT
+    # the plain mean 20 — the dedup/weight split is the point
+    raw = pts(
+        spark,
+        [
+            ("a", 0, 10.0, 0),
+            ("a", 0, 20.0, 1),
+            ("a", 0, 30.0, 2),   # last write wins
+            ("b", 0, 10.0, 3),
+            ("b", 60, None, 4),  # null arrival: weight skips it
+        ],
+    )
+    lww = cp.compact(raw, 60)
+    rows = {r["ts"]: r for r in ser.weighted_average(raw, lww).collect()}
+    assert rows[0]["weighted_avg"] == 25.0
+    assert rows[0]["total_weight"] == 4
+    assert rows[0]["n_series"] == 2
+    assert 60 not in rows  # all-null slot: no LWW row survives
