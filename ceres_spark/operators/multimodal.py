@@ -10,8 +10,10 @@ entropy decode + matrix IDCT + chroma upsampling), and FLAC
 decorrelation — lossless, so decoded audio is bit-identical);
 ``real_features`` computes content statistics from actual
 pixels/samples. JPEG covers baseline, multi-scan sequential,
-progressive (Annex G), 12-bit precision AND lossless (Annex H —
-the DNG/camera-raw compression); PNG covers every valid IHDR
+progressive (Annex G), 12-bit precision, lossless (Annex H —
+the DNG/camera-raw compression) AND the arithmetic-coded DCT
+processes (SOF9/SOF10, Annex D QM-coder — operators/jpeg_arith.py);
+PNG covers every valid IHDR
 combination (Adam7, 16-bit, and the 1/2/4-bit packed depths). Remaining
 compressed formats (MP3, H.264/HEVC frames — the MP4 CONTAINER
 parses via operators/mp4.py) need codec libraries this box lacks —
@@ -1460,10 +1462,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     sequential AND 12-bit progressive — Pq=1 16-bit quantization
     tables, level shift 2^11, output stripped to the 8-bit domain)
     and LOSSLESS (SOF3, Annex H — dispatched to
-    :func:`_decode_jpeg_lossless`). What remains loud is exactly the
-    arithmetic-coded and differential-hierarchy processes (patent-
-    adjacent/rare) plus fractional sampling ratios —
-    ``NotImplementedError`` so the codec-hook chain can claim them.
+    :func:`_decode_jpeg_lossless`). r8 adds the ARITHMETIC-coded DCT
+    processes (SOF9/SOF10 — dispatched to
+    :func:`ceres_spark.operators.jpeg_arith.decode_jpeg_arith`).
+    What remains loud is exactly the differential-hierarchy
+    processes and lossless-arithmetic (rare) plus fractional
+    sampling ratios — ``NotImplementedError`` so the codec-hook
+    chain can claim them.
     Per-block Python loops are fine for the fixture-scale payloads
     this container sees; a production deployment registers a C codec
     for bulk JPEG anyway (the plug-in path)."""
@@ -1542,10 +1547,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             progressive = True
         elif m == 0xC3:  # lossless (Annex H) — r7: built-in
             return _decode_jpeg_lossless(payload)
-        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                   0xCD, 0xCE, 0xCF):
+        elif m in (0xC9, 0xCA):  # arithmetic DCT (Annex D/F/G) — r8
+            from .jpeg_arith import decode_jpeg_arith
+
+            return decode_jpeg_arith(payload)
+        elif m in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "differential/arithmetic JPEG needs the codec plug-in"
+                "differential-hierarchy/lossless-arithmetic JPEG "
+                "needs the codec plug-in"
             )
         elif m == 0xDD:  # DRI (may be redefined between scans)
             (restart,) = struct.unpack(">H", data[:2])

@@ -89,13 +89,13 @@ def test_decode_real_routes_jpeg():
     assert _psnr(px, img) > 40
 
 
-def test_arithmetic_coding_raises_loud_gap():
-    # r7: lossless (SOF3) and 12-bit decode built-in now — the
-    # remaining coding-process gaps are arithmetic (SOF9+) and the
-    # differential hierarchy (SOF5+): recognized container,
-    # unsupported process → NotImplementedError so the codec-hook
-    # chain can claim it
-    for marker in (0xC9, 0xC5, 0xCA):
+def test_differential_hierarchy_raises_loud_gap():
+    # r8: the arithmetic DCT processes (SOF9/SOF10) decode built-in
+    # now (test_jpeg_arith.py) — the remaining coding-process gaps
+    # are the differential hierarchy (SOF5-7/13-15) and lossless-
+    # arithmetic (SOF11): recognized container, unsupported process
+    # → NotImplementedError so the codec-hook chain can claim it
+    for marker in (0xC5, 0xC6, 0xC7, 0xCD):
         p = bytearray(mm.encode_jpeg(_gradient(8, 8), 90))
         i = bytes(p).find(b"\xff\xc0")
         p[i + 1] = marker
@@ -436,9 +436,10 @@ def test_lossless_decode_real_routes_and_loud_gaps():
     img = _rand_img(4, 6, seed=19)
     kind, px = mm.decode_real(mm.encode_jpeg_lossless(img), "image")
     assert kind == "image" and np.array_equal(px, img)
-    # differential/arithmetic SOFs still fall through loudly
+    # differential-hierarchy / lossless-arithmetic SOFs still fall
+    # through loudly (SOF9/SOF10 decode built-in since r8)
     import struct
-    for sof in (0xC5, 0xC9, 0xCB, 0xCF):
+    for sof in (0xC5, 0xC6, 0xCB, 0xCF):
         payload = (b"\xff\xd8\xff" + bytes([sof])
                    + struct.pack(">H", 8) + bytes(6))
         with pytest.raises(NotImplementedError):

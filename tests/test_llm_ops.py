@@ -111,17 +111,18 @@ def test_multimodal_feature_extraction(spark, docs):
 
 
 def test_multimodal_decode_real_rejects_unsupported_containers():
-    # baseline, multi-scan AND progressive JPEG now decode built-in
-    # (test_jpeg.py); the loud-gap contract moves to containers with
-    # no pure-numpy decoder (MP3) and to coding processes beyond DCT+
-    # huffman (arithmetic SOF9) — both raise so a codec library can
-    # be plugged into the same slot
+    # baseline, multi-scan, progressive AND (since r8) arithmetic
+    # JPEG now decode built-in (test_jpeg.py, test_jpeg_arith.py);
+    # the loud-gap contract moves to containers with no pure-numpy
+    # decoder (MP3) and to the differential-hierarchy processes
+    # (SOF5+) — both raise so a codec library can be plugged into
+    # the same slot
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"ID3\x04\x00 not decodable audio", "audio")
     import numpy as np
     p = bytearray(mm.encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90))
     i = bytes(p).find(b"\xff\xc0")
-    p[i + 1] = 0xC9  # arithmetic sequential
+    p[i + 1] = 0xC5  # differential sequential
     with pytest.raises(NotImplementedError):
         mm.decode_real(bytes(p), "image")
 

@@ -101,14 +101,15 @@ def test_loud_gaps_invalid_combos_and_malformed_streams():
 
 def test_unsupported_codec_falls_through_to_hook():
     # the loud-gap → plug-in chain contract, exercised through a
-    # still-unimplemented dialect (arithmetic-coded JPEG, SOF9)
+    # still-unimplemented dialect (differential sequential, SOF5 —
+    # arithmetic SOF9/SOF10 decode built-in since r8)
     claimed = []
 
     def hook(payload, modality):
         claimed.append(modality)
         return ("image", np.zeros((1, 1, 3), np.uint8))
 
-    payload = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(6)
+    payload = b"\xff\xd8\xff\xc5" + struct.pack(">H", 8) + bytes(6)
     kind, px = mm.decode_real(payload, "image", codecs=(hook,))
     assert kind == "image" and claimed == ["image"]
 
