@@ -32,6 +32,7 @@ import ceres_spark.operators.graph as gr
 import ceres_spark.operators.ivf as ivf
 import ceres_spark.operators.ivfpq as ivfpq
 import ceres_spark.operators.pq as pqmod
+import ceres_spark.operators.jpeg_arith as jar
 import ceres_spark.operators.mp3 as mp3
 import ceres_spark.operators.mp4 as mp4
 import ceres_spark.operators.multimodal as mm
@@ -1086,6 +1087,30 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips and numpy-reference feature values are pytest-pinned
     (test_llm_ops, test_png, test_jpeg)."""
     assets = mm.real_assets_from_documents(
+        tbl.load(spark, "documents", sf_dir)
+    )
+    return mm.extract_features(assets, real=True).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 3), 6).alias("feat3"),
+        F.round(F.element_at("features", 6), 6).alias("feat6"),
+    )
+
+
+def _q_multimodal_decode_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG decode end-to-end (r8, closes SURVEY
+    §2.8 known-gap #2): documents → REAL SOF9/SOF10 payloads cycling
+    the full T.81 Annex D/F/G matrix by doc_id (sequential 4:4:4 /
+    4:2:0 / restart intervals, progressive, 12-bit, non-default DAC
+    conditioning, grayscale) → QM entropy decode + IDCT → content
+    features through the same mapInPandas pass every other container
+    uses. Rows-only like multimodal_decode: the float features have
+    no SQL oracle; the codec itself is pinned three independent ways
+    in tests/test_jpeg_arith.py (hand-executed Annex D flowchart
+    trace with exact bytes, QM property roundtrips, pixel-equality
+    against the Huffman twin across the parameter matrix)."""
+    assets = jar.arith_assets_from_documents(
         tbl.load(spark, "documents", sf_dir)
     )
     return mm.extract_features(assets, real=True).select(
@@ -3309,6 +3334,8 @@ _R8_PREFIX = [
     "changed_points",             # changed()+delay()+isNonNull()
     "weighted_average",           # weightedAverage: LWW values
     #                               weighted by raw arrival counts
+    "multimodal_decode_arith",    # SOF9/SOF10 QM decode end-to-end
+    #                               (closes known-gap #2, late r8)
     # (c) the r3-block tail exactly as the r7 plan wrote it
     # (17 entries, last driver-checked r3)
     "token_budget_fill",
@@ -3328,12 +3355,13 @@ _R8_PREFIX = [
     "order_analytics",
     "fetch_dense",
     "quantize_lww",
-    # (d) r4 greens oldest-first (the first 10 of the 41 whose last
+    # (d) r4 greens oldest-first (the first 9 of the 41 whose last
     # driver row is CORRECTNESS_r04, in that file's key order — was
-    # 14 until the four late-r8 function-layer entries took the (b)
-    # slots; the displaced text_normalize / hard_negatives /
-    # range_band_join / tpch_q6 head the r9 (d) list, then the
-    # remainder source_similarity-tail … fuzzy_pairs_banded)
+    # 14 until the four late-r8 function-layer entries and then
+    # multimodal_decode_arith took the (b) slots; the displaced
+    # text_normalize / hard_negatives / range_band_join / tpch_q6 /
+    # bloom_decontaminate head the r9 (d) list, then the remainder
+    # source_similarity-tail … fuzzy_pairs_banded)
     "hash_embed",
     "source_similarity",
     "ngram_novelty",
@@ -3343,7 +3371,6 @@ _R8_PREFIX = [
     "rollup_catalog",
     "embedding_pca",
     "split_leak_check",
-    "bloom_decontaminate",
 ]
 
 #: r7 prefix (historical; superseded by _R8_PREFIX)
@@ -3640,18 +3667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     salted twins (single-pass hot-key detection, ADVICE r7) and
     approx_distinct_portable (table-driven linear counting, ADVICE
     r7, then ulp-checked in-engine log late-r8 — still prefix-(a));
-    (b) the 5 new entries — consolidate_by, plus the late-r8
+    (b) the 6 new entries — consolidate_by, the late-r8
     function-layer widening counter_wrap_rate / time_stack /
-    changed_points / weighted_average; (c) the 17-entry r3-block
+    changed_points / weighted_average, and multimodal_decode_arith
+    (SOF9/SOF10 QM decode, closing SURVEY §2.8 known-gap #2);
+    (c) the 17-entry r3-block
     tail exactly as the r7 plan wrote it (token_budget_fill …
-    quantize_lww); (d) the first 10 r4 greens in CORRECTNESS_r04 key
-    order (hash_embed … bloom_decontaminate — was 14 until the four
+    quantize_lww); (d) the first 9 r4 greens in CORRECTNESS_r04 key
+    order (hash_embed … split_leak_check — was 14 until the five
     late-r8 (b) entries took the slots).
 
     ROTATION PLAN (round 9): promote (a) anything changed in r9,
-    (b) new r9 entries, (c) the four r4 greens displaced late-r8
-    (text_normalize, hard_negatives, range_band_join, tpch_q6) then
-    the remaining 27 r4 greens in CORRECTNESS_r04 key order
+    (b) new r9 entries, (c) the five r4 greens displaced late-r8
+    (text_normalize, hard_negatives, range_band_join, tpch_q6,
+    bloom_decontaminate) then
+    the remaining 26 r4 greens in CORRECTNESS_r04 key order
     (tpch_q10, tpch_q4, tpch_q14,
     tpch_q18, tpch_q19, tpch_q22, tpch_q7, tpch_q8, tpch_q13,
     tpch_q15, tpch_q17, series_functions, per_second_rate,
@@ -3973,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_arith": _q_multimodal_decode_arith,
         "series_transform": _q_series_transform,
         "series_linreg": _q_series_linreg,
         "frequent_items": _q_frequent_items,

@@ -59,6 +59,7 @@ coefficients must decode to identical pixels).
 from __future__ import annotations
 
 import struct
+from collections.abc import Iterator
 
 import numpy as np
 
@@ -1134,3 +1135,94 @@ def encode_jpeg_arith(
     for hdr, blob in scans:
         out += seg(b"\xff\xda", hdr) + blob
     return out + b"\xff\xd9"
+
+
+# ------------------------------------------------- Spark fixture flow
+
+
+def arith_assets_from_documents(docs) -> "object":
+    """Build REAL arithmetic-coded JPEG payloads from ``documents``:
+    every doc becomes an image whose pixels tile the utf-8 text bytes
+    (the same content-derived geometry real_assets_from_documents
+    uses), with the dialect cycling by doc_id through the full SOF9/
+    SOF10 matrix — sequential 4:4:4 / 4:2:0, restart intervals,
+    progressive, 12-bit, non-default DAC conditioning, and grayscale
+    — so no arithmetic decode path exists only in unit tests. One
+    mapInPandas encode pass, no shuffle (payload bytes never leave
+    the task); the registry entry ``multimodal_decode_arith`` runs
+    the real decode + feature pass over these."""
+    import pandas as pd
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads, modalities = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8
+                )
+                w = 16 + len(raw) % 17
+                h = 16 + (len(raw) * 7) % 13
+                px = np.resize(raw, (h, w, 3))
+                d = int(doc_id)
+                sel = d % 8
+                if sel == 0:
+                    payloads.append(encode_jpeg_arith(px, quality=95))
+                elif sel == 1:
+                    payloads.append(
+                        encode_jpeg_arith(px, quality=95, subsample=2)
+                    )
+                elif sel == 2:
+                    payloads.append(encode_jpeg_arith(
+                        px, quality=95,
+                        restart_interval=1 + (d // 8) % 3,
+                    ))
+                elif sel == 3:
+                    payloads.append(
+                        encode_jpeg_arith(px, quality=95,
+                                          progressive=True)
+                    )
+                elif sel == 4:
+                    payloads.append(
+                        encode_jpeg_arith(px, quality=95, depth=12)
+                    )
+                elif sel == 5:
+                    payloads.append(encode_jpeg_arith(
+                        px, quality=95, progressive=True, subsample=2,
+                    ))
+                elif sel == 6:
+                    lo = (d // 8) % 3
+                    payloads.append(encode_jpeg_arith(
+                        px, quality=95,
+                        dc_cond=(lo, lo + 1 + (d // 8) % 4),
+                        ac_kx=1 + (d // 8) % 63,
+                    ))
+                else:
+                    payloads.append(
+                        encode_jpeg_arith(px[:, :, 0], quality=95)
+                    )
+                modalities.append("image")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": modalities,
+                    "payload": payloads,
+                }
+            )
+
+    # same parallelism note as real_assets_from_documents: the encode
+    # pass is CPU-bound Python and a toy-scale documents table
+    # arrives as 1-2 parquet files — repartition to the session's
+    # shuffle parallelism (shuffles only (doc_id, text); layout no-op
+    # at production scale where the input already has many splits)
+    return (
+        docs.select("doc_id", "text")
+        .repartition(
+            int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        )
+        .mapInPandas(
+            enc,
+            schema="asset_id long, modality string, payload binary",
+        )
+    )
