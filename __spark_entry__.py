@@ -3259,6 +3259,35 @@ def _q_average_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite filterSeries + the named selection gates
+    currentAbove/Below, maximumAbove/Below, minimumAbove/Below and
+    the highestCurrent/lowestCurrent orderings (late r8): one
+    series-cardinality aggregate emits the exact stat panel, six 0/1
+    gates and both rank columns. Gates (40 / 360 / 0.02) sit inside
+    the fixture's stat ranges so every gate has BOTH arms populated
+    at sf0.01 (current splits 3/2, max 2/3, min 2/2 with one
+    boundary-equality row) — a wrong comparison direction or a wrong
+    current (e.g. max-by-arrival instead of max-by-ts)
+    hash-mismatches."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.filter_series(
+        deduped, current_gate=40.0, max_gate=360.0, min_gate=0.02
+    )
+
+
+def _q_series_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite sumSeries + diffSeries(click, *rest) +
+    stddevSeries + multiplySeries(click, view) per slot (late r8):
+    the cross-series combinator family series_transform left out.
+    diffSeries is ONE signed decimal sum (±v by metric — no decimal
+    rescaling multiply); stddev mirrors most_deviant's double recipe
+    per slot; multiply is a single IEEE op gated NULL when either
+    named series misses the slot."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.series_combinators(deduped, anchor="click", other="view")
+
+
 def _q_moving_window_functions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3336,6 +3365,10 @@ _R8_PREFIX = [
     #                               weighted by raw arrival counts
     "multimodal_decode_arith",    # SOF9/SOF10 QM decode end-to-end
     #                               (closes known-gap #2, late r8)
+    "filter_series",              # filterSeries gate family +
+    #                               highest/lowestCurrent ranks
+    "series_combinators",         # sumSeries/diffSeries/
+    #                               stddevSeries/multiplySeries
     # (c) the r3-block tail exactly as the r7 plan wrote it
     # (17 entries, last driver-checked r3)
     "token_budget_fill",
@@ -3355,12 +3388,12 @@ _R8_PREFIX = [
     "order_analytics",
     "fetch_dense",
     "quantize_lww",
-    # (d) r4 greens oldest-first (the first 9 of the 41 whose last
+    # (d) r4 greens oldest-first (the first 7 of the 41 whose last
     # driver row is CORRECTNESS_r04, in that file's key order — was
-    # 14 until the four late-r8 function-layer entries and then
-    # multimodal_decode_arith took the (b) slots; the displaced
-    # text_normalize / hard_negatives / range_band_join / tpch_q6 /
-    # bloom_decontaminate head the r9 (d) list, then the remainder
+    # 14 until the seven late-r8 (b) entries took the slots; the
+    # displaced text_normalize / hard_negatives / range_band_join /
+    # tpch_q6 / bloom_decontaminate / embedding_pca /
+    # split_leak_check head the r9 (d) list, then the remainder
     # source_similarity-tail … fuzzy_pairs_banded)
     "hash_embed",
     "source_similarity",
@@ -3369,8 +3402,6 @@ _R8_PREFIX = [
     "dataset_diff",
     "length_percentile_gate",
     "rollup_catalog",
-    "embedding_pca",
-    "split_leak_check",
 ]
 
 #: r7 prefix (historical; superseded by _R8_PREFIX)
@@ -3667,21 +3698,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     salted twins (single-pass hot-key detection, ADVICE r7) and
     approx_distinct_portable (table-driven linear counting, ADVICE
     r7, then ulp-checked in-engine log late-r8 — still prefix-(a));
-    (b) the 6 new entries — consolidate_by, the late-r8
+    (b) the 8 new entries — consolidate_by, the late-r8
     function-layer widening counter_wrap_rate / time_stack /
-    changed_points / weighted_average, and multimodal_decode_arith
-    (SOF9/SOF10 QM decode, closing SURVEY §2.8 known-gap #2);
+    changed_points / weighted_average, multimodal_decode_arith
+    (SOF9/SOF10 QM decode, closing SURVEY §2.8 known-gap #2), and
+    the second function-layer widening filter_series (the
+    filterSeries/currentAbove… gate family) + series_combinators
+    (sumSeries/diffSeries/stddevSeries/multiplySeries);
     (c) the 17-entry r3-block
     tail exactly as the r7 plan wrote it (token_budget_fill …
-    quantize_lww); (d) the first 9 r4 greens in CORRECTNESS_r04 key
-    order (hash_embed … split_leak_check — was 14 until the five
+    quantize_lww); (d) the first 7 r4 greens in CORRECTNESS_r04 key
+    order (hash_embed … rollup_catalog — was 14 until the seven
     late-r8 (b) entries took the slots).
 
     ROTATION PLAN (round 9): promote (a) anything changed in r9,
-    (b) new r9 entries, (c) the five r4 greens displaced late-r8
+    (b) new r9 entries, (c) the seven r4 greens displaced late-r8
     (text_normalize, hard_negatives, range_band_join, tpch_q6,
-    bloom_decontaminate) then
-    the remaining 26 r4 greens in CORRECTNESS_r04 key order
+    bloom_decontaminate, embedding_pca, split_leak_check) then
+    the remaining 27 r4 greens in CORRECTNESS_r04 key order
     (tpch_q10, tpch_q4, tpch_q14,
     tpch_q18, tpch_q19, tpch_q22, tpch_q7, tpch_q8, tpch_q13,
     tpch_q15, tpch_q17, series_functions, per_second_rate,
@@ -3840,6 +3874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_above_percentile": _q_remove_above_percentile,
         "most_deviant": _q_most_deviant,
         "average_above": _q_average_above,
+        "filter_series": _q_filter_series,
+        "series_combinators": _q_series_combinators,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -4809,6 +4845,70 @@ keep AS (
 )
 SELECT d.metric, d.ts, d.value
 FROM deduped d JOIN keep USING (metric)
+""",
+        # the filterSeries gate family: exact stat panel (arg_max by
+        # ts = graphite's "current"), 0/1 comparisons, total-order
+        # ranks — all integer/exact, no float recipe needed
+        "filter_series": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+stats AS (
+  SELECT metric,
+         arg_max(value, ts) AS current,
+         max(value) AS max_value,
+         min(value) AS min_value
+  FROM deduped GROUP BY metric
+)
+SELECT metric, current, max_value, min_value,
+  CAST(current > 40.0 AS INTEGER) AS current_above,
+  CAST(current < 40.0 AS INTEGER) AS current_below,
+  CAST(max_value > 360.0 AS INTEGER) AS maximum_above,
+  CAST(max_value < 360.0 AS INTEGER) AS maximum_below,
+  CAST(min_value > 0.02 AS INTEGER) AS minimum_above,
+  CAST(min_value < 0.02 AS INTEGER) AS minimum_below,
+  CAST(row_number() OVER (ORDER BY current DESC, metric)
+       AS INTEGER) AS rank_highest_current,
+  CAST(row_number() OVER (ORDER BY current ASC, metric)
+       AS INTEGER) AS rank_lowest_current
+FROM stats
+""",
+        # cross-series combinators: decimal-exact sums (diff as ONE
+        # signed sum), stddev mirroring most_deviant's double ops
+        # term-for-term, multiply as a single IEEE product
+        "series_combinators": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+g AS (
+  SELECT ts,
+    count(*) AS n_series,
+    SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))) AS s1,
+    SUM(CAST(CAST(value * value AS VARCHAR) AS DECIMAL(30,10))) AS s2,
+    SUM(CASE WHEN metric = 'click'
+             THEN CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))
+             ELSE -CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))
+        END) AS d,
+    MAX(CASE WHEN metric = 'click' THEN value END) AS av,
+    MAX(CASE WHEN metric = 'view' THEN value END) AS bv
+  FROM deduped GROUP BY ts
+)
+SELECT ts, n_series,
+  CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS sum_series,
+  CASE WHEN av IS NOT NULL
+       THEN CAST(CAST(d AS VARCHAR) AS DOUBLE) END AS diff_series,
+  sqrt(greatest(
+    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n_series
+      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_series)
+        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_series),
+    0.0)) AS stddev_series,
+  av * bv AS multiply_series
+FROM g
+ORDER BY ts
 """,
         "sort_by_extrema": f"""
 WITH {POINTS_CTE},

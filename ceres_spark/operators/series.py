@@ -1120,6 +1120,120 @@ def average_above(buckets: DataFrame, threshold: float) -> DataFrame:
     return buckets.join(F.broadcast(avg), "metric", "semi")
 
 
+def filter_series(
+    buckets: DataFrame,
+    current_gate: float = 40.0,
+    max_gate: float = 360.0,
+    min_gate: float = 0.02,
+) -> DataFrame:
+    """graphite-web ``filterSeries(seriesList, func, operator, t)``
+    and its named shortcuts — ``currentAbove``/``currentBelow``,
+    ``maximumAbove``/``maximumBelow``, ``minimumAbove``/
+    ``minimumBelow``, plus the ``highestCurrent``/``lowestCurrent``
+    rank orderings — from ONE series-cardinality aggregate.
+
+    graphite evaluates each gate with a separate pass over the
+    series list; here the stat panel (last-by-ts ``current`` via
+    max_by, exact max/min) costs one grouped aggregate (map-side
+    combinable) and every gate is a scan-speed comparison emitted as
+    a 0/1 column, so the whole selection family is externally
+    hash-checked in a single entry. Rank ties break by metric —
+    total order, oracle-stable. The panel is series-cardinality (a
+    handful of rows at any scale), so the unpartitioned rank window
+    is a non-issue — same precedent as sort_by_extrema.
+    """
+    from pyspark.sql.window import Window
+
+    nn = buckets.filter(F.col("value").isNotNull())
+    stats = nn.groupBy("metric").agg(
+        F.max_by("value", "ts").alias("current"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+    cur, mx, mn = F.col("current"), F.col("max_value"), F.col("min_value")
+    return stats.select(
+        "metric",
+        "current",
+        "max_value",
+        "min_value",
+        (cur > F.lit(float(current_gate))).cast("int").alias(
+            "current_above"
+        ),
+        (cur < F.lit(float(current_gate))).cast("int").alias(
+            "current_below"
+        ),
+        (mx > F.lit(float(max_gate))).cast("int").alias("maximum_above"),
+        (mx < F.lit(float(max_gate))).cast("int").alias("maximum_below"),
+        (mn > F.lit(float(min_gate))).cast("int").alias("minimum_above"),
+        (mn < F.lit(float(min_gate))).cast("int").alias("minimum_below"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("current"), F.asc("metric")))
+        .cast("int")
+        .alias("rank_highest_current"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("current"), F.asc("metric")))
+        .cast("int")
+        .alias("rank_lowest_current"),
+    )
+
+
+def series_combinators(
+    buckets: DataFrame, anchor: str = "click", other: str = "view"
+) -> DataFrame:
+    """graphite-web's remaining cross-series combinators in one
+    per-timestamp aggregation: ``sumSeries`` (DECIMAL-exact Σ),
+    ``diffSeries(anchor, *rest)`` (anchor − Σrest — computed as ONE
+    signed decimal sum Σ(±v), no decimal multiplication to rescale),
+    ``stddevSeries`` (population σ per slot from exact Σv/Σv², the
+    most_deviant double recipe), and ``multiplySeries(anchor,
+    other)`` (a single correctly-rounded IEEE multiply).
+
+    NULL semantics match graphite: each slot's combinator skips
+    missing series (``n_series`` records how many contributed);
+    diff/multiply are NULL when their named series is absent at that
+    slot. One grouped aggregate, map-side combinable; every emitted
+    double goes through the string-routed decimal conversion or a
+    single correctly-rounded IEEE op, so the entry is
+    engine-portable bit-for-bit.
+    """
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    dec2 = (
+        (F.col("value") * F.col("value"))
+        .cast("string")
+        .cast("decimal(30,10)")
+    )
+    is_anchor = F.col("metric") == F.lit(anchor)
+    nn = buckets.filter(F.col("value").isNotNull())
+    g = nn.groupBy("ts").agg(
+        F.count("*").alias("n_series"),
+        F.sum(dec).alias("_s1"),
+        F.sum(dec2).alias("_s2"),
+        F.sum(F.when(is_anchor, dec).otherwise(-dec)).alias("_d"),
+        F.max(F.when(is_anchor, F.col("value"))).alias("_av"),
+        F.max(
+            F.when(F.col("metric") == F.lit(other), F.col("value"))
+        ).alias("_bv"),
+    )
+    s1d = F.col("_s1").cast("string").cast("double")
+    s2d = F.col("_s2").cast("string").cast("double")
+    n = F.col("n_series")
+    return g.select(
+        "ts",
+        "n_series",
+        s1d.alias("sum_series"),
+        F.when(
+            F.col("_av").isNotNull(),
+            F.col("_d").cast("string").cast("double"),
+        ).alias("diff_series"),
+        F.sqrt(
+            F.greatest(
+                s2d / n - (s1d / n) * (s1d / n), F.lit(0.0)
+            )
+        ).alias("stddev_series"),
+        (F.col("_av") * F.col("_bv")).alias("multiply_series"),
+    ).orderBy("ts")
+
+
 def counter_wrap_rate(
     buckets: DataFrame, max_value: float = 4294967295.0
 ) -> DataFrame:

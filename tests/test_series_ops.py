@@ -795,3 +795,79 @@ def test_weighted_average_weights_by_raw_arrivals(spark):
     assert rows[0]["total_weight"] == 4
     assert rows[0]["n_series"] == 2
     assert 60 not in rows  # all-null slot: no LWW row survives
+
+
+def test_filter_series_gates_and_ranks(spark):
+    # current = LAST-BY-TS, not the max: metric a ends low (5) after
+    # peaking at 100; b ends high (50) after a low run
+    df = pts(
+        spark,
+        [
+            ("a", 0, 100.0, 0),
+            ("a", 60, 5.0, 1),
+            ("b", 0, 1.0, 2),
+            ("b", 60, 50.0, 3),
+            ("c", 0, None, 4),   # all-null series: no stats row
+        ],
+    )
+    rows = {r["metric"]: r for r in ser.filter_series(
+        df, current_gate=10.0, max_gate=60.0, min_gate=2.0
+    ).collect()}
+    assert set(rows) == {"a", "b"}
+    a, b = rows["a"], rows["b"]
+    assert (a["current"], a["max_value"], a["min_value"]) == (5.0, 100.0, 5.0)
+    assert (b["current"], b["max_value"], b["min_value"]) == (50.0, 50.0, 1.0)
+    # gates: both arms populated
+    assert (a["current_above"], a["current_below"]) == (0, 1)
+    assert (b["current_above"], b["current_below"]) == (1, 0)
+    assert (a["maximum_above"], b["maximum_above"]) == (1, 0)
+    assert (a["minimum_above"], b["minimum_above"]) == (1, 0)
+    # highestCurrent: b (50) ranks 1; lowestCurrent: a (5) ranks 1
+    assert (b["rank_highest_current"], a["rank_highest_current"]) == (1, 2)
+    assert (a["rank_lowest_current"], b["rank_lowest_current"]) == (1, 2)
+
+
+def test_filter_series_boundary_equality_is_neither_arm(spark):
+    df = pts(spark, [("a", 0, 10.0, 0)])
+    r = ser.filter_series(
+        df, current_gate=10.0, max_gate=10.0, min_gate=10.0
+    ).collect()[0]
+    # graphite's operators are strict: equality passes NO gate
+    assert (r["current_above"], r["current_below"]) == (0, 0)
+    assert (r["maximum_above"], r["maximum_below"]) == (0, 0)
+    assert (r["minimum_above"], r["minimum_below"]) == (0, 0)
+
+
+def test_series_combinators_null_semantics(spark):
+    df = pts(
+        spark,
+        [
+            # ts 0: anchor + other + a third series
+            ("click", 0, 3.0, 0),
+            ("view", 0, 4.0, 1),
+            ("error", 0, 5.0, 2),
+            # ts 60: anchor missing -> diff/multiply NULL
+            ("view", 60, 7.0, 3),
+            ("error", 60, 1.0, 4),
+            # ts 120: anchor alone -> diff = value, multiply NULL
+            ("click", 120, 9.0, 5),
+        ],
+    )
+    rows = {r["ts"]: r for r in ser.series_combinators(
+        df, anchor="click", other="view"
+    ).collect()}
+    r0 = rows[0]
+    assert r0["n_series"] == 3
+    assert r0["sum_series"] == 12.0
+    assert r0["diff_series"] == 3.0 - (4.0 + 5.0)
+    assert r0["multiply_series"] == 12.0
+    # population stddev of (3,4,5) = sqrt(2/3)
+    assert abs(r0["stddev_series"] - (2.0 / 3.0) ** 0.5) < 1e-12
+    r60 = rows[60]
+    assert r60["diff_series"] is None
+    assert r60["multiply_series"] is None
+    assert r60["sum_series"] == 8.0
+    r120 = rows[120]
+    assert r120["diff_series"] == 9.0
+    assert r120["multiply_series"] is None
+    assert r120["stddev_series"] == 0.0
