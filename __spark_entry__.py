@@ -1109,10 +1109,15 @@ def _q_multimodal_decode_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL oracle; the codec itself is pinned three independent ways
     in tests/test_jpeg_arith.py (hand-executed Annex D flowchart
     trace with exact bytes, QM property roundtrips, pixel-equality
-    against the Huffman twin across the parameter matrix)."""
-    assets = jar.arith_assets_from_documents(
-        tbl.load(spark, "documents", sf_dir)
+    against the Huffman twin across the parameter matrix). Feeds
+    every 4th doc with the dialect cycle preserved (stride=4): the
+    per-bit Python QM decode is lineage machinery, not a throughput
+    claim — bulk arithmetic JPEG is plug-in-codec territory exactly
+    like phash_neardup's bulk decode."""
+    docs = tbl.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 4 == 0
     )
+    assets = jar.arith_assets_from_documents(docs, stride=4)
     return mm.extract_features(assets, real=True).select(
         "asset_id",
         "modality",

@@ -1140,7 +1140,7 @@ def encode_jpeg_arith(
 # ------------------------------------------------- Spark fixture flow
 
 
-def arith_assets_from_documents(docs) -> "object":
+def arith_assets_from_documents(docs, stride: int = 1) -> "object":
     """Build REAL arithmetic-coded JPEG payloads from ``documents``:
     every doc becomes an image whose pixels tile the utf-8 text bytes
     (the same content-derived geometry real_assets_from_documents
@@ -1150,7 +1150,14 @@ def arith_assets_from_documents(docs) -> "object":
     — so no arithmetic decode path exists only in unit tests. One
     mapInPandas encode pass, no shuffle (payload bytes never leave
     the task); the registry entry ``multimodal_decode_arith`` runs
-    the real decode + feature pass over these."""
+    the real decode + feature pass over these.
+
+    ``stride`` lets a caller feed every stride-th doc while KEEPING
+    the full 8-dialect cycle (the selector divides doc_id by the
+    stride first) — the registry entry uses stride=4 because the QM
+    decode is per-bit Python and the entry's purpose is external
+    dialect lineage, not bulk throughput (that is plug-in-codec
+    territory, same story as phash_neardup)."""
     import pandas as pd
 
     def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1163,7 +1170,7 @@ def arith_assets_from_documents(docs) -> "object":
                 w = 16 + len(raw) % 17
                 h = 16 + (len(raw) * 7) % 13
                 px = np.resize(raw, (h, w, 3))
-                d = int(doc_id)
+                d = int(doc_id) // int(stride)
                 sel = d % 8
                 if sel == 0:
                     payloads.append(encode_jpeg_arith(px, quality=95))
