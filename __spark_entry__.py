@@ -3282,9 +3282,10 @@ def _q_filter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_series_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graphite sumSeries + diffSeries(click, *rest) +
-    stddevSeries + multiplySeries(click, view) per slot (late r8):
-    the cross-series combinator family series_transform left out.
+    """graphite diffSeries(click, *rest) + stddevSeries +
+    multiplySeries(click, view) per slot (late r8): the cross-series
+    combinators series_arithmetic (sumSeries + pairwise diff) and
+    series_transform (count/range/avg) left out. The variadic
     diffSeries is ONE signed decimal sum (±v by metric — no decimal
     rescaling multiply); stddev mirrors most_deviant's double recipe
     per slot; multiply is a single IEEE op gated NULL when either

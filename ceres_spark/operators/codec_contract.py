@@ -1,8 +1,10 @@
 """Conformance kit for third-party codec hooks (VERDICT r7 #4).
 
-The engine decodes PPM/PNG/JPEG (all Huffman processes)/WAV/FLAC/Y4M
-built-in; everything else — MP3 samples, H.264/HEVC frames,
-arithmetic-coded JPEG — is plug-in territory behind
+The engine decodes PPM/PNG/JPEG (all Huffman processes + the
+SOF9/SOF10 arithmetic DCT processes)/WAV/FLAC/Y4M
+built-in; everything else — MP3 samples, H.264/HEVC frames, the
+differential-hierarchy and lossless-arithmetic JPEGs — is plug-in
+territory behind
 :func:`ceres_spark.operators.multimodal.register_codec`. This module
 is the CONTRACT a vendor's hook must satisfy before the engine's
 operators (extract_features / frame_sample_real / image_phash /

@@ -1181,12 +1181,15 @@ def series_combinators(
     buckets: DataFrame, anchor: str = "click", other: str = "view"
 ) -> DataFrame:
     """graphite-web's remaining cross-series combinators in one
-    per-timestamp aggregation: ``sumSeries`` (DECIMAL-exact Σ),
-    ``diffSeries(anchor, *rest)`` (anchor − Σrest — computed as ONE
-    signed decimal sum Σ(±v), no decimal multiplication to rescale),
-    ``stddevSeries`` (population σ per slot from exact Σv/Σv², the
-    most_deviant double recipe), and ``multiplySeries(anchor,
-    other)`` (a single correctly-rounded IEEE multiply).
+    per-timestamp aggregation — :func:`series_arithmetic` covers
+    sumSeries and the PAIRWISE diff ``a − b``; this adds the
+    variadic ``diffSeries(anchor, *rest)`` (anchor − Σrest —
+    computed as ONE signed decimal sum Σ(±v), no decimal
+    multiplication to rescale), ``stddevSeries`` (population σ per
+    slot from exact Σv/Σv², the most_deviant double recipe), and
+    ``multiplySeries(anchor, other)`` (a single correctly-rounded
+    IEEE multiply), with sumSeries re-emitted as the n_series
+    companion.
 
     NULL semantics match graphite: each slot's combinator skips
     missing series (``n_series`` records how many contributed);
