@@ -594,6 +594,10 @@ def decode_jpeg_arith(payload: bytes) -> "np.ndarray":
             comps = []
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(
+                        "JPEG sampling factors out of range"
+                    )
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
             progressive = m == 0xCA
@@ -810,6 +814,10 @@ def decode_jpeg_arith(payload: bytes) -> "np.ndarray":
     vmax = max(c[2] for c in comps)
     planes = {}
     for cid, hh, v, tq in comps:
+        if tq not in qt:
+            raise ValueError(
+                "JPEG component references undefined quantization table"
+            )
         zz = coefs[cid].astype(np.int64) * qt[tq][None, None, :]
         nat = np.zeros_like(zz)
         nat[:, :, _ZIGZAG] = zz

@@ -1531,6 +1531,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(
+                        "JPEG sampling factors out of range"
+                    )
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
         elif m == 0xC2:  # progressive DCT, huffman (r6: built-in)
@@ -1542,6 +1546,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(
+                        "JPEG sampling factors out of range"
+                    )
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
             progressive = True
@@ -1651,6 +1659,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         blk = coefs[cid][by, bx]
                         if ah == 0:
                             s = br.read_symbol(dc_tab[cid])
+                            if s > 16:  # T.81 F.1.2.1.2 category cap
+                                raise ValueError(
+                                    "JPEG DC size out of range"
+                                )
                             diff = (
                                 _extend(br.read_bits(s), s) if s else 0
                             )
@@ -1713,11 +1725,19 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 pos = i
                 continue
 
+            for cid, _, _ in scan:
+                if cmap[cid][2] not in qt:
+                    raise ValueError(
+                        "JPEG component references undefined "
+                        "quantization table"
+                    )
             qtab = {cid: qt[cmap[cid][2]][np.argsort(_ZIGZAG)]
                     .reshape(8, 8) for cid, _, _ in scan}
 
             def decode_block(cid):
                 s = br.read_symbol(dc_tab[cid])
+                if s > 16:  # T.81 F.1.2.1.2 category cap
+                    raise ValueError("JPEG DC size out of range")
                 diff = _extend(br.read_bits(s), s) if s else 0
                 pred[cid] += diff
                 zz = np.zeros(64, np.int64)
@@ -1805,6 +1825,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         # scans have refined the coefficient store
         planes = {}
         for cid, hh, v, tq in comps:
+            if tq not in qt:
+                raise ValueError(
+                    "JPEG component references undefined "
+                    "quantization table"
+                )
             zz = coefs[cid].astype(np.int64) * qt[tq][None, None, :]
             nat = np.zeros_like(zz)
             nat[:, :, _ZIGZAG] = zz  # de-zigzag all blocks at once
@@ -2001,6 +2026,8 @@ def _decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
 
             def diff_of(tab) -> int:
                 s = br.read_symbol(tab)
+                if s > 16:  # H.1.2.2 category cap
+                    raise ValueError("JPEG DC size out of range")
                 if s == 0:
                     return 0
                 if s == 16:  # H.1.2.2: no appended bits

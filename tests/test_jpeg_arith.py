@@ -353,3 +353,71 @@ def test_edge_geometries():
                 ja.encode_jpeg_arith(img, quality=92, **kw)
             )
             assert out.shape == (h, w, 3), (h, w, kw)
+
+
+# ------------------------------------------ property + fuzz hardening
+
+
+def test_qm_roundtrip_hypothesis_property():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 1)),
+            min_size=1,
+            max_size=1200,
+        )
+    )
+    def roundtrip(bits):
+        nctx = 8
+        st_e = bytearray(nctx)
+        enc = ja._QMEncoder()
+        for c, d in bits:
+            enc.encode(st_e, c, d)
+        data = _destuff(enc.flush())
+        st_d = bytearray(nctx)
+        dec = ja._QMDecoder(data)
+        assert [dec.decode(st_d, c) for c, _ in bits] == \
+            [d for _, d in bits]
+        assert st_d == st_e  # estimation machines stayed in lockstep
+
+    roundtrip()
+
+
+def test_byte_flip_fuzz_never_hangs_or_leaks():
+    # the hook-routability contract (codec clause 4 analog): a
+    # corrupted arithmetic stream must decode to SOMETHING valid or
+    # raise ValueError/NotImplementedError — never another exception
+    # type, never an unbounded loop. The QM decoder feeds zeros past
+    # segment end and the magnitude chains cap at 0x8000, so every
+    # walk terminates; this fuzz pins that end-to-end.
+    rng = random.Random(99)
+    img = _rand_img(14, 18, seed=41)
+    base = [
+        ja.encode_jpeg_arith(img, quality=92),
+        ja.encode_jpeg_arith(img, quality=92, progressive=True),
+        ja.encode_jpeg_arith(img, quality=92, restart_interval=2),
+    ]
+    outcomes = {"ok": 0, "valueerror": 0, "notimpl": 0}
+    for _ in range(120):
+        payload = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 3)):
+            payload[rng.randrange(2, len(payload))] = rng.randrange(256)
+        try:
+            out = ja.decode_jpeg_arith(bytes(payload))
+            assert out.dtype == np.uint8 and out.ndim == 3
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["valueerror"] += 1
+        except NotImplementedError:
+            outcomes["notimpl"] += 1
+    # corruption must actually be detected sometimes; silent-garbage-
+    # only would mean the error contracts never fire
+    assert outcomes["valueerror"] > 0
+    assert sum(outcomes.values()) == 120
