@@ -3294,6 +3294,18 @@ def _q_series_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.series_combinators(deduped, anchor="click", other="view")
 
 
+def _q_point_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite minMax + removeAboveValue(400) + removeBelowValue(1)
+    + scaleToSeconds(90) + timeSlice (late r8): the per-point
+    gate/rescale family in one window+projection pass. The
+    scaleToSeconds factor 90/60 = 1.5 is binary-exact; minMax is two
+    IEEE subtracts and one divide in the same order on both engines;
+    the slice window [2024-01-10, 2024-01-17) sits strictly inside
+    the fixture's time range so both arms land in the hash check."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.point_gates(deduped)
+
+
 def _q_moving_window_functions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3373,8 +3385,10 @@ _R8_PREFIX = [
     #                               (closes known-gap #2, late r8)
     "filter_series",              # filterSeries gate family +
     #                               highest/lowestCurrent ranks
-    "series_combinators",         # sumSeries/diffSeries/
-    #                               stddevSeries/multiplySeries
+    "series_combinators",         # diffSeries/stddevSeries/
+    #                               multiplySeries/max+minSeries
+    "point_gates",                # minMax + removeAbove/BelowValue
+    #                               + scaleToSeconds + timeSlice
     # (c) the r3-block tail exactly as the r7 plan wrote it
     # (17 entries, last driver-checked r3)
     "token_budget_fill",
@@ -3394,20 +3408,19 @@ _R8_PREFIX = [
     "order_analytics",
     "fetch_dense",
     "quantize_lww",
-    # (d) r4 greens oldest-first (the first 7 of the 41 whose last
+    # (d) r4 greens oldest-first (the first 6 of the 41 whose last
     # driver row is CORRECTNESS_r04, in that file's key order — was
-    # 14 until the seven late-r8 (b) entries took the slots; the
+    # 14 until the eight late-r8 (b) entries took the slots; the
     # displaced text_normalize / hard_negatives / range_band_join /
     # tpch_q6 / bloom_decontaminate / embedding_pca /
-    # split_leak_check head the r9 (d) list, then the remainder
-    # source_similarity-tail … fuzzy_pairs_banded)
+    # split_leak_check / rollup_catalog head the r9 (d) list, then
+    # the remainder source_similarity-tail … fuzzy_pairs_banded)
     "hash_embed",
     "source_similarity",
     "ngram_novelty",
     "audio_neardup",
     "dataset_diff",
     "length_percentile_gate",
-    "rollup_catalog",
 ]
 
 #: r7 prefix (historical; superseded by _R8_PREFIX)
@@ -3704,23 +3717,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     salted twins (single-pass hot-key detection, ADVICE r7) and
     approx_distinct_portable (table-driven linear counting, ADVICE
     r7, then ulp-checked in-engine log late-r8 — still prefix-(a));
-    (b) the 8 new entries — consolidate_by, the late-r8
+    (b) the 9 new entries — consolidate_by, the late-r8
     function-layer widening counter_wrap_rate / time_stack /
     changed_points / weighted_average, multimodal_decode_arith
     (SOF9/SOF10 QM decode, closing SURVEY §2.8 known-gap #2), and
     the second function-layer widening filter_series (the
-    filterSeries/currentAbove… gate family) + series_combinators
-    (sumSeries/diffSeries/stddevSeries/multiplySeries);
+    filterSeries/currentAbove… gate family), series_combinators
+    (variadic diffSeries/stddevSeries/multiplySeries/max+minSeries)
+    and point_gates (minMax + removeAbove/BelowValue +
+    scaleToSeconds + timeSlice);
     (c) the 17-entry r3-block
     tail exactly as the r7 plan wrote it (token_budget_fill …
-    quantize_lww); (d) the first 7 r4 greens in CORRECTNESS_r04 key
-    order (hash_embed … rollup_catalog — was 14 until the seven
-    late-r8 (b) entries took the slots).
+    quantize_lww); (d) the first 6 r4 greens in CORRECTNESS_r04 key
+    order (hash_embed … length_percentile_gate — was 14 until the
+    eight late-r8 (b) entries took the slots).
 
     ROTATION PLAN (round 9): promote (a) anything changed in r9,
-    (b) new r9 entries, (c) the seven r4 greens displaced late-r8
+    (b) new r9 entries, (c) the eight r4 greens displaced late-r8
     (text_normalize, hard_negatives, range_band_join, tpch_q6,
-    bloom_decontaminate, embedding_pca, split_leak_check) then
+    bloom_decontaminate, embedding_pca, split_leak_check,
+    rollup_catalog) then
     the remaining 27 r4 greens in CORRECTNESS_r04 key order
     (tpch_q10, tpch_q4, tpch_q14,
     tpch_q18, tpch_q19, tpch_q22, tpch_q7, tpch_q8, tpch_q13,
@@ -3882,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_above": _q_average_above,
         "filter_series": _q_filter_series,
         "series_combinators": _q_series_combinators,
+        "point_gates": _q_point_gates,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -4900,7 +4917,9 @@ g AS (
              ELSE -CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10))
         END) AS d,
     MAX(CASE WHEN metric = 'click' THEN value END) AS av,
-    MAX(CASE WHEN metric = 'view' THEN value END) AS bv
+    MAX(CASE WHEN metric = 'view' THEN value END) AS bv,
+    MAX(value) AS max_series,
+    MIN(value) AS min_series
   FROM deduped GROUP BY ts
 )
 SELECT ts, n_series,
@@ -4912,9 +4931,34 @@ SELECT ts, n_series,
       - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_series)
         * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_series),
     0.0)) AS stddev_series,
-  av * bv AS multiply_series
+  av * bv AS multiply_series,
+  max_series, min_series
 FROM g
 ORDER BY ts
+""",
+        # per-point gates: exact comparisons + single-rounded IEEE
+        # ops in the same order as the Spark projection
+        "point_gates": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+  SELECT metric, ts, value,
+         min(value) OVER (PARTITION BY metric) AS mn,
+         max(value) OVER (PARTITION BY metric) AS mx
+  FROM deduped
+)
+SELECT metric, ts, value,
+  CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+       WHEN value IS NOT NULL THEN 0.0 END AS minmax,
+  CASE WHEN value <= 400.0 THEN value END AS removed_above,
+  CASE WHEN value >= 1.0 THEN value END AS removed_below,
+  value * 1.5 AS scaled_to_seconds,
+  CASE WHEN ts >= 1704844800 AND ts <= 1705449600
+       THEN value END AS time_sliced
+FROM w
 """,
         "sort_by_extrema": f"""
 WITH {POINTS_CTE},

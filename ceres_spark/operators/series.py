@@ -1186,9 +1186,10 @@ def series_combinators(
     variadic ``diffSeries(anchor, *rest)`` (anchor − Σrest —
     computed as ONE signed decimal sum Σ(±v), no decimal
     multiplication to rescale), ``stddevSeries`` (population σ per
-    slot from exact Σv/Σv², the most_deviant double recipe), and
+    slot from exact Σv/Σv², the most_deviant double recipe),
     ``multiplySeries(anchor, other)`` (a single correctly-rounded
-    IEEE multiply), with sumSeries re-emitted as the n_series
+    IEEE multiply), and ``maxSeries``/``minSeries`` (exact
+    comparisons), with sumSeries re-emitted as the n_series
     companion.
 
     NULL semantics match graphite: each slot's combinator skips
@@ -1216,6 +1217,8 @@ def series_combinators(
         F.max(
             F.when(F.col("metric") == F.lit(other), F.col("value"))
         ).alias("_bv"),
+        F.max("value").alias("max_series"),
+        F.min("value").alias("min_series"),
     )
     s1d = F.col("_s1").cast("string").cast("double")
     s2d = F.col("_s2").cast("string").cast("double")
@@ -1234,7 +1237,65 @@ def series_combinators(
             )
         ).alias("stddev_series"),
         (F.col("_av") * F.col("_bv")).alias("multiply_series"),
+        "max_series",
+        "min_series",
     ).orderBy("ts")
+
+
+def point_gates(
+    buckets: DataFrame,
+    remove_above: float = 400.0,
+    remove_below: float = 1.0,
+    seconds: int = 90,
+    step: int = 60,
+    slice_start: int = 1_704_844_800,
+    slice_end: int = 1_705_449_600,
+) -> DataFrame:
+    """The remaining graphite per-point gate/rescale family in one
+    window + projection pass: ``minMax`` (per-series
+    (v − min)/(max − min), degenerate max==min → 0, graphite
+    functions.py minMax),
+    ``removeAboveValue`` / ``removeBelowValue`` (offending points
+    become NULL — the series stays time-aligned, a projection not a
+    filter), ``scaleToSeconds(seconds)`` (v × seconds/step with the
+    factor computed once as a literal, graphite's evaluation order),
+    and ``timeSlice(start, end)`` (points outside the window become
+    NULL).
+
+    Portability: minMax is two IEEE subtracts + one correctly-
+    rounded divide in the same order on both engines; the
+    scaleToSeconds factor is chosen so seconds/step is binary-exact
+    (90/60 = 1.5); gates and the slice are exact comparisons. The
+    per-series min/max share one WindowExec pass with no extra
+    shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric")
+    v = F.col("value")
+    mn = F.min("value").over(w)
+    mx = F.max("value").over(w)
+    factor = float(seconds) / float(step)
+    return buckets.select(
+        "metric",
+        "ts",
+        v.alias("value"),
+        F.when(mx > mn, (v - mn) / (mx - mn))
+        .otherwise(F.when(v.isNotNull(), F.lit(0.0)))
+        .alias("minmax"),
+        F.when(v <= F.lit(float(remove_above)), v).alias(
+            "removed_above"
+        ),
+        F.when(v >= F.lit(float(remove_below)), v).alias(
+            "removed_below"
+        ),
+        (v * F.lit(factor)).alias("scaled_to_seconds"),
+        F.when(
+            (F.col("ts") >= F.lit(int(slice_start)))
+            & (F.col("ts") <= F.lit(int(slice_end))),
+            v,
+        ).alias("time_sliced"),
+    )
 
 
 def counter_wrap_rate(

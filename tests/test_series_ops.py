@@ -871,3 +871,34 @@ def test_series_combinators_null_semantics(spark):
     assert r120["diff_series"] == 9.0
     assert r120["multiply_series"] is None
     assert r120["stddev_series"] == 0.0
+
+
+def test_point_gates_arms_and_degenerates(spark):
+    df = pts(
+        spark,
+        [
+            ("a", 1704844800, 0.5, 0),    # below remove_below gate
+            ("a", 1704844860, 500.0, 1),  # above remove_above gate
+            ("a", 1700000000, 100.0, 2),  # outside the slice window
+            ("b", 1704844800, 7.0, 3),    # single-point series
+        ],
+    )
+    out = ser.point_gates(df)
+    rows = {(r["metric"], r["ts"]): r for r in out.collect()}
+    a0 = rows[("a", 1704844800)]
+    a1 = rows[("a", 1704844860)]
+    a2 = rows[("a", 1700000000)]
+    b = rows[("b", 1704844800)]
+    # minMax: (v - min)/(max - min) over the series; degenerate -> 0
+    assert a0["minmax"] == 0.0 and a1["minmax"] == 1.0
+    assert abs(a2["minmax"] - (100.0 - 0.5) / (500.0 - 0.5)) < 1e-15
+    assert b["minmax"] == 0.0
+    # removeAboveValue(400) / removeBelowValue(1): NULL, not dropped
+    assert a1["removed_above"] is None and a0["removed_above"] == 0.5
+    assert a0["removed_below"] is None and a1["removed_below"] == 500.0
+    # scaleToSeconds(90) with step 60: exact 1.5 factor
+    assert a2["scaled_to_seconds"] == 150.0
+    # timeSlice: outside window -> NULL, inside kept
+    assert a2["time_sliced"] is None and a0["time_sliced"] == 0.5
+    # row count preserved (projection, not filter)
+    assert out.count() == 4
