@@ -3274,7 +3274,8 @@ def _q_filter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 (current splits 3/2, max 2/3, min 2/2 with one
     boundary-equality row) — a wrong comparison direction or a wrong
     current (e.g. max-by-arrival instead of max-by-ts)
-    hash-mismatches."""
+    hash-mismatches. Strictness follows graphite-web (ADVICE r8):
+    current gates inclusive (>=/<=), max/min gates strict."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     return ser.filter_series(
         deduped, current_gate=40.0, max_gate=360.0, min_gate=0.02
@@ -3300,8 +3301,11 @@ def _q_point_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate/rescale family in one window+projection pass. The
     scaleToSeconds factor 90/60 = 1.5 is binary-exact; minMax is two
     IEEE subtracts and one divide in the same order on both engines;
-    the slice window [2024-01-10, 2024-01-17) sits strictly inside
-    the fixture's time range so both arms land in the hash check."""
+    the slice window [2024-01-10, 2024-01-17] (CLOSED on both ends —
+    both engines keep ts <= 1705449600, so a point landing exactly on
+    2024-01-17T00:00Z survives; ADVICE r8 doc fix) sits strictly
+    inside the fixture's time range so both arms land in the hash
+    check."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     return ser.point_gates(deduped)
 
@@ -4886,8 +4890,8 @@ stats AS (
   FROM deduped GROUP BY metric
 )
 SELECT metric, current, max_value, min_value,
-  CAST(current > 40.0 AS INTEGER) AS current_above,
-  CAST(current < 40.0 AS INTEGER) AS current_below,
+  CAST(current >= 40.0 AS INTEGER) AS current_above,
+  CAST(current <= 40.0 AS INTEGER) AS current_below,
   CAST(max_value > 360.0 AS INTEGER) AS maximum_above,
   CAST(max_value < 360.0 AS INTEGER) AS maximum_below,
   CAST(min_value > 0.02 AS INTEGER) AS minimum_above,

@@ -631,6 +631,19 @@ def decode_jpeg_arith(payload: bytes) -> "np.ndarray":
                     "sequential arithmetic scan with progressive "
                     "spectral parameters"
                 )
+            if progressive:
+                # T.81 G.1.1.1.1: a DC scan (Ss=0) MUST have Se=0;
+                # an AC scan needs 1 <= Ss <= Se <= 63. Reject the
+                # malformed stream loudly instead of quietly reading
+                # a DC-only scan out of it (ADVICE r8).
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "progressive DC scan requires Se=0 (T.81 G.1)"
+                    )
+                if ss > 0 and not ss <= se <= 63:
+                    raise ValueError(
+                        "progressive AC scan needs 1 <= Ss <= Se <= 63"
+                    )
             # de-stuff THIS scan's entropy bytes, split at RSTn —
             # identical treatment to the Huffman path (D.2.7: a
             # marker ends the entropy data; RSTn resets everything)

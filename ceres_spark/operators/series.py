@@ -1141,6 +1141,13 @@ def filter_series(
     total order, oracle-stable. The panel is series-cardinality (a
     handful of rows at any scale), so the unpartitioned rank window
     is a non-issue — same precedent as sort_by_extrema.
+
+    Gate strictness follows graphite-web render/functions.py (ADVICE
+    r8): ``currentAbove``/``currentBelow`` are INCLUSIVE (safeLast
+    >= n / <= n — a series sitting exactly on the gate is kept by
+    both current arms), while ``maximumAbove``/``maximumBelow`` and
+    ``minimumAbove``/``minimumBelow`` are STRICT (> n / < n —
+    equality passes neither arm).
     """
     from pyspark.sql.window import Window
 
@@ -1156,10 +1163,10 @@ def filter_series(
         "current",
         "max_value",
         "min_value",
-        (cur > F.lit(float(current_gate))).cast("int").alias(
+        (cur >= F.lit(float(current_gate))).cast("int").alias(
             "current_above"
         ),
-        (cur < F.lit(float(current_gate))).cast("int").alias(
+        (cur <= F.lit(float(current_gate))).cast("int").alias(
             "current_below"
         ),
         (mx > F.lit(float(max_gate))).cast("int").alias("maximum_above"),

@@ -315,6 +315,48 @@ def test_malformed_streams_raise():
         ja.decode_jpeg_arith(bytes(payload))
 
 
+def test_progressive_spectral_band_violations_raise():
+    # T.81 G.1: a progressive DC scan (Ss=0) must carry Se=0, and an
+    # AC scan needs 1 <= Ss <= Se <= 63 — a malformed header must
+    # raise, not quietly decode as a DC-only scan (ADVICE r8)
+    img = _rand_img(8, 8, seed=37, gray=True)
+    clean = bytes(ja.encode_jpeg_arith(img, quality=90,
+                                       progressive=True))
+
+    def sos_offsets(buf):
+        out, i = [], 0
+        while True:
+            i = buf.find(b"\xff\xda", i)
+            if i < 0:
+                return out
+            out.append(i)
+            i += 2
+
+    offs = sos_offsets(clean)
+    assert len(offs) >= 2  # DC first, then AC band scan(s)
+    # gray progressive scans are single-component: Ss sits at
+    # marker(2) + len(2) + ns(1) + one (cid, tables) pair(2)
+    ss_at = [o + 7 for o in offs]
+    assert clean[ss_at[0]] == 0 and clean[ss_at[0] + 1] == 0
+
+    dc_bad = bytearray(clean)
+    dc_bad[ss_at[0] + 1] = 5  # DC scan claiming Se=5
+    with pytest.raises(ValueError):
+        ja.decode_jpeg_arith(bytes(dc_bad))
+
+    ac = next(o for o in ss_at[1:] if clean[o] > 0)
+    ac_rev = bytearray(clean)
+    ac_rev[ac + 1] = clean[ac] - 1  # Se < Ss
+    with pytest.raises(ValueError):
+        ja.decode_jpeg_arith(bytes(ac_rev))
+    ac_wide = bytearray(clean)
+    ac_wide[ac + 1] = 200  # Se > 63
+    with pytest.raises(ValueError):
+        ja.decode_jpeg_arith(bytes(ac_wide))
+
+    ja.decode_jpeg_arith(clean)  # untampered stream still decodes
+
+
 def test_encoder_rejects_bad_parameters():
     img = _rand_img(8, 8, seed=31)
     with pytest.raises(ValueError):

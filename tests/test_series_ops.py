@@ -827,13 +827,16 @@ def test_filter_series_gates_and_ranks(spark):
     assert (a["rank_lowest_current"], b["rank_lowest_current"]) == (1, 2)
 
 
-def test_filter_series_boundary_equality_is_neither_arm(spark):
+def test_filter_series_boundary_equality_mixed_strictness(spark):
     df = pts(spark, [("a", 0, 10.0, 0)])
     r = ser.filter_series(
         df, current_gate=10.0, max_gate=10.0, min_gate=10.0
     ).collect()[0]
-    # graphite's operators are strict: equality passes NO gate
-    assert (r["current_above"], r["current_below"]) == (0, 0)
+    # graphite-web strictness split (ADVICE r8): currentAbove/Below
+    # are inclusive (safeLast >= n / <= n) so equality passes BOTH
+    # current arms; maximum*/minimum* are strict so equality passes
+    # neither
+    assert (r["current_above"], r["current_below"]) == (1, 1)
     assert (r["maximum_above"], r["maximum_below"]) == (0, 0)
     assert (r["minimum_above"], r["minimum_below"]) == (0, 0)
 
