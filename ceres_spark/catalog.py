@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ceres_spark.plans.glob import glob_to_regex
+from ceres_spark.plans.glob import expand_braces, glob_to_regex
 
 CATALOG_SCHEMA = T.StructType(
     [
@@ -75,14 +75,27 @@ def find(
     points: DataFrame | None = None,
     from_time: int | None = None,
     until_time: int | None = None,
+    braces: bool = False,
 ) -> DataFrame:
     """Glob metric discovery (op #12) with optional interval filter.
 
     Returns matching catalog rows. When an interval is given, keeps
     only metrics whose data extent overlaps it (LEFT SEMI join against
     per-metric min/max — no data columns move through the join).
+
+    ``braces=True`` opts into graphite-web-layer ``{a,b}`` alternative
+    expansion (NOT a ceres semantic — the reference's find is
+    fnmatch-only; see plans/glob.py): the pattern is pre-expanded and
+    the alternatives' regexes unioned into ONE anchored rlike, still a
+    single catalog scan.
     """
-    rx = glob_to_regex(pattern)
+    pats = expand_braces(pattern) if braces else [pattern]
+    if len(pats) == 1:
+        rx = glob_to_regex(pats[0])
+    else:
+        rx = "^(?:" + "|".join(
+            glob_to_regex(p)[1:-1] for p in pats
+        ) + ")$"
     matched = catalog.filter(F.col("metric").rlike(rx))
     if points is not None and (from_time is not None or until_time is not None):
         extents = points.groupBy("metric").agg(

@@ -308,12 +308,14 @@ class CeresTree:
         pattern: str,
         from_time: int | None = None,
         until_time: int | None = None,
+        braces: bool = False,
     ) -> Iterator["CeresNode"]:
         points = None
         if from_time is not None or until_time is not None:
             points = self.points()
         rows = cat.find(
-            self.catalog(), pattern, points, from_time, until_time
+            self.catalog(), pattern, points, from_time, until_time,
+            braces=braces,
         ).collect()
         for r in rows:
             yield CeresNode(self, r["metric"])

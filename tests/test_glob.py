@@ -40,3 +40,70 @@ def test_unterminated_class_is_literal():
 def test_exact_name():
     assert m("click", "click")
     assert not m("click", "clicks")
+
+
+# -- {a,b} brace expansion: graphite-web-layer OPT-IN (VERDICT r8
+# "What's missing" #5) — the fnmatch-exact default is untouched ------
+
+from ceres_spark.plans.glob import expand_braces  # noqa: E402
+
+
+def test_braces_simple():
+    assert expand_braces("a.{b,c}.d") == ["a.b.d", "a.c.d"]
+
+
+def test_braces_nested():
+    assert expand_braces("x.{a,{b,c}}") == ["x.a", "x.b", "x.c"]
+
+
+def test_braces_multiple_groups_cartesian():
+    assert expand_braces("{a,b}.{1,2}") == [
+        "a.1", "a.2", "b.1", "b.2"
+    ]
+
+
+def test_braces_empty_alternative():
+    assert expand_braces("a{,b}") == ["a", "ab"]
+
+
+def test_braces_escaped_is_literal():
+    assert expand_braces(r"a\{b,c\}") == [r"a\{b,c\}"]
+
+
+def test_braces_unmatched_is_literal():
+    assert expand_braces("a{bc") == ["a{bc"]
+    assert expand_braces("ab}c") == ["ab}c"]
+
+
+def test_braces_no_group_passthrough():
+    assert expand_braces("servers.*.cpu") == ["servers.*.cpu"]
+
+
+def test_braces_comma_inside_nested_group_stays_put():
+    # the inner comma splits the INNER group only
+    assert expand_braces("{a,b{c,d}}") == ["a", "bc", "bd"]
+
+
+def test_find_braces_dial(spark):
+    from ceres_spark import catalog as cat
+
+    catalog = cat.catalog_from_points(
+        spark.createDataFrame(
+            [("click",), ("view",), ("purchase",)], ["metric"]
+        )
+    )
+    # default stays fnmatch-exact: braces match nothing literally
+    assert cat.find(catalog, "{click,view}").count() == 0
+    got = sorted(
+        r["metric"]
+        for r in cat.find(catalog, "{click,view}", braces=True)
+        .select("metric").collect()
+    )
+    assert got == ["click", "view"]
+    # composes with fnmatch inside alternatives
+    got = sorted(
+        r["metric"]
+        for r in cat.find(catalog, "{c*,v???}", braces=True)
+        .select("metric").collect()
+    )
+    assert got == ["click", "view"]
