@@ -963,6 +963,23 @@ def _q_event_transitions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_transitions_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLANKET time-chunked twin of event_transitions (r9, the
+    VERDICT r8 #3 A/B winner): no hot-key detection job at all —
+    bounds from one min/max scalar scan, EVERY user's LEAD window
+    runs per (user, global-time-chunk) with the shared boundary
+    merge. Interleaved A/B vs the targeted salted form
+    (tools/transitions_ab.py, TIMINGS.md §r9): same x64 skew win
+    within noise (h90 1.87-2.50 s vs 2.05-2.40 s), ~1.7× cheaper at
+    toy scale (0.67-0.76 s vs 1.12-1.22 s at sf0.1). SAME oracle as
+    the unsalted entry — the chunk machinery must be invisible."""
+    return ana.event_transitions_chunked(
+        tbl.load(spark, "events", sf_dir), n_chunks=32
+    )
+
+
 def _q_funnel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TARGETED salted-reach-join twin of funnel (r7, VERDICT #2):
     hot users' reach rows exploded ×16 salts and joined on
@@ -3925,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_transforms": _q_value_transforms,
         "event_transitions": _q_event_transitions,
         "event_transitions_salted": _q_event_transitions_salted,
+        # new in r9: the detection-free blanket twin (A/B winner)
+        "event_transitions_chunked": _q_event_transitions_chunked,
         "funnel_salted": _q_funnel_salted,
         "time_to_convert": _q_time_to_convert,
         "moving_window_functions": _q_moving_window_functions,
@@ -7986,4 +8005,6 @@ FROM lab
     # and any divergence the salting introduced hash-mismatches
     d["event_transitions_salted"] = d["event_transitions"]
     d["funnel_salted"] = d["funnel"]
+    # the blanket (detection-free) chunked twin (r9) shares it too
+    d["event_transitions_chunked"] = d["event_transitions"]
     return d

@@ -333,6 +333,16 @@ def event_transitions_salted(
     exact unsalted form after the one detection aggregate — so the
     twin is never worse than the original on data that doesn't need
     it. (SCALING.md §SKEW holds both tables.)
+
+    DEPLOYMENT NOTE (r9): the interleaved A/B in
+    tools/transitions_ab.py measured :func:`event_transitions_chunked`
+    — blanket time-chunking, no detection job — matching this form's
+    x64 skew win within noise at ~1.7× less toy-scale overhead
+    (TIMINGS.md §r9); prefer it unless you specifically need the
+    hot-set as a side product. This targeted form remains the
+    reference implementation of the hot-key flag pattern
+    funnel_salted requires (blanket salting would explode reach rows
+    ×n_salts for every user there).
     """
     from pyspark.sql.window import Window
 
@@ -366,6 +376,23 @@ def event_transitions_salted(
         .cast("bigint")
         .alias("_chunk"),
     )
+    return _chunked_transition_pairs(chunked)
+
+
+def _chunked_transition_pairs(chunked: DataFrame) -> DataFrame:
+    """within-chunk + boundary pairs → the transition matrix.
+
+    Shared tail of :func:`event_transitions_salted` (targeted) and
+    :func:`event_transitions_chunked` (blanket): ``chunked`` carries
+    ``user_id, event_id, event_type, ts, _chunk`` where ``_chunk`` is
+    order-contiguous with (ts, event_id) per user. Within-chunk pairs
+    come from the per-(user, chunk) LEAD window; cross-chunk seams
+    from a map-side-combinable min_by/max_by aggregate plus one tiny
+    per-user window over ≤ n_chunks rows. A single-chunk user's lead
+    is NULL, so they fall out of the boundary pass by construction.
+    """
+    from pyspark.sql.window import Window
+
     wc = Window.partitionBy("user_id", "_chunk").orderBy(
         F.col("ts").asc(), F.col("event_id")
     )
@@ -373,9 +400,6 @@ def event_transitions_salted(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(wc).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    # boundary pass: map-side-combinable agg over (user, chunk) — a
-    # cold user has ONE chunk, so their lead is NULL and they emit
-    # nothing; only hot users' cross-chunk seams survive
     order_key = F.struct(F.col("ts"), F.col("event_id"))
     edges = chunked.groupBy("user_id", "_chunk").agg(
         F.min_by("event_type", order_key).alias("_first"),
@@ -402,6 +426,47 @@ def event_transitions_salted(
             / F.sum("n_transitions").over(from_tot)
         ).alias("share_from"),
     )
+
+
+def event_transitions_chunked(
+    events: DataFrame, n_chunks: int = 32
+) -> DataFrame:
+    """BLANKET time-chunked :func:`event_transitions` — the
+    detection-free twin (VERDICT r8 "what's wrong" #1 A/B).
+
+    :func:`event_transitions_salted` pays a keyed detection aggregate
+    (groupBy user → collect) plus a broadcast flag join to salt ONLY
+    hot users. This form skips detection entirely: EVERY user's
+    timeline is chunked into ``n_chunks`` global time buckets — the
+    bounds come from one min/max scalar scan (a partial aggregate, no
+    keyed shuffle, no broadcast join) — and the shared
+    within+boundary tail reassembles exactly the consecutive pairs.
+    For a cold user the per-(user, chunk) window is the same rows
+    through the same sort, just with a few more (tiny) partitions;
+    the extra cost vs unsalted is only the edges aggregate, whose
+    map-side partials are ≤ distinct (user, chunk) per input split.
+    Output is bit-identical to :func:`event_transitions` (same oracle
+    as the salted twin). Measured against the targeted form in
+    tools/salt_probe.py / docs/TIMINGS.md §r9.
+    """
+    n = int(n_chunks)
+    s = _event_secs(events)
+    lo, hi = events.agg(F.min(s), F.max(s)).collect()[0]
+    if lo is None:
+        return event_transitions(events)  # empty input, empty matrix
+    span = int(hi) - int(lo) + 1
+    chunked = events.select(
+        "user_id", "event_id", "event_type", "ts", s.alias("_s")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr(f"({n} * (_s - {int(lo)})) div {span}")
+        .cast("bigint")
+        .alias("_chunk"),
+    )
+    return _chunked_transition_pairs(chunked)
 
 
 def funnel_salted(

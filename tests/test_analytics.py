@@ -198,6 +198,31 @@ def test_event_transitions_salted_ties_and_boundaries(spark):
     assert got == want
 
 
+def test_event_transitions_chunked_bit_equal(spark):
+    # the blanket (detection-free) twin: same oracle, every n_chunks
+    df = _skewed_events(spark)
+    want = {tuple(r) for r in ana.event_transitions(df).collect()}
+    for n_chunks in (1, 3, 32):
+        got = {
+            tuple(r)
+            for r in ana.event_transitions_chunked(
+                df, n_chunks=n_chunks
+            ).collect()
+        }
+        assert got == want, n_chunks
+    # ties + single-event users across chunk edges, and empty input
+    rows = [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 20, "c"),
+            (4, 1, 10**6, "a"), (5, 2, 50, "b"), (6, 3, 99, "c")]
+    small = spark.createDataFrame(
+        [(e, u, t * NS, ty) for e, u, t, ty in rows],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    assert {
+        tuple(r) for r in ana.event_transitions_chunked(small, 5).collect()
+    } == {tuple(r) for r in ana.event_transitions(small).collect()}
+    assert ana.event_transitions_chunked(small.limit(0), 4).count() == 0
+
+
 def test_hot_keys_bounded_and_exact(spark):
     df = _skewed_events(spark, n=1000, hot_share=0.5)
     hot = {r["user_id"] for r in ana.hot_keys(df, "user_id", 300).collect()}
