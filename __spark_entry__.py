@@ -49,6 +49,21 @@ import ceres_spark.operators.windows as win
 import ceres_spark.sources.slice_format as sfmt
 import ceres_spark.sources.tables as tbl
 
+# Module-level twins of the aliases some entries import locally
+# (inside their function bodies, to keep heavy modules off the cold
+# import path). tools/prefix_state.py maps entry sources to modules
+# through MODULE-LEVEL aliases only, so without these the streaming
+# and layout modules were invisible to the rotation guard's
+# changed-module rule (found in r9 when stateful.py changed with no
+# coverable prefix entry).
+import ceres_spark.operators.join_strategies as js  # noqa: F401
+import ceres_spark.operators.layout as lay  # noqa: F401
+import ceres_spark.streaming.ann_ingest as sai  # noqa: F401
+import ceres_spark.streaming.corpus_ingest as sci  # noqa: F401
+import ceres_spark.streaming.ingest as sing  # noqa: F401
+import ceres_spark.streaming.neardup as snd  # noqa: F401
+import ceres_spark.streaming.stateful as st  # noqa: F401
+
 # events span 2024-01-01 → 2024-01-30 (UTC)
 T0 = 1704067200  # 2024-01-01T00:00:00Z
 DAY = 86400
@@ -3364,15 +3379,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
 
 
-#: The r7 driver-checked prefix (the driver verifies the FIRST 50
-#: dict entries): (a) changed in r7 → (b) new in r7 → (c) the
-#: displaced r1 five + r2 leftovers + the r3 block oldest-first. See
-#: the ROTATION STATE section in the queries() docstring. This list
-#: is machine-checked: tests/test_rotation_guard.py recomputes
-#: staleness from the CORRECTNESS_r0*.json files and per-entry
-#: source hashes (tools/prefix_state.py) and fails on any
-#: changed-but-parked entry, uncovered module change, or
-#: staler-than-parked promotion.
+#: The r9 driver-checked prefix (the driver verifies the FIRST 50
+#: dict entries): (a) changed in r9 → (b) new in r9 → (c) the FULL
+#: 35-entry r4-stale block in CORRECTNESS_r04 key order (the eight
+#: displaced late-r8 ARE that file's first eight keys, so the
+#: r8-written plan order and the file order coincide) → (d) the
+#: first 9 r5-stale entries in CORRECTNESS_r05 key order. See the
+#: ROTATION STATE section in the queries() docstring. This list is
+#: machine-checked by tests/test_rotation_guard.py.
+_R9_PREFIX = [
+    # (a) changed in r9
+    "filter_series",              # currentAbove/Below flipped to
+    #                               graphite-web's inclusive >=/<=
+    #                               (ADVICE r8) — output + oracle
+    #                               changed, MUST re-check
+    "point_gates",                # _q docstring fix (timeSlice
+    #                               closed-interval restated)
+    "multimodal_decode_arith",    # T.81 G.1 spectral-band validation
+    #                               added to the QM decode path
+    "find_glob",                  # glob/catalog touched by the
+    #                               opt-in {a,b} brace expansion —
+    #                               re-lineage of the UNCHANGED
+    #                               fnmatch default path
+    "stream_ewma",                # streaming/stateful.py gained the
+    #                               gated transformWithState twin;
+    #                               one representative replay
+    #                               re-check also covers the arrival
+    #                               writer's toArrow switch (same
+    #                               pyarrow writer, digest-equal
+    #                               fixtures — pytest-pinned in
+    #                               test_arrow_seam.py)
+    # (b) new in r9
+    "event_transitions_chunked",  # detection-free blanket twin, the
+    #                               VERDICT r8 #3 A/B winner
+    # (c) the FULL r4-stale block (35), CORRECTNESS_r04 key order —
+    # clears every r4 row from the backlog in one round
+    "rollup_catalog",
+    "embedding_pca",
+    "split_leak_check",
+    "bloom_decontaminate",
+    "text_normalize",
+    "hard_negatives",
+    "range_band_join",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q4",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "series_functions",
+    "per_second_rate",
+    "slice_runs",
+    "moving_stddev",
+    "series_arithmetic",
+    "group_by_node",
+    "salted_join",
+    "table_profile",
+    "melt_stats",
+    "histogram_quantiles",
+    "stratified_split",
+    "vocab_top_n",
+    "tfidf_top_terms",
+    "packed_sequences",           # VERDICT r8 "what's wrong" #2:
+    #                               single-source 0.49→1.56 s flag in
+    #                               the refused run — this driver row
+    #                               is the second source
+    "mixture_sample",
+    "fuzzy_pairs_banded",
+    # (d) r5-stale head (9), CORRECTNESS_r05 key order
+    "chunk_retrieval",
+    "ewma_series",
+    "holt_winters_bands",
+    "expire_catalog",
+    "compact_invariance",
+    "n_percentile",
+    "percentile_of_series",
+    "summarize_align",
+    "hitcount",
+]
+
+#: r8 prefix (historical; superseded by _R9_PREFIX)
 _R8_PREFIX = [
     # (a) changed in r8 — ALL 12 replay twins again: the replay
     # harness's executed path changed twice (hardened Arrow arrival
@@ -3741,7 +3833,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 8, final): the 50-slot prefix is the
+    ROTATION STATE (round 9, final): the 50-slot prefix is the
+    explicit ``_R9_PREFIX`` list — (a) the 5 entries changed in r9:
+    filter_series (currentAbove/Below flipped to graphite-web's
+    inclusive >=/<= per ADVICE r8 — output AND oracle changed),
+    point_gates (docstring fix), multimodal_decode_arith (T.81 G.1
+    spectral-band validation), find_glob (catalog/glob touched by
+    the opt-in brace expansion; the checked default path is
+    unchanged), stream_ewma (streaming/stateful.py gained the gated
+    transformWithState twin; also re-lineages the arrival writer's
+    private→public toArrow switch, whose fixture-file equality is
+    pytest-pinned); (b) 1 new entry — event_transitions_chunked (the
+    detection-free blanket twin, VERDICT r8 #3 A/B winner, sharing
+    the unsalted oracle); (c) the FULL 35-entry r4-stale block in
+    CORRECTNESS_r04 key order (the eight displaced late-r8 are
+    exactly that file's first eight keys, so the r8-written plan
+    order and file order coincide: rollup_catalog … tpch_q6, then
+    tpch_q10 … fuzzy_pairs_banded) — this clears every r4 row from
+    the backlog; (d) the first 9 r5-stale entries in CORRECTNESS_r05
+    key order (chunk_retrieval … hitcount).
+
+    ROTATION PLAN (round 10): promote (a) anything changed in r10,
+    (b) new r10 entries, (c) the remaining 30 r5-stale entries in
+    CORRECTNESS_r05 key order (integral_by_interval,
+    remove_above_percentile, most_deviant, average_above,
+    minhash_pairs_portable, kmv_distinct_users,
+    moving_window_functions, simhash_pairs, kmv_overlap_users,
+    neardup_triangles, value_transforms, event_transitions,
+    zorder_key, time_to_convert, bucketed_join,
+    order_quartiles_scaled, neardup_clusters_star, tpch_q12,
+    tpch_q21, span_dup_ratio, token_rarity, props_flatten,
+    cap_per_source, bucketed_series_windows, corpus_filter_gate,
+    weighted_sample, dedup_materialize, tpch_q2,
+    holt_winters_seasonal, nation_pagerank), then (d) r6 greens
+    oldest-first in CORRECTNESS_r06 key order. After rotating, run
+    ``python tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 8, historical — superseded by r9): the
+    50-slot prefix was the
     explicit ``_R8_PREFIX`` list — (a) the 18 entries changed in r8:
     ALL 12 streaming replay twins (the replay harness's executed path
     changed twice — hardened Arrow arrival writer, state store
@@ -3767,7 +3897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order (hash_embed … length_percentile_gate — was 14 until the
     eight late-r8 (b) entries took the slots).
 
-    ROTATION PLAN (round 9): promote (a) anything changed in r9,
+    ROTATION PLAN (round 9, historical — executed as written, see
+    STATE r9 above; the displaced-eight + remainder lists below are
+    exactly CORRECTNESS_r04 key order): promote (a) anything changed
+    in r9,
     (b) new r9 entries, (c) the eight r4 greens displaced late-r8
     (text_normalize, hard_negatives, range_band_join, tpch_q6,
     bloom_decontaminate, embedding_pca, split_leak_check,
@@ -4153,7 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R8_PREFIX}
+    out = {k: base.pop(k) for k in _R9_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 

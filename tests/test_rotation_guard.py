@@ -73,11 +73,50 @@ def test_check_flags_uncovered_module_change():
     covered = set()
     for e in prefix:
         covered |= refs.get(e, set())
+    reachable = set()
+    for r in refs.values():
+        reachable |= r
+    # a module some entry COULD cover but no prefix entry does — the
+    # allowlisted pytest-only modules are exempt by design (r9), so
+    # skip those unless they're reachable (reachable wins)
     uncovered = [
-        m for m in base["modules"] if m not in covered
+        m for m in base["modules"]
+        if m not in covered
+        and (m in reachable or m not in ps.PYTEST_ONLY_MODULES)
     ]
     if not uncovered:  # every module referenced from the prefix
         return
     tampered["modules"][uncovered[0]] = "0" * 32
     problems = ps.check(tampered)
     assert any(uncovered[0] in p for p in problems), problems
+
+
+def test_pytest_only_module_change_is_exempt_but_unlisted_flags():
+    base = json.load(open(ps.BASELINE))
+    refs = ps.entry_module_refs()
+    reachable = set()
+    for r in refs.values():
+        reachable |= r
+    # allowlisted + unreachable: change passes the module rule
+    exempt = [
+        m for m in ps.PYTEST_ONLY_MODULES
+        if m in base["modules"] and m not in reachable
+    ]
+    assert exempt, "allowlist lost its purpose — update the guard"
+    tampered = json.loads(json.dumps(base))
+    tampered["modules"][exempt[0]] = "0" * 32
+    assert not any(exempt[0] in p for p in ps.check(tampered))
+    # unreachable but NOT allowlisted: must flag with the deliberate-
+    # decision message
+    unlisted = [
+        m for m in base["modules"]
+        if m not in reachable and m not in ps.PYTEST_ONLY_MODULES
+    ]
+    if unlisted:
+        tampered = json.loads(json.dumps(base))
+        tampered["modules"][unlisted[0]] = "0" * 32
+        problems = ps.check(tampered)
+        assert any(
+            unlisted[0] in p and "PYTEST_ONLY_MODULES" in p
+            for p in problems
+        ), problems

@@ -110,11 +110,57 @@ def module_files() -> dict[str, str]:
     return out
 
 
+#: Modules NO registry entry can exercise — the SURVEY §5 split's
+#: SQL-inexpressible / driver-facing surface whose correctness gate
+#: is pytest, not the driver oracle (tree walk/caches/maintenance →
+#: test_tree/test_maintenance; CLI → test_cli; exception classes →
+#: test_errors; session bootstrap runs under every test). The
+#: changed-module rule consults this list LAST: a changed module that
+#: no entry reaches and that is not listed here is still a violation,
+#: so a new uncovered module forces a deliberate decision instead of
+#: silently rotting (added r9 when tree.py changed with no reachable
+#: entry).
+PYTEST_ONLY_MODULES = frozenset({
+    "ceres_spark/__init__.py",
+    "ceres_spark/cli.py",
+    "ceres_spark/errors.py",
+    "ceres_spark/session.py",
+    "ceres_spark/tree.py",
+    "ceres_spark/operators/__init__.py",
+    "ceres_spark/plans/__init__.py",
+    "ceres_spark/sources/__init__.py",
+    "ceres_spark/streaming/__init__.py",
+})
+
+
+def _internal_imports() -> dict[str, set[str]]:
+    """{ceres_spark file: ceres_spark files it imports} — one text
+    pass, import statements only."""
+    mods = set(module_files())
+    out: dict[str, set[str]] = {}
+    pat = re.compile(
+        r"^\s*(?:import|from)\s+(ceres_spark(?:\.\w+)*)", re.M
+    )
+    for rel in mods:
+        src = open(os.path.join(REPO, rel)).read()
+        deps = set()
+        for dotted in pat.findall(src):
+            cand = dotted.replace(".", os.sep) + ".py"
+            if cand in mods:
+                deps.add(cand)
+        out[rel] = deps
+    return out
+
+
 def entry_module_refs() -> dict[str, set[str]]:
     """{entry: repo-relative ceres_spark files its query function
     references}, via the import-alias names used in the entry source
     (the entry functions call through module aliases like ``ana.`` /
-    ``sk.`` / ``tbl.``)."""
+    ``sk.`` / ``tbl.``), CLOSED transitively over ceres_spark-internal
+    imports — an entry that runs catalog.find exercises plans/glob.py
+    through it, so a glob.py change is covered by promoting that
+    entry (r9: the alias-only mapping left catalog's helper modules
+    invisible to the changed-module rule)."""
     import __spark_entry__ as entrymod
 
     alias_to_file: dict[str, str] = {}
@@ -127,13 +173,24 @@ def entry_module_refs() -> dict[str, set[str]]:
             os.path.join(REPO, "ceres_spark")
         ):
             alias_to_file[alias] = os.path.relpath(os.path.abspath(f), REPO)
+    internal = _internal_imports()
+
+    def closure(seed: set[str]) -> set[str]:
+        todo, seen = list(seed), set(seed)
+        while todo:
+            for dep in internal.get(todo.pop(), ()):
+                if dep not in seen:
+                    seen.add(dep)
+                    todo.append(dep)
+        return seen
+
     refs: dict[str, set[str]] = {}
     for name, src in entry_sources().items():
         used = set()
         for alias, rel in alias_to_file.items():
             if re.search(rf"\b{re.escape(alias)}\s*\.", src):
                 used.add(rel)
-        refs[name] = used
+        refs[name] = closure(used)
     return refs
 
 
@@ -168,20 +225,28 @@ def check(baseline: dict | None = None) -> list[str]:
             problems.append(
                 f"{name}: latest driver row (r{rnd}) is RED but parked"
             )
-    # 2. changed modules need a referencing entry in the prefix
+    # 2. changed modules need a referencing entry in the prefix —
+    # except the documented pytest-only surface no entry can reach
     base_modules = baseline.get("modules", {})
     refs = entry_module_refs()
+    reachable = set().union(*refs.values()) if refs else set()
     for rel, h in module_files().items():
         if base_modules.get(rel) == h:
             continue
         covering = [
             e for e in prefix if rel in refs.get(e, ())
         ]
-        if not covering:
-            problems.append(
-                f"{rel}: changed since baseline with no referencing "
-                "entry in the prefix"
-            )
+        if covering:
+            continue
+        if rel in PYTEST_ONLY_MODULES and rel not in reachable:
+            continue  # SURVEY §5 split: pytest is this file's gate
+        problems.append(
+            f"{rel}: changed since baseline with no referencing "
+            "entry in the prefix"
+            + (" (and unreachable by ANY entry — add it to "
+               "PYTEST_ONLY_MODULES deliberately or wire an entry)"
+               if rel not in reachable else "")
+        )
     # 3. oldest-first: no unchanged prefix-backlog entry fresher than
     # a parked entry (ties allowed; unchecked/new entries exempt)
     backlog_rounds = [
