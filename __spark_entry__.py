@@ -1695,6 +1695,61 @@ def _q_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.per_second(hourly)
 
 
+def _q_derivative_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite derivative + integral over a dense day-1 hourly fetch
+    (r9 function-layer widening): the delta is None when current OR
+    previous point is None (a gap poisons two outputs, exactly
+    functions.py's prev walk); the running total skips None but emits
+    None at None slots, accumulating DECIMAL-exact."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    return ser.derivative_integral(dense)
+
+
+def _q_null_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite transformNull(0) + keepLastValue(limit=2) with the
+    FINITE-limit semantics (r9): a consecutive-None run fills ONLY if
+    the whole run is <= limit — longer runs stay entirely None, and
+    leading Nones always stay None (no anchor). forward_fill remains
+    the limit=INF twin; this entry hash-checks the bounded form's
+    run-length logic externally."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    return ser.null_gap_fill(dense, default=0.0, limit=2)
+
+
+def _q_name_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite grep / exclude / aliasByNode(2) / aliasSub in one
+    series-cardinality projection (r9): fixture metrics are prefixed
+    in-plan into dotted paths (prod.events.<metric>) so the node
+    logic is exercised; both gates emit 0/1 columns so BOTH arms are
+    inside the hash check; regexes stay in the POSIX subset both
+    engines parse identically."""
+    return ser.name_functions(cp.compact(tbl.points(spark, sf_dir), 60))
+
+
+def _q_divide_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite divideSeries(click, view) per minute slot (r9): None
+    when the divisor is missing OR ZERO (functions.py's
+    `value / divisor if divisor else None` — never an infinity) or
+    the dividend is missing; a single IEEE divide, engine-portable
+    without a decimal detour."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.divide_series(deduped, dividend="click", divisor="view")
+
+
+def _q_series_orderings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite sortByName + sortByTotal ranks (r9), completing the
+    panel-ordering family (sort_by_extrema covers maxima/minima,
+    filter_series the current ranks). The total is the decimal-exact
+    sum — a ulp there could swap adjacent ranks; ties break by
+    metric for a total, oracle-stable order."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.series_orderings(deduped)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3412,6 +3467,18 @@ _R9_PREFIX = [
     # (b) new in r9
     "event_transitions_chunked",  # detection-free blanket twin, the
     #                               VERDICT r8 #3 A/B winner
+    # (b) new in r9 — third function-layer widening (all
+    # oracle-paired, green at sf0.01 AND sf0.1 locally)
+    "derivative_integral",        # derivative (None-poisoned delta)
+    #                               + integral (None-skipping decimal
+    #                               running total)
+    "null_gap_fill",              # transformNull + keepLastValue
+    #                               with FINITE limit (whole-run fill
+    #                               iff run <= limit)
+    "name_functions",             # grep/exclude/aliasByNode/aliasSub
+    "divide_series",              # divideSeries: None on missing or
+    #                               ZERO divisor, never an infinity
+    "series_orderings",           # sortByName + sortByTotal ranks
     # (c) the FULL r4-stale block (35), CORRECTNESS_r04 key order —
     # clears every r4 row from the backlog in one round
     "rollup_catalog",
@@ -3452,16 +3519,13 @@ _R9_PREFIX = [
     #                               is the second source
     "mixture_sample",
     "fuzzy_pairs_banded",
-    # (d) r5-stale head (9), CORRECTNESS_r05 key order
+    # (d) r5-stale head (4), CORRECTNESS_r05 key order — was 9 until
+    # the five late-r9 function-layer entries took the slots; the
+    # displaced compact_invariance … hitcount head the r10 (c) list
     "chunk_retrieval",
     "ewma_series",
     "holt_winters_bands",
     "expire_catalog",
-    "compact_invariance",
-    "n_percentile",
-    "percentile_of_series",
-    "summarize_align",
-    "hitcount",
 ]
 
 #: r8 prefix (historical; superseded by _R9_PREFIX)
@@ -3845,17 +3909,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     private→public toArrow switch, whose fixture-file equality is
     pytest-pinned); (b) 1 new entry — event_transitions_chunked (the
     detection-free blanket twin, VERDICT r8 #3 A/B winner, sharing
-    the unsalted oracle); (c) the FULL 35-entry r4-stale block in
+    the unsalted oracle) plus the 5 late-r9 function-layer widening
+    entries derivative_integral / null_gap_fill / name_functions /
+    divide_series / series_orderings (every one oracle-paired, green
+    at sf0.01 AND sf0.1 locally); (c) the FULL 35-entry r4-stale
+    block in
     CORRECTNESS_r04 key order (the eight displaced late-r8 are
     exactly that file's first eight keys, so the r8-written plan
     order and file order coincide: rollup_catalog … tpch_q6, then
     tpch_q10 … fuzzy_pairs_banded) — this clears every r4 row from
-    the backlog; (d) the first 9 r5-stale entries in CORRECTNESS_r05
-    key order (chunk_retrieval … hitcount).
+    the backlog; (d) the first 4 r5-stale entries in CORRECTNESS_r05
+    key order (chunk_retrieval … expire_catalog — was 9 until the
+    late-r9 (b) entries took the slots; the displaced
+    compact_invariance … hitcount head the r10 (c) list).
 
     ROTATION PLAN (round 10): promote (a) anything changed in r10,
-    (b) new r10 entries, (c) the remaining 30 r5-stale entries in
-    CORRECTNESS_r05 key order (integral_by_interval,
+    (b) new r10 entries, (c) the remaining 35 r5-stale entries in
+    CORRECTNESS_r05 key order (compact_invariance, n_percentile,
+    percentile_of_series, summarize_align, hitcount,
+    integral_by_interval,
     remove_above_percentile, most_deviant, average_above,
     minhash_pairs_portable, kmv_distinct_users,
     moving_window_functions, simhash_pairs, kmv_overlap_users,
@@ -4067,6 +4139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_series": _q_filter_series,
         "series_combinators": _q_series_combinators,
         "point_gates": _q_point_gates,
+        # new in r9: third function-layer widening
+        "derivative_integral": _q_derivative_integral,
+        "null_gap_fill": _q_null_gap_fill,
+        "name_functions": _q_name_functions,
+        "divide_series": _q_divide_series,
+        "series_orderings": _q_series_orderings,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -6362,6 +6440,124 @@ SELECT metric, ts, value,
            PARTITION BY metric ORDER BY ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
 FROM dense
+""",
+        # graphite derivative (None-poisoned delta) + integral
+        # (None-skipping decimal running total, None slots emit None)
+        "derivative_integral": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {T0 + DAY}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0}, {T0 + DAY}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+)
+SELECT metric, ts, value,
+       value - lag(value) OVER w AS derivative,
+       CASE WHEN value IS NOT NULL THEN
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+                   OVER (PARTITION BY metric ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       END AS integral
+FROM dense
+WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+        # transformNull(0) + keepLastValue(limit=2): whole-run fill
+        # iff run length <= limit; leading Nones have no anchor
+        "null_gap_fill": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {T0 + DAY}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0}, {T0 + DAY}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+),
+grouped AS (
+  SELECT metric, ts, value,
+         count(value) OVER (PARTITION BY metric ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS _grp
+  FROM dense
+)
+SELECT metric, ts, value,
+       coalesce(value, 0.0) AS null_as_default,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN count(*) OVER wg - 1 <= 2 THEN max(value) OVER wg
+       END AS kept_last
+FROM grouped
+WINDOW wg AS (PARTITION BY metric, _grp)
+""",
+        # grep / exclude / aliasByNode(2) / aliasSub over in-plan
+        # dotted paths (DuckDB string_split is 1-indexed: node 2 of
+        # the 0-indexed spark split = element 3)
+        "name_functions": f"""
+WITH {POINTS_CTE},
+names AS (
+  SELECT DISTINCT metric, 'prod.events.' || metric AS path
+  FROM points
+)
+SELECT metric, path,
+  CAST(regexp_matches(path,
+       '^prod\\.events\\.(click|view)$') AS INTEGER) AS grep_keep,
+  CAST(NOT regexp_matches(path, 'error') AS INTEGER) AS exclude_keep,
+  string_split(path, '.')[3] AS alias_by_node,
+  regexp_replace(path, '^prod\\.', 'stage.') AS alias_sub
+FROM names
+""",
+        # divideSeries(click, view): None on missing/zero divisor
+        "divide_series": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+pivoted AS (
+  SELECT ts,
+         max(CASE WHEN metric = 'click' THEN value END) AS dividend,
+         max(CASE WHEN metric = 'view' THEN value END) AS divisor
+  FROM deduped GROUP BY ts
+)
+SELECT ts, dividend, divisor,
+       CASE WHEN divisor IS NOT NULL AND divisor <> 0.0
+            THEN dividend / divisor END AS quotient
+FROM pivoted
+""",
+        # sortByName + sortByTotal ranks off one decimal-exact panel
+        "series_orderings": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT metric,
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS total,
+         CAST(count(*) AS BIGINT) AS n_points
+  FROM deduped GROUP BY metric
+)
+SELECT metric, total, n_points,
+       CAST(row_number() OVER (ORDER BY metric) AS INTEGER)
+         AS rank_by_name,
+       CAST(row_number() OVER (ORDER BY total DESC, metric)
+         AS INTEGER) AS rank_by_total
+FROM totals
 """,
         "per_second_rate": f"""
 WITH {POINTS_CTE},

@@ -1547,3 +1547,207 @@ def summarize(
     return j.groupBy("metric", bucket.alias("ts")).agg(
         agg_expr(method).alias("value")
     )
+
+
+def derivative_integral(dense: DataFrame) -> DataFrame:
+    """graphite-web ``derivative(series)`` and ``integral(series)``
+    in one per-metric window pass over a DENSE fetch (r9 function-
+    layer widening).
+
+    graphite semantics reproduced exactly: ``derivative`` is the
+    point-to-point delta and is None whenever the current OR previous
+    point is None (functions.py walks ``prev`` through the list, so a
+    gap poisons two outputs); ``integral`` is the running total that
+    SKIPS None (the accumulator holds) but emits None at None slots.
+    The delta is one IEEE subtract; the running total accumulates in
+    DECIMAL(30,10) via the string route and converts once per row, so
+    both columns are engine-portable bit-for-bit. One window sort per
+    metric, no joins.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col("value")
+    dec = v.cast("string").cast("decimal(30,10)")
+    return dense.select(
+        "metric",
+        "ts",
+        v.alias("value"),
+        (v - F.lag("value").over(w)).alias("derivative"),
+        F.when(
+            v.isNotNull(),
+            F.sum(dec).over(wrun).cast("string").cast("double"),
+        ).alias("integral"),
+    )
+
+
+def null_gap_fill(
+    dense: DataFrame, default: float = 0.0, limit: int = 2
+) -> DataFrame:
+    """graphite-web ``transformNull(series, default)`` and
+    ``keepLastValue(series, limit)`` with the FINITE-limit semantics
+    (r9): :func:`forward_fill` is keepLastValue's ``limit=INF``
+    default; graphite's bounded form fills a gap ONLY when the whole
+    consecutive-None run is ≤ limit — a longer run stays entirely
+    None (functions.py counts ``consecutiveNones`` and back-fills the
+    complete run or nothing; a run is never partially filled).
+
+    Plan: one running count of non-NULLs per metric assigns each row
+    a group anchored at the latest non-NULL (``_grp``); the anchor's
+    value and the run length then come from one partitioned
+    aggregate-window over (metric, _grp) — no joins, no second scan.
+    Leading Nones sit in group 0 with no anchor and stay NULL
+    automatically, matching graphite's left edge.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col("value")
+    wrun = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = dense.select(
+        "metric", "ts", v.alias("value"),
+        F.count("value").over(wrun).alias("_grp"),
+    )
+    wg = Window.partitionBy("metric", "_grp")
+    run_len = F.count("*").over(wg) - 1
+    anchor = F.max("value").over(wg)
+    return grouped.select(
+        "metric",
+        "ts",
+        "value",
+        F.coalesce(v, F.lit(float(default))).alias("null_as_default"),
+        F.when(v.isNotNull(), v)
+        .when(run_len <= int(limit), anchor)
+        .alias("kept_last"),
+    )
+
+
+def name_functions(
+    buckets: DataFrame,
+    keep_rx: str = "^prod\\.events\\.(click|view)$",
+    drop_rx: str = "error",
+    node: int = 2,
+    sub_search: str = "^prod\\.",
+    sub_replace: str = "stage.",
+    prefix: str = "prod.events.",
+) -> DataFrame:
+    """The graphite-web metric-NAME function family in one
+    series-cardinality projection (r9): ``grep(pattern)`` (keep
+    matching), ``exclude(pattern)`` (drop matching), ``aliasByNode(n)``
+    (dot-split node extraction) and ``aliasSub(search, replace)``
+    (regex rewrite).
+
+    The fixture metrics are single-token event types, so the entry
+    prefixes them into graphite-style dotted paths IN-PLAN (``prefix``
+    + metric) before applying the family — the functions operate on
+    names, and the dotted shape is what exercises the node logic.
+    Both gates are emitted as 0/1 columns (grep_keep / exclude_keep)
+    so BOTH arms hash-check; the regexes stay inside the
+    POSIX-compatible subset both engines parse identically.
+    """
+    path = F.concat(F.lit(prefix), F.col("metric"))
+    names = buckets.select("metric").distinct().select(
+        "metric",
+        path.alias("path"),
+        path.rlike(keep_rx).cast("int").alias("grep_keep"),
+        (~path.rlike(drop_rx)).cast("int").alias("exclude_keep"),
+        F.split(path, "\\.").getItem(int(node)).alias("alias_by_node"),
+        F.regexp_replace(path, sub_search, sub_replace).alias(
+            "alias_sub"
+        ),
+    )
+    return names
+
+
+def divide_series(
+    buckets: DataFrame, dividend: str = "click", divisor: str = "view"
+) -> DataFrame:
+    """graphite-web ``divideSeries(dividendSeries, divisorSeries)``
+    (r9): per-slot ratio, None when the divisor is missing OR ZERO
+    (functions.py guards ``value / divisor if divisor else None`` —
+    a 0.0 divisor yields None, not infinity) and None when the
+    dividend is missing. One grouped per-ts aggregate (map-side
+    combinable) pivots both named series from the tall table; the
+    ratio is a single correctly-rounded IEEE divide, so the entry is
+    engine-portable without a decimal detour.
+    """
+    nn = buckets.filter(F.col("value").isNotNull())
+    agg = nn.groupBy("ts").agg(
+        F.max(
+            F.when(F.col("metric") == dividend, F.col("value"))
+        ).alias("dividend"),
+        F.max(
+            F.when(F.col("metric") == divisor, F.col("value"))
+        ).alias("divisor"),
+    )
+    return agg.select(
+        "ts",
+        "dividend",
+        "divisor",
+        F.when(
+            F.col("divisor").isNotNull() & (F.col("divisor") != 0.0),
+            F.col("dividend") / F.col("divisor"),
+        ).alias("quotient"),
+    )
+
+
+def series_orderings(buckets: DataFrame) -> DataFrame:
+    """graphite-web ``sortByName`` and ``sortByTotal`` (r9):
+    completes the panel-ordering family next to
+    :func:`sort_by_extrema` (maxima/minima) and the
+    highest/lowestCurrent ranks in :func:`filter_series`.
+
+    One map-side-combinable per-metric aggregate (decimal-exact
+    total via the string route — sortByTotal is a SUM ordering, and
+    a ulp in the total could swap adjacent ranks); both rank columns
+    ride the same tiny series-list table. Ties break by metric name —
+    total order, oracle-stable. Same unpartitioned-rank caveat and
+    LOUD cardinality guard as sort_by_extrema: this is a panel
+    primitive, not a catalog ranking.
+    """
+    from pyspark.sql.window import Window
+
+    totals = buckets.filter(F.col("value").isNotNull()).groupBy(
+        "metric"
+    ).agg(
+        F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("total"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+    ranked = totals.select(
+        "metric",
+        "total",
+        "n_points",
+        F.row_number()
+        .over(Window.orderBy(F.asc("metric")))
+        .alias("rank_by_name"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("total"), F.asc("metric")))
+        .alias("rank_by_total"),
+    )
+    return ranked.select(
+        "metric",
+        "total",
+        "n_points",
+        "rank_by_name",
+        F.when(
+            F.col("rank_by_total") <= MAX_RANKED_SERIES,
+            F.col("rank_by_total"),
+        )
+        .otherwise(
+            F.raise_error(F.lit(
+                "series_orderings: more than "
+                f"{MAX_RANKED_SERIES} series — this is a panel-"
+                "ordering primitive (unpartitioned rank); use "
+                "order_quartiles_scaled-style boundary bucketing "
+                "for catalog-scale ranking"
+            ))
+        )
+        .alias("rank_by_total"),
+    )

@@ -905,3 +905,84 @@ def test_point_gates_arms_and_degenerates(spark):
     assert a2["time_sliced"] is None and a0["time_sliced"] == 0.5
     # row count preserved (projection, not filter)
     assert out.count() == 4
+
+
+# ---- r9 third function-layer widening -------------------------------
+
+
+def test_derivative_integral_null_poisoning(spark):
+    # gap poisons TWO derivative outputs (current and next); integral
+    # skips None but emits None at None slots
+    df = pts(spark, [("a", 0, 1.0, 0), ("a", 60, None, 1),
+                     ("a", 120, 4.0, 2), ("a", 180, 6.0, 3)])
+    rows = {r["ts"]: r for r in ser.derivative_integral(df).collect()}
+    assert rows[0]["derivative"] is None       # no prev
+    assert rows[60]["derivative"] is None      # current None
+    assert rows[120]["derivative"] is None     # prev None
+    assert rows[180]["derivative"] == 2.0
+    assert rows[0]["integral"] == 1.0
+    assert rows[60]["integral"] is None        # None slot emits None
+    assert rows[120]["integral"] == 5.0        # accumulator held
+    assert rows[180]["integral"] == 11.0
+
+
+def test_null_gap_fill_run_length_boundary(spark):
+    # limit=2: a 2-run fills completely, a 3-run stays ALL None
+    # (graphite never partially fills), leading Nones stay None
+    data = [("a", 0, None, 0),                  # leading: no anchor
+            ("a", 60, 10.0, 1),
+            ("a", 120, None, 2), ("a", 180, None, 3),   # run of 2
+            ("a", 240, 20.0, 4),
+            ("a", 300, None, 5), ("a", 360, None, 6),
+            ("a", 420, None, 7)]                # trailing run of 3
+    df = pts(spark, data)
+    rows = {r["ts"]: r for r in ser.null_gap_fill(
+        df, default=0.0, limit=2).collect()}
+    assert rows[0]["kept_last"] is None
+    assert rows[0]["null_as_default"] == 0.0
+    assert rows[120]["kept_last"] == 10.0
+    assert rows[180]["kept_last"] == 10.0
+    assert rows[300]["kept_last"] is None      # run of 3 > limit
+    assert rows[360]["kept_last"] is None
+    assert rows[420]["kept_last"] is None
+    # trailing run of exactly limit fills
+    rows3 = {r["ts"]: r for r in ser.null_gap_fill(
+        df, default=0.0, limit=3).collect()}
+    assert rows3[420]["kept_last"] == 20.0
+
+
+def test_name_functions_gates_and_aliases(spark):
+    df = pts(spark, [("click", 0, 1.0, 0), ("error", 0, 1.0, 1),
+                     ("signup", 0, 1.0, 2)])
+    rows = {r["metric"]: r for r in ser.name_functions(df).collect()}
+    assert rows["click"]["path"] == "prod.events.click"
+    assert rows["click"]["grep_keep"] == 1
+    assert rows["signup"]["grep_keep"] == 0
+    assert rows["error"]["exclude_keep"] == 0
+    assert rows["signup"]["exclude_keep"] == 1
+    assert rows["click"]["alias_by_node"] == "click"
+    assert rows["click"]["alias_sub"] == "stage.events.click"
+
+
+def test_divide_series_zero_and_missing_divisor(spark):
+    df = pts(spark, [("click", 0, 6.0, 0), ("view", 0, 3.0, 1),
+                     ("click", 60, 5.0, 2), ("view", 60, 0.0, 3),
+                     ("click", 120, 4.0, 4),          # no view slot
+                     ("view", 180, 2.0, 5)])          # no click slot
+    rows = {r["ts"]: r for r in ser.divide_series(df).collect()}
+    assert rows[0]["quotient"] == 2.0
+    assert rows[60]["quotient"] is None        # zero divisor: None
+    assert rows[120]["quotient"] is None       # missing divisor
+    assert rows[180]["quotient"] is None       # missing dividend
+
+
+def test_series_orderings_ranks(spark):
+    df = pts(spark, [("b", 0, 5.0, 0), ("b", 60, 5.0, 1),
+                     ("a", 0, 3.0, 2), ("c", 0, 10.0, 3)])
+    rows = {r["metric"]: r for r in ser.series_orderings(df).collect()}
+    assert [rows[m]["rank_by_name"] for m in "abc"] == [1, 2, 3]
+    # totals: a=3, b=10, c=10 — tie breaks by name: b before c
+    assert rows["b"]["rank_by_total"] == 1
+    assert rows["c"]["rank_by_total"] == 2
+    assert rows["a"]["rank_by_total"] == 3
+    assert rows["b"]["total"] == 10.0 and rows["b"]["n_points"] == 2
