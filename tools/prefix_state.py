@@ -122,10 +122,27 @@ def module_files() -> dict[str, str]:
 #: entry).
 PYTEST_ONLY_MODULES = frozenset({
     "ceres_spark/__init__.py",
-    "ceres_spark/cli.py",
-    "ceres_spark/errors.py",
-    "ceres_spark/session.py",
-    "ceres_spark/tree.py",
+    "ceres_spark/cli.py",              # test_cli
+    "ceres_spark/errors.py",           # test_errors (exception surface)
+    "ceres_spark/session.py",          # bootstraps every test session
+    "ceres_spark/tree.py",             # test_tree/test_maintenance —
+    #                                    fs-level ops, SQL-inexpressible
+    "ceres_spark/timeseries.py",       # test_series_ops merge scenarios
+    "ceres_spark/sources/txn_log.py",  # tree.store's put-if-absent log
+    #                                    (test_tree); the replay twin
+    #                                    checks the WRITE SEMANTICS via
+    #                                    stream_store_replay, not this
+    #                                    driver-side log helper
+    "ceres_spark/sources/slice_datasource.py",  # Spark DataSource
+    #                                    wrapper (test_slice_datasource);
+    #                                    the underlying codec IS
+    #                                    entry-reachable via
+    #                                    slice_format/slice_roundtrip
+    "ceres_spark/operators/codec_contract.py",  # the vendor
+    #                                    conformance KIT — a test
+    #                                    harness by nature
+    #                                    (test_codec_contract,
+    #                                    test_vendor_walkthrough)
     "ceres_spark/operators/__init__.py",
     "ceres_spark/plans/__init__.py",
     "ceres_spark/sources/__init__.py",
