@@ -1750,6 +1750,35 @@ def _q_series_orderings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.series_orderings(deduped)
 
 
+def _q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite interpolate(series, limit=3) over the dense day-1
+    hourly fetch (r9): interior None runs <= limit are LINEARLY
+    filled by slot position (prev + (next-prev)*pos/(len+1) — the
+    identical IEEE expression tree on both engines); longer runs,
+    leading and trailing gaps stay None. The straight-line
+    counterpart of null_gap_fill's step fill."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    return ser.interpolate_gaps(dense, limit=3)
+
+
+def _q_remove_between_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """graphite removeBetweenPercentile(seriesList, 80) (r9): the
+    CROSS-SERIES percentile band per time slot (rank window
+    partitioned by ts — the transpose of the usual per-metric
+    window; graphite's integer _getPercentile rank rule), keeping
+    only series that escape [p20, p80] somewhere, with their escape
+    counts. Runs on the HOURLY averages so every slot carries all 5
+    metrics (minute slots are 1-3 metrics sparse and the 5-series
+    band at ranks 2/5 needs the full transpose to discriminate)."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.remove_between_percentile(hourly, n=80)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3439,7 +3468,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 35-entry r4-stale block in CORRECTNESS_r04 key order (the eight
 #: displaced late-r8 ARE that file's first eight keys, so the
 #: r8-written plan order and the file order coincide) → (d) the
-#: first 9 r5-stale entries in CORRECTNESS_r05 key order. See the
+#: first 2 r5-stale entries in CORRECTNESS_r05 key order. See the
 #: ROTATION STATE section in the queries() docstring. This list is
 #: machine-checked by tests/test_rotation_guard.py.
 _R9_PREFIX = [
@@ -3479,6 +3508,11 @@ _R9_PREFIX = [
     "divide_series",              # divideSeries: None on missing or
     #                               ZERO divisor, never an infinity
     "series_orderings",           # sortByName + sortByTotal ranks
+    "interpolate_gaps",           # interpolate(limit): linear fill
+    #                               of interior runs <= limit
+    "remove_between_percentile",  # cross-series per-slot band,
+    #                               keep escapers (the transpose
+    #                               window shape)
     # (c) the FULL r4-stale block (35), CORRECTNESS_r04 key order —
     # clears every r4 row from the backlog in one round
     "rollup_catalog",
@@ -3519,13 +3553,11 @@ _R9_PREFIX = [
     #                               is the second source
     "mixture_sample",
     "fuzzy_pairs_banded",
-    # (d) r5-stale head (4), CORRECTNESS_r05 key order — was 9 until
-    # the five late-r9 function-layer entries took the slots; the
-    # displaced compact_invariance … hitcount head the r10 (c) list
+    # (d) r5-stale head (2), CORRECTNESS_r05 key order — was 9 until
+    # the seven late-r9 function-layer entries took the slots; the
+    # displaced holt_winters_bands … hitcount head the r10 (c) list
     "chunk_retrieval",
     "ewma_series",
-    "holt_winters_bands",
-    "expire_catalog",
 ]
 
 #: r8 prefix (historical; superseded by _R9_PREFIX)
@@ -3909,23 +3941,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     private→public toArrow switch, whose fixture-file equality is
     pytest-pinned); (b) 1 new entry — event_transitions_chunked (the
     detection-free blanket twin, VERDICT r8 #3 A/B winner, sharing
-    the unsalted oracle) plus the 5 late-r9 function-layer widening
+    the unsalted oracle) plus the 7 late-r9 function-layer widening
     entries derivative_integral / null_gap_fill / name_functions /
-    divide_series / series_orderings (every one oracle-paired, green
+    divide_series / series_orderings / interpolate_gaps /
+    remove_between_percentile (every one oracle-paired, green
     at sf0.01 AND sf0.1 locally); (c) the FULL 35-entry r4-stale
     block in
     CORRECTNESS_r04 key order (the eight displaced late-r8 are
     exactly that file's first eight keys, so the r8-written plan
     order and file order coincide: rollup_catalog … tpch_q6, then
     tpch_q10 … fuzzy_pairs_banded) — this clears every r4 row from
-    the backlog; (d) the first 4 r5-stale entries in CORRECTNESS_r05
-    key order (chunk_retrieval … expire_catalog — was 9 until the
+    the backlog; (d) the first 2 r5-stale entries in CORRECTNESS_r05
+    key order (chunk_retrieval, ewma_series — was 9 until the
     late-r9 (b) entries took the slots; the displaced
-    compact_invariance … hitcount head the r10 (c) list).
+    holt_winters_bands … hitcount head the r10 (c) list).
 
     ROTATION PLAN (round 10): promote (a) anything changed in r10,
-    (b) new r10 entries, (c) the remaining 35 r5-stale entries in
-    CORRECTNESS_r05 key order (compact_invariance, n_percentile,
+    (b) new r10 entries, (c) the remaining 37 r5-stale entries in
+    CORRECTNESS_r05 key order (holt_winters_bands, expire_catalog,
+    compact_invariance, n_percentile,
     percentile_of_series, summarize_align, hitcount,
     integral_by_interval,
     remove_above_percentile, most_deviant, average_above,
@@ -4145,6 +4179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_functions": _q_name_functions,
         "divide_series": _q_divide_series,
         "series_orderings": _q_series_orderings,
+        "interpolate_gaps": _q_interpolate_gaps,
+        "remove_between_percentile": _q_remove_between_percentile,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -6519,6 +6555,88 @@ SELECT metric, path,
   string_split(path, '.')[3] AS alias_by_node,
   regexp_replace(path, '^prod\\.', 'stage.') AS alias_sub
 FROM names
+""",
+        # interpolate(limit=3): linear fill of interior gap runs <=
+        # limit by slot position; identical IEEE expression tree on
+        # both engines (sub, div, mul, add)
+        "interpolate_gaps": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {T0 + DAY}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0}, {T0 + DAY}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+),
+grouped AS (
+  SELECT metric, ts, value,
+         count(value) OVER (PARTITION BY metric ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS _grp,
+         first_value(value IGNORE NULLS) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS _next
+  FROM dense
+)
+SELECT metric, ts, value,
+       CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN count(*) OVER wg - 1 <= 3
+              AND max(value) OVER wg IS NOT NULL
+              AND _next IS NOT NULL
+         THEN max(value) OVER wg
+              + (_next - max(value) OVER wg)
+                * (CAST(row_number() OVER wgo - 1 AS DOUBLE)
+                   / (CAST(count(*) OVER wg - 1 AS DOUBLE) + 1.0))
+       END AS interpolated
+FROM grouped
+WINDOW wg AS (PARTITION BY metric, _grp),
+       wgo AS (PARTITION BY metric, _grp ORDER BY ts)
+""",
+        # removeBetweenPercentile(80): cross-series [p20, p80] band
+        # per slot (integer _getPercentile ranks), keep escapers
+        "remove_between_percentile": f"""
+WITH {POINTS_CTE},
+lww AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+deduped AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM lww GROUP BY 1, 2
+),
+ranked AS (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY ts ORDER BY value) AS _rn,
+         count(*) OVER (PARTITION BY ts) AS _cnt
+  FROM deduped
+),
+bands AS (
+  SELECT ts,
+    max(CASE WHEN _rn = greatest(1, least(_cnt,
+        (20 * (_cnt + 1) + 99) // 100)) THEN value END) AS _lo,
+    max(CASE WHEN _rn = greatest(1, least(_cnt,
+        (80 * (_cnt + 1) + 99) // 100)) THEN value END) AS _hi
+  FROM ranked GROUP BY ts
+),
+keepers AS (
+  SELECT metric,
+         CAST(sum(CAST(value < _lo OR value > _hi AS INTEGER))
+              AS BIGINT) AS escapes
+  FROM deduped JOIN bands USING (ts)
+  GROUP BY metric
+  HAVING escapes > 0
+)
+SELECT d.metric, d.ts, d.value, k.escapes
+FROM deduped d JOIN keepers k ON d.metric = k.metric
 """,
         # divideSeries(click, view): None on missing/zero divisor
         "divide_series": f"""

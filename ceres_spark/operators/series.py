@@ -1751,3 +1751,119 @@ def series_orderings(buckets: DataFrame) -> DataFrame:
         )
         .alias("rank_by_total"),
     )
+
+
+def interpolate_gaps(dense: DataFrame, limit: int = 3) -> DataFrame:
+    """graphite-web ``interpolate(series, limit)`` (r9): linearly
+    fill INTERIOR None gaps whose whole consecutive run is ≤ limit;
+    longer runs, leading gaps (no previous anchor) and trailing gaps
+    (no next anchor) stay None — the straight-line counterpart of
+    :func:`null_gap_fill`'s step fill.
+
+    The dense grid is uniform, so graphite interpolates by slot
+    position: ``prev + (next − prev) · pos/(len+1)`` with pos 1-based
+    inside the run. Both engines evaluate the identical IEEE
+    expression tree (one subtract, one divide, one multiply, one
+    add — each correctly rounded), so the entry hash-checks without
+    a decimal detour. Plan: the null_gap_fill group trick gives the
+    previous anchor and run length; the next anchor is one
+    ``first(ignorenulls)`` over the FOLLOWING frame of the same sort
+    — still a single per-metric window pass, no joins.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col("value")
+    wo = Window.partitionBy("metric").orderBy("ts")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grouped = dense.select(
+        "metric", "ts", v.alias("value"),
+        F.count("value").over(wrun).alias("_grp"),
+        F.first("value", ignorenulls=True).over(wnext).alias("_next"),
+    )
+    wg = Window.partitionBy("metric", "_grp")
+    wgo = Window.partitionBy("metric", "_grp").orderBy("ts")
+    run_len = F.count("*").over(wg) - 1
+    prev = F.max("value").over(wg)
+    pos = (F.row_number().over(wgo) - 1).cast("double")
+    span = run_len.cast("double") + F.lit(1.0)
+    return grouped.select(
+        "metric",
+        "ts",
+        "value",
+        F.when(v.isNotNull(), v)
+        .when(
+            (run_len <= int(limit))
+            & prev.isNotNull()
+            & F.col("_next").isNotNull(),
+            prev + (F.col("_next") - prev) * (pos / span),
+        )
+        .alias("interpolated"),
+    )
+
+
+def remove_between_percentile(
+    buckets: DataFrame, n: int = 90
+) -> DataFrame:
+    """graphite-web ``removeBetweenPercentile(seriesList, n)`` (r9):
+    keep only the series that ESCAPE the cross-series percentile band
+    at some time slot — functions.py transposes the series list, takes
+    the (100−n)th and nth percentile ACROSS SERIES per slot (the
+    non-interpolated _getPercentile rank rule, same as
+    :func:`n_percentile`), and keeps a series unless ALL its points
+    lie inside [low, high].
+
+    A new shape for the family: the percentile window partitions by
+    TS (each partition is series-cardinality — a handful of rows per
+    slot at any scale, the transpose of the usual per-metric window),
+    then one per-series ANY-escape aggregate and a broadcast
+    semi-join keep the full point set of survivors. Output: surviving
+    series' points, plus the escape count that selected them.
+    """
+    from pyspark.sql.window import Window
+
+    nn = buckets.filter(F.col("value").isNotNull())
+    hi_n = n if n >= 50 else 100 - n
+    lo_n = 100 - hi_n
+    w = Window.partitionBy("ts").orderBy("value")
+    ranked = nn.select(
+        "metric", "ts", "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("ts")).alias("_cnt"),
+    )
+
+    def rank_of(pct):
+        # graphite _getPercentile rank: ceil(pct/100·(cnt+1)),
+        # clamped — exact integer `div`, engine-portable (the
+        # n_percentile idiom)
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.col("_cnt"),
+                F.expr(f"({int(pct)}L * (_cnt + 1) + 99) div 100"),
+            ),
+        )
+
+    bands = ranked.groupBy("ts").agg(
+        F.max(
+            F.when(F.col("_rn") == rank_of(lo_n), F.col("value"))
+        ).alias("_lo"),
+        F.max(
+            F.when(F.col("_rn") == rank_of(hi_n), F.col("value"))
+        ).alias("_hi"),
+    )
+    flagged = nn.join(F.broadcast(bands), "ts").select(
+        "metric", "ts", "value",
+        (
+            (F.col("value") < F.col("_lo"))
+            | (F.col("value") > F.col("_hi"))
+        ).cast("int").alias("_esc"),
+    )
+    keepers = (
+        flagged.groupBy("metric")
+        .agg(F.sum("_esc").cast("bigint").alias("escapes"))
+        .filter(F.col("escapes") > 0)
+    )
+    return buckets.join(F.broadcast(keepers), "metric").select(
+        "metric", "ts", "value", "escapes"
+    )

@@ -986,3 +986,49 @@ def test_series_orderings_ranks(spark):
     assert rows["c"]["rank_by_total"] == 2
     assert rows["a"]["rank_by_total"] == 3
     assert rows["b"]["total"] == 10.0 and rows["b"]["n_points"] == 2
+
+
+def test_interpolate_gaps_linear_and_boundaries(spark):
+    # limit=2: interior 2-run fills linearly by slot position;
+    # 3-run stays None; leading/trailing gaps stay None (no anchor)
+    data = [("a", 0, None, 0),
+            ("a", 60, 10.0, 1),
+            ("a", 120, None, 2), ("a", 180, None, 3),   # run of 2
+            ("a", 240, 40.0, 4),
+            ("a", 300, None, 5), ("a", 360, None, 6), ("a", 420, None, 7),
+            ("a", 480, 0.0, 8),                          # run of 3
+            ("a", 540, None, 9)]                         # trailing
+    df = pts(spark, data)
+    rows = {r["ts"]: r["interpolated"] for r in ser.interpolate_gaps(
+        df, limit=2).collect()}
+    assert rows[0] is None
+    assert rows[120] == 20.0          # 10 + (40-10)*1/3
+    assert rows[180] == 30.0          # 10 + (40-10)*2/3
+    assert rows[300] is None and rows[360] is None and rows[420] is None
+    assert rows[540] is None          # trailing: no next anchor
+    assert rows[60] == 10.0 and rows[240] == 40.0
+
+
+def test_remove_between_percentile_escapers_only(spark):
+    # 5 series, 2 slots; n=80 -> band [2nd smallest, max] per slot:
+    # only the strict per-slot minimum escapes
+    rows = []
+    for i, m in enumerate("abcde"):
+        rows.append((m, 0, float(10 + i), i))
+        rows.append((m, 60, float(20 + i), 10 + i))
+    # make 'e' the minimum at ts=60 instead
+    rows[-1] = ("e", 60, 1.0, 14)
+    df = pts(spark, rows)
+    got = ser.remove_between_percentile(df, n=80).collect()
+    by_metric = {}
+    for r in got:
+        by_metric.setdefault(r["metric"], r["escapes"])
+    # 'a' is the min at ts=0, 'e' at ts=60 — the only escapers
+    assert set(by_metric) == {"a", "e"}
+    assert by_metric["a"] == 1 and by_metric["e"] == 1
+    # survivors keep their FULL point set
+    assert len(got) == 4
+    # n below 50 mirrors to 100-n (graphite)
+    got2 = {r["metric"] for r in
+            ser.remove_between_percentile(df, n=20).collect()}
+    assert got2 == {"a", "e"}
