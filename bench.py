@@ -172,6 +172,60 @@ def measurement_gate(
     return reasons
 
 
+def noise_stats(per_q: dict[str, list[float]]) -> dict:
+    """Pure noise/forensics stats from {query: [pass seconds, ...]}.
+
+    The GATED metric (r9) is two-best-pass agreement
+    (second_min/min), not max/min: the artifact's numbers are the
+    per-query MINs, their trustworthiness is the reproducibility of
+    those mins, and with ≥3 passes a single neighbor burst corrupts
+    at most one pass — max/min gated the artifact on the burst it
+    already excluded (r8 close-out: six-for-six refusals; early r9:
+    three more at p90_maxmin 1.67-1.94 from scattered sub-second
+    queries while the mins agreed). max/min percentiles stay RECORDED
+    for cross-round continuity, and `worst_spreads` carries the top
+    per-query pass times so a refused run shows WHICH queries failed
+    to reproduce. Pure so tests/test_bench_gate.py can pin the math
+    without running a bench.
+    """
+    def pctls(ratios):
+        ratios = sorted(ratios)
+        if not ratios:
+            return None, None
+        return (
+            round(ratios[len(ratios) // 2], 3),
+            round(ratios[int(len(ratios) * 0.9)], 3),
+        )
+
+    clean = {q: ts for q, ts in per_q.items() if ts and min(ts) > 0}
+    med_b2, p90_b2 = pctls(
+        sorted(ts)[1] / sorted(ts)[0]
+        for ts in clean.values()
+        if len(ts) >= 2
+    )
+    med_mm, p90_mm = pctls(max(ts) / min(ts) for ts in clean.values())
+    return {
+        "noise_median_best2": med_b2,
+        "noise_p90_best2": p90_b2,
+        "noise_median_maxmin": med_mm,
+        "noise_p90_maxmin": p90_mm,
+        "worst_spreads": sorted(
+            (
+                {
+                    "q": q,
+                    "best2_spread": round(
+                        sorted(ts)[1] / sorted(ts)[0], 3
+                    ),
+                    "passes_s": ts,
+                }
+                for q, ts in clean.items()
+                if len(ts) >= 2
+            ),
+            key=lambda d: -d["best2_spread"],
+        )[:25],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -212,62 +266,15 @@ def main() -> None:
         pass_totals.append(round(pt, 4))
     load_end = os.getloadavg()
     timings = {q: min(ts) for q, ts in per_q.items()}
-    worst = {q: max(ts) for q, ts in per_q.items()}
     total = round(sum(timings.values()), 4)
-    # r9 noise metric: agreement of the two BEST passes per query
-    # (second_min/min), not max/min. The artifact's numbers are the
-    # per-query MINs; their trustworthiness is the reproducibility of
-    # those mins, and with 3 passes a single neighbor burst corrupts
-    # at most one pass — max/min gated the artifact on the burst it
-    # already excluded (r8 close-out: six-for-six refusals; r9: three
-    # more, p90_maxmin 1.67-1.94 from scattered sub-second queries
-    # while the mins agreed). max/min is still RECORDED for
-    # cross-round continuity, just no longer the gate input.
-    ratios = sorted(
-        sorted(ts)[1] / sorted(ts)[0]
-        for ts in per_q.values()
-        if min(ts) > 0
-    )
-    ratios_maxmin = sorted(
-        worst[q] / timings[q] for q in timings if timings[q] > 0
-    )
+    stats = noise_stats(per_q)
     noise = {
         "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "live_replay_siblings": siblings,
         "pass_totals": pass_totals,
-        # the GATED metric (r9): two-best-pass agreement
-        "noise_median_best2": round(ratios[len(ratios) // 2], 3)
-        if ratios else None,
-        "noise_p90_best2": round(ratios[int(len(ratios) * 0.9)], 3)
-        if ratios else None,
-        # legacy max/min spread, recorded for cross-round continuity
-        "noise_median_maxmin": round(
-            ratios_maxmin[len(ratios_maxmin) // 2], 3
-        ) if ratios_maxmin else None,
-        "noise_p90_maxmin": round(
-            ratios_maxmin[int(len(ratios_maxmin) * 0.9)], 3
-        ) if ratios_maxmin else None,
-        # r9: the gate's INPUT, not just its percentile — the top
-        # best-2 spreads with their per-pass seconds, so a refused
-        # run shows WHICH queries failed to reproduce (burst
-        # forensics) and a reader can tell deterministic first-pass
-        # structure from wandering noise
-        "worst_spreads": sorted(
-            (
-                {
-                    "q": q,
-                    "best2_spread": round(
-                        sorted(ts)[1] / sorted(ts)[0], 3
-                    ),
-                    "passes_s": ts,
-                }
-                for q, ts in per_q.items()
-                if min(ts) > 0
-            ),
-            key=lambda d: -d["best2_spread"],
-        )[:25],
+        **stats,
     }
     reasons = measurement_gate(
         load_start[0], noise["noise_p90_best2"], siblings

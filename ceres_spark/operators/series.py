@@ -1813,11 +1813,15 @@ def remove_between_percentile(
     :func:`n_percentile`), and keeps a series unless ALL its points
     lie inside [low, high].
 
-    A new shape for the family: the percentile window partitions by
-    TS (each partition is series-cardinality — a handful of rows per
-    slot at any scale, the transpose of the usual per-metric window),
-    then one per-series ANY-escape aggregate and a broadcast
-    semi-join keep the full point set of survivors. Output: surviving
+    Same transpose shape and scale story as
+    :func:`percentile_of_series`: the percentile window partitions by
+    TS (each partition is series-cardinality — #metrics rows per
+    slot; the exchange is on ts, so the work parallelizes across the
+    TIME axis, the unbounded dimension at 100 TB), then one
+    per-series ANY-escape aggregate and a broadcast
+    semi-join keep the full point set of survivors (the keeper table
+    is series-cardinality, broadcast-safe by the same argument as
+    every other series-panel join here). Output: surviving
     series' points, plus the escape count that selected them.
     """
     from pyspark.sql.window import Window

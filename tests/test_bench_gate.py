@@ -109,3 +109,28 @@ def test_preflight_artifact_records_probe_history():
     )
     p = out["last_probes"][-1]
     assert p["probe_med_ms"] == 123.0 and p["probe_spread"] == 1.01
+
+
+def test_noise_stats_best2_ignores_single_burst():
+    # one pass burst-hit: max/min reads 5x but the two best agree
+    per_q = {f"q{i}": [1.0, 1.05, 5.0] for i in range(10)}
+    s = bench.noise_stats(per_q)
+    assert s["noise_p90_best2"] == 1.05
+    assert s["noise_p90_maxmin"] == 5.0
+    top = s["worst_spreads"][0]
+    assert top["best2_spread"] == 1.05 and len(top["passes_s"]) == 3
+
+
+def test_noise_stats_genuine_irreproducibility_still_reads_high():
+    per_q = {"a": [1.0, 2.0, 3.0], "b": [0.5, 0.5, 0.5]}
+    s = bench.noise_stats(per_q)
+    assert s["noise_p90_best2"] == 2.0  # the two best disagree 2x
+    assert s["worst_spreads"][0]["q"] == "a"
+
+
+def test_noise_stats_edge_cases():
+    # zero-min and single-pass queries are excluded, empty is None
+    s = bench.noise_stats({"z": [0.0, 1.0], "one": [1.0]})
+    assert s["noise_p90_best2"] is None
+    assert s["worst_spreads"] == []
+    assert bench.noise_stats({})["noise_median_maxmin"] is None
