@@ -1779,6 +1779,28 @@ def _q_remove_between_percentile(
     return ser.remove_between_percentile(hourly, n=80)
 
 
+def _q_scalar_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite offset(10) + scale(1.5) + aggregateLine(avg/min/max)
+    in one per-metric window pass (r9 wave 5): offset/scale dials are
+    binary-exact so each output is a single correctly-rounded IEEE
+    op; the lines are decimal-exact per-series scalars drawn beside
+    every point without a join-back."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.scalar_line_transforms(deduped, offset=10.0, factor=1.5)
+
+
+def _q_average_outside_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """graphite averageOutsidePercentile(65) (r9 wave 5): decimal-
+    exact per-series averages, the integer _getPercentile band ACROSS
+    the averages, keep series whose average escapes it. n=65 on the
+    5-metric fixture puts the band at ranks 3/4 so BOTH escape arms
+    (below p35, above p65) populate the hash check."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    return ser.average_outside_percentile(deduped, n=65)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3467,8 +3489,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dict entries): (a) changed in r9 → (b) new in r9 → (c) the FULL
 #: 35-entry r4-stale block in CORRECTNESS_r04 key order (the eight
 #: displaced late-r8 ARE that file's first eight keys, so the
-#: r8-written plan order and the file order coincide) → (d) the
-#: first 2 r5-stale entries in CORRECTNESS_r05 key order. See the
+#: r8-written plan order and the file order coincide) → (d) empty
+#: (the nine late-r9 (b) entries took the remaining slots). See the
 #: ROTATION STATE section in the queries() docstring. This list is
 #: machine-checked by tests/test_rotation_guard.py.
 _R9_PREFIX = [
@@ -3513,6 +3535,8 @@ _R9_PREFIX = [
     "remove_between_percentile",  # cross-series per-slot band,
     #                               keep escapers (the transpose
     #                               window shape)
+    "scalar_transforms",          # offset/scale/aggregateLine
+    "average_outside_percentile", # band across per-series averages
     # (c) the FULL r4-stale block (35), CORRECTNESS_r04 key order —
     # clears every r4 row from the backlog in one round
     "rollup_catalog",
@@ -3553,11 +3577,10 @@ _R9_PREFIX = [
     #                               is the second source
     "mixture_sample",
     "fuzzy_pairs_banded",
-    # (d) r5-stale head (2), CORRECTNESS_r05 key order — was 9 until
-    # the seven late-r9 function-layer entries took the slots; the
-    # displaced holt_winters_bands … hitcount head the r10 (c) list
-    "chunk_retrieval",
-    "ewma_series",
+    # (d) r5-stale head — EMPTY: the nine late-r9 function-layer
+    # entries took all the slots the r4 block left; the whole
+    # 39-entry r5-stale block (chunk_retrieval … nation_pagerank,
+    # CORRECTNESS_r05 key order) is the r10 (c) list
 ]
 
 #: r8 prefix (historical; superseded by _R9_PREFIX)
@@ -3941,24 +3964,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     private→public toArrow switch, whose fixture-file equality is
     pytest-pinned); (b) 1 new entry — event_transitions_chunked (the
     detection-free blanket twin, VERDICT r8 #3 A/B winner, sharing
-    the unsalted oracle) plus the 7 late-r9 function-layer widening
+    the unsalted oracle) plus the 9 late-r9 function-layer widening
     entries derivative_integral / null_gap_fill / name_functions /
     divide_series / series_orderings / interpolate_gaps /
-    remove_between_percentile (every one oracle-paired, green
+    remove_between_percentile / scalar_transforms /
+    average_outside_percentile (every one oracle-paired, green
     at sf0.01 AND sf0.1 locally); (c) the FULL 35-entry r4-stale
     block in
     CORRECTNESS_r04 key order (the eight displaced late-r8 are
     exactly that file's first eight keys, so the r8-written plan
     order and file order coincide: rollup_catalog … tpch_q6, then
     tpch_q10 … fuzzy_pairs_banded) — this clears every r4 row from
-    the backlog; (d) the first 2 r5-stale entries in CORRECTNESS_r05
-    key order (chunk_retrieval, ewma_series — was 9 until the
-    late-r9 (b) entries took the slots; the displaced
-    holt_winters_bands … hitcount head the r10 (c) list).
+    the backlog; (d) is EMPTY this round — the late-r9 (b) entries
+    took every slot the r4 block left, so the whole 39-entry
+    r5-stale block rotates in r10.
 
     ROTATION PLAN (round 10): promote (a) anything changed in r10,
-    (b) new r10 entries, (c) the remaining 37 r5-stale entries in
-    CORRECTNESS_r05 key order (holt_winters_bands, expire_catalog,
+    (b) new r10 entries, (c) the 39 r5-stale entries in
+    CORRECTNESS_r05 key order (chunk_retrieval, ewma_series,
+    holt_winters_bands, expire_catalog,
     compact_invariance, n_percentile,
     percentile_of_series, summarize_align, hitcount,
     integral_by_interval,
@@ -4181,6 +4205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_orderings": _q_series_orderings,
         "interpolate_gaps": _q_interpolate_gaps,
         "remove_between_percentile": _q_remove_between_percentile,
+        "scalar_transforms": _q_scalar_transforms,
+        "average_outside_percentile": _q_average_outside_percentile,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -6636,6 +6662,61 @@ keepers AS (
   HAVING escapes > 0
 )
 SELECT d.metric, d.ts, d.value, k.escapes
+FROM deduped d JOIN keepers k ON d.metric = k.metric
+""",
+        # offset/scale (single IEEE ops, binary-exact dials) +
+        # aggregateLine avg/min/max as per-series constant columns
+        "scalar_transforms": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       value + 10.0 AS offset_value,
+       value * 1.5 AS scaled_value,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+                 OVER w AS VARCHAR) AS DOUBLE)
+         / count(*) OVER w AS line_avg,
+       min(value) OVER w AS line_min,
+       max(value) OVER w AS line_max
+FROM deduped
+WINDOW w AS (PARTITION BY metric)
+""",
+        # averageOutsidePercentile(65): integer rank band across the
+        # decimal-exact per-series averages, keep escapers
+        "average_outside_percentile": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+avgs AS (
+  SELECT metric,
+         CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / count(*) AS avg_value
+  FROM deduped GROUP BY metric
+),
+ranked AS (
+  SELECT metric, avg_value,
+         row_number() OVER (ORDER BY avg_value, metric) AS _rn,
+         count(*) OVER () AS _cnt
+  FROM avgs
+),
+bounds AS (
+  SELECT
+    max(CASE WHEN _rn = greatest(1, least(_cnt,
+        (35 * (_cnt + 1) + 99) // 100)) THEN avg_value END) AS _lo,
+    max(CASE WHEN _rn = greatest(1, least(_cnt,
+        (65 * (_cnt + 1) + 99) // 100)) THEN avg_value END) AS _hi
+  FROM ranked
+),
+keepers AS (
+  SELECT metric, avg_value FROM avgs CROSS JOIN bounds
+  WHERE avg_value < _lo OR avg_value > _hi
+)
+SELECT d.metric, d.ts, d.value, k.avg_value
 FROM deduped d JOIN keepers k ON d.metric = k.metric
 """,
         # divideSeries(click, view): None on missing/zero divisor

@@ -1871,3 +1871,105 @@ def remove_between_percentile(
     return buckets.join(F.broadcast(keepers), "metric").select(
         "metric", "ts", "value", "escapes"
     )
+
+
+def scalar_line_transforms(
+    buckets: DataFrame, offset: float = 10.0, factor: float = 1.5
+) -> DataFrame:
+    """graphite-web ``offset(series, c)``, ``scale(series, c)`` and
+    ``aggregateLine(series, func)`` for avg/min/max in one pass (r9
+    wave 5): offset and scale are single correctly-rounded IEEE ops
+    (the entry's dials are 10.0 and 1.5 — both binary-exact);
+    aggregateLine draws each series' scalar aggregate as a constant
+    column alongside every point, computed decimal-exact over a
+    full-frame per-metric window — no join-back, the window's
+    exchange is the same metric-keyed shuffle every per-series
+    kernel pays.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col("value")
+    w = Window.partitionBy("metric")
+    dec = v.cast("string").cast("decimal(30,10)")
+    return buckets.filter(v.isNotNull()).select(
+        "metric",
+        "ts",
+        v.alias("value"),
+        (v + F.lit(float(offset))).alias("offset_value"),
+        (v * F.lit(float(factor))).alias("scaled_value"),
+        (
+            F.sum(dec).over(w).cast("string").cast("double")
+            / F.count("*").over(w)
+        ).alias("line_avg"),
+        F.min(v).over(w).alias("line_min"),
+        F.max(v).over(w).alias("line_max"),
+    )
+
+
+def average_outside_percentile(
+    buckets: DataFrame, n: int = 80
+) -> DataFrame:
+    """graphite-web ``averageOutsidePercentile(seriesList, n)`` (r9
+    wave 5): per-series decimal-exact averages, the integer
+    _getPercentile rank rule ACROSS those averages (n mirrored to
+    100−n below 50, band = [p(100−n), p(n)] inclusive), and only the
+    series whose average falls OUTSIDE the band survive — with their
+    full point sets and the selecting average.
+
+    The panel is series-cardinality, so the band comes from one
+    unpartitioned rank over a handful of rows (same precedent and
+    LOUD cardinality guard as sort_by_extrema via the rank cap) and
+    returns to the point table as a broadcast semi-join.
+    """
+    from pyspark.sql.window import Window
+
+    avgs = buckets.filter(F.col("value").isNotNull()).groupBy(
+        "metric"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+            .cast("string")
+            .cast("double")
+            / F.count("*")
+        ).alias("avg_value")
+    )
+    hi_n = n if n >= 50 else 100 - n
+    lo_n = 100 - hi_n
+    wr = Window.orderBy(F.asc("avg_value"), F.asc("metric"))
+    ranked = avgs.select(
+        "metric",
+        "avg_value",
+        F.row_number().over(wr).alias("_rn"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_cnt"),
+    )
+
+    def rank_of(pct):
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.col("_cnt"),
+                F.expr(f"({int(pct)}L * (_cnt + 1) + 99) div 100"),
+            ),
+        )
+
+    bounds = ranked.agg(
+        F.max(F.when(F.col("_rn") == rank_of(lo_n),
+                     F.col("avg_value"))).alias("_lo"),
+        F.max(F.when(F.col("_rn") == rank_of(hi_n),
+                     F.col("avg_value"))).alias("_hi"),
+    )
+    keepers = (
+        avgs.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("avg_value") < F.col("_lo"))
+            | (F.col("avg_value") > F.col("_hi"))
+        )
+        .select("metric", "avg_value")
+    )
+    return buckets.join(F.broadcast(keepers), "metric").select(
+        "metric", "ts", "value", "avg_value"
+    )

@@ -1032,3 +1032,34 @@ def test_remove_between_percentile_escapers_only(spark):
     got2 = {r["metric"] for r in
             ser.remove_between_percentile(df, n=20).collect()}
     assert got2 == {"a", "e"}
+
+
+def test_scalar_line_transforms_ops_and_lines(spark):
+    df = pts(spark, [("a", 0, 2.0, 0), ("a", 60, 4.0, 1),
+                     ("a", 120, None, 2), ("b", 0, 10.0, 3)])
+    rows = {(r["metric"], r["ts"]): r
+            for r in ser.scalar_line_transforms(
+                df, offset=10.0, factor=1.5).collect()}
+    assert ("a", 120) not in rows          # null points dropped
+    a0 = rows[("a", 0)]
+    assert a0["offset_value"] == 12.0 and a0["scaled_value"] == 3.0
+    assert a0["line_avg"] == 3.0           # (2+4)/2
+    assert a0["line_min"] == 2.0 and a0["line_max"] == 4.0
+    assert rows[("b", 0)]["line_avg"] == 10.0
+
+
+def test_average_outside_percentile_band_arms(spark):
+    # 5 series with averages 1..5; n=65 -> band ranks 3/4 = [3, 4]:
+    # averages 1, 2 (below) and 5 (above) escape
+    rows = []
+    for i, m in enumerate("abcde"):
+        rows.append((m, 0, float(i + 1), i))
+        rows.append((m, 60, float(i + 1), 10 + i))
+    df = pts(spark, rows)
+    got = {r["metric"]: r["avg_value"]
+           for r in ser.average_outside_percentile(df, n=65).collect()}
+    assert got == {"a": 1.0, "b": 2.0, "e": 5.0}
+    # n below 50 mirrors (graphite): n=35 == n=65
+    got2 = {r["metric"]
+            for r in ser.average_outside_percentile(df, n=35).collect()}
+    assert got2 == {"a", "b", "e"}

@@ -63,14 +63,20 @@ def main() -> None:
 
     td = tempfile.mkdtemp()
     df64 = synth(spark, 64)
-    for m, name in ((2, "x64_h50"), (10, "x64_h90")):
+    # x64_uniform (m=None) completes the table — the regime where the
+    # blanket form pays its structural overhead and the targeted
+    # form's early-exit caps cost at the detection aggregate
+    # (TIMINGS.md §r9 addendum)
+    for m, name in ((None, "x64_uniform"), (2, "x64_h50"),
+                    (10, "x64_h90")):
         out = os.path.join(td, name)
-        df64.withColumn(
+        d = df64 if m is None else df64.withColumn(
             "user_id",
             F.when(F.col("event_id") % m != 0, F.lit(1)).otherwise(
                 F.col("user_id")
             ),
-        ).write.mode("overwrite").parquet(out)
+        )
+        d.write.mode("overwrite").parquet(out)
         scales[name] = (
             spark.read.parquet(out),
             {
