@@ -1770,10 +1770,12 @@ def _q_remove_between_percentile(
     CROSS-SERIES percentile band per time slot (rank window
     partitioned by ts — the transpose of the usual per-metric
     window; graphite's integer _getPercentile rank rule), keeping
-    only series that escape [p20, p80] somewhere, with their escape
-    counts. Runs on the HOURLY averages so every slot carries all 5
-    metrics (minute slots are 1-3 metrics sparse and the 5-series
-    band at ranks 2/5 needs the full transpose to discriminate)."""
+    only series that escape the OPEN band (p20, p80) somewhere —
+    band-edge equality escapes, graphite's ``not (low < v < high)``
+    (ADVICE r9) — with their escape counts. Runs on the HOURLY
+    averages so every slot carries all 5 metrics (minute slots are
+    1-3 metrics sparse and the 5-series band at ranks 2/5 needs the
+    full transpose to discriminate)."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
     return ser.remove_between_percentile(hourly, n=80)
@@ -1794,9 +1796,12 @@ def _q_average_outside_percentile(
 ) -> DataFrame:
     """graphite averageOutsidePercentile(65) (r9 wave 5): decimal-
     exact per-series averages, the integer _getPercentile band ACROSS
-    the averages, keep series whose average escapes it. n=65 on the
-    5-metric fixture puts the band at ranks 3/4 so BOTH escape arms
-    (below p35, above p65) populate the hash check."""
+    the averages, keep series whose average escapes the OPEN band —
+    graphite's ``not (lo < avg < hi)``, so band-edge averages are
+    KEPT (ADVICE r9; with 5 distinct averages all five series
+    survive). The emitted band_lo/band_hi columns pin the band
+    computation in the hash check even though the keeper filter no
+    longer discriminates on this fixture."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     return ser.average_outside_percentile(deduped, n=65)
 
@@ -3426,8 +3431,10 @@ def _q_filter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 (current splits 3/2, max 2/3, min 2/2 with one
     boundary-equality row) — a wrong comparison direction or a wrong
     current (e.g. max-by-arrival instead of max-by-ts)
-    hash-mismatches. Strictness follows graphite-web (ADVICE r8):
-    current gates inclusive (>=/<=), max/min gates strict."""
+    hash-mismatches. Strictness follows graphite-web (ADVICE r8+r9):
+    current gates inclusive (>=/<=), Above gates strict (>), Below
+    gates inclusive (<=) — the boundary-equality row on the max gate
+    lands in maximum_below but not maximum_above."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     return ser.filter_series(
         deduped, current_gate=40.0, max_gate=360.0, min_gate=0.02
@@ -5199,9 +5206,9 @@ SELECT metric, current, max_value, min_value,
   CAST(current >= 40.0 AS INTEGER) AS current_above,
   CAST(current <= 40.0 AS INTEGER) AS current_below,
   CAST(max_value > 360.0 AS INTEGER) AS maximum_above,
-  CAST(max_value < 360.0 AS INTEGER) AS maximum_below,
+  CAST(max_value <= 360.0 AS INTEGER) AS maximum_below,
   CAST(min_value > 0.02 AS INTEGER) AS minimum_above,
-  CAST(min_value < 0.02 AS INTEGER) AS minimum_below,
+  CAST(min_value <= 0.02 AS INTEGER) AS minimum_below,
   CAST(row_number() OVER (ORDER BY current DESC, metric)
        AS INTEGER) AS rank_highest_current,
   CAST(row_number() OVER (ORDER BY current ASC, metric)
@@ -6655,7 +6662,7 @@ bands AS (
 ),
 keepers AS (
   SELECT metric,
-         CAST(sum(CAST(value < _lo OR value > _hi AS INTEGER))
+         CAST(sum(CAST(value <= _lo OR value >= _hi AS INTEGER))
               AS BIGINT) AS escapes
   FROM deduped JOIN bands USING (ts)
   GROUP BY metric
@@ -6713,10 +6720,11 @@ bounds AS (
   FROM ranked
 ),
 keepers AS (
-  SELECT metric, avg_value FROM avgs CROSS JOIN bounds
-  WHERE avg_value < _lo OR avg_value > _hi
+  SELECT metric, avg_value, _lo AS band_lo, _hi AS band_hi
+  FROM avgs CROSS JOIN bounds
+  WHERE avg_value <= _lo OR avg_value >= _hi
 )
-SELECT d.metric, d.ts, d.value, k.avg_value
+SELECT d.metric, d.ts, d.value, k.avg_value, k.band_lo, k.band_hi
 FROM deduped d JOIN keepers k ON d.metric = k.metric
 """,
         # divideSeries(click, view): None on missing/zero divisor

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ceres_spark.plans.glob import expand_braces, glob_to_regex
+from ceres_spark.plans.glob import (
+    expand_braces,
+    glob_to_regex,
+    glob_to_regex_body,
+)
 
 CATALOG_SCHEMA = T.StructType(
     [
@@ -94,7 +98,7 @@ def find(
         rx = glob_to_regex(pats[0])
     else:
         rx = "^(?:" + "|".join(
-            glob_to_regex(p)[1:-1] for p in pats
+            glob_to_regex_body(p) for p in pats
         ) + ")$"
     matched = catalog.filter(F.col("metric").rlike(rx))
     if points is not None and (from_time is not None or until_time is not None):

@@ -81,6 +81,15 @@ def glob_to_regex(pattern: str) -> str:
     """Translate a ceres node glob into an anchored Java-compatible
     regex. ``*``/``?`` stop at ``.`` (segment separators), matching
     glob.glob's per-directory expansion."""
+    return "^" + glob_to_regex_body(pattern) + "$"
+
+
+def glob_to_regex_body(pattern: str) -> str:
+    """The UNANCHORED body of :func:`glob_to_regex` — the seam brace
+    expansion unions alternatives through (ADVICE r9: callers used to
+    slice the anchors off positionally, silently coupled to the
+    ``'^...$'`` return shape; this function is the loud contract
+    instead)."""
     out = []
     i, n = 0, len(pattern)
     while i < n:
@@ -112,4 +121,4 @@ def glob_to_regex(pattern: str) -> str:
         else:
             out.append(re.escape(c))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)

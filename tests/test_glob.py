@@ -107,3 +107,14 @@ def test_find_braces_dial(spark):
         .select("metric").collect()
     )
     assert got == ["click", "view"]
+
+
+def test_glob_to_regex_body_is_the_unanchored_contract():
+    # ADVICE r9: catalog.find used to slice '^...$' off positionally;
+    # the body function is the loud seam instead
+    from ceres_spark.plans.glob import glob_to_regex, glob_to_regex_body
+
+    for pat in ["a.b.*", "serv?r.[ab]c", "plain", "x.{a,b}"]:
+        body = glob_to_regex_body(pat)
+        assert glob_to_regex(pat) == "^" + body + "$"
+        assert not body.startswith("^") and not body.endswith("$")

@@ -821,7 +821,9 @@ def test_filter_series_gates_and_ranks(spark):
     assert (a["current_above"], a["current_below"]) == (0, 1)
     assert (b["current_above"], b["current_below"]) == (1, 0)
     assert (a["maximum_above"], b["maximum_above"]) == (1, 0)
+    assert (a["maximum_below"], b["maximum_below"]) == (0, 1)
     assert (a["minimum_above"], b["minimum_above"]) == (1, 0)
+    assert (a["minimum_below"], b["minimum_below"]) == (0, 1)
     # highestCurrent: b (50) ranks 1; lowestCurrent: a (5) ranks 1
     assert (b["rank_highest_current"], a["rank_highest_current"]) == (1, 2)
     assert (a["rank_lowest_current"], b["rank_lowest_current"]) == (1, 2)
@@ -832,13 +834,15 @@ def test_filter_series_boundary_equality_mixed_strictness(spark):
     r = ser.filter_series(
         df, current_gate=10.0, max_gate=10.0, min_gate=10.0
     ).collect()[0]
-    # graphite-web strictness split (ADVICE r8): currentAbove/Below
-    # are inclusive (safeLast >= n / <= n) so equality passes BOTH
-    # current arms; maximum*/minimum* are strict so equality passes
-    # neither
+    # graphite-web strictness split (ADVICE r8 + r9):
+    # currentAbove/Below are inclusive (safeLast >= n / <= n) so
+    # equality passes BOTH current arms; maximumAbove/minimumAbove
+    # are strict (val > n) but maximumBelow/minimumBelow are
+    # inclusive (val is None or val <= n) — equality passes the
+    # Below arm only
     assert (r["current_above"], r["current_below"]) == (1, 1)
-    assert (r["maximum_above"], r["maximum_below"]) == (0, 0)
-    assert (r["minimum_above"], r["minimum_below"]) == (0, 0)
+    assert (r["maximum_above"], r["maximum_below"]) == (0, 1)
+    assert (r["minimum_above"], r["minimum_below"]) == (0, 1)
 
 
 def test_series_combinators_null_semantics(spark):
@@ -1010,8 +1014,11 @@ def test_interpolate_gaps_linear_and_boundaries(spark):
 
 
 def test_remove_between_percentile_escapers_only(spark):
-    # 5 series, 2 slots; n=80 -> band [2nd smallest, max] per slot:
-    # only the strict per-slot minimum escapes
+    # 5 series, 2 slots; n=80 -> band [2nd smallest, max] per slot.
+    # graphite's escape test is `not (low < val < high)` (ADVICE
+    # r9): strictly-outside points AND band-edge-equality points
+    # escape, so per slot the minimum, the rank-2 series (== low)
+    # and the max series (== high) all escape.
     rows = []
     for i, m in enumerate("abcde"):
         rows.append((m, 0, float(10 + i), i))
@@ -1023,15 +1030,19 @@ def test_remove_between_percentile_escapers_only(spark):
     by_metric = {}
     for r in got:
         by_metric.setdefault(r["metric"], r["escapes"])
-    # 'a' is the min at ts=0, 'e' at ts=60 — the only escapers
-    assert set(by_metric) == {"a", "e"}
-    assert by_metric["a"] == 1 and by_metric["e"] == 1
+    # ts=0 (10,11,12,13,14): a (min), b (== p20 band edge),
+    #   e (== p80 band edge = max) escape
+    # ts=60 (20,21,22,23,1): e (min), a (== p20 edge), d (max) escape
+    # only 'c' sits strictly inside the band at both slots
+    assert set(by_metric) == {"a", "b", "d", "e"}
+    assert by_metric["a"] == 2 and by_metric["e"] == 2
+    assert by_metric["b"] == 1 and by_metric["d"] == 1
     # survivors keep their FULL point set
-    assert len(got) == 4
+    assert len(got) == 8
     # n below 50 mirrors to 100-n (graphite)
     got2 = {r["metric"] for r in
             ser.remove_between_percentile(df, n=20).collect()}
-    assert got2 == {"a", "e"}
+    assert got2 == {"a", "b", "d", "e"}
 
 
 def test_scalar_line_transforms_ops_and_lines(spark):
@@ -1049,17 +1060,35 @@ def test_scalar_line_transforms_ops_and_lines(spark):
 
 
 def test_average_outside_percentile_band_arms(spark):
-    # 5 series with averages 1..5; n=65 -> band ranks 3/4 = [3, 4]:
-    # averages 1, 2 (below) and 5 (above) escape
+    # 5 series with averages 1..5; n=65 -> band ranks 3/4 = [3, 4].
+    # graphite keeps a series when `not (lo < avg < hi)` (ADVICE
+    # r9): the band edges are actual averages, so c (== lo) and
+    # d (== hi) are kept too — ALL five survive; the band columns
+    # pin the rank computation instead.
     rows = []
     for i, m in enumerate("abcde"):
         rows.append((m, 0, float(i + 1), i))
         rows.append((m, 60, float(i + 1), 10 + i))
     df = pts(spark, rows)
-    got = {r["metric"]: r["avg_value"]
-           for r in ser.average_outside_percentile(df, n=65).collect()}
-    assert got == {"a": 1.0, "b": 2.0, "e": 5.0}
+    out = ser.average_outside_percentile(df, n=65).collect()
+    got = {r["metric"]: r["avg_value"] for r in out}
+    assert got == {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0, "e": 5.0}
+    assert {(r["band_lo"], r["band_hi"]) for r in out} == {(3.0, 4.0)}
     # n below 50 mirrors (graphite): n=35 == n=65
     got2 = {r["metric"]
             for r in ser.average_outside_percentile(df, n=35).collect()}
-    assert got2 == {"a", "b", "e"}
+    assert got2 == {"a", "b", "c", "d", "e"}
+
+
+def test_average_outside_percentile_strict_interior_dropped(spark):
+    # a fixture where the keeper filter DOES discriminate: with 9
+    # series the n=80 band is ranks 2/8 = [2, 8] — averages 3..7
+    # sit strictly inside and are dropped; 1, 2 (== lo), 8 (== hi),
+    # 9 survive
+    rows = []
+    for i in range(9):
+        rows.append((f"m{i}", 0, float(i + 1), i))
+    df = pts(spark, rows)
+    got = {r["metric"] for r in
+           ser.average_outside_percentile(df, n=80).collect()}
+    assert got == {"m0", "m1", "m7", "m8"}
