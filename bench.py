@@ -73,9 +73,27 @@ NOISE_GATE = float(os.environ.get("SPARK_GRAFT_NOISE_GATE", "1.4"))
 #: bounded window for it to pass yields a reliable artifact instead
 #: of a stamped-useless one. Budget is bounded so a driver-invoked
 #: run can never hang on a persistently busy host; 0 disables.
-BENCH_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
+#:
+#: r10 (VERDICT r9 "What's missing" #2 — why BOTH driver tails
+#: self-refused): the r9 driver run launched at loadavg_start 1.93 —
+#: UNDER the 2.0 refusal gate, so the r8/r9 pre-flight declared the
+#: host quiet with zero margin and the run's own inter-pass noise
+#: (p90_best2 1.478) then tripped the reliability stamp. The driver
+#: invokes bench.py minutes after its own check_oracle sweep, so its
+#: 1-min loadavg is mid-DECAY, not idle. Two changes: (1) the wait
+#: now targets a STRICTER start load than the refusal gate
+#: (hysteresis — default 1.0 vs 2.0; loadavg decays ~e^-t/60s, so a
+#: 1.93 start reaches 1.0 in ~40 s of genuine idleness), and (2) the
+#: default budget grows 180→300 s to cover the decay from a full
+#: sweep (loadavg 8 → 1.0 ≈ 125 s). A genuinely quiet host still
+#: exits on the first poll; the budget only bites when waiting has
+#: value.
+BENCH_WAIT = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "300"))
 PROBE_SPREAD_GATE = float(
     os.environ.get("SPARK_GRAFT_PROBE_GATE", "1.3")
+)
+PREFLIGHT_LOAD_TARGET = float(
+    os.environ.get("SPARK_GRAFT_PREFLIGHT_LOAD", "1.0")
 )
 
 
@@ -113,8 +131,18 @@ def wait_for_quiet_host(
     in the payload's ``conditions.preflight`` either way, so the
     artifact records what the host looked like BEFORE warmup and how
     long the run waited for it. Injectable probe/load/sleep keep the
-    loop pytest-checkable without burning wall clock."""
-    lg = LOAD_GATE if load_gate is None else load_gate
+    loop pytest-checkable without burning wall clock.
+
+    The load gate here is STRICTER than the refusal gate
+    (PREFLIGHT_LOAD_TARGET vs LOAD_GATE, r10): starting a run at
+    loadavg 1.9 "passes" the 2.0 refusal threshold with no margin —
+    exactly the r9 driver tail's failure mode — so the wait holds
+    out for a start load that leaves headroom."""
+    lg = (
+        min(LOAD_GATE, PREFLIGHT_LOAD_TARGET)
+        if load_gate is None
+        else load_gate
+    )
     sg = PROBE_SPREAD_GATE if spread_gate is None else spread_gate
     gl = get_load if get_load is not None else (lambda: os.getloadavg()[0])
     t0 = time.monotonic()

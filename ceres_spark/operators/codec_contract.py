@@ -37,6 +37,12 @@ THE CONTRACT (each clause maps to one check_* function):
    garbage and never raises another exception type. Trailing-padding
    formats may alternatively decode a truncated payload to the EXACT
    full-payload result.
+4b. MALFORMED (opt-in, r10) — complete streams whose HEADERS violate
+   the container spec (vs truncation's damaged byte stream) raise
+   ``ValueError``: the shipped :func:`jpeg_g1_malformed` generator
+   covers T.81 G.1's scan-band cases (progressive DC scan with
+   Se≠0, AC scan with Ss>Se / Se>63) — a decoder that quietly reads
+   a DC-only scan out of them corrupts downstream fingerprints.
 5. ROUTING — through ``decode_real``: the sample must be genuine
    plug-in territory (built-ins raise ``NotImplementedError`` without
    the hook), the hook's decode must come back unchanged with the
@@ -169,6 +175,94 @@ def check_truncation(hook, payload: bytes, modality: str) -> list[str]:
     return fails
 
 
+def check_malformed(hook, samples) -> list[str]:
+    """Clause 4b (r10, VERDICT r9 #8): STRUCTURALLY invalid payloads
+    of the hook's own container — not merely truncated ones — must
+    raise ``ValueError``. Truncation damages the byte stream; these
+    samples are complete streams whose headers violate the format
+    spec (the shipped generators are the T.81 G.1 scan-band cases a
+    progressive-JPEG decoder must reject: a DC scan with Se≠0, an AC
+    scan with Ss>Se or Se>63). A decoder that quietly reads a
+    DC-only scan or an empty AC band out of them corrupts every
+    downstream fingerprint without a trace.
+
+    ``samples`` is a list of ``(payload, modality, why)``; empty
+    lists are fine (the clause is opt-in — not every container has
+    known in-spec-shaped invalid forms worth pinning)."""
+    fails = []
+    for payload, modality, why in samples:
+        try:
+            got = hook(payload, modality)
+        except ValueError:
+            continue  # the contract's verdict for a damaged claim
+        except Exception as e:  # noqa: BLE001 — anything else fails
+            fails.append(
+                f"malformed ({why}) raised {type(e).__name__} "
+                "(must be ValueError)"
+            )
+            continue
+        fails.append(
+            f"malformed ({why}) "
+            + ("returned None (silent decline hides the corruption)"
+               if got is None
+               else "DECODED (garbage out — must raise ValueError)")
+        )
+    return fails
+
+
+def jpeg_g1_malformed(payload: bytes, wrap: bytes = b"") -> list:
+    """Generate the T.81 G.1 scan-band tamper matrix from a VALID
+    progressive JPEG: for each SOS header, patch the spectral
+    selection bytes into the invalid forms G.1.1.1.1 bans — a DC
+    scan (Ss=0) with Se≠0, an AC scan with Ss>Se, and an AC scan
+    with Se>63. Returns ``(payload, "image", why)`` tuples for
+    :func:`check_malformed`; ``wrap`` prefixes each variant with the
+    hook's own magic (the DNG-wraps-JPEG shape in the conformance
+    kit's reference hook).
+
+    The marker walk skips entropy-coded data the standard way (a
+    0xFF followed by a non-stuffing, non-RSTn byte ends a scan), so
+    it works on any conformant stream regardless of scan count."""
+    out = []
+    i = 2  # past SOI
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker == 0xDA:  # SOS: patch Ss/Se, then skip entropy
+            ns = payload[i + 4]
+            ss_at = i + 5 + 2 * ns
+            ss, se = payload[ss_at], payload[ss_at + 1]
+            def patched(new_ss, new_se):
+                b = bytearray(payload)
+                b[ss_at], b[ss_at + 1] = new_ss, new_se
+                return wrap + bytes(b)
+            if ss == 0:
+                out.append((patched(0, 5), "image",
+                            "G.1 DC scan with Se!=0"))
+            else:
+                out.append((patched(min(se + 1, 63), se), "image",
+                            "G.1 AC scan with Ss>Se"))
+                out.append((patched(ss, 64), "image",
+                            "G.1 AC scan with Se>63"))
+            i += 2 + ln
+            while i + 1 < n and not (
+                payload[i] == 0xFF
+                and payload[i + 1] != 0x00
+                and not 0xD0 <= payload[i + 1] <= 0xD7
+            ):
+                i += 1
+        else:
+            i += 2 + ln
+    return out
+
+
 def check_routing(hook, payload: bytes, modality: str) -> list[str]:
     fails = []
     # the sample must be genuine plug-in territory: the gap is loud
@@ -268,11 +362,16 @@ def check_operator_flow(hook, samples, spark) -> list[str]:
     return fails
 
 
-def run_codec_contract(hook, samples, spark=None) -> list[str]:
+def run_codec_contract(hook, samples, spark=None, malformed=None) -> list[str]:
     """Run every contract clause; returns failure strings (empty ==
     conformant). ``samples`` is a list of (payload, modality) of the
     HOOK'S OWN container. Pass ``spark`` to include the operator-flow
-    clause (recommended — it is the production path)."""
+    clause (recommended — it is the production path). Pass
+    ``malformed`` — a list of ``(payload, modality, why)``
+    structurally invalid payloads of the hook's own container, e.g.
+    from :func:`jpeg_g1_malformed` — to include the malformed-stream
+    clause (r10; recommended for any container with known
+    in-spec-shaped invalid forms)."""
     fails: list[str] = []
     seen_modalities = set()
     for idx, (payload, modality) in enumerate(samples):
@@ -283,15 +382,17 @@ def run_codec_contract(hook, samples, spark=None) -> list[str]:
         seen_modalities.add(modality)
     for m in seen_modalities:
         fails.extend(f"decline ({m}): " + f for f in check_decline(hook, m))
+    if malformed:
+        fails.extend(check_malformed(hook, malformed))
     if spark is not None:
         fails.extend(check_operator_flow(hook, samples, spark))
     return fails
 
 
-def check_codec_contract(hook, samples, spark=None) -> None:
+def check_codec_contract(hook, samples, spark=None, malformed=None) -> None:
     """Raise AssertionError listing every clause violation (vendor
     entry point); returns None when the hook is conformant."""
-    fails = run_codec_contract(hook, samples, spark)
+    fails = run_codec_contract(hook, samples, spark, malformed=malformed)
     if fails:
         raise AssertionError(
             "codec hook violates the contract:\n- " + "\n- ".join(fails)

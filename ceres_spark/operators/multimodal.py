@@ -1588,6 +1588,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 if cid not in cmap:
                     raise ValueError("JPEG scan references unknown "
                                      "component")
+            if progressive:
+                # T.81 G.1.1.1.1 scan-band validation (r10 — the
+                # arithmetic path gained this in r9, ADVICE r8; the
+                # Huffman path must reject the same malformed
+                # streams instead of quietly reading a DC-only scan
+                # or an empty AC band out of them)
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "progressive DC scan requires Se=0 (T.81 G.1)"
+                    )
+                if ss > 0 and not ss <= se <= 63:
+                    raise ValueError(
+                        "progressive AC scan needs 1 <= Ss <= Se <= 63"
+                    )
             # de-stuff THIS scan's entropy bytes, split at RSTn
             segments, cur = [], bytearray()
             i = pos + 2 + ln

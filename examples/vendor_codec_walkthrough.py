@@ -9,7 +9,7 @@ lifecycle:
 
 1. write the hook (claim by magic, decline foreign payloads with
    None, raise ValueError on damage, return the decode tuple);
-2. prove conformance with ``check_codec_contract`` (the six-clause
+2. prove conformance with ``check_codec_contract`` (the seven-clause
    kit in ceres_spark/operators/codec_contract.py; docs/CODECS.md is
    the prose version);
 3. ``register_codec`` and run the PRODUCTION Spark operators —

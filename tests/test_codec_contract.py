@@ -230,3 +230,65 @@ def test_builtin_truncation_is_always_valueerror(tag):
             ), cut
         else:
             assert np.array_equal(got, full), cut
+
+
+# ------------------------- clause 4b (r10, VERDICT r9 #8): the T.81
+# G.1 scan-band matrix — structurally invalid streams, not truncations
+
+
+def _progressive_sample():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    return mm.encode_jpeg(img, scans="progressive")
+
+
+def test_g1_generator_covers_both_scan_kinds():
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    cases = jpeg_g1_malformed(_progressive_sample())
+    whys = {why for _, _, why in cases}
+    assert any("DC scan" in w for w in whys), whys
+    assert any("Ss>Se" in w for w in whys), whys
+    assert any("Se>63" in w for w in whys), whys
+
+
+def test_reference_hook_passes_g1_malformed_matrix():
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    prog = _progressive_sample()
+    cases = jpeg_g1_malformed(prog, wrap=b"DNG0")
+    fails = run_codec_contract(
+        _reference_hook, [(b"DNG0" + prog, "image")], malformed=cases
+    )
+    assert fails == [], fails
+
+
+def test_tamper_g1_tolerant_hook_fails_malformed_clause():
+    # a decoder that swallows scan-band violations and emits pixels
+    # anyway must be named by the clause
+    def bad(payload, modality):
+        if (payload or b"")[:4] != b"DNG0":
+            return None
+        try:
+            return ("image", mm.decode_jpeg(bytes(payload[4:])))
+        except ValueError:
+            return ("image", np.zeros((12, 9, 3), np.uint8))
+
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    prog = _progressive_sample()
+    cases = jpeg_g1_malformed(prog, wrap=b"DNG0")
+    fails = run_codec_contract(
+        bad, [(b"DNG0" + prog, "image")], malformed=cases
+    )
+    assert any("G.1" in f and "DECODED" in f for f in fails), fails
+
+
+def test_builtin_huffman_progressive_rejects_g1_bands():
+    # the Huffman path itself (r10 — the arithmetic path gained this
+    # in r9): every generated G.1-invalid stream raises ValueError
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    for payload, _, why in jpeg_g1_malformed(_progressive_sample()):
+        with pytest.raises(ValueError):
+            mm.decode_jpeg(payload)
