@@ -2899,6 +2899,122 @@ def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BACKFILL PATH END-TO-END (VERDICT r9 #7 — the one §2.1
+    semantics branch that had no dedicated registry entry): ceres
+    accepts unlimited lateness; the Spark dashboard rollup bounds
+    state with a watermark and drops late rows, so the documented
+    story is storage-never-drops + a batch backfill job that repairs
+    the dashboard. This entry proves the WHOLE loop through real
+    streaming execution:
+
+    - a deterministic LATE set (first-6h events with event_id%3==0)
+      arrives in the FINAL batch, after three ts-ordered on-time
+      batches, so at its arrival the watermark (max on-time ts − 1 h,
+      ~30 days ahead) has long passed — every late row is dropped by
+      the dashboard aggregation but none by the storage leg;
+    - TWO streaming queries replay the same 4 arrival files:
+      windowed_rollup_stream (300 s windows, 1 h lateness, update
+      mode, last-update-per-window) and stream_append_log (the
+      batch-stamped fact store);
+    - retention.backfill_rollup_windows recomputes exactly the
+      windows batch-3 arrivals touched from the store and folds them
+      into the dashboard table.
+
+    Output per (metric, window): the CONVERGED n_points/sum_value
+    (must equal the all-batch aggregate — the ceres guarantee), the
+    patched flag (window contained late rows), and the dashboard's
+    PRE-backfill stream_n/stream_sum (NULL where the window was
+    purely late rows and never emitted) — so the oracle hash-checks
+    the watermark's drop set, the repair's scope, AND the
+    convergence in one entry."""
+    import ceres_spark.operators.retention as ret2
+    import ceres_spark.streaming.ingest as sing
+
+    base = _replay_scratch("backfill", sf_dir)
+    src, store, ck1, ck2 = (
+        f"{base}/src", f"{base}/store", f"{base}/ck1", f"{base}/ck2",
+    )
+    out = f"{base}/out"
+    ev_raw = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev_raw.schema["ts"].dataType)
+    ev = ev_raw.select(
+        F.col("event_type").alias("metric"),
+        F.timestamp_seconds(sec).alias("ts"),
+        "value",
+        sec.alias("x"),
+        "event_id",
+    )
+    x0 = ev.agg(F.min("x")).collect()[0][0]  # bounded 1-row scalar
+    cut = int(x0) - int(x0) % 300 + 6 * 3600  # 300-aligned: no
+    # window straddles the late/on-time boundary by ts alone —
+    # mixing happens per-ROW (event_id%3), giving merged windows
+    late = (F.col("x") < F.lit(cut)) & (F.col("event_id") % 3 == 0)
+    on_time = _with_time_quartile(ev.filter(~late), "x", 3)
+    feed = on_time.unionByName(
+        ev.filter(late).withColumn("_part", F.lit(3))
+    ).drop("event_id")
+    _write_arrival_files(feed, src, 4)
+    schema = "metric string, ts timestamp, value double, x long"
+    with _replay_shuffle(spark):
+        # leg 1: the watermarked dashboard (drops the late batch)
+        agg1 = sing.windowed_rollup_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("metric", "ts", "value"),
+            300,
+            lateness="1 hour",
+        )
+
+        def _sink(bdf: DataFrame, bid: int) -> None:
+            bdf.withColumn("_bid", F.lit(int(bid))).write.mode(
+                "append"
+            ).parquet(out)
+
+        q1 = (
+            agg1.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_replay(q1, "stream_backfill_rollup[dashboard]")
+        # leg 2: the unlimited-lateness store (drops nothing)
+        q2 = sing.stream_append_log(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("metric", "ts", "x", "value"),
+            store,
+            checkpoint=ck2,
+        )
+        _await_replay(q2, "stream_backfill_rollup[store]")
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("metric", "ts").orderBy(F.desc("_bid"))
+    dashboard = (
+        spark.read.parquet(out)
+        .withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") == 1)
+        .select("metric", "ts", "n_points", "sum_value")
+    )
+    converged = ret2.backfill_rollup_windows(
+        spark.read.parquet(store), dashboard, 300, since_batch=3
+    )
+    pre = dashboard.select(
+        "metric", "ts",
+        # double, not bigint: a nullable int column turns float in
+        # the driver's pandas hasher — match types on both sides
+        F.col("n_points").cast("double").alias("stream_n"),
+        F.col("sum_value").alias("stream_sum"),
+    )
+    return converged.join(pre, ["metric", "ts"], "left").select(
+        "metric", "ts", "n_points", "sum_value", "patched",
+        "stream_n", "stream_sum",
+    )
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLAY-MATERIALIZED session windows: events split into 4
     ts-quartile files (arrival strictly time-ordered, so the
@@ -4268,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Streaming execution, oracle-paired) + the five new pipeline
         # operators (phash_neardup rows-only: Python-side decode)
         "stream_windowed_rollup": _q_stream_windowed_rollup,
+        "stream_backfill_rollup": _q_stream_backfill_rollup,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
         "stream_sessions": _q_stream_sessions,
         "source_similarity": _q_source_similarity,
@@ -8374,6 +8491,39 @@ SELECT metric, ts,
        CAST(COUNT(value) AS BIGINT) AS n_points,
        {DEC_SUM} AS sum_value
 FROM w GROUP BY metric, ts
+""",
+        # the backfill loop: converged == all-batch aggregate (the
+        # ceres unlimited-lateness guarantee); patched == window
+        # contains a late row; stream_n/stream_sum == the watermarked
+        # dashboard's pre-backfill state (agg over on-time rows only,
+        # NULL where a window was purely late rows and never emitted)
+        "stream_backfill_rollup": f"""
+WITH ev AS (
+  SELECT event_type AS metric,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         value, event_id
+  FROM events
+),
+b AS (SELECT MIN(x) - (MIN(x) % 300) + 21600 AS cut FROM ev),
+m AS (
+  SELECT metric, x - (x % 300) AS ts, value,
+         CASE WHEN x < cut AND event_id % 3 = 0 THEN 1 ELSE 0 END
+           AS late
+  FROM ev CROSS JOIN b
+)
+SELECT metric, ts,
+  CAST(COUNT(value) AS BIGINT) AS n_points,
+  {DEC_SUM} AS sum_value,
+  CAST(MAX(late) AS INTEGER) AS patched,
+  CASE WHEN COUNT(CASE WHEN late = 0 THEN 1 END) > 0
+       THEN CAST(COUNT(CASE WHEN late = 0 THEN value END) AS DOUBLE)
+  END AS stream_n,
+  CASE WHEN COUNT(CASE WHEN late = 0 THEN 1 END) > 0
+       THEN CAST(CAST(SUM(CASE WHEN late = 0 THEN
+              CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)) END)
+            AS VARCHAR) AS DOUBLE)
+  END AS stream_sum
+FROM m GROUP BY metric, ts
 """,
         "stream_corpus_ingest": """
 WITH f AS (

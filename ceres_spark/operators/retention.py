@@ -455,3 +455,67 @@ def rollup_finalize(
             F.col("_cnt") / F.lit(expected) >= F.lit(x_files_factor)
         )
     return out.drop("_cnt")
+
+
+def backfill_rollup_windows(
+    stored: DataFrame,
+    rollup: DataFrame,
+    window_seconds: int,
+    since_batch: int,
+    ts_col: str = "x",
+) -> DataFrame:
+    """The batch half of the streaming-rollup backfill story
+    (VERDICT r9 #7; streaming/ingest.py module docstring): ceres
+    accepts UNLIMITED lateness (``CeresNode.write`` ≈L610 routes a
+    years-old point to — or creates — the slice that holds it), while
+    the Spark dashboard rollup bounds its state with a watermark and
+    DROPS late rows. The storage leg (``stream_append_log``) never
+    drops, so this job repairs the dashboard from the store:
+
+    1. affected = distinct (metric, window) touched by stored rows
+       with ``arrival_batch >= since_batch`` (the arrivals the
+       dashboard's watermark may have dropped);
+    2. repaired = re-aggregate ONLY those windows from the full
+       store (a semi-join prunes the scan — and because the store is
+       date-partitioned, at 100 TB the affected-window read prunes
+       to the days late data actually touched);
+    3. converged = repaired windows replace the dashboard's, every
+       other dashboard row passes through untouched.
+
+    ``stored`` carries (metric, ``ts_col`` epoch-seconds, value,
+    arrival_batch); ``rollup`` is the dashboard table (metric, ts,
+    n_points, sum_value). Output adds ``patched`` (1 = window was
+    recomputed from the store). The affected-window table is
+    late-data-sized — usually tiny, but unbounded after an outage —
+    so the joins carry NO broadcast hint (AQE decides; the same
+    unbounded-axis discipline as the ts-panel joins in series.py).
+    Convergence (output == all-batch aggregate) is hash-checked by
+    the ``stream_backfill_rollup`` registry entry and pytest-pinned.
+    """
+    w = (
+        F.col(ts_col) - F.col(ts_col) % F.lit(int(window_seconds))
+    ).cast("long").alias("ts")
+    affected = (
+        stored.filter(F.col("arrival_batch") >= int(since_batch))
+        .select("metric", w)
+        .distinct()
+    )
+    repaired = (
+        stored.select("metric", w, "value")
+        .join(affected, ["metric", "ts"], "semi")
+        .groupBy("metric", "ts")
+        .agg(
+            F.count("value").alias("n_points"),
+            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("patched", F.lit(1))
+    )
+    untouched = rollup.join(
+        affected, ["metric", "ts"], "anti"
+    ).withColumn("patched", F.lit(0))
+    return repaired.unionByName(untouched).select(
+        "metric", "ts", "n_points", "sum_value", "patched"
+    )

@@ -69,6 +69,46 @@ def stream_store(
     return writer.start()
 
 
+def append_log_batch(
+    batch: DataFrame, batch_id: int, target_path: str, ts_col: str = "ts"
+) -> None:
+    """foreachBatch body for FACT streams (events — not point
+    upserts, so no quantize/LWW compact): append raw arrivals
+    stamped with the micro-batch id, partitioned by UTC date. The
+    batch stamp is what the backfill job keys on (everything with
+    ``arrival_batch >= since`` is 'late since the dashboard's last
+    sound state'); the date partitioning is what lets the backfill's
+    affected-window scan prune to the days late data actually
+    touched instead of rescanning the 100 TB log."""
+    out = batch.withColumn(
+        "arrival_batch", F.lit(int(batch_id)).cast("long")
+    ).withColumn("date", F.to_date(F.col(ts_col)))
+    out.write.mode("append").partitionBy("date").parquet(target_path)
+
+
+def stream_append_log(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str | None = None,
+    ts_col: str = "ts",
+    trigger_available_now: bool = True,
+):
+    """The unlimited-lateness STORAGE leg of the backfill story
+    (module docstring; VERDICT r9 #7): no watermark here — a years-
+    late fact still lands, batch-stamped, and the batch backfill job
+    (operators/retention.backfill_rollup_windows) folds it into the
+    watermarked dashboard's rollup afterwards. Returns the
+    StreamingQuery."""
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: append_log_batch(df, bid, target_path, ts_col)
+    ).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str] = ("metric", "ts"),
