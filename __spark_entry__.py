@@ -1806,6 +1806,103 @@ def _q_average_outside_percentile(
     return ser.average_outside_percentile(deduped, n=65)
 
 
+def _q_smart_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite smartSummarize(series, '7h', 'avg', alignTo='days')
+    (r10 wave 6): buckets anchored at the CALENDAR day boundary. The
+    input is scoped to start 5 h into day 1 so all three summarize
+    anchors differ (epoch grid = 18000-offset 25200s grid; alignTo-
+    From = first ts = T0+18000; calendar = T0): the emitted anchor
+    column pins the truncation derivation in the hash."""
+    scoped = tbl.points(
+        spark, sf_dir, from_time=T0 + 18000, until_time=T0 + 3 * DAY
+    )
+    deduped = cp.compact(scoped, 60)
+    return ser.smart_summarize(
+        deduped, interval=25200, method="average", align_seconds=86400
+    )
+
+
+def _dc_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared wave-6 fixture: the per-DC replica panel — events keyed
+    by a synthetic dc node (user_id parity), hourly decimal-exact
+    averages, emitted with the dotted path dc<p>.<type>.requests that
+    the wildcard/list functions do their name surgery on."""
+    ev_raw = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev_raw.schema["ts"].dataType)
+    ev = ev_raw.select(
+        F.col("event_type").alias("name"),
+        (F.col("user_id") % 2).cast("int").alias("dc"),
+        (sec - sec % 3600).cast("long").alias("ts"),
+        "value",
+    )
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    return (
+        ev.groupBy("dc", "name", "ts")
+        .agg(
+            (
+                F.sum(dec).cast("string").cast("double")
+                / F.count("value")
+            ).alias("value")
+        )
+        .select(
+            F.concat(
+                F.lit("dc"), F.col("dc"), F.lit("."),
+                F.col("name"), F.lit(".requests"),
+            ).alias("path"),
+            "ts",
+            "value",
+        )
+    )
+
+
+def _q_series_with_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite sumSeriesWithWildcards / averageSeriesWithWildcards
+    (position 0) over the per-DC replica panel (r10 wave 6): strip
+    the dc node in-plan (split → drop index → rejoin — real name
+    machinery) and aggregate the collapsing series per slot. Most
+    slots merge both DC replicas (n_series=2), sparse hours carry
+    one — both arms in the hash."""
+    return ser.series_with_wildcards(_dc_series(spark, sf_dir), position=0)
+
+
+def _q_divide_series_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite divideSeriesLists(dc0.*, dc1.*) (r10 wave 6): the
+    wildcard-paired division — dc0 replica over dc1 replica matched
+    on the stripped name per slot, NULL on missing-or-zero divisor
+    (divide_series' functions.py rule), one grouped pivot, no
+    self-join."""
+    return ser.divide_series_lists(_dc_series(spark, sf_dir))
+
+
+def _q_remove_empty_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite removeEmptySeries(seriesList, xFilesFactor) (r10 wave
+    6) over the day-1 dense hourly fetch WITH a planted all-None
+    series: the metric list is the catalog plus 'nodata' (zero
+    points — read_series returns its dense all-NULL frame, the ceres
+    empty-range contract), so the keep_any arm actually drops a
+    series. keep_xff at 950000 ppm splits the real metrics at
+    sf0.01 (22-23 of 24 hours covered) — coverage ppm is exact
+    integer arithmetic, no float ratio near the gate."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = (
+        tbl.points(spark, sf_dir)
+        .select("metric")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([("nodata",)], "metric string")
+        )
+    )
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    return ser.remove_empty_series(dense, xff_ppm=950000)
+
+
+def _q_name_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite name-function family II (r10 wave 6): substr(1,3) —
+    the NODE slice — plus aliasByMetric and alias over the same
+    in-plan dotted paths as name_functions."""
+    return ser.name_functions_2(cp.compact(tbl.points(spark, sf_dir), 60))
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -4330,6 +4427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_between_percentile": _q_remove_between_percentile,
         "scalar_transforms": _q_scalar_transforms,
         "average_outside_percentile": _q_average_outside_percentile,
+        "smart_summarize": _q_smart_summarize,
+        "series_with_wildcards": _q_series_with_wildcards,
+        "divide_series_lists": _q_divide_series_lists,
+        "remove_empty_series": _q_remove_empty_series,
+        "name_functions_2": _q_name_functions_2,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -6806,6 +6908,113 @@ SELECT metric, ts, value,
        max(value) OVER w AS line_max
 FROM deduped
 WINDOW w AS (PARTITION BY metric)
+""",
+        # smartSummarize: calendar-day anchor + 7h buckets; anchor
+        # emitted so the truncation derivation is in the hash
+        "smart_summarize": f"""
+WITH {POINTS_CTE},
+lww AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points
+  WHERE value IS NOT NULL
+    AND ts >= {T0 + 18000} AND ts < {T0 + 3 * DAY}
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(ts) - (MIN(ts) % 86400) AS anchor FROM lww)
+SELECT metric,
+       anchor + ((ts - anchor) // 25200) * 25200 AS ts,
+       {DEC_AVG} AS value,
+       CAST(COUNT(value) AS BIGINT) AS n_points,
+       anchor
+FROM lww CROSS JOIN b
+GROUP BY metric, 2, anchor
+""",
+        # sum/averageSeriesWithWildcards(0) over the per-DC replica
+        # panel: the oracle rebuilds the stripped name from its
+        # construction (the Spark side does real split/slice surgery)
+        "series_with_wildcards": f"""
+WITH ev AS (
+  SELECT event_type AS name, user_id % 2 AS dc,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x, value
+  FROM events
+),
+s AS (
+  SELECT dc, name, x - (x % 3600) AS ts, {DEC_AVG} AS value
+  FROM ev GROUP BY 1, 2, 3
+)
+SELECT name || '.requests' AS name, ts,
+       CAST(COUNT(value) AS BIGINT) AS n_series,
+       {DEC_SUM} AS sum_wild,
+       {DEC_AVG} AS avg_wild
+FROM s GROUP BY 1, 2
+""",
+        # divideSeriesLists: dc0/dc1 matched on stripped name; NULL
+        # on missing-or-zero divisor
+        "divide_series_lists": f"""
+WITH ev AS (
+  SELECT event_type AS name, user_id % 2 AS dc,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x, value
+  FROM events
+),
+s AS (
+  SELECT dc, name, x - (x % 3600) AS ts, {DEC_AVG} AS value
+  FROM ev GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT name || '.requests' AS name, ts,
+         MAX(CASE WHEN dc = 0 THEN value END) AS dividend,
+         MAX(CASE WHEN dc = 1 THEN value END) AS divisor
+  FROM s GROUP BY 1, 2
+)
+SELECT name, ts, dividend, divisor,
+       CASE WHEN divisor IS NOT NULL AND divisor <> 0.0
+            THEN dividend / divisor END AS quotient
+FROM p
+""",
+        # removeEmptySeries over the dense day-1 fetch + a planted
+        # zero-point metric; exact integer coverage ppm
+        "remove_empty_series": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {T0 + DAY}
+  GROUP BY 1, 2
+),
+mets AS (
+  SELECT DISTINCT metric FROM points
+  UNION ALL SELECT 'nodata'
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM mets m CROSS JOIN range({T0}, {T0 + DAY}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+),
+stats AS (
+  SELECT metric,
+         CAST(COUNT(*) AS BIGINT) AS n_slots,
+         CAST(COUNT(value) AS BIGINT) AS n_nonnull
+  FROM dense GROUP BY 1
+)
+SELECT metric, n_slots, n_nonnull,
+       n_nonnull * 1000000 // n_slots AS nonnull_ppm,
+       CAST(n_nonnull > 0 AS INTEGER) AS keep_any,
+       CAST(n_nonnull * 1000000 // n_slots >= 950000 AS INTEGER)
+         AS keep_xff
+FROM stats
+""",
+        # name family II: substr node slice + aliasByMetric + alias
+        "name_functions_2": f"""
+WITH {POINTS_CTE},
+mets AS (SELECT DISTINCT metric FROM points)
+SELECT metric,
+       'prod.events.' || metric AS path,
+       'events.' || metric AS substr_name,
+       metric AS alias_by_metric,
+       'renamed' AS alias_name
+FROM mets
 """,
         # averageOutsidePercentile(65): integer rank band across the
         # decimal-exact per-series averages, keep escapers

@@ -2015,3 +2015,183 @@ def average_outside_percentile(
     return buckets.join(F.broadcast(keepers), "metric").select(
         "metric", "ts", "value", "avg_value", "band_lo", "band_hi"
     )
+
+
+def smart_summarize(
+    buckets: DataFrame,
+    interval: int = 25200,
+    method: str = "average",
+    align_seconds: int = 86400,
+) -> DataFrame:
+    """graphite-web ``smartSummarize(seriesList, interval, func,
+    alignTo)`` (r10 wave 6): like :func:`summarize` but buckets are
+    anchored at the CALENDAR boundary of ``alignTo`` (day here —
+    graphite truncates the fetch start to the unit), not at the epoch
+    interval grid and not at each series' first point. The
+    distinction only shows when ``interval`` does not divide the
+    alignment unit — the registered 7-hour dial makes all three
+    summarize anchors produce different buckets.
+
+    anchor = min(ts) truncated to the alignment unit — one bounded
+    1-row scalar aggregate cross-joined back (the sanctioned bounds
+    pattern); the anchor rides the output so the hash check pins the
+    alignment derivation, not just the aggregates.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    interval, unit = int(interval), int(align_seconds)
+    anchor = buckets.agg(
+        (F.min("ts") - F.min("ts") % unit).cast("long").alias("_anchor")
+    )
+    j = buckets.crossJoin(F.broadcast(anchor))
+    bucket = (
+        F.col("_anchor")
+        + F.floor((F.col("ts") - F.col("_anchor")) / interval).cast("long")
+        * interval
+    ).cast("long")
+    return j.groupBy("metric", bucket.alias("ts")).agg(
+        agg_expr(method).alias("value"),
+        F.count("value").cast("bigint").alias("n_points"),
+        F.first("_anchor").alias("anchor"),
+    )
+
+
+def series_with_wildcards(series: DataFrame, position: int = 0) -> DataFrame:
+    """graphite-web ``sumSeriesWithWildcards`` /
+    ``averageSeriesWithWildcards`` (r10 wave 6): remove the node at
+    ``position`` from each dotted path and aggregate the series that
+    collapse onto the same remaining name — the idiom behind
+    'sum the per-DC replicas of every service metric'.
+
+    Input carries (path, ts, value); the node surgery is real name
+    machinery in-plan (split → drop index → rejoin), and the
+    aggregate is one grouped pass (map-side combinable): n_series,
+    decimal-exact sum and average per (name, ts).
+    """
+    parts = F.split(F.col("path"), "\\.")
+    name = F.array_join(
+        F.concat(
+            F.slice(parts, 1, int(position)),
+            F.slice(
+                parts, int(position) + 2,
+                F.greatest(
+                    F.size(parts) - int(position) - 1, F.lit(0)
+                ),
+            ),
+        ),
+        ".",
+    )
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    g = series.select(
+        name.alias("name"), "ts", "value"
+    ).groupBy("name", "ts").agg(
+        F.count("value").cast("bigint").alias("n_series"),
+        F.sum(dec).cast("string").cast("double").alias("sum_wild"),
+        (
+            F.sum(dec).cast("string").cast("double")
+            / F.count("value")
+        ).alias("avg_wild"),
+    )
+    return g
+
+
+def divide_series_lists(series: DataFrame) -> DataFrame:
+    """graphite-web ``divideSeriesLists(dividends, divisors)`` (r10
+    wave 6): the wildcard-paired form of :func:`divide_series` —
+    dividend ``dc0.<name>`` divides by divisor ``dc1.<name>`` matched
+    on the stripped name per slot. graphite matches the two lists
+    positionally after a wildcard expansion; joining on the stripped
+    name is the engine-native equivalent (and what the positional
+    match degenerates to when both lists expand the same glob).
+
+    One grouped pass pivots both sides (no self-join); quotient is
+    NULL on a missing or ZERO divisor, mirroring divide_series'
+    functions.py rule. Same sparse-grid note as divide_series.
+    """
+    parts = F.split(F.col("path"), "\\.")
+    name = F.array_join(F.slice(parts, 2, 100), ".")
+    side = F.element_at(parts, 1)
+    g = series.select(
+        name.alias("name"), side.alias("_side"), "ts", "value"
+    ).groupBy("name", "ts").agg(
+        F.max(F.when(F.col("_side") == "dc0", F.col("value"))).alias(
+            "dividend"
+        ),
+        F.max(F.when(F.col("_side") == "dc1", F.col("value"))).alias(
+            "divisor"
+        ),
+    )
+    return g.select(
+        "name",
+        "ts",
+        "dividend",
+        "divisor",
+        F.when(
+            F.col("divisor").isNotNull() & (F.col("divisor") != 0.0),
+            F.col("dividend") / F.col("divisor"),
+        ).alias("quotient"),
+    )
+
+
+def remove_empty_series(
+    dense: DataFrame, xff_ppm: int = 950000
+) -> DataFrame:
+    """graphite-web ``removeEmptySeries(seriesList, xFilesFactor)``
+    (r10 wave 6): drop series whose non-None fraction over the fetch
+    window is below the xFilesFactor — the function that cleans a
+    wildcard fetch of metrics with no data in range (an all-None
+    dense series is exactly what :func:`read_series` returns for a
+    catalog metric with zero points, ceres §2.1 op #10's empty-range
+    contract).
+
+    One series-cardinality aggregate over the dense frame: n_slots,
+    n_nonnull, the exact integer coverage ppm (n_nonnull·10⁶ div
+    n_slots — no float ratio), and two keep gates — graphite's
+    default ``xff=0`` arm (any point at all) and the caller's
+    ``xff_ppm`` arm (fraction ≥ xff). graphite's comparison is
+    ``safe_division >= xff``; on the exact ppm lattice that is
+    ``ppm >= xff_ppm`` with no rounding hazard.
+    """
+    stats = dense.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_slots"),
+        F.count("value").cast("bigint").alias("n_nonnull"),
+    )
+    ppm = F.expr("n_nonnull * 1000000 div n_slots")
+    return stats.select(
+        "metric",
+        "n_slots",
+        "n_nonnull",
+        ppm.alias("nonnull_ppm"),
+        (F.col("n_nonnull") > 0).cast("int").alias("keep_any"),
+        (ppm >= F.lit(int(xff_ppm))).cast("int").alias("keep_xff"),
+    )
+
+
+def name_functions_2(
+    buckets: DataFrame,
+    prefix: str = "prod.events.",
+    sub_start: int = 1,
+    sub_stop: int = 3,
+    alias_to: str = "renamed",
+) -> DataFrame:
+    """graphite-web name-function family II (r10 wave 6), completing
+    :func:`name_functions`: ``substr(series, start, stop)`` — the
+    NODE slice (graphite slices the dot-split name, not the string),
+    ``aliasByMetric`` (keep only the last node) and ``alias`` (the
+    constant rename). Series-cardinality projection over in-plan
+    dotted paths, same shape as name_functions.
+    """
+    path = F.concat(F.lit(prefix), F.col("metric"))
+    parts = F.split(path, "\\.")
+    return buckets.select("metric").distinct().select(
+        "metric",
+        path.alias("path"),
+        F.array_join(
+            F.slice(
+                parts, int(sub_start) + 1, int(sub_stop - sub_start)
+            ),
+            ".",
+        ).alias("substr_name"),
+        F.element_at(parts, -1).alias("alias_by_metric"),
+        F.lit(str(alias_to)).alias("alias_name"),
+    )

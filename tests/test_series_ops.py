@@ -1092,3 +1092,83 @@ def test_average_outside_percentile_strict_interior_dropped(spark):
     got = {r["metric"] for r in
            ser.average_outside_percentile(df, n=80).collect()}
     assert got == {"m0", "m1", "m7", "m8"}
+
+
+def test_smart_summarize_calendar_anchor(spark):
+    # data starts 5h into the day; the calendar anchor is the day
+    # boundary (ts=0 grid), NOT the first point and NOT the epoch
+    # interval grid
+    df = pts(spark, [
+        ("a", 86400 + 18000, 1.0, 0),        # 05:00 day 2
+        ("a", 86400 + 18000 + 25200, 3.0, 1),  # 12:00 day 2
+        ("a", 86400 + 60000, 5.0, 2),        # 16:40 day 2
+    ])
+    got = {r["ts"]: r for r in ser.smart_summarize(
+        df, interval=25200, method="average", align_seconds=86400
+    ).collect()}
+    # anchor = day floor of min ts = 86400; buckets at 86400+0h/7h/14h
+    assert all(r["anchor"] == 86400 for r in got.values())
+    assert got[86400 + 0]["value"] == 1.0          # [0h, 7h): 05:00
+    assert got[86400 + 25200]["value"] == 3.0      # [7h, 14h): 12:00
+    assert got[86400 + 50400]["value"] == 5.0      # [14h, 21h): 16:40
+    assert got[86400 + 25200]["n_points"] == 1
+
+
+def test_series_with_wildcards_strips_and_merges(spark):
+    series = spark.createDataFrame(
+        [
+            ("dc0.click.requests", 0, 2.0),
+            ("dc1.click.requests", 0, 4.0),
+            ("dc0.view.requests", 0, 10.0),
+        ],
+        "path string, ts long, value double",
+    )
+    got = {(r["name"], r["ts"]): r for r in
+           ser.series_with_wildcards(series, position=0).collect()}
+    r = got[("click.requests", 0)]
+    assert (r["n_series"], r["sum_wild"], r["avg_wild"]) == (2, 6.0, 3.0)
+    assert got[("view.requests", 0)]["n_series"] == 1
+
+
+def test_divide_series_lists_zero_and_missing_divisor(spark):
+    series = spark.createDataFrame(
+        [
+            ("dc0.a.requests", 0, 6.0), ("dc1.a.requests", 0, 3.0),
+            ("dc0.b.requests", 0, 1.0), ("dc1.b.requests", 0, 0.0),
+            ("dc0.c.requests", 0, 1.0),  # no divisor series
+        ],
+        "path string, ts long, value double",
+    )
+    got = {r["name"]: r for r in
+           ser.divide_series_lists(series).collect()}
+    assert got["a.requests"]["quotient"] == 2.0
+    assert got["b.requests"]["quotient"] is None   # zero divisor
+    assert got["c.requests"]["quotient"] is None   # missing divisor
+
+
+def test_remove_empty_series_gates(spark):
+    dense = spark.createDataFrame(
+        [
+            ("full", 0, 1.0), ("full", 60, 2.0),
+            ("half", 0, 1.0), ("half", 60, None),
+            ("empty", 0, None), ("empty", 60, None),
+        ],
+        "metric string, ts long, value double",
+    )
+    got = {r["metric"]: r for r in
+           ser.remove_empty_series(dense, xff_ppm=750000).collect()}
+    assert (got["full"]["keep_any"], got["full"]["keep_xff"]) == (1, 1)
+    assert (got["half"]["keep_any"], got["half"]["keep_xff"]) == (1, 0)
+    assert (got["empty"]["keep_any"], got["empty"]["keep_xff"]) == (0, 0)
+    assert got["half"]["nonnull_ppm"] == 500000
+
+
+def test_name_functions_2_node_slice(spark):
+    df = pts(spark, [("cpu", 0, 1.0, 0)])
+    r = ser.name_functions_2(
+        df, prefix="prod.events.", sub_start=1, sub_stop=3
+    ).collect()[0]
+    assert r["path"] == "prod.events.cpu"
+    assert r["substr_name"] == "events.cpu"     # node slice [1, 3)
+    assert r["alias_by_metric"] == "cpu"
+    assert r["alias_name"] == "renamed"
