@@ -3025,7 +3025,6 @@ def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely late rows and never emitted) — so the oracle hash-checks
     the watermark's drop set, the repair's scope, AND the
     convergence in one entry."""
-    import ceres_spark.operators.retention as ret2
     import ceres_spark.streaming.ingest as sing
 
     base = _replay_scratch("backfill", sf_dir)
@@ -3096,7 +3095,7 @@ def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("metric", "ts", "n_points", "sum_value")
     )
-    converged = ret2.backfill_rollup_windows(
+    converged = ret.backfill_rollup_windows(
         spark.read.parquet(store), dashboard, 300, since_batch=3
     )
     pre = dashboard.select(
@@ -3713,6 +3712,89 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (the nine late-r9 (b) entries took the remaining slots). See the
 #: ROTATION STATE section in the queries() docstring. This list is
 #: machine-checked by tests/test_rotation_guard.py.
+_R10_PREFIX = [
+    # (a) changed in r10 (VERDICT r9 + ADVICE r9 fixes — outputs
+    # and/or executed plans changed, MUST re-check)
+    "filter_series",              # maximumBelow/minimumBelow flipped
+    #                               to graphite-web's INCLUSIVE <=
+    #                               (ADVICE r9; Above arms stay
+    #                               strict) — output + oracle changed
+    "remove_between_percentile",  # band-edge equality now ESCAPES
+    #                               (graphite's not(low<v<high),
+    #                               ADVICE r9) + the ts-cardinality
+    #                               band join lost its broadcast hint
+    #                               (VERDICT r9 wrong #1)
+    "average_outside_percentile", # open-band keep rule (band-edge
+    #                               averages kept) + band_lo/band_hi
+    #                               diagnostic columns pin the band
+    "as_percent",                 # the OTHER ts-cardinality
+    #                               broadcast hint dropped — executed
+    #                               plan changed, _q unchanged
+    "phash_neardup",              # multimodal.py changed (T.81 G.1
+    #                               scan-band validation added to the
+    #                               Huffman progressive path) + the
+    #                               r9 single-source wobble watch
+    #                               (VERDICT r9 wrong #2): this
+    #                               driver row is the second source
+    # (b) new in r10
+    "stream_backfill_rollup",     # the backfill loop end-to-end
+    #                               (VERDICT r9 #7): watermark drop
+    #                               set + repair scope + convergence
+    #                               in one oracle
+    # (b) new in r10 — function-layer wave 6 (all oracle-paired,
+    # green at sf0.01 AND sf0.1 locally)
+    "smart_summarize",            # calendar-day anchored buckets
+    "series_with_wildcards",      # sum/averageSeriesWithWildcards
+    "divide_series_lists",        # wildcard-paired division
+    "remove_empty_series",        # xFilesFactor keep gates + a
+    #                               planted all-None series
+    "name_functions_2",           # substr node slice + aliasByMetric
+    # (c) the FULL 39-entry r5-stale block, CORRECTNESS_r05 key
+    # order — clears every r5 row from the backlog in one round
+    # exactly as the r9-written plan demanded; (d) is EMPTY (the r6
+    # block heads the r11 plan)
+    "chunk_retrieval",
+    "ewma_series",
+    "holt_winters_bands",
+    "expire_catalog",
+    "compact_invariance",
+    "n_percentile",
+    "percentile_of_series",
+    "summarize_align",
+    "hitcount",
+    "integral_by_interval",
+    "remove_above_percentile",
+    "most_deviant",
+    "average_above",
+    "minhash_pairs_portable",
+    "kmv_distinct_users",
+    "moving_window_functions",
+    "simhash_pairs",
+    "kmv_overlap_users",
+    "neardup_triangles",
+    "value_transforms",
+    "event_transitions",
+    "zorder_key",
+    "time_to_convert",
+    "bucketed_join",
+    "order_quartiles_scaled",
+    "neardup_clusters_star",
+    "tpch_q12",
+    "tpch_q21",
+    "span_dup_ratio",
+    "token_rarity",
+    "props_flatten",
+    "cap_per_source",
+    "bucketed_series_windows",
+    "corpus_filter_gate",
+    "weighted_sample",
+    "dedup_materialize",
+    "tpch_q2",
+    "holt_winters_seasonal",
+    "nation_pagerank",
+]
+
+#: r9 prefix (historical; superseded by _R10_PREFIX)
 _R9_PREFIX = [
     # (a) changed in r9
     "filter_series",              # currentAbove/Below flipped to
@@ -4172,7 +4254,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 9, final): the 50-slot prefix is the
+    ROTATION STATE (round 10, final): the 50-slot prefix is the
+    explicit ``_R10_PREFIX`` list — (a) the 5 entries changed in
+    r10: filter_series (maximumBelow/minimumBelow flipped to
+    graphite-web's inclusive <=, ADVICE r9), remove_between_percentile
+    and average_outside_percentile (graphite's open-band escape/keep
+    rule — band-edge equality escapes/keeps, ADVICE r9; the latter
+    gains band_lo/band_hi columns), as_percent (ts-cardinality
+    broadcast hint dropped, VERDICT r9 wrong #1 — executed plan
+    changed), phash_neardup (multimodal.py gained the Huffman-path
+    G.1 scan-band validation, and VERDICT r9 wrong #2 wants this
+    driver row as the wobble's second source); (b) 6 new entries —
+    stream_backfill_rollup (the backfill loop end-to-end, VERDICT r9
+    #7) and function-layer wave 6: smart_summarize,
+    series_with_wildcards, divide_series_lists, remove_empty_series,
+    name_functions_2 (every one oracle-paired, green at sf0.01 AND
+    sf0.1 locally); (c) the FULL 39-entry r5-stale block in
+    CORRECTNESS_r05 key order (chunk_retrieval … nation_pagerank) —
+    exactly as the r9-written plan demanded, clearing every r5 row
+    from the backlog; (d) is EMPTY.
+
+    ROTATION PLAN (round 11): promote (a) anything changed in r11,
+    (b) new r11 entries, (c) the r6-stale block oldest-first in
+    CORRECTNESS_r06 key order (45 entries are r6-stale going into
+    r11; they will not all fit — take them in file order and roll
+    the tail to r12), then (d) r7 greens oldest-first. After
+    rotating, run ``python tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 9, historical — superseded by r10): the
+    50-slot prefix was the
     explicit ``_R9_PREFIX`` list — (a) the 5 entries changed in r9:
     filter_series (currentAbove/Below flipped to graphite-web's
     inclusive >=/<= per ADVICE r8 — output AND oracle changed),
@@ -4199,7 +4310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     took every slot the r4 block left, so the whole 39-entry
     r5-stale block rotates in r10.
 
-    ROTATION PLAN (round 10): promote (a) anything changed in r10,
+    ROTATION PLAN (round 10, historical — executed as written, see
+    STATE r10 above): promote (a) anything changed in r10,
     (b) new r10 entries, (c) the 39 r5-stale entries in
     CORRECTNESS_r05 key order (chunk_retrieval, ewma_series,
     holt_winters_bands, expire_catalog,
@@ -4652,7 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R9_PREFIX}
+    out = {k: base.pop(k) for k in _R10_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
