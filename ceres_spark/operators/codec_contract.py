@@ -231,6 +231,9 @@ def jpeg_g1_malformed(payload: bytes, wrap: bytes = b"") -> list:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            i += 1          # before any marker — skip, don't parse a
+            continue        # length out of the real marker byte
         if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -247,7 +250,13 @@ def jpeg_g1_malformed(payload: bytes, wrap: bytes = b"") -> list:
                 out.append((patched(0, 5), "image",
                             "G.1 DC scan with Se!=0"))
             else:
-                out.append((patched(min(se + 1, 63), se), "image",
+                # no cap on the patched Ss: se is 63 for most real AC
+                # scans, and min(se+1, 63) would emit a spec-VALID
+                # Ss=Se=63 header — a conformant vendor decoder could
+                # legitimately decode it, failing the clause falsely.
+                # Ss=se+1 (<=64, fits a byte) genuinely violates
+                # G.1.1.1.1's 1 <= Ss <= Se <= 63.
+                out.append((patched(se + 1, se), "image",
                             "G.1 AC scan with Ss>Se"))
                 out.append((patched(ss, 64), "image",
                             "G.1 AC scan with Se>63"))

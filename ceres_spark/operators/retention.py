@@ -475,10 +475,15 @@ def backfill_rollup_windows(
     1. affected = distinct (metric, window) touched by stored rows
        with ``arrival_batch >= since_batch`` (the arrivals the
        dashboard's watermark may have dropped);
-    2. repaired = re-aggregate ONLY those windows from the full
-       store (a semi-join prunes the scan — and because the store is
-       date-partitioned, at 100 TB the affected-window read prunes
-       to the days late data actually touched);
+    2. repaired = re-aggregate ONLY those windows from the store: a
+       semi-join prunes the scan, and when the store carries the
+       append-log's ``date`` partition column the affected set is
+       exploded onto the 1-2 UTC days each window touches and
+       ``date`` joins as a THIRD key — the join is then on the
+       store's partition column against a late-data-sized build
+       side, making the scan eligible for dynamic partition pruning
+       (at 100 TB the repair reads the days late data actually
+       touched, not the log);
     3. converged = repaired windows replace the dashboard's, every
        other dashboard row passes through untouched.
 
@@ -492,24 +497,43 @@ def backfill_rollup_windows(
     Convergence (output == all-batch aggregate) is hash-checked by
     the ``stream_backfill_rollup`` registry entry and pytest-pinned.
     """
+    win = int(window_seconds)
     w = (
-        F.col(ts_col) - F.col(ts_col) % F.lit(int(window_seconds))
+        F.col(ts_col) - F.col(ts_col) % F.lit(win)
     ).cast("long").alias("ts")
     affected = (
         stored.filter(F.col("arrival_batch") >= int(since_batch))
         .select("metric", w)
         .distinct()
     )
+    join_keys = ["metric", "ts"]
+    scan_cols = ["metric", w, "value"]
+    if "date" in stored.columns:
+        # join on the store's partition column too: each window
+        # touches at most two UTC days (a window can straddle
+        # midnight), and a stored row's date always equals the UTC
+        # day of its own ts — so adding the exploded day key never
+        # changes the matched row set, it only hands the optimizer a
+        # partition-column equi-join to prune the parquet scan with
+        day = lambda c: F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(c / 86400).cast("int"),
+        )
+        affected = affected.withColumn(
+            "date",
+            F.explode(F.array_distinct(F.array(
+                day(F.col("ts")), day(F.col("ts") + F.lit(win - 1))
+            ))),
+        )
+        join_keys = ["metric", "ts", "date"]
+        scan_cols = ["metric", w, "value", "date"]
     repaired = (
-        stored.select("metric", w, "value")
-        .join(affected, ["metric", "ts"], "semi")
+        stored.select(*scan_cols)
+        .join(affected, join_keys, "semi")
         .groupBy("metric", "ts")
         .agg(
             F.count("value").alias("n_points"),
-            F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
-            .cast("string")
-            .cast("double")
-            .alias("sum_value"),
+            agg_expr("sum").alias("sum_value"),
         )
         .withColumn("patched", F.lit(1))
     )

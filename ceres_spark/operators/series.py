@@ -2109,7 +2109,9 @@ def divide_series_lists(series: DataFrame) -> DataFrame:
     functions.py rule. Same sparse-grid note as divide_series.
     """
     parts = F.split(F.col("path"), "\\.")
-    name = F.array_join(F.slice(parts, 2, 100), ".")
+    name = F.array_join(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), "."
+    )
     side = F.element_at(parts, 1)
     g = series.select(
         name.alias("name"), side.alias("_side"), "ts", "value"

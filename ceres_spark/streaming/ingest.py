@@ -82,7 +82,17 @@ def append_log_batch(
     touched instead of rescanning the 100 TB log."""
     out = batch.withColumn(
         "arrival_batch", F.lit(int(batch_id)).cast("long")
-    ).withColumn("date", F.to_date(F.col(ts_col)))
+    ).withColumn(
+        # UTC day by epoch integer math, NOT to_date(ts): to_date
+        # converts in the session timezone, so a non-UTC caller would
+        # partition on local days and break the documented UTC
+        # contract (and the backfill job's matching UTC day key)
+        "date",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("int"),
+        ),
+    )
     out.write.mode("append").partitionBy("date").parquet(target_path)
 
 

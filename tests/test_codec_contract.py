@@ -287,8 +287,26 @@ def test_tamper_g1_tolerant_hook_fails_malformed_clause():
 def test_builtin_huffman_progressive_rejects_g1_bands():
     # the Huffman path itself (r10 — the arithmetic path gained this
     # in r9): every generated G.1-invalid stream raises ValueError
+    # FROM THE SCAN-BAND VALIDATION, not from incidental entropy
+    # garbage (the first generator cut emitted a spec-valid Ss=Se=63
+    # header for the Ss>Se case and only the entropy decode happened
+    # to fail — a conformant vendor decoder could have decoded it)
     from ceres_spark.operators.codec_contract import jpeg_g1_malformed
 
-    for payload, _, why in jpeg_g1_malformed(_progressive_sample()):
-        with pytest.raises(ValueError):
+    cases = jpeg_g1_malformed(_progressive_sample())
+    for payload, _, why in cases:
+        with pytest.raises(ValueError, match="G.1|Ss <= Se"):
             mm.decode_jpeg(payload)
+
+
+def test_g1_generator_survives_fill_bytes():
+    # T.81 B.1.1.2 permits 0xFF fill bytes before any marker; the
+    # marker walk must not parse a length out of the real marker byte
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    prog = _progressive_sample()
+    padded = prog[:2] + b"\xff" + prog[2:]  # fill byte after SOI
+    plain = jpeg_g1_malformed(prog)
+    with_fill = jpeg_g1_malformed(padded)
+    assert len(with_fill) == len(plain)
+    assert [w for _, _, w in with_fill] == [w for _, _, w in plain]
