@@ -310,3 +310,32 @@ def test_g1_generator_survives_fill_bytes():
     with_fill = jpeg_g1_malformed(padded)
     assert len(with_fill) == len(plain)
     assert [w for _, _, w in with_fill] == [w for _, _, w in plain]
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"scans": "progressive"},
+        {"scans": "progressive", "subsample": 2},
+        # (restart_interval omitted: the encoder rejects DRI with
+        # progressive scans by design)
+        {"scans": "progressive", "depth": 12},
+    ],
+)
+def test_g1_generator_across_progressive_dials(kwargs):
+    # the generator must produce the full matrix (DC Se!=0, AC Ss>Se,
+    # AC Se>63) and every case must trip the SCAN-BAND validation on
+    # whatever progressive layout the encoder dials produce
+    from ceres_spark.operators.codec_contract import jpeg_g1_malformed
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    payload = mm.encode_jpeg(img, **kwargs)
+    cases = jpeg_g1_malformed(payload)
+    whys = {why for _, _, why in cases}
+    assert {w.split(" with ")[0] for w in whys} == {
+        "G.1 DC scan", "G.1 AC scan"
+    }, whys
+    for p, _, why in cases:
+        with pytest.raises(ValueError, match="G.1|Ss <= Se"):
+            mm.decode_jpeg(p)
