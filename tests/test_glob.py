@@ -118,3 +118,33 @@ def test_glob_to_regex_body_is_the_unanchored_contract():
         body = glob_to_regex_body(pat)
         assert glob_to_regex(pat) == "^" + body + "$"
         assert not body.startswith("^") and not body.endswith("$")
+
+
+def test_braces_cross_product_property():
+    # for literal-only non-nested groups, expansion must be the exact
+    # cross product, first-alternative-first — checked against an
+    # independent itertools construction over generated patterns
+    import itertools
+    import random
+
+    from ceres_spark.plans.glob import expand_braces
+
+    rng = random.Random(42)
+    alphabet = ["srv", "db", "web01", "x", "metric"]
+    for _ in range(50):
+        n_groups = rng.randint(1, 3)
+        pieces, alternative_sets = [], []
+        for g in range(n_groups):
+            pieces.append(rng.choice(alphabet) + ".")
+            alts = [rng.choice(alphabet) for _ in range(rng.randint(1, 3))]
+            alternative_sets.append(alts)
+            pieces.append("{" + ",".join(alts) + "}")
+        pieces.append("." + rng.choice(alphabet))
+        pattern = "".join(pieces)
+        want = []
+        for combo in itertools.product(*alternative_sets):
+            out, it = [], iter(combo)
+            for p in pieces:
+                out.append(next(it) if p.startswith("{") else p)
+            want.append("".join(out))
+        assert expand_braces(pattern) == want, pattern

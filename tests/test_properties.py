@@ -609,3 +609,68 @@ def test_flac_utf8_code_roundtrips_and_is_canonical(n):
     assert len(enc) == want, (hex(n), enc.hex())
     r = mm._MSBReader(enc, 0)
     assert mm._utf8_decode(r) == n
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                  # metric
+            st.integers(min_value=0, max_value=2000),     # epoch s
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=0, max_value=3),        # arrival batch
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_backfill_converges_to_all_batch_aggregate(spark, rows):
+    # the ceres unlimited-lateness guarantee as a PROPERTY: for ANY
+    # batch assignment, repairing a dashboard that is correct on
+    # windows without late (batch >= since) rows yields exactly the
+    # all-batch aggregate on every window with at least one row
+    import ceres_spark.operators.retention as ret
+
+    win, since = 300, 3
+    stored = spark.createDataFrame(
+        [(m, t, v, b) for m, t, v, b in rows],
+        "metric string, x long, value double, arrival_batch long",
+    )
+    from pyspark.sql import functions as F
+
+    w = (F.col("x") - F.col("x") % win).cast("long").alias("ts")
+    dashboard = (
+        stored.filter(F.col("arrival_batch") < since)
+        .groupBy("metric", w)
+        .agg(
+            F.count("value").alias("n_points"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    got = {
+        (r["metric"], r["ts"]): (r["n_points"], r["sum_value"])
+        for r in ret.backfill_rollup_windows(
+            stored, dashboard, win, since_batch=since
+        ).collect()
+    }
+    want = {
+        (r["metric"], r["ts"]): (r["n_points"], r["sum_value"])
+        for r in stored.groupBy("metric", w)
+        .agg(
+            F.count("value").alias("n_points"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        gn, gs = got[k]
+        assert gn == n
+        assert gs == pytest.approx(s, rel=1e-9, abs=1e-9)
