@@ -2261,8 +2261,9 @@ def _q_slice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_as_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """asPercent: per-metric share of each hour's total (broadcast
-    per-ts totals, one series shuffle)."""
+    """asPercent: per-metric share of each hour's total (the per-ts
+    totals join is UNHINTED as of r10 — ts is the unbounded axis;
+    AQE broadcasts at render-window sizes on its own)."""
     deduped = cp.compact(tbl.points(spark, sf_dir), 60)
     hourly = agg.aggregate_series(deduped, "average", 3600)
     return ser.as_percent(hourly)
