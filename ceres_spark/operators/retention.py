@@ -478,8 +478,10 @@ def backfill_rollup_windows(
     2. repaired = re-aggregate ONLY those windows from the store: a
        semi-join prunes the scan, and when the store carries the
        append-log's ``date`` partition column the affected set is
-       exploded onto the 1-2 UTC days each window touches and
-       ``date`` joins as a THIRD key — the join is then on the
+       exploded onto EVERY UTC day each window touches (a 1-day-step
+       ``sequence`` — correct for windows of any length, including
+       multi-day rollups; ADVICE r10 medium) and ``date`` joins as a
+       THIRD key — the join is then on the
        store's partition column against a late-data-sized build
        side, making the scan eligible for dynamic partition pruning
        (at 100 TB the repair reads the days late data actually
@@ -509,21 +511,28 @@ def backfill_rollup_windows(
     join_keys = ["metric", "ts"]
     scan_cols = ["metric", w, "value"]
     if "date" in stored.columns:
-        # join on the store's partition column too: each window
-        # touches at most two UTC days (a window can straddle
-        # midnight), and a stored row's date always equals the UTC
-        # day of its own ts — so adding the exploded day key never
-        # changes the matched row set, it only hands the optimizer a
-        # partition-column equi-join to prune the parquet scan with
+        # join on the store's partition column too: a stored row's
+        # date always equals the UTC day of its own ts, so exploding
+        # each affected window onto EVERY day it touches — sequence
+        # from day(ts) to day(ts + win - 1), inclusive, 1-day step —
+        # never changes the matched row set, it only hands the
+        # optimizer a partition-column equi-join to prune the parquet
+        # scan with.  sequence (not a 2-element array) because a
+        # window longer than a day, or any non-day-aligned window
+        # over ~1 day, spans intermediate days whose store rows would
+        # otherwise fail the 3-key semi-join and silently vanish from
+        # the recompute (ADVICE r10 medium).  The explode fan-out is
+        # ceil(win/86400)+1 rows per affected window — bounded by the
+        # rollup period, not the data.
         day = lambda c: F.date_add(
             F.lit("1970-01-01").cast("date"),
             F.floor(c / 86400).cast("int"),
         )
         affected = affected.withColumn(
             "date",
-            F.explode(F.array_distinct(F.array(
+            F.explode(F.sequence(
                 day(F.col("ts")), day(F.col("ts") + F.lit(win - 1))
-            ))),
+            )),
         )
         join_keys = ["metric", "ts", "date"]
         scan_cols = ["metric", w, "value", "date"]

@@ -2022,6 +2022,7 @@ def smart_summarize(
     interval: int = 25200,
     method: str = "average",
     align_seconds: int = 86400,
+    from_time: int | None = None,
 ) -> DataFrame:
     """graphite-web ``smartSummarize(seriesList, interval, func,
     alignTo)`` (r10 wave 6): like :func:`summarize` but buckets are
@@ -2032,17 +2033,37 @@ def smart_summarize(
     alignment unit — the registered 7-hour dial makes all three
     summarize anchors produce different buckets.
 
-    anchor = min(ts) truncated to the alignment unit — one bounded
-    1-row scalar aggregate cross-joined back (the sanctioned bounds
-    pattern); the anchor rides the output so the hash check pins the
-    alignment derivation, not just the aggregates.
+    Anchor rule (ADVICE r10 / VERDICT r10 wrong #1): graphite-web
+    truncates the REQUESTED fetch start time; pass it as
+    ``from_time`` for that fidelity. With ``from_time=None`` (the
+    oracle-checkable default) the anchor falls back to min(ts)
+    truncated to the unit — a DEPARTURE from graphite whenever the
+    fetch window's leading alignment unit(s) contain no points (a
+    sparse metric queried over a wide window shifts the anchor by
+    whole days, and with an interval that does not divide the unit,
+    the whole bucket grid). The fallback is what the registry entry
+    hash-checks, because the driver's oracle has no request context;
+    the ``from_time`` arm shares the same plan (a literal replaces
+    the scalar aggregate) and is pytest-pinned.
+
+    anchor = (from_time | min(ts)) truncated to the alignment unit —
+    one bounded 1-row scalar aggregate cross-joined back (the
+    sanctioned bounds pattern); the anchor rides the output so the
+    hash check pins the alignment derivation, not just the
+    aggregates.
     """
     from ceres_spark.operators.aggregate import agg_expr
 
     interval, unit = int(interval), int(align_seconds)
-    anchor = buckets.agg(
-        (F.min("ts") - F.min("ts") % unit).cast("long").alias("_anchor")
-    )
+    if from_time is not None:
+        ft = int(from_time)
+        anchor = buckets.sparkSession.range(1).select(
+            F.lit(ft - ft % unit).cast("long").alias("_anchor")
+        )
+    else:
+        anchor = buckets.agg(
+            (F.min("ts") - F.min("ts") % unit).cast("long").alias("_anchor")
+        )
     j = buckets.crossJoin(F.broadcast(anchor))
     bucket = (
         F.col("_anchor")
@@ -2095,14 +2116,24 @@ def series_with_wildcards(series: DataFrame, position: int = 0) -> DataFrame:
     return g
 
 
-def divide_series_lists(series: DataFrame) -> DataFrame:
+def divide_series_lists(
+    series: DataFrame,
+    dividend_node: str = "dc0",
+    divisor_node: str = "dc1",
+) -> DataFrame:
     """graphite-web ``divideSeriesLists(dividends, divisors)`` (r10
     wave 6): the wildcard-paired form of :func:`divide_series` —
-    dividend ``dc0.<name>`` divides by divisor ``dc1.<name>`` matched
-    on the stripped name per slot. graphite matches the two lists
-    positionally after a wildcard expansion; joining on the stripped
-    name is the engine-native equivalent (and what the positional
-    match degenerates to when both lists expand the same glob).
+    dividend ``<dividend_node>.<name>`` divides by divisor
+    ``<divisor_node>.<name>`` matched on the stripped name per slot.
+    graphite matches the two lists positionally after a wildcard
+    expansion; joining on the stripped name is the engine-native
+    equivalent (and what the positional match degenerates to when
+    both lists expand the same glob).
+
+    The two side prefixes are parameters (default the testdata's
+    ``dc0``/``dc1``); a path whose first node matches NEITHER side
+    raises in-plan (``raise_error``) instead of silently producing
+    all-NULL quotients — ADVICE r10 low.
 
     One grouped pass pivots both sides (no self-join); quotient is
     NULL on a missing or ZERO divisor, mirroring divide_series'
@@ -2112,16 +2143,28 @@ def divide_series_lists(series: DataFrame) -> DataFrame:
     name = F.array_join(
         F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), "."
     )
-    side = F.element_at(parts, 1)
+    side_raw = F.element_at(parts, 1)
+    side = F.when(
+        side_raw.isin(dividend_node, divisor_node), side_raw
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(
+                "divide_series_lists: path's first node matches "
+                f"neither dividend_node={dividend_node!r} nor "
+                f"divisor_node={divisor_node!r}: "
+            ),
+            F.col("path"),
+        ))
+    )
     g = series.select(
         name.alias("name"), side.alias("_side"), "ts", "value"
     ).groupBy("name", "ts").agg(
-        F.max(F.when(F.col("_side") == "dc0", F.col("value"))).alias(
-            "dividend"
-        ),
-        F.max(F.when(F.col("_side") == "dc1", F.col("value"))).alias(
-            "divisor"
-        ),
+        F.max(
+            F.when(F.col("_side") == dividend_node, F.col("value"))
+        ).alias("dividend"),
+        F.max(
+            F.when(F.col("_side") == divisor_node, F.col("value"))
+        ).alias("divisor"),
     )
     return g.select(
         "name",

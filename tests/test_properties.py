@@ -620,7 +620,7 @@ def test_flac_utf8_code_roundtrips_and_is_canonical(n):
     rows=st.lists(
         st.tuples(
             st.sampled_from(["a", "b"]),                  # metric
-            st.integers(min_value=0, max_value=2000),     # epoch s
+            st.integers(min_value=0, max_value=200000),   # epoch s (spans 3 UTC days)
             st.floats(
                 min_value=-100, max_value=100,
                 allow_nan=False, allow_infinity=False,
@@ -639,9 +639,18 @@ def test_backfill_converges_to_all_batch_aggregate(spark, rows):
     import ceres_spark.operators.retention as ret
 
     win, since = 300, 3
+    # carry the store's `date` partition column so the property also
+    # exercises the 3-key (metric, ts, date) semi-join path — the
+    # branch ADVICE r10 flagged as never property-tested
+    import datetime as _dt
+
     stored = spark.createDataFrame(
-        [(m, t, v, b) for m, t, v, b in rows],
-        "metric string, x long, value double, arrival_batch long",
+        [
+            (m, t, v, b, _dt.date(1970, 1, 1) + _dt.timedelta(t // 86400))
+            for m, t, v, b in rows
+        ],
+        "metric string, x long, value double, arrival_batch long,"
+        " date date",
     )
     from pyspark.sql import functions as F
 

@@ -242,6 +242,48 @@ def test_backfill_rollup_windows_repairs_and_passes_through(spark):
     )
 
 
+def test_backfill_multiday_window_covers_intermediate_days(spark):
+    # ADVICE r10 medium: with the store's `date` partition column
+    # present and a window spanning >= 3 calendar days (weekly
+    # rollup), store rows on INTERMEDIATE days must still reach the
+    # recompute — the old 2-element day explode (first + last day
+    # only) silently dropped them from the 3-key semi-join
+    import datetime
+
+    import ceres_spark.operators.retention as ret
+
+    day = 86400
+    win = 7 * day  # weekly window [0, 604800)
+    rows = [
+        ("a", 10, 1.0, 0),            # day 0 (window start), on-time
+        ("a", 3 * day + 5, 2.0, 1),   # day 3 — INTERMEDIATE day
+        ("a", 5 * day + 7, 3.0, 3),   # day 5 — intermediate, LATE
+        ("a", 6 * day + 9, 4.0, 0),   # day 6 (window's last day)
+    ]
+    stored = spark.createDataFrame(
+        [
+            (m, x, v, b, datetime.date(1970, 1, 1 + x // day))
+            for m, x, v, b in rows
+        ],
+        "metric string, x long, value double, arrival_batch long,"
+        " date date",
+    )
+    # dashboard as the watermark left it: the late day-5 row missing
+    dashboard = spark.createDataFrame(
+        [("a", 0, 3, 7.0)],
+        "metric string, ts long, n_points long, sum_value double",
+    )
+    got = ret.backfill_rollup_windows(
+        stored, dashboard, win, since_batch=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["ts"], r["patched"]) == (0, 1)
+    # all four store rows — including both intermediate days — in
+    # the recompute
+    assert (r["n_points"], r["sum_value"]) == (4, 10.0)
+
+
 def test_stream_append_log_stamps_batches(spark, tmp_path):
     # the storage leg never drops and stamps arrival order
     import ceres_spark.streaming.ingest as ing2
