@@ -1903,6 +1903,94 @@ def _q_name_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.name_functions_2(cp.compact(tbl.points(spark, sf_dir), 60))
 
 
+def _q_group_by_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite groupByNodes(dc.srv.type, 'sum', 0, 2) (r11 wave 7):
+    events keyed 3 levels deep — dc<user_id%2>.srv<user_id%4>.<type> —
+    hourly-averaged per full path, then the dc and leaf nodes KEPT
+    (argument order) and the host aggregated away. The multi-node
+    complement of group_by_node's single-component keep."""
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
+    pts = ev.select(
+        F.concat(
+            F.lit("dc"), (F.col("user_id") % 2).cast("string"),
+            F.lit(".srv"), (F.col("user_id") % 4).cast("string"),
+            F.lit("."), F.col("event_type"),
+        ).alias("metric"),
+        sec.cast("long").alias("ts"),
+        "value",
+        F.col("event_id").alias("arrival_seq"),
+    )
+    deduped = cp.compact(pts, 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.group_by_nodes(hourly, [0, 2], "sum")
+
+
+def _q_apply_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite applyByNode(srv.*.ev.*, 0, 'divideSeries(%.ev.click,
+    %.ev.view)') (r11 wave 7): the per-host click/view ratio — series
+    grouped on their first path component, the divide template
+    pivoted per (prefix, ts) in one grouped pass. Paths are
+    srv<user_id%4>.ev.<type> hourly decimal-exact averages."""
+    ev = tbl.load(spark, "events", sf_dir)
+    sec = tbl.epoch_seconds(ev.schema["ts"].dataType)
+    dec = F.col("value").cast("string").cast("decimal(30,10)")
+    panel = (
+        ev.select(
+            F.concat(
+                F.lit("srv"), (F.col("user_id") % 4).cast("string"),
+                F.lit(".ev."), F.col("event_type"),
+            ).alias("path"),
+            (sec - sec % 3600).cast("long").alias("ts"),
+            "value",
+        )
+        .groupBy("path", "ts")
+        .agg(
+            (
+                F.sum(dec).cast("string").cast("double")
+                / F.count("value")
+            ).alias("value")
+        )
+    )
+    return ser.apply_by_node(panel, 0, "ev.click", "ev.view")
+
+
+def _q_use_series_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite useSeriesAbove(cap.*, 480, 'cap.', 'act.') (r11 wave
+    7): the on/off fetch-indirection idiom — cap.<type> carries the
+    raw 60s-compacted points (whose MAX gates), act.<type> the hourly
+    decimal-avg panel the rewrite fetches instead. The 480 threshold
+    splits the gate at BOTH SFs (sf0.01: click's 490 max passes, the
+    other four stay below; sf0.1: click+error pass, three fail) and
+    sits far above every act.* hourly average, so only rewritten
+    names survive."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    cap = deduped.select(
+        F.concat(F.lit("cap."), F.col("metric")).alias("metric"),
+        "ts", "value",
+    )
+    act = agg.aggregate_series(deduped, "average", 3600).select(
+        F.concat(F.lit("act."), F.col("metric")).alias("metric"),
+        "ts", "value",
+    )
+    return ser.use_series_above(
+        cap.unionByName(act), 480.0, r"^cap\.", "act."
+    )
+
+
+def _q_ema_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite exponentialMovingAverage(series, 4) — the
+    WINDOW-POINTS dial (r11 wave 7; ewma_series covers the α dial):
+    c = 2/5, seed = decimal-exact average of each series' first 4
+    hourly slots, recursion emitted one slot late per graphite's
+    append loop (the transcribed-rule caveat lives in the operator
+    docstring). Hash-checked against a recursive-CTE oracle replaying
+    the identical IEEE recursion with the identical decimal seed."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.ema_window(hourly, window_points=4)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3705,14 +3793,91 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
 
 
-#: The r9 driver-checked prefix (the driver verifies the FIRST 50
-#: dict entries): (a) changed in r9 → (b) new in r9 → (c) the FULL
-#: 35-entry r4-stale block in CORRECTNESS_r04 key order (the eight
-#: displaced late-r8 ARE that file's first eight keys, so the
-#: r8-written plan order and the file order coincide) → (d) empty
-#: (the nine late-r9 (b) entries took the remaining slots). See the
-#: ROTATION STATE section in the queries() docstring. This list is
+#: The r11 driver-checked prefix (the driver verifies the FIRST 50
+#: dict entries): (a) changed in r11 → (b) new in r11 (function-layer
+#: wave 7) → (c) the first 43 of the 45-entry r6-stale block in
+#: CORRECTNESS_r06 key order (the tail token_counts +
+#: multimodal_features rolls to r12) → (d) empty. See the ROTATION
+#: STATE section in the queries() docstring. This list is
 #: machine-checked by tests/test_rotation_guard.py.
+_R11_PREFIX = [
+    # (a) changed in r11 (ADVICE r10 fixes — outputs and/or executed
+    # plans changed, MUST re-check)
+    "stream_backfill_rollup",     # backfill day-explode now a 1-day-
+    #                               step sequence over EVERY day a
+    #                               window touches (multi-day windows
+    #                               were silently under-repaired,
+    #                               ADVICE r10 medium) — executed
+    #                               plan changed
+    "divide_series_lists",        # side prefixes parameterized + an
+    #                               in-plan raise on unknown first
+    #                               node (ADVICE r10 low) — executed
+    #                               plan changed
+    "smart_summarize",            # optional from_time request-start
+    #                               anchor (ADVICE r10 low / VERDICT
+    #                               r10 wrong #1); default arm
+    #                               unchanged but the operator
+    #                               branched — re-lineage
+    # (b) new in r11 — function-layer wave 7 (all oracle-paired,
+    # green at sf0.01 AND sf0.1 locally)
+    "group_by_nodes",             # multi-node keep (complement of
+    #                               series_with_wildcards' drop)
+    "apply_by_node",              # prefix-grouped divide template
+    "use_series_above",           # max gate + regex name rewrite +
+    #                               fetch indirection
+    "ema_window",                 # exponentialMovingAverage window-
+    #                               points dial, recursive-CTE oracle
+    #                               (rows-only census unchanged,
+    #                               VERDICT r10 #8)
+    # (c) the first 43 of the 45-entry r6-stale block,
+    # CORRECTNESS_r06 key order; token_counts + multimodal_features
+    # roll to the r12 plan; (d) is EMPTY
+    "multimodal_frames_real",
+    "temperature_mix",
+    "sort_by_extrema",
+    "rollup_incremental",
+    "video_manifest",
+    "audio_manifest",
+    "topk_ivf_portable",
+    "pq_codes_portable",
+    "semantic_dedup_portable",
+    "topk_lsh_portable",
+    "agg_methods",
+    "aggregate_series",
+    "merge_series",
+    "fetch_per_node_method",
+    "rollup_xff",
+    "rollup_per_node",
+    "multi_resolution",
+    "has_data_for_interval",
+    "delete_before",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "pii_scrub",
+    "repetition_stats",
+    "neardup_clusters",
+    "corpus_pipeline",
+    "jaccard_pairs",
+    "topk_cosine",
+    "topk_cosine_lsh",
+    "topk_cosine_ivf",
+    "embedding_neardup",
+    "label_centroid_sim",
+    "topk_cosine_q8",
+    "sliding_window",
+    "session_window",
+    "props_extract",
+    "contamination",
+    "doc_chunks",
+    "funnel",
+    "cohort_retention",
+    "approx_distinct_users",
+]
+
+#: r10 prefix (historical; superseded by _R11_PREFIX)
 _R10_PREFIX = [
     # (a) changed in r10 (VERDICT r9 + ADVICE r9 fixes — outputs
     # and/or executed plans changed, MUST re-check)
@@ -4255,7 +4420,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 10, final): the 50-slot prefix is the
+    ROTATION STATE (round 11, final): the 50-slot prefix is the
+    explicit ``_R11_PREFIX`` list — (a) the 3 entries changed in r11
+    (all ADVICE r10): stream_backfill_rollup (the backfill repair's
+    date explode is now a 1-day-step ``sequence`` over every UTC day
+    a window touches — multi-day windows were silently
+    under-repaired; executed plan changed), divide_series_lists
+    (side prefixes parameterized, unknown first node raises in-plan),
+    smart_summarize (optional ``from_time`` request-start anchor;
+    the registered default arm is unchanged but the operator
+    branched); (b) 4 new entries — function-layer wave 7:
+    group_by_nodes (multi-node keep), apply_by_node (prefix-grouped
+    divide template), use_series_above (max gate + regex rewrite +
+    fetch indirection; the 480 threshold splits the gate at BOTH
+    SFs), ema_window (exponentialMovingAverage's window-points dial
+    with the decimal seed + recursive-CTE oracle — rows-only census
+    unchanged, VERDICT r10 #8); (c) the first 43 of the 45-entry
+    r6-stale block in CORRECTNESS_r06 key order
+    (multimodal_frames_real … approx_distinct_users); (d) is EMPTY —
+    the block tail (token_counts, multimodal_features) rolls to r12.
+
+    ROTATION PLAN (round 12): promote (a) anything changed in r12,
+    (b) new r12 entries, (c) the two r6-stale leftovers
+    (token_counts, multimodal_features) then the r7-stale block
+    oldest-first in CORRECTNESS_r07 key order (32 entries going into
+    r12; take them in file order and roll any tail to r13), then
+    (d) r8 greens oldest-first. After rotating, run ``python
+    tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 10, historical — superseded by r11): the
+    50-slot prefix was the
     explicit ``_R10_PREFIX`` list — (a) the 5 entries changed in
     r10: filter_series (maximumBelow/minimumBelow flipped to
     graphite-web's inclusive <=, ADVICE r9), remove_between_percentile
@@ -4275,7 +4470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly as the r9-written plan demanded, clearing every r5 row
     from the backlog; (d) is EMPTY.
 
-    ROTATION PLAN (round 11): promote (a) anything changed in r11,
+    ROTATION PLAN (round 11, historical — executed as written, see
+    STATE r11 above): promote (a) anything changed in r11,
     (b) new r11 entries, (c) the r6-stale block oldest-first in
     CORRECTNESS_r06 key order (45 entries are r6-stale going into
     r11; they will not all fit — take them in file order and roll
@@ -4545,6 +4741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divide_series_lists": _q_divide_series_lists,
         "remove_empty_series": _q_remove_empty_series,
         "name_functions_2": _q_name_functions_2,
+        # function-layer wave 7 (r11)
+        "group_by_nodes": _q_group_by_nodes,
+        "apply_by_node": _q_apply_by_node,
+        "use_series_above": _q_use_series_above,
+        "ema_window": _q_ema_window,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -4765,7 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R10_PREFIX}
+    out = {k: base.pop(k) for k in _R11_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
@@ -7117,6 +7318,115 @@ SELECT metric, n_slots, n_nonnull,
        CAST(n_nonnull * 1000000 // n_slots >= 950000 AS INTEGER)
          AS keep_xff
 FROM stats
+""",
+        # groupByNodes(0, 2): keep (dc, leaf), host aggregated away;
+        # the oracle rebuilds the kept name from split_part
+        "group_by_nodes": f"""
+WITH p2 AS (
+  SELECT 'dc' || CAST(user_id % 2 AS VARCHAR)
+           || '.srv' || CAST(user_id % 4 AS VARCHAR)
+           || '.' || event_type AS metric,
+         x - (x % 60) AS ts, value, event_id AS arrival_seq
+  FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS x FROM events)
+),
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM p2 WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT split_part(metric, '.', 1) || '.' || split_part(metric, '.', 3)
+         AS name,
+       ts, {DEC_SUM} AS value,
+       CAST(COUNT(value) AS BIGINT) AS n_series
+FROM b GROUP BY 1, 2
+""",
+        # applyByNode divide template: per-srv click/view ratio; NULL
+        # on missing-or-zero denominator (graphite safeDiv)
+        "apply_by_node": f"""
+WITH ev AS (
+  SELECT 'srv' || CAST(user_id % 4 AS VARCHAR) AS pre,
+         event_type AS typ,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x, value
+  FROM events
+),
+s AS (
+  SELECT pre, typ, x - (x % 3600) AS ts, {DEC_AVG} AS value
+  FROM ev GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT pre AS name, ts,
+         MAX(CASE WHEN typ = 'click' THEN value END) AS numerator,
+         MAX(CASE WHEN typ = 'view' THEN value END) AS denominator
+  FROM s GROUP BY 1, 2
+)
+SELECT name, ts, numerator, denominator,
+       CASE WHEN denominator IS NOT NULL AND denominator <> 0.0
+            THEN numerator / denominator END AS quotient
+FROM p
+""",
+        # useSeriesAbove: max-gate the cap.* raw panel at 480, regex
+        # rewrite to act.*, fetch the rewritten series ('g' matches
+        # Spark regexp_replace / re.sub replace-all)
+        "use_series_above": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+panel AS (
+  SELECT 'cap.' || metric AS metric, ts, value FROM deduped
+  UNION ALL
+  SELECT 'act.' || metric AS metric, ts - (ts % 3600) AS ts,
+         {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+gated AS (
+  SELECT DISTINCT
+         regexp_replace(metric, '^cap\\.', 'act.', 'g') AS metric
+  FROM (SELECT metric, MAX(value) AS mx FROM panel GROUP BY 1)
+  WHERE mx > 480.0
+)
+SELECT panel.metric, ts, value FROM panel JOIN gated USING (metric)
+""",
+        # exponentialMovingAverage window-points dial: decimal seed
+        # over the first 4 slots, IEEE recursion replayed one slot
+        # late (the graphite append loop), constants string-routed
+        "ema_window": f"""
+WITH RECURSIVE {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+),
+v AS MATERIALIZED (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS i
+  FROM h
+),
+seed AS (
+  SELECT metric, {DEC_AVG} AS s FROM v WHERE i <= 4 GROUP BY metric
+),
+rec AS (
+  SELECT v.metric, v.i, v.ts, v.value, seed.s AS ema,
+         CAST(COALESCE(seed.s, 0.0) AS DOUBLE) AS state
+  FROM v JOIN seed USING (metric) WHERE v.i = 5
+  UNION ALL
+  SELECT vn.metric, vn.i, vn.ts, vn.value,
+         CASE WHEN rec.value IS NULL THEN NULL
+              ELSE CAST('0.4' AS DOUBLE) * rec.value
+                   + CAST('0.6' AS DOUBLE) * rec.state END,
+         CASE WHEN rec.value IS NULL THEN rec.state
+              ELSE CAST('0.4' AS DOUBLE) * rec.value
+                   + CAST('0.6' AS DOUBLE) * rec.state END
+  FROM rec JOIN v vn ON vn.metric = rec.metric AND vn.i = rec.i + 1
+)
+SELECT metric, ts, value, ema FROM rec
 """,
         # name family II: substr node slice + aliasByMetric + alias
         "name_functions_2": f"""

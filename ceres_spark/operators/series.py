@@ -2178,6 +2178,213 @@ def divide_series_lists(
     )
 
 
+def group_by_nodes(
+    buckets: DataFrame, node_indices: list[int], method: str = "sum"
+) -> DataFrame:
+    """graphite-web ``groupByNodes(seriesList, callback, *nodes)``
+    (r11 wave 7): the multi-node generalization of
+    :func:`group_by_node` — KEEP the listed path components (in the
+    given order, graphite joins them with '.'), aggregate everything
+    else away. ``groupByNodes(srv.*.disk.*, 'sum', 1, 3)`` sums per
+    (host, volume) regardless of datacenter. The complement of
+    :func:`series_with_wildcards`' node-DROP.
+
+    One grouped pass on (joined kept nodes, ts) with the same
+    null-skipping decimal aggregate methods as op #19 — map-side
+    combinable, single shuffle on the collapsed key.
+    """
+    from ceres_spark.operators.aggregate import agg_expr
+
+    parts = F.split(F.col("metric"), r"\.")
+    name = F.concat_ws(
+        ".", *[parts.getItem(int(i)) for i in node_indices]
+    )
+    return (
+        buckets.groupBy(name.alias("name"), "ts")
+        .agg(
+            agg_expr(method).alias("value"),
+            F.count("value").cast("bigint").alias("n_series"),
+        )
+    )
+
+
+def apply_by_node(
+    series: DataFrame,
+    node_idx: int,
+    numerator_suffix: str,
+    denominator_suffix: str,
+) -> DataFrame:
+    """graphite-web ``applyByNode(seriesList, nodeNum, template)``
+    (r11 wave 7): group series by their first ``nodeNum + 1`` path
+    components and evaluate a template per group with ``%`` replaced
+    by the prefix — the docs' canonical instance is the per-host disk
+    ratio ``applyByNode(srv.*.disk.*, 1,
+    'divideSeries(%.disk.used, %.disk.total)')``. This is that
+    divide template engine-native: within each prefix group the row
+    whose REMAINDER equals ``numerator_suffix`` divides the row whose
+    remainder equals ``denominator_suffix``, per ts. Other templates
+    compose from the function layer the same way (the grouping
+    machinery is this function; the template body is whichever
+    operator you aggregate the pivoted columns with).
+
+    One grouped pass pivots both template legs (no self-join, same
+    shape as :func:`divide_series_lists`); quotient is NULL on a
+    missing or ZERO denominator, graphite's safeDiv rule.
+    """
+    parts = F.split(F.col("path"), r"\.")
+    n_keep = int(node_idx) + 1
+    prefix = F.array_join(F.slice(parts, 1, n_keep), ".")
+    remainder = F.array_join(
+        F.slice(
+            parts, n_keep + 1,
+            F.greatest(F.size(parts) - n_keep, F.lit(0)),
+        ),
+        ".",
+    )
+    g = series.select(
+        prefix.alias("name"), remainder.alias("_rem"), "ts", "value"
+    ).groupBy("name", "ts").agg(
+        F.max(
+            F.when(F.col("_rem") == numerator_suffix, F.col("value"))
+        ).alias("numerator"),
+        F.max(
+            F.when(F.col("_rem") == denominator_suffix, F.col("value"))
+        ).alias("denominator"),
+    )
+    return g.select(
+        "name",
+        "ts",
+        "numerator",
+        "denominator",
+        F.when(
+            F.col("denominator").isNotNull()
+            & (F.col("denominator") != 0.0),
+            F.col("numerator") / F.col("denominator"),
+        ).alias("quotient"),
+    )
+
+
+def use_series_above(
+    buckets: DataFrame,
+    threshold: float,
+    search: str,
+    replace: str,
+) -> DataFrame:
+    """graphite-web ``useSeriesAbove(seriesList, value, search,
+    replace)`` (r11 wave 7): compare each series' MAX against
+    ``value``; for every series STRICTLY above it, regex-rewrite the
+    name (``re.sub`` — all occurrences) and fetch THAT series
+    instead — the on/off idiom ('where capacity_bytes is above N,
+    show me active_io for the same disk').
+
+    Two passes over the same frame, no self-join on points: (1) a
+    per-metric max gate (tiny aggregate result) whose survivors get
+    ``regexp_replace`` applied — Spark's regexp_replace replaces all
+    matches, matching ``re.sub``; distinct rewritten names guard the
+    case where several gated series rewrite onto one target; (2) the
+    points frame joins the rewritten-name set to fetch the
+    replacement series. The gate side is an aggregate over metric
+    cardinality — no broadcast hint, AQE sizes the join (the
+    unbounded-axis discipline, VERDICT r9 #2).
+    """
+    gated = (
+        buckets.groupBy("metric")
+        .agg(F.max("value").alias("_mx"))
+        .filter(F.col("_mx") > F.lit(float(threshold)))
+        .select(
+            F.regexp_replace(F.col("metric"), search, replace)
+            .alias("metric")
+        )
+        .distinct()
+    )
+    return buckets.join(gated, "metric").select("metric", "ts", "value")
+
+
+def ema_window(
+    buckets: DataFrame, window_points: int = 4
+) -> DataFrame:
+    """graphite-web ``exponentialMovingAverage(seriesList,
+    windowSize)`` with the WINDOW-POINTS dial (r11 wave 7; the α-dial
+    form is :func:`ewma`). Transcribed rule — graphite-web ≥1.1
+    functions.py, re-verify against a deployed version before
+    claiming bit fidelity (SURVEY §2.11 caveat):
+
+    - ``constant = 2 / (windowPoints + 1)``;
+    - the seed is the plain average of the first ``windowPoints``
+      slots (None-skipping; an all-None window seeds the STATE at
+      0.0 while emitting None), emitted as the first output point at
+      the slot AFTER the window;
+    - each subsequent slot's output consumes the PREVIOUS slot's
+      datapoint (graphite appends the update one slot late — its
+      ema_series starts at ``series.start + previewSeconds`` while
+      the loop walks ``series[windowPoints:]``), so ``out(t_i) =
+      c·v_{i-1} + (1-c)·state`` for ``i > windowPoints``;
+    - a None datapoint emits None and does NOT update the state;
+    - graphite's final appended value lands past ``series.end``
+      (dropped by the renderer) — dropped here too, and graphite's
+      render-side ``round(ema, 3)`` is SKIPPED (half-even double
+      rounding is not cross-engine deterministic; the same rationale
+      excludes logarithm/round from value_transforms).
+
+    Determinism split: the recursion is a per-series applyInPandas
+    pass like :func:`ewma` (order-fixed IEEE ops, identical in any
+    engine), but the SEED is an unordered float sum — so it is
+    computed engine-side on the decimal lattice (string-routed
+    DECIMAL(30,10) sum / count, the repo idiom) and joined into the
+    pandas pass, making seed and recursion both bit-reproducible.
+    """
+    from pyspark.sql.window import Window
+
+    n = int(window_points)
+    if n < 1:
+        raise InvalidRequest(f"window_points must be >= 1, got {n}")
+    w = Window.partitionBy("metric").orderBy("ts")
+    idx = buckets.select("metric", "ts", "value").withColumn(
+        "_i", F.row_number().over(w)
+    )
+    seeds = (
+        idx.filter(F.col("_i") <= n)
+        .groupBy("metric")
+        .agg(
+            (
+                F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
+                .cast("string")
+                .cast("double")
+                / F.count("value")
+            ).alias("_seed")
+        )
+    )
+    joined = idx.join(seeds, "metric")
+    c = 2.0 / (n + 1.0)
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i").reset_index(drop=True)
+        vals = pdf["value"].to_numpy(dtype=float)
+        if len(vals) <= n:
+            return pdf.iloc[0:0][["metric", "ts", "value"]].assign(
+                ema=pd.Series(dtype=float)
+            )
+        seed = float(pdf["_seed"].iloc[0]) if pdf["_seed"].notna().iloc[0] \
+            else np.nan
+        out = np.empty(len(vals) - n)
+        out[0] = seed
+        state = 0.0 if np.isnan(seed) else seed
+        for k in range(n + 1, len(vals)):
+            v = vals[k - 1]
+            if np.isnan(v):
+                out[k - n] = np.nan
+            else:
+                state = c * v + (1 - c) * state
+                out[k - n] = state
+        res = pdf.iloc[n:][["metric", "ts", "value"]].copy()
+        res["ema"] = out
+        return res
+
+    return joined.groupBy("metric").applyInPandas(
+        _f, "metric string, ts bigint, value double, ema double"
+    )
+
+
 def remove_empty_series(
     dense: DataFrame, xff_ppm: int = 950000
 ) -> DataFrame:

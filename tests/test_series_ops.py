@@ -1219,3 +1219,106 @@ def test_name_functions_2_node_slice(spark):
     assert r["substr_name"] == "events.cpu"     # node slice [1, 3)
     assert r["alias_by_metric"] == "cpu"
     assert r["alias_name"] == "renamed"
+
+
+# ------------------------------------------------------- wave 7 (r11)
+
+def test_group_by_nodes_keeps_listed_components(spark):
+    # groupByNodes(srv.*.disk.*, 'sum', 0, 2): keep (dc, metric-leaf),
+    # aggregate the host away
+    df = spark.createDataFrame(
+        [
+            ("dc0.h1.cpu", 0, 1.0), ("dc0.h2.cpu", 0, 2.0),
+            ("dc1.h1.cpu", 0, 10.0),
+            ("dc0.h1.mem", 0, 5.0),
+        ],
+        "metric string, ts long, value double",
+    )
+    got = {(r["name"], r["ts"]): r for r in
+           ser.group_by_nodes(df, [0, 2], "sum").collect()}
+    assert got[("dc0.cpu", 0)]["value"] == 3.0
+    assert got[("dc0.cpu", 0)]["n_series"] == 2
+    assert got[("dc1.cpu", 0)]["value"] == 10.0
+    assert got[("dc0.mem", 0)]["value"] == 5.0
+    # order of kept nodes follows the argument order, like graphite
+    got_rev = {r["name"] for r in
+               ser.group_by_nodes(df, [2, 0], "sum").collect()}
+    assert got_rev == {"cpu.dc0", "cpu.dc1", "mem.dc0"}
+
+
+def test_apply_by_node_divide_template(spark):
+    # applyByNode(srv.*.disk.*, 0, 'divideSeries(%.disk.used,
+    # %.disk.total)') — per-host ratio, missing/zero denominator NULL
+    df = spark.createDataFrame(
+        [
+            ("h1.disk.used", 0, 30.0), ("h1.disk.total", 0, 100.0),
+            ("h2.disk.used", 0, 10.0), ("h2.disk.total", 0, 0.0),
+            ("h3.disk.used", 0, 7.0),   # no total series
+        ],
+        "path string, ts long, value double",
+    )
+    got = {r["name"]: r for r in ser.apply_by_node(
+        df, 0, "disk.used", "disk.total"
+    ).collect()}
+    assert got["h1"]["quotient"] == 0.3
+    assert got["h2"]["quotient"] is None     # zero denominator
+    assert got["h3"]["quotient"] is None     # missing denominator
+    assert got["h3"]["numerator"] == 7.0
+
+
+def test_use_series_above_gate_and_rewrite(spark):
+    # disk1 capacity above the gate -> fetch disk1.active_io; disk2
+    # stays below -> nothing fetched for it
+    df = spark.createDataFrame(
+        [
+            ("disk1.capacity", 0, 500.0), ("disk1.capacity", 60, 900.0),
+            ("disk2.capacity", 0, 50.0),
+            ("disk1.active_io", 0, 1.0), ("disk1.active_io", 60, 0.0),
+            ("disk2.active_io", 0, 1.0),
+        ],
+        "metric string, ts long, value double",
+    )
+    got = sorted(
+        (r["metric"], r["ts"], r["value"])
+        for r in ser.use_series_above(
+            df, 100.0, "capacity", "active_io"
+        ).collect()
+    )
+    assert got == [("disk1.active_io", 0, 1.0), ("disk1.active_io", 60, 0.0)]
+    # strict >: a max exactly AT the threshold does not gate through
+    assert ser.use_series_above(df, 900.0, "capacity", "active_io") \
+        .count() == 0
+
+
+def test_ema_window_seed_phase_and_none_rules(spark):
+    # n=3 keeps the constants exact: c = 0.5. seed = avg(2,4,6) = 4 at
+    # the slot AFTER the window; each later slot consumes the PREVIOUS
+    # slot's datapoint; None emits None without touching the state
+    df = pts_nullable(spark, [
+        ("a", 0, 2.0), ("a", 1, 4.0), ("a", 2, 6.0),
+        ("a", 3, 10.0), ("a", 4, None), ("a", 5, 8.0),
+    ])
+    got = {r["ts"]: r["ema"] for r in
+           ser.ema_window(df, window_points=3).collect()}
+    assert got[3] == 4.0                      # the seed
+    assert got[4] == 0.5 * 10.0 + 0.5 * 4.0   # consumes v(ts=3)
+    assert got[5] is None                     # consumes v(ts=4) = None
+    # all-None window: seed emits None but the STATE starts at 0.0
+    # (graphite's `ema = 0.0` fallback)
+    df2 = pts_nullable(spark, [
+        ("a", 0, None), ("a", 1, None), ("a", 2, None),
+        ("a", 3, 4.0), ("a", 4, 6.0),
+    ])
+    got2 = {r["ts"]: r["ema"] for r in
+            ser.ema_window(df2, window_points=3).collect()}
+    assert got2[3] is None
+    assert got2[4] == 0.5 * 4.0 + 0.5 * 0.0
+    # series shorter than the window: no output at all
+    short = pts_nullable(spark, [("a", 0, 1.0), ("a", 1, 2.0)])
+    assert ser.ema_window(short, window_points=3).count() == 0
+
+
+def pts_nullable(spark, rows):
+    return spark.createDataFrame(
+        rows, "metric string, ts long, value double"
+    )
