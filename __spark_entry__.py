@@ -3164,8 +3164,17 @@ def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _await_replay(q1, "stream_backfill_rollup[dashboard]")
-        # leg 2: the unlimited-lateness store (drops nothing)
+        # leg 2: the unlimited-lateness store (drops nothing).
+        # Started CONCURRENTLY with leg 1 (VERDICT r10 #6): the two
+        # queries are independent (separate checkpoints, sinks, and
+        # state — the store leg is stateless foreachBatch) and both
+        # replay the same static 4-file arrival set, so overlapping
+        # them costs nothing in proof — each still executes all 4
+        # micro-batches through its own checkpoint — and cuts the
+        # entry's wall ~30% (sequential 4.7 s → 3.3-3.8 s at sf0.1,
+        # TIMINGS §r11 A/B; the alternative of batch-writing the
+        # store was REJECTED: stream_append_log's only registry
+        # lineage is this leg).
         q2 = sing.stream_append_log(
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -3174,6 +3183,7 @@ def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             store,
             checkpoint=ck2,
         )
+        _await_replay(q1, "stream_backfill_rollup[dashboard]")
         _await_replay(q2, "stream_backfill_rollup[store]")
     from pyspark.sql.window import Window
 
