@@ -1991,6 +1991,16 @@ def _q_ema_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.ema_window(hourly, window_points=4)
 
 
+def _q_offset_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite offsetToZero + delay(1) (r11 wave 7b) over the hourly
+    decimal-avg panel: rebase each series on its own exact min (one
+    IEEE subtraction) and emit the 1-step-lagged value beside it —
+    both exactly representable, no decimal detour."""
+    deduped = cp.compact(tbl.points(spark, sf_dir), 60)
+    hourly = agg.aggregate_series(deduped, "average", 3600)
+    return ser.offset_to_zero(hourly, delay_steps=1)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3839,9 +3849,11 @@ _R11_PREFIX = [
     #                               points dial, recursive-CTE oracle
     #                               (rows-only census unchanged,
     #                               VERDICT r10 #8)
-    # (c) the first 43 of the 45-entry r6-stale block,
-    # CORRECTNESS_r06 key order; token_counts + multimodal_features
-    # roll to the r12 plan; (d) is EMPTY
+    "offset_to_zero",             # offsetToZero + delay(1) — wave 7b
+    # (c) the first 42 of the 45-entry r6-stale block,
+    # CORRECTNESS_r06 key order; approx_distinct_users +
+    # token_counts + multimodal_features roll to the r12 plan;
+    # (d) is EMPTY
     "multimodal_frames_real",
     "temperature_mix",
     "sort_by_extrema",
@@ -3884,7 +3896,6 @@ _R11_PREFIX = [
     "doc_chunks",
     "funnel",
     "cohort_retention",
-    "approx_distinct_users",
 ]
 
 #: r10 prefix (historical; superseded by _R11_PREFIX)
@@ -4439,20 +4450,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (side prefixes parameterized, unknown first node raises in-plan),
     smart_summarize (optional ``from_time`` request-start anchor;
     the registered default arm is unchanged but the operator
-    branched); (b) 4 new entries — function-layer wave 7:
+    branched); (b) 5 new entries — function-layer wave 7:
     group_by_nodes (multi-node keep), apply_by_node (prefix-grouped
     divide template), use_series_above (max gate + regex rewrite +
     fetch indirection; the 480 threshold splits the gate at BOTH
     SFs), ema_window (exponentialMovingAverage's window-points dial
     with the decimal seed + recursive-CTE oracle — rows-only census
-    unchanged, VERDICT r10 #8); (c) the first 43 of the 45-entry
-    r6-stale block in CORRECTNESS_r06 key order
-    (multimodal_frames_real … approx_distinct_users); (d) is EMPTY —
-    the block tail (token_counts, multimodal_features) rolls to r12.
+    unchanged, VERDICT r10 #8), offset_to_zero (offsetToZero +
+    delay, both exactly-representable ops); (c) the first 42 of the
+    45-entry r6-stale block in CORRECTNESS_r06 key order
+    (multimodal_frames_real … cohort_retention); (d) is EMPTY — the
+    block tail (approx_distinct_users, token_counts,
+    multimodal_features) rolls to r12.
 
     ROTATION PLAN (round 12): promote (a) anything changed in r12,
-    (b) new r12 entries, (c) the two r6-stale leftovers
-    (token_counts, multimodal_features) then the r7-stale block
+    (b) new r12 entries, (c) the three r6-stale leftovers
+    (approx_distinct_users, token_counts, multimodal_features — in
+    CORRECTNESS_r06 key order) then the r7-stale block
     oldest-first in CORRECTNESS_r07 key order (32 entries going into
     r12; take them in file order and roll any tail to r13), then
     (d) r8 greens oldest-first. After rotating, run ``python
@@ -4756,6 +4770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_by_node": _q_apply_by_node,
         "use_series_above": _q_use_series_above,
         "ema_window": _q_ema_window,
+        "offset_to_zero": _q_offset_to_zero,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -7400,6 +7415,24 @@ gated AS (
   WHERE mx > 480.0
 )
 SELECT panel.metric, ts, value FROM panel JOIN gated USING (metric)
+""",
+        # offsetToZero + delay(1): exact per-series min rebase + lag
+        "offset_to_zero": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM deduped GROUP BY 1, 2
+)
+SELECT metric, ts, value,
+       value - MIN(value) OVER (PARTITION BY metric)
+         AS offset_to_zero,
+       lag(value, 1) OVER (PARTITION BY metric ORDER BY ts)
+         AS delayed
+FROM h
 """,
         # exponentialMovingAverage window-points dial: decimal seed
         # over the first 4 slots, IEEE recursion replayed one slot

@@ -2385,6 +2385,35 @@ def ema_window(
     )
 
 
+def offset_to_zero(buckets: DataFrame, delay_steps: int = 1) -> DataFrame:
+    """graphite-web ``offsetToZero(seriesList)`` + ``delay(series,
+    steps)`` (r11 wave 7b): rebase each series onto its own minimum
+    (the idiom for turning an absolute counter into 'growth since
+    window start') and emit the ``delay_steps``-back value beside it
+    (graphite's delay shifts a series for change-vs-lag comparisons).
+
+    Exactness: the per-series min is an exact order-statistic
+    (broadcast-scale aggregate joined back — series cardinality, not
+    points), the rebase is ONE IEEE subtraction, and delay is a pure
+    row relocation — every output bit-portable with no decimal
+    detour. One window shuffle on metric covers both the min and the
+    lag (the min rides a window aggregate, so the join-back
+    disappears into the same exchange).
+    """
+    from pyspark.sql.window import Window
+
+    wm = Window.partitionBy("metric")
+    wo = Window.partitionBy("metric").orderBy("ts")
+    v = F.col("value")
+    return buckets.select(
+        "metric",
+        "ts",
+        v.alias("value"),
+        (v - F.min(v).over(wm)).alias("offset_to_zero"),
+        F.lag(v, int(delay_steps)).over(wo).alias("delayed"),
+    )
+
+
 def remove_empty_series(
     dense: DataFrame, xff_ppm: int = 950000
 ) -> DataFrame:

@@ -1322,3 +1322,20 @@ def pts_nullable(spark, rows):
     return spark.createDataFrame(
         rows, "metric string, ts long, value double"
     )
+
+
+def test_offset_to_zero_and_delay(spark):
+    df = pts_nullable(spark, [
+        ("a", 0, 5.0), ("a", 1, 3.0), ("a", 2, 7.0), ("a", 3, None),
+        ("b", 0, -2.0), ("b", 1, 4.0),
+    ])
+    got = {(r["metric"], r["ts"]): r for r in
+           ser.offset_to_zero(df, delay_steps=1).collect()}
+    assert got[("a", 0)]["offset_to_zero"] == 2.0   # 5 - min(3)
+    assert got[("a", 1)]["offset_to_zero"] == 0.0
+    assert got[("a", 3)]["offset_to_zero"] is None  # null rides through
+    assert got[("b", 0)]["offset_to_zero"] == 0.0   # negative min rebases
+    assert got[("b", 1)]["offset_to_zero"] == 6.0
+    assert got[("a", 0)]["delayed"] is None         # nothing to lag
+    assert got[("a", 1)]["delayed"] == 5.0
+    assert got[("a", 3)]["delayed"] == 7.0
