@@ -683,3 +683,79 @@ def test_backfill_converges_to_all_batch_aggregate(spark, rows):
         gn, gs = got[k]
         assert gn == n
         assert gs == pytest.approx(s, rel=1e-9, abs=1e-9)
+
+
+def _ema_window_ref(vals, n):
+    """Pure-Python replay of the transcribed graphite EMA rule
+    (operators/series.ema_window docstring): decimal-lattice seed
+    over the first n slots (None-skipping; all-None emits None but
+    seeds the state at 0.0), c = 2/(n+1), each output slot consumes
+    the PREVIOUS slot's datapoint, None emits None without updating
+    the state, final overflow value dropped. Returns the outputs
+    aligned to slots n..len-1."""
+    import decimal
+
+    if len(vals) <= n:
+        return []
+    q = decimal.Decimal(1).scaleb(-10)
+    nn = [v for v in vals[:n] if v is not None]
+    if nn:
+        s = sum(
+            (decimal.Decimal(repr(v)).quantize(
+                q, rounding=decimal.ROUND_HALF_UP) for v in nn),
+            decimal.Decimal(0),
+        )
+        seed = float(str(s)) / len(nn)
+    else:
+        seed = None
+    out = [seed]
+    state = 0.0 if seed is None else seed
+    c = 2.0 / (n + 1.0)
+    for k in range(n + 1, len(vals)):
+        v = vals[k - 1]
+        if v is None:
+            out.append(None)
+        else:
+            state = c * v + (1 - c) * state
+            out.append(state)
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # quarter-integers: exact in binary AND in <=2 decimal digits, so
+    # the decimal seed lattice is exact on both sides and the property
+    # pins the RECURSION/PHASE/None semantics (string-formatting
+    # parity across engines is covered by the 208-entry oracle sweep)
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-400, max_value=400).map(lambda k: k / 4),
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    n=st.integers(min_value=1, max_value=6),
+)
+def test_ema_window_matches_reference(spark, values, n):
+    import ceres_spark.operators.series as ser
+
+    rows = [("m", i * 3600, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {
+        r["ts"]: r["ema"]
+        for r in ser.ema_window(df, window_points=n).collect()
+    }
+    want = _ema_window_ref(values, n)
+    assert len(got) == len(want)
+    for j, w in enumerate(want):
+        g = got[(n + j) * 3600]
+        if w is None:
+            assert g is None
+        else:
+            # the recursion is the same IEEE op sequence — exact
+            assert g == w, (j, g, w)
