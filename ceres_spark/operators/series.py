@@ -2192,6 +2192,14 @@ def group_by_nodes(
     One grouped pass on (joined kept nodes, ts) with the same
     null-skipping decimal aggregate methods as op #19 — map-side
     combinable, single shuffle on the collapsed key.
+
+    An index past a path's node count contributes NOTHING to that
+    path's name (``getItem`` → NULL, ``concat_ws`` skips NULLs) —
+    shorter paths collapse onto the name their present nodes form,
+    where graphite-web's list indexing would raise. The fixture's
+    paths are uniform-depth so the seam never fires there; callers
+    mixing depths get the skip rule, stated here so it is a contract
+    rather than a surprise.
     """
     from ceres_spark.operators.aggregate import agg_expr
 
@@ -2301,7 +2309,11 @@ def use_series_above(
 
 
 def ema_window(
-    buckets: DataFrame, window_points: int = 4
+    buckets: DataFrame,
+    window_points: int = 4,
+    *,
+    window_seconds: int | None = None,
+    step: int | None = None,
 ) -> DataFrame:
     """graphite-web ``exponentialMovingAverage(seriesList,
     windowSize)`` with the WINDOW-POINTS dial (r11 wave 7; the α-dial
@@ -2335,7 +2347,18 @@ def ema_window(
     """
     from pyspark.sql.window import Window
 
-    n = int(window_points)
+    if window_seconds is not None:
+        # graphite's time-STRING windowSize form: previewSeconds
+        # floor-divided by the series step (functions.py
+        # `windowPoints = previewSeconds // series.step`)
+        if step is None:
+            raise InvalidRequest(
+                "window_seconds requires step (the series' bucket "
+                "seconds) to derive window_points"
+            )
+        n = int(window_seconds) // int(step)
+    else:
+        n = int(window_points)
     if n < 1:
         raise InvalidRequest(f"window_points must be >= 1, got {n}")
     w = Window.partitionBy("metric").orderBy("ts")

@@ -1339,3 +1339,23 @@ def test_offset_to_zero_and_delay(spark):
     assert got[("a", 0)]["delayed"] is None         # nothing to lag
     assert got[("a", 1)]["delayed"] == 5.0
     assert got[("a", 3)]["delayed"] == 7.0
+
+
+def test_ema_window_time_string_form(spark):
+    # graphite's '2h' windowSize over hourly buckets == 2 points:
+    # the time form must be exactly the points form at seconds//step
+    df = pts_nullable(spark, [
+        ("a", 0, 2.0), ("a", 3600, 6.0), ("a", 7200, 4.0),
+        ("a", 10800, 8.0),
+    ])
+    by_points = ser.ema_window(df, window_points=2).collect()
+    by_time = ser.ema_window(
+        df, window_seconds=7200, step=3600
+    ).collect()
+    assert sorted((r["ts"], r["ema"]) for r in by_time) == \
+        sorted((r["ts"], r["ema"]) for r in by_points)
+    import pytest as _pt
+    from ceres_spark.errors import InvalidRequest
+
+    with _pt.raises(InvalidRequest):
+        ser.ema_window(df, window_seconds=7200)  # step missing
