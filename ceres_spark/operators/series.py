@@ -2194,18 +2194,20 @@ def group_by_nodes(
     combinable, single shuffle on the collapsed key.
 
     An index past a path's node count contributes NOTHING to that
-    path's name (``getItem`` → NULL, ``concat_ws`` skips NULLs) —
-    shorter paths collapse onto the name their present nodes form,
-    where graphite-web's list indexing would raise. The fixture's
-    paths are uniform-depth so the seam never fires there; callers
-    mixing depths get the skip rule, stated here so it is a contract
-    rather than a surprise.
+    path's name (``F.get`` → NULL — the ANSI-safe accessor; under
+    Spark 4's default ANSI mode ``getItem`` would RAISE
+    invalidArrayIndexError instead, which tests caught —
+    ``concat_ws`` then skips the NULL) — shorter paths collapse onto
+    the name their present nodes form, where graphite-web's list
+    indexing would raise. The fixture's paths are uniform-depth so
+    the seam never fires there; callers mixing depths get the skip
+    rule, stated here so it is a contract rather than a surprise.
     """
     from ceres_spark.operators.aggregate import agg_expr
 
     parts = F.split(F.col("metric"), r"\.")
     name = F.concat_ws(
-        ".", *[parts.getItem(int(i)) for i in node_indices]
+        ".", *[F.get(parts, int(i)) for i in node_indices]
     )
     return (
         buckets.groupBy(name.alias("name"), "ts")

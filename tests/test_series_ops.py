@@ -1359,3 +1359,28 @@ def test_ema_window_time_string_form(spark):
 
     with _pt.raises(InvalidRequest):
         ser.ema_window(df, window_seconds=7200)  # step missing
+
+
+def test_group_by_nodes_mixed_depth_skip_rule(spark):
+    # the documented depth-seam contract: an index past a path's
+    # node count contributes nothing to the joined name
+    df = spark.createDataFrame(
+        [("dc0.h1.cpu", 0, 1.0), ("dc0.cpu", 0, 2.0)],
+        "metric string, ts long, value double",
+    )
+    got = {r["name"]: r["value"] for r in
+           ser.group_by_nodes(df, [0, 2], "sum").collect()}
+    # 3-deep keeps (dc0, cpu); 2-deep has no node 2 -> name "dc0"
+    assert got == {"dc0.cpu": 1.0, "dc0": 2.0}
+
+
+def test_use_series_above_identity_rewrite(spark):
+    # re.sub semantics: a gated series whose name does not match the
+    # search pattern rewrites to ITSELF and is fetched unchanged
+    df = spark.createDataFrame(
+        [("other.high", 0, 999.0), ("other.low", 0, 1.0)],
+        "metric string, ts long, value double",
+    )
+    got = [(r["metric"], r["value"]) for r in
+           ser.use_series_above(df, 100.0, "capacity", "active").collect()]
+    assert got == [("other.high", 999.0)]
