@@ -681,6 +681,12 @@ def group_by_node(
     this fan-in; the engine does it as one groupBy on
     ``(split(metric)[idx], ts)`` with the same null-skipping decimal
     aggregate methods as op #19.
+
+    Depth contract: a path with fewer than ``node_idx + 1`` nodes
+    RAISES at runtime (Spark 4 ANSI ``getItem`` →
+    invalidArrayIndexError) — the same contract as graphite-web's
+    list indexing. The multi-node :func:`group_by_nodes` chooses the
+    other arm (ANSI-safe ``F.get`` + skip) and documents why.
     """
     from ceres_spark.operators.aggregate import agg_expr
 
