@@ -2001,6 +2001,20 @@ def _q_offset_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ser.offset_to_zero(hourly, delay_steps=1)
 
 
+def _q_fallback_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite fallbackSeries + isNonNull + limit(3) (r11 wave 7c —
+    the LAST SQL-expressible render functions): the primary is a
+    'zzz*' fetch that matches nothing, so the list-level gate renders
+    the dense day-1 fetch instead (src column pins which arm fired);
+    the dense frame's empty hours populate isNonNull's zero arm; the
+    name-ordered limit(3) splits the 5-metric catalog."""
+    scoped = tbl.points(spark, sf_dir, from_time=T0, until_time=T0 + DAY)
+    metrics = tbl.points(spark, sf_dir).select("metric").distinct()
+    dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
+    primary = dense.filter(F.col("metric").startswith("zzz"))
+    return ser.fallback_series(primary, dense, limit_n=3)
+
+
 def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize hourly values into each metric's exact [p5, p95]
     band (broadcast band join, projection clamp)."""
@@ -3850,6 +3864,10 @@ _R11_PREFIX = [
     #                               (rows-only census unchanged,
     #                               VERDICT r10 #8)
     "offset_to_zero",             # offsetToZero + delay(1) — wave 7b
+    "fallback_series",            # fallbackSeries list-gate +
+    #                               isNonNull + limit — wave 7c (the
+    #                               LAST SQL-expressible render
+    #                               functions)
     # (c) the first 42 of the 45-entry r6-stale block,
     # CORRECTNESS_r06 key order; approx_distinct_users +
     # token_counts + multimodal_features roll to the r12 plan;
@@ -3895,7 +3913,6 @@ _R11_PREFIX = [
     "contamination",
     "doc_chunks",
     "funnel",
-    "cohort_retention",
 ]
 
 #: r10 prefix (historical; superseded by _R11_PREFIX)
@@ -4450,23 +4467,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (side prefixes parameterized, unknown first node raises in-plan),
     smart_summarize (optional ``from_time`` request-start anchor;
     the registered default arm is unchanged but the operator
-    branched); (b) 5 new entries — function-layer wave 7:
+    branched); (b) 6 new entries — function-layer wave 7:
     group_by_nodes (multi-node keep), apply_by_node (prefix-grouped
     divide template), use_series_above (max gate + regex rewrite +
     fetch indirection; the 480 threshold splits the gate at BOTH
     SFs), ema_window (exponentialMovingAverage's window-points dial
     with the decimal seed + recursive-CTE oracle — rows-only census
     unchanged, VERDICT r10 #8), offset_to_zero (offsetToZero +
-    delay, both exactly-representable ops); (c) the first 42 of the
-    45-entry r6-stale block in CORRECTNESS_r06 key order
-    (multimodal_frames_real … cohort_retention); (d) is EMPTY — the
-    block tail (approx_distinct_users, token_counts,
+    delay, both exactly-representable ops), fallback_series
+    (fallbackSeries list-gate + isNonNull + limit — wave 7c, closing
+    the SQL-expressible render-function inventory); (c) the first 41
+    of the 45-entry r6-stale block in CORRECTNESS_r06 key order
+    (multimodal_frames_real … funnel); (d) is EMPTY — the block tail
+    (cohort_retention, approx_distinct_users, token_counts,
     multimodal_features) rolls to r12.
 
     ROTATION PLAN (round 12): promote (a) anything changed in r12,
-    (b) new r12 entries, (c) the three r6-stale leftovers
-    (approx_distinct_users, token_counts, multimodal_features — in
-    CORRECTNESS_r06 key order) then the r7-stale block
+    (b) new r12 entries, (c) the four r6-stale leftovers
+    (cohort_retention, approx_distinct_users, token_counts,
+    multimodal_features — in CORRECTNESS_r06 key order) then the
+    r7-stale block
     oldest-first in CORRECTNESS_r07 key order (32 entries going into
     r12; take them in file order and roll any tail to r13), then
     (d) r8 greens oldest-first. After rotating, run ``python
@@ -4771,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "use_series_above": _q_use_series_above,
         "ema_window": _q_ema_window,
         "offset_to_zero": _q_offset_to_zero,
+        "fallback_series": _q_fallback_series,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -7415,6 +7436,43 @@ gated AS (
   WHERE mx > 480.0
 )
 SELECT panel.metric, ts, value FROM panel JOIN gated USING (metric)
+""",
+        # fallbackSeries list-gate + isNonNull + limit(3) over the
+        # dense day-1 fetch; the 'zzz*' primary matches nothing so the
+        # fallback arm fires; empty hours give isNonNull a zero arm
+        "fallback_series": f"""
+WITH {POINTS_CTE},
+agg AS (
+  SELECT metric, ts - (ts % 3600) AS ts, {DEC_AVG} AS value
+  FROM points WHERE ts >= {T0} AND ts < {T0 + DAY}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.metric, r.range AS ts
+  FROM (SELECT DISTINCT metric FROM points) m
+  CROSS JOIN range({T0}, {T0 + DAY}, 3600) r
+),
+dense AS (
+  SELECT grid.metric, grid.ts, agg.value
+  FROM grid LEFT JOIN agg USING (metric, ts)
+),
+p AS (SELECT * FROM dense WHERE metric LIKE 'zzz%'),
+cnt AS (SELECT COUNT(*) AS n FROM p),
+chosen AS (
+  SELECT metric, ts, value, 'primary' AS src
+  FROM p CROSS JOIN cnt WHERE n > 0
+  UNION ALL
+  SELECT metric, ts, value, 'fallback' AS src
+  FROM dense CROSS JOIN cnt WHERE n = 0
+),
+ranked AS (
+  SELECT metric, row_number() OVER (ORDER BY metric) AS rk
+  FROM (SELECT DISTINCT metric FROM chosen)
+)
+SELECT c.metric, ts, value, src,
+       CAST(value IS NOT NULL AS INTEGER) AS is_non_null,
+       CAST(rk <= 3 AS INTEGER) AS keep_limit
+FROM chosen c JOIN ranked USING (metric)
 """,
         # offsetToZero + delay(1): exact per-series min rebase + lag
         "offset_to_zero": f"""

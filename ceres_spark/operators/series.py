@@ -2445,6 +2445,71 @@ def offset_to_zero(buckets: DataFrame, delay_steps: int = 1) -> DataFrame:
     )
 
 
+def fallback_series(
+    primary: DataFrame,
+    fallback: DataFrame,
+    limit_n: int = 3,
+) -> DataFrame:
+    """graphite-web ``fallbackSeries(seriesList, fallback)`` +
+    ``isNonNull`` + ``limit(seriesList, n)`` (r11 wave 7c — the last
+    SQL-expressible render functions; what remains after this is
+    determinism-blocked (logarithm/round/pow, value_transforms
+    docstring) or render/generator-side (drawAsInfinite, stacked,
+    constantLine, timeFunction…)).
+
+    fallbackSeries is a LIST-level gate: if the primary expansion is
+    EMPTY, the whole fallback list renders instead — not a per-series
+    coalesce. Engine form: one bounded 1-row COUNT of the primary
+    (the sanctioned scalar-anchor pattern) cross-joined into both
+    sides; primary rows pass when the count is positive, fallback
+    rows when it is zero, and ``src`` records which arm fired so the
+    hash pins the gate, not just the points. isNonNull is a 0/1
+    projection per point; limit keeps the first ``limit_n`` series in
+    name order — a series-cardinality rank with the same LOUD
+    in-plan cardinality guard as sort_by_extrema (graphite's limit
+    slices the expanded list, which arrives name-ordered).
+    """
+    from pyspark.sql.window import Window
+
+    cnt = primary.agg(F.count("*").cast("long").alias("_n_primary"))
+    cols = ["metric", "ts", "value"]
+    p = (
+        primary.select(*cols).crossJoin(F.broadcast(cnt))
+        .filter(F.col("_n_primary") > 0)
+        .withColumn("src", F.lit("primary"))
+    )
+    f = (
+        fallback.select(*cols).crossJoin(F.broadcast(cnt))
+        .filter(F.col("_n_primary") == 0)
+        .withColumn("src", F.lit("fallback"))
+    )
+    chosen = p.unionByName(f).drop("_n_primary")
+    names = chosen.select("metric").distinct()
+    rk = F.row_number().over(Window.orderBy(F.asc("metric")))
+    ranked = names.select(
+        "metric",
+        F.when(rk <= MAX_RANKED_SERIES, rk)
+        .otherwise(
+            F.raise_error(F.lit(
+                "fallback_series: more than "
+                f"{MAX_RANKED_SERIES} series — limit() is a panel-"
+                "ordering primitive (unpartitioned rank); use "
+                "order_quartiles_scaled-style boundary bucketing "
+                "for catalog-scale ranking"
+            ))
+        )
+        .alias("_rk"),
+    )
+    return chosen.join(F.broadcast(ranked), "metric").select(
+        "metric",
+        "ts",
+        "value",
+        "src",
+        F.col("value").isNotNull().cast("int").alias("is_non_null"),
+        (F.col("_rk") <= int(limit_n)).cast("int").alias("keep_limit"),
+    )
+
+
 def remove_empty_series(
     dense: DataFrame, xff_ppm: int = 950000
 ) -> DataFrame:

@@ -1384,3 +1384,29 @@ def test_use_series_above_identity_rewrite(spark):
     got = [(r["metric"], r["value"]) for r in
            ser.use_series_above(df, 100.0, "capacity", "active").collect()]
     assert got == [("other.high", 999.0)]
+
+
+def test_fallback_series_both_arms(spark):
+    primary = pts_nullable(spark, [("p1", 0, 1.0), ("p2", 0, None)])
+    fallback = pts_nullable(spark, [("f1", 0, 9.0)])
+    # non-empty primary: fallback suppressed entirely
+    got = {(r["metric"], r["src"]) for r in
+           ser.fallback_series(primary, fallback).collect()}
+    assert got == {("p1", "primary"), ("p2", "primary")}
+    # EMPTY primary (list-level gate, not per-series coalesce)
+    empty = primary.filter(F.col("metric") == "nope")
+    got2 = [(r["metric"], r["src"], r["is_non_null"]) for r in
+            ser.fallback_series(empty, fallback).collect()]
+    assert got2 == [("f1", "fallback", 1)]
+
+
+def test_fallback_series_is_non_null_and_limit(spark):
+    panel = pts_nullable(spark, [
+        ("a", 0, 1.0), ("b", 0, None), ("c", 0, 3.0), ("d", 0, 4.0),
+    ])
+    empty = panel.filter(F.col("metric") == "nope")
+    got = {r["metric"]: r for r in
+           ser.fallback_series(empty, panel, limit_n=2).collect()}
+    assert got["b"]["is_non_null"] == 0 and got["a"]["is_non_null"] == 1
+    # limit(2): first two names in order keep, rest drop
+    assert [got[m]["keep_limit"] for m in "abcd"] == [1, 1, 0, 0]
