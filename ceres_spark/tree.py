@@ -391,7 +391,25 @@ class CeresNode:
         applied within the batch; cross-batch LWW is resolved at read
         time via arrival_seq — the distributed analogue of ceres's
         in-place overwrite (CeresSlice.write ≈L790). Arbitrary
-        lateness is accepted, exactly like the reference."""
+        lateness is accepted, exactly like the reference.
+
+        Physical commit protocol (r11): each commit writes to its OWN
+        staging directory and then moves part files into the target's
+        date partitions. A bare ``append`` to a shared path is NOT
+        multi-writer safe — concurrent Spark jobs share Hadoop's
+        ``_temporary/0`` staging under the target, and the first job
+        to commit DELETES it out from under the others
+        (``Mkdirs failed to create …/_temporary/…`` — caught by the
+        two-racing-writers test, which the txn log alone cannot fix:
+        it serializes LOGICAL order, not physical staging). Per-commit
+        staging + rename is the same split Delta's commit protocol
+        makes; on a local/posix fs the renames are atomic per file,
+        and the staged names carry the commit version so two commits
+        can never collide on a file name.
+        """
+        import shutil
+        import uuid
+
         step = self.time_step
         seq = self.tree._next_arrival_seq(
             step, action="write", metric=self.node_path
@@ -409,11 +427,31 @@ class CeresNode:
             .withColumn("arrival_seq", F.lit(seq).cast("long"))
             .withColumn("date", F.to_date(F.timestamp_seconds(F.col("ts"))))
         )
-        (
-            batch.write.mode("append")
-            .partitionBy("date")
-            .parquet(self.tree.points_path(step))
+        target = self.tree.points_path(step)
+        staging = os.path.join(
+            self.tree.root, f".staging-{seq}-{uuid.uuid4().hex}"
         )
+        try:
+            (
+                batch.write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(staging)
+            )
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("date="):
+                    continue
+                src_dir = os.path.join(staging, d)
+                dst_dir = os.path.join(target, d)
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in os.listdir(src_dir):
+                    if not f.endswith(".parquet"):
+                        continue
+                    os.rename(
+                        os.path.join(src_dir, f),
+                        os.path.join(dst_dir, f"part-c{seq}-{f}"),
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     # -- read (op #10) ---------------------------------------------------
 
