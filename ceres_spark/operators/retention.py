@@ -141,7 +141,14 @@ def compact_files(spark, path: str, target_partitions: int | None = None) -> Non
     """Defrag (op #22): rewrite a dataset at healthy file sizes. With
     AQE coalescing enabled a plain rewrite already merges small
     shuffle outputs; ``target_partitions`` forces a count when the
-    caller knows better (e.g. total_bytes / 128MB)."""
+    caller knows better (e.g. total_bytes / 128MB).
+
+    Single-maintainer contract: the rmtree+move swap assumes no
+    concurrent writer or reader on ``path`` — the same exclusivity
+    the reference's maintenance daemon has (concurrent access there
+    surfaces as SliceDeleted retries, ceres.py ≈L790). Run from the
+    maintenance driver (tree.maintain), not beside live writers.
+    """
     df = spark.read.parquet(path)
     if target_partitions:
         df = df.repartition(target_partitions)

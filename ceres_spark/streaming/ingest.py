@@ -32,7 +32,17 @@ def store_batch(
     batch: DataFrame, batch_id: int, target_path: str, time_step: int
 ) -> None:
     """foreachBatch body: compact within the batch, stamp write order,
-    append partitioned by UTC date."""
+    append partitioned by UTC date.
+
+    Single-writer-per-path contract (the physical corollary of
+    'one sequencer per table', tree._next_arrival_seq): micro-batches
+    of ONE streaming query are serialized by the engine, so this bare
+    ``append`` is safe — but TWO queries (or a query plus batch
+    writers) appending the same ``target_path`` would race on
+    Hadoop's shared ``_temporary/0`` staging (the tree.store bug,
+    fixed there with per-commit staging). Point concurrent producers
+    at one query via union, or at tree.store.
+    """
     out = (
         cp.compact(
             batch.select(
