@@ -3827,13 +3827,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
 
 
-#: The r11 driver-checked prefix (the driver verifies the FIRST 50
+#: The r11 driver-checked prefix (the driver verified the FIRST 50
 #: dict entries): (a) changed in r11 → (b) new in r11 (function-layer
-#: wave 7) → (c) the first 43 of the 45-entry r6-stale block in
-#: CORRECTNESS_r06 key order (the tail token_counts +
-#: multimodal_features rolls to r12) → (d) empty. See the ROTATION
-#: STATE section in the queries() docstring. This list is
-#: machine-checked by tests/test_rotation_guard.py.
+#: wave 7) → (c) the first 41 of the 45-entry r6-stale block in
+#: CORRECTNESS_r06 key order (the four-entry tail cohort_retention +
+#: approx_distinct_users + token_counts + multimodal_features rolled
+#: to r12) → (d) empty. See the ROTATION STATE section in the
+#: queries() docstring. Superseded by _R12_PREFIX; kept for lineage.
+#: (ADVICE r11 low #1: both counts here previously contradicted the
+#: docstring — fixed to 41/four-rolled, matching reality.)
 _R11_PREFIX = [
     # (a) changed in r11 (ADVICE r10 fixes — outputs and/or executed
     # plans changed, MUST re-check)
@@ -3868,10 +3870,10 @@ _R11_PREFIX = [
     #                               isNonNull + limit — wave 7c (the
     #                               LAST SQL-expressible render
     #                               functions)
-    # (c) the first 42 of the 45-entry r6-stale block,
-    # CORRECTNESS_r06 key order; approx_distinct_users +
-    # token_counts + multimodal_features roll to the r12 plan;
-    # (d) is EMPTY
+    # (c) the first 41 of the 45-entry r6-stale block,
+    # CORRECTNESS_r06 key order; cohort_retention +
+    # approx_distinct_users + token_counts + multimodal_features
+    # roll to the r12 plan; (d) is EMPTY
     "multimodal_frames_real",
     "temperature_mix",
     "sort_by_extrema",
@@ -7514,7 +7516,11 @@ seed AS (
   SELECT metric, {DEC_AVG} AS s FROM v WHERE i <= 4 GROUP BY metric
 ),
 rec AS (
-  SELECT v.metric, v.i, v.ts, v.value, seed.s AS ema,
+  -- seed slot: graphite's `safeAvg(window) or 0` is appended
+  -- UNCONDITIONALLY, so an all-None window emits 0.0, not NULL
+  -- (ADVICE r11) — ema and state coalesce identically
+  SELECT v.metric, v.i, v.ts, v.value,
+         CAST(COALESCE(seed.s, 0.0) AS DOUBLE) AS ema,
          CAST(COALESCE(seed.s, 0.0) AS DOUBLE) AS state
   FROM v JOIN seed USING (metric) WHERE v.i = 5
   UNION ALL

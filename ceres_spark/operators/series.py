@@ -2331,9 +2331,12 @@ def ema_window(
 
     - ``constant = 2 / (windowPoints + 1)``;
     - the seed is the plain average of the first ``windowPoints``
-      slots (None-skipping; an all-None window seeds the STATE at
-      0.0 while emitting None), emitted as the first output point at
-      the slot AFTER the window;
+      slots (None-skipping; an all-None window seeds at 0.0 AND
+      EMITS 0.0 — graphite computes ``ema = safeAvg(window) or 0``
+      then unconditionally appends it, so the seed slot is never
+      None; ADVICE r11 fixed an earlier transcription that emitted
+      None here), emitted as the first output point at the slot
+      AFTER the window;
     - each subsequent slot's output consumes the PREVIOUS slot's
       datapoint (graphite appends the update one slot late — its
       ema_series starts at ``series.start + previewSeconds`` while
@@ -2377,11 +2380,16 @@ def ema_window(
         idx.filter(F.col("_i") <= n)
         .groupBy("metric")
         .agg(
-            (
+            # graphite: `safeAvg(window) or 0` — an all-None window
+            # (count 0 → null avg) seeds AND emits 0.0, so coalesce
+            # engine-side; the decimal detour keeps the unordered sum
+            # bit-reproducible (repo idiom).
+            F.coalesce(
                 F.sum(F.col("value").cast("string").cast("decimal(30,10)"))
                 .cast("string")
                 .cast("double")
-                / F.count("value")
+                / F.count("value"),
+                F.lit(0.0),
             ).alias("_seed")
         )
     )
@@ -2395,11 +2403,12 @@ def ema_window(
             return pdf.iloc[0:0][["metric", "ts", "value"]].assign(
                 ema=pd.Series(dtype=float)
             )
-        seed = float(pdf["_seed"].iloc[0]) if pdf["_seed"].notna().iloc[0] \
-            else np.nan
+        # _seed is never null (engine-side coalesce to 0.0 mirrors
+        # graphite's `or 0`): seed slot always emits, state == seed.
+        seed = float(pdf["_seed"].iloc[0])
         out = np.empty(len(vals) - n)
         out[0] = seed
-        state = 0.0 if np.isnan(seed) else seed
+        state = seed
         for k in range(n + 1, len(vals)):
             v = vals[k - 1]
             if np.isnan(v):

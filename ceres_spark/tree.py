@@ -343,6 +343,90 @@ class CeresTree:
         """
         return plugin_fn(self.catalog(), self.points(step))
 
+    # -- commit staging recovery (ADVICE r11 / op #17 failure path) -------
+
+    def _apply_staging(self, staging: str, step: int, seq: int) -> None:
+        """Move a staged commit's part files into the points dataset,
+        then remove the staging dir. IDEMPOTENT: destination names are
+        deterministic (``part-c{seq}-{src}``) and ``os.rename``
+        removes the source, so re-applying after a mid-loop crash
+        moves exactly the not-yet-moved remainder. Runs under the
+        single-writer-per-staging contract (each staging dir belongs
+        to one commit; cleanup runs under the single-maintainer
+        contract documented in SURVEY §2.12)."""
+        import shutil
+
+        target = self.points_path(step)
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("date="):
+                continue
+            src_dir = os.path.join(staging, d)
+            dst_dir = os.path.join(target, d)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in sorted(os.listdir(src_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                os.rename(
+                    os.path.join(src_dir, f),
+                    os.path.join(dst_dir, f"part-c{seq}-{f}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def staging_dirs(self) -> list[str]:
+        """Leftover per-commit staging dirs under the tree root —
+        empty in steady state; non-empty means a writer failed or
+        crashed (see :meth:`CeresNode.write` failure contract)."""
+        return sorted(
+            d for d in os.listdir(self.root) if d.startswith(".staging-")
+        )
+
+    def cleanup_stagings(self, grace_seconds: float = 3600.0) -> dict:
+        """Detect and resolve orphaned commit stagings (maintenance
+        op, ADVICE r11). Three cases per leftover dir:
+
+        - young and unmarked → possibly a LIVE writer (the grace
+          window gates EVERY action except explicit ``_FAILED`` dirs,
+          so cleanup can never race a writer's own move loop); skip.
+        - ``_FAILED`` (writer raised and exited) or past grace, with
+          ``_SUCCESS`` + ``_COMMIT`` → the parquet write finished;
+          ROLL FORWARD: re-apply the idempotent move loop so the
+          commit becomes whole (its txn-log entry was already written
+          before the data, so log order is preserved), then remove.
+        - ``_FAILED`` or past grace, without both markers → garbage
+          from a crash mid-parquet-write (nothing reached the target:
+          the move loop only starts after ``_COMMIT`` lands); remove.
+
+        Returns ``{"rolled_forward": [...], "removed": [...],
+        "skipped": [...]}`` (dir basenames). Single-maintainer
+        contract: at most one cleanup runs at a time."""
+        import shutil
+        import time
+
+        out: dict = {"rolled_forward": [], "removed": [], "skipped": []}
+        for d in self.staging_dirs():
+            path = os.path.join(self.root, d)
+            manifest = os.path.join(path, "_COMMIT")
+            failed = os.path.exists(os.path.join(path, "_FAILED"))
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished under us (writer finished)
+            if not failed and age < grace_seconds:
+                out["skipped"].append(d)
+                continue
+            if (
+                os.path.exists(os.path.join(path, "_SUCCESS"))
+                and os.path.exists(manifest)
+            ):
+                with open(manifest) as fh:
+                    m = json.load(fh)
+                self._apply_staging(path, int(m["step"]), int(m["seq"]))
+                out["rolled_forward"].append(d)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                out["removed"].append(d)
+        return out
+
 
 class CeresNode:
     """One metric. Thin handle over (tree catalog row + points rows)."""
@@ -393,21 +477,39 @@ class CeresNode:
         in-place overwrite (CeresSlice.write ≈L790). Arbitrary
         lateness is accepted, exactly like the reference.
 
-        Physical commit protocol (r11): each commit writes to its OWN
-        staging directory and then moves part files into the target's
-        date partitions. A bare ``append`` to a shared path is NOT
-        multi-writer safe — concurrent Spark jobs share Hadoop's
-        ``_temporary/0`` staging under the target, and the first job
-        to commit DELETES it out from under the others
-        (``Mkdirs failed to create …/_temporary/…`` — caught by the
-        two-racing-writers test, which the txn log alone cannot fix:
-        it serializes LOGICAL order, not physical staging). Per-commit
-        staging + rename is the same split Delta's commit protocol
-        makes; on a local/posix fs the renames are atomic per file,
-        and the staged names carry the commit version so two commits
-        can never collide on a file name.
+        Physical commit protocol (r11, failure path hardened r12):
+        each commit writes to its OWN staging directory and then moves
+        part files into the target's date partitions. A bare
+        ``append`` to a shared path is NOT multi-writer safe —
+        concurrent Spark jobs share Hadoop's ``_temporary/0`` staging
+        under the target, and the first job to commit DELETES it out
+        from under the others (``Mkdirs failed to create
+        …/_temporary/…`` — caught by the two-racing-writers test,
+        which the txn log alone cannot fix: it serializes LOGICAL
+        order, not physical staging). Per-commit staging + rename is
+        the same split Delta's commit protocol makes; on a local/posix
+        fs the renames are atomic per file, and the staged names carry
+        the commit version so two commits can never collide on a file
+        name.
+
+        Failure contract (ADVICE r11): if the rename loop fails
+        midway, the staging directory is KEPT (with a ``_FAILED``
+        marker), never deleted — deleting it would discard the
+        not-yet-moved part files and leave a partial commit that only
+        a caller retry could shadow. Instead the commit is
+        roll-forward recoverable: staging carries a ``_COMMIT``
+        manifest (seq + step), the per-file destination names are
+        deterministic (``part-c{seq}-{src}``) so re-applying the move
+        loop is idempotent, and :meth:`CeresTree.cleanup_stagings`
+        COMPLETES any staging whose parquet write finished
+        (``_SUCCESS`` + ``_COMMIT`` present) before removing it. A
+        staging dir without ``_SUCCESS``/``_COMMIT`` (crash during the
+        parquet write — nothing reached the target) is plain garbage
+        and is removed after a grace period. Callers may ALSO simply
+        retry ``store()``: the retry's higher arrival_seq shadows any
+        partial rows via read-time LWW; cleanup then discards the
+        stale staging without harm (its rows lose every LWW race).
         """
-        import shutil
         import uuid
 
         step = self.time_step
@@ -427,7 +529,6 @@ class CeresNode:
             .withColumn("arrival_seq", F.lit(seq).cast("long"))
             .withColumn("date", F.to_date(F.timestamp_seconds(F.col("ts"))))
         )
-        target = self.tree.points_path(step)
         staging = os.path.join(
             self.tree.root, f".staging-{seq}-{uuid.uuid4().hex}"
         )
@@ -437,21 +538,31 @@ class CeresNode:
                 .partitionBy("date")
                 .parquet(staging)
             )
-            for d in sorted(os.listdir(staging)):
-                if not d.startswith("date="):
-                    continue
-                src_dir = os.path.join(staging, d)
-                dst_dir = os.path.join(target, d)
-                os.makedirs(dst_dir, exist_ok=True)
-                for f in os.listdir(src_dir):
-                    if not f.endswith(".parquet"):
-                        continue
-                    os.rename(
-                        os.path.join(src_dir, f),
-                        os.path.join(dst_dir, f"part-c{seq}-{f}"),
+            # manifest AFTER the parquet write (mode=overwrite clears
+            # the dir first) — _SUCCESS + _COMMIT together mark the
+            # staging roll-forward-safe for cleanup_stagings()
+            with open(os.path.join(staging, "_COMMIT"), "w") as fh:
+                json.dump(
+                    {"seq": seq, "step": step, "node": self.node_path}, fh
+                )
+            self.tree._apply_staging(staging, step, seq)
+        except BaseException as exc:
+            # KEEP staging for roll-forward/diagnosis; mark it failed
+            # so cleanup_stagings() can act without an age heuristic
+            try:
+                with open(os.path.join(staging, "_FAILED"), "w") as fh:
+                    json.dump(
+                        {
+                            "seq": seq,
+                            "step": step,
+                            "node": self.node_path,
+                            "error": repr(exc),
+                        },
+                        fh,
                     )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            except OSError:
+                pass
+            raise
 
     # -- read (op #10) ---------------------------------------------------
 

@@ -688,8 +688,9 @@ def test_backfill_converges_to_all_batch_aggregate(spark, rows):
 def _ema_window_ref(vals, n):
     """Pure-Python replay of the transcribed graphite EMA rule
     (operators/series.ema_window docstring): decimal-lattice seed
-    over the first n slots (None-skipping; all-None emits None but
-    seeds the state at 0.0), c = 2/(n+1), each output slot consumes
+    over the first n slots (None-skipping; all-None seeds AND emits
+    0.0 — graphite's `safeAvg(window) or 0` is appended
+    unconditionally, ADVICE r11), c = 2/(n+1), each output slot consumes
     the PREVIOUS slot's datapoint, None emits None without updating
     the state, final overflow value dropped. Returns the outputs
     aligned to slots n..len-1."""
@@ -707,9 +708,9 @@ def _ema_window_ref(vals, n):
         )
         seed = float(str(s)) / len(nn)
     else:
-        seed = None
+        seed = 0.0
     out = [seed]
-    state = 0.0 if seed is None else seed
+    state = seed
     c = 2.0 / (n + 1.0)
     for k in range(n + 1, len(vals)):
         v = vals[k - 1]

@@ -1303,15 +1303,16 @@ def test_ema_window_seed_phase_and_none_rules(spark):
     assert got[3] == 4.0                      # the seed
     assert got[4] == 0.5 * 10.0 + 0.5 * 4.0   # consumes v(ts=3)
     assert got[5] is None                     # consumes v(ts=4) = None
-    # all-None window: seed emits None but the STATE starts at 0.0
-    # (graphite's `ema = 0.0` fallback)
+    # all-None window: seed EMITS 0.0 and the state starts at 0.0 —
+    # graphite's `ema = safeAvg(window) or 0` is appended
+    # unconditionally (ADVICE r11; earlier transcription emitted None)
     df2 = pts_nullable(spark, [
         ("a", 0, None), ("a", 1, None), ("a", 2, None),
         ("a", 3, 4.0), ("a", 4, 6.0),
     ])
     got2 = {r["ts"]: r["ema"] for r in
             ser.ema_window(df2, window_points=3).collect()}
-    assert got2[3] is None
+    assert got2[3] == 0.0
     assert got2[4] == 0.5 * 4.0 + 0.5 * 0.0
     # series shorter than the window: no output at all
     short = pts_nullable(spark, [("a", 0, 1.0), ("a", 1, 2.0)])
