@@ -1,0 +1,244 @@
+"""Render-target front door (VERDICT r11 #2): target-grammar parser
+(nested / quoted / numeric / kwarg / brace cases) and the composed
+DataFrame evaluation against hand-computed values. Reference:
+graphite-web evaluateTarget/grammar.py semantics (public knowledge,
+SURVEY §0 provenance caveat)."""
+
+import pytest
+
+from ceres_spark.errors import InvalidRequest
+from ceres_spark.plans.render import (
+    format_expr,
+    parse_interval,
+    render,
+    supported_functions,
+)
+from ceres_spark.plans.target import Call, Path, parse_target
+
+
+# ---------------- parser ----------------
+
+
+def test_parse_nested_calls_and_path():
+    ast = parse_target("aliasByNode(sumSeries(web.*.cpu.user),1)")
+    assert ast == Call(
+        "aliasByNode",
+        (Call("sumSeries", (Path("web.*.cpu.user"),), ()), 1),
+        (),
+    )
+
+
+def test_parse_quoted_strings_single_and_double():
+    ast = parse_target("timeShift(a.b, \"-1h\")")
+    assert ast.args[1] == "-1h"
+    ast = parse_target("alias(a.b, 'my name, with comma()')")
+    assert ast.args[1] == "my name, with comma()"
+
+
+def test_parse_numeric_args():
+    ast = parse_target("f(a.b, 3, -2, 0.5, -1.5, 1e3, +7)")
+    assert ast.args[1:] == (3, -2, 0.5, -1.5, 1000.0, 7)
+    assert isinstance(ast.args[1], int)
+    assert isinstance(ast.args[3], float)
+
+
+def test_parse_bool_none_and_bare_number_target():
+    ast = parse_target("summarize(a.b, '1h', 'sum', true)")
+    assert ast.args[3] is True
+    assert parse_target("f(none)").args == (None,)
+    assert parse_target("-5") == -5
+
+
+def test_parse_kwargs():
+    ast = parse_target("transformNull(a.b, default=0.5)")
+    assert ast.kwargs == (("default", 0.5),)
+    with pytest.raises(InvalidRequest, match="positional.*after keyword"):
+        parse_target("f(a=1, b.c)")
+
+
+def test_parse_braces_and_charclass_stay_in_path():
+    ast = parse_target("scale(prod.{click,view}.x, 2)")
+    assert ast.args[0] == Path("prod.{click,view}.x")
+    assert parse_target("x.y[0-9].z") == Path("x.y[0-9].z")
+
+
+def test_parse_whitespace_tolerated():
+    ast = parse_target("  sumSeries( web.* , db.* )  ")
+    assert ast == Call("sumSeries", (Path("web.*"), Path("db.*")), ())
+
+
+def test_parse_errors_are_loud():
+    for bad in ["f(", "f(a.b", "f(a.b,)", "'unterminated", "f(a.b))",
+                "", "f(,a)"]:
+        with pytest.raises(InvalidRequest):
+            parse_target(bad)
+
+
+def test_format_expr_roundtrip():
+    s = 'aliasByNode(sumSeries(web.*.cpu),1)'
+    assert format_expr(parse_target(s)) == s
+    assert format_expr(parse_target('f(a.b,"x y",0.5,none)')) == \
+        'f(a.b,"x y",0.5,None)'
+
+
+def test_parse_interval():
+    assert parse_interval("1h") == 3600
+    assert parse_interval("10min") == 600
+    assert parse_interval("-1d") == -86400
+    assert parse_interval("2w") == 1209600
+    assert parse_interval(90) == 90
+    assert parse_interval("1h", implied_minus=True) == -3600
+    assert parse_interval("+1h", implied_minus=True) == 3600
+    with pytest.raises(InvalidRequest):
+        parse_interval("1parsec")
+
+
+# ---------------- composition ----------------
+
+
+@pytest.fixture()
+def panel(spark):
+    return spark.createDataFrame(
+        [
+            ("web.s1.cpu", 0, 10.0), ("web.s1.cpu", 60, 20.0),
+            ("web.s1.cpu", 120, 30.0),
+            ("web.s2.cpu", 0, 40.0), ("web.s2.cpu", 60, None),
+            ("web.s2.cpu", 120, 60.0),
+            ("db.s1.mem", 0, 5.0), ("db.s1.mem", 60, 8.0),
+            ("db.s1.mem", 120, 10.0),
+        ],
+        "metric string, ts long, value double",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["metric"], r["ts"], r["value"]) for r in df.collect()
+    )
+
+
+def test_render_sum_and_alias_by_node(spark, panel):
+    got = _rows(render(
+        spark, "aliasByNode(sumSeries(web.*.cpu),1)", series=panel
+    ))
+    # null at (s2,60) skipped: sums are 50, 20, 90; alias node 1 of
+    # the extracted path 'web.*.cpu' is '*' (graphite's own regex
+    # extract applied to the rewritten name)
+    assert got == [("*", 0, 50.0), ("*", 60, 20.0), ("*", 120, 90.0)]
+
+
+def test_render_scale_names_and_values(spark, panel):
+    got = _rows(render(
+        spark, "scale(web.{s1,s2}.cpu, 0.5)", series=panel
+    ))
+    assert ("scale(web.s1.cpu,0.5)", 60, 10.0) in got
+    assert ("scale(web.s2.cpu,0.5)", 60, None) in got
+    assert len(got) == 6
+
+
+def test_render_nested_three_deep(spark, panel):
+    got = _rows(render(
+        spark,
+        'alias(maxSeries(scale(web.*.cpu,2),db.*.mem),"peak")',
+        series=panel,
+    ))
+    # max over {20,80,5} {40,8} {60,120,10} per slot
+    assert got == [("peak", 0, 80.0), ("peak", 60, 40.0),
+                   ("peak", 120, 120.0)]
+
+
+def test_render_selection_gates(spark, panel):
+    # averages: s1=20, s2=50, mem=7.666… — strict > (operator-layer
+    # adjudication)
+    got = _rows(render(
+        spark, "averageAbove(*.*.*, 20)", series=panel
+    ))
+    assert {m for m, _, _ in got} == {"web.s2.cpu"}
+    got = _rows(render(spark, "averageBelow(*.*.*, 20)", series=panel))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "db.s1.mem"}
+    got = _rows(render(spark, "maximumAbove(web.*.cpu, 30)", series=panel))
+    assert {m for m, _, _ in got} == {"web.s2.cpu"}  # max 30 not > 30
+    got = _rows(render(spark, "currentBelow(*.*.*, 30)", series=panel))
+    # currents (last non-null): s1=30 (inclusive), s2=60, mem=10
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "db.s1.mem"}
+
+
+def test_render_sort_then_limit(spark, panel):
+    got = _rows(render(
+        spark, "limit(sortByMaxima(*.*.*), 2)", series=panel
+    ))
+    # maxima: s2=60, s1=30, mem=10 → top-2 series
+    assert {m for m, _, _ in got} == {"web.s2.cpu", "web.s1.cpu"}
+    # limit without a sort: graphite natural order (name-stable)
+    got = _rows(render(spark, "limit(*.*.*, 1)", series=panel))
+    assert {m for m, _, _ in got} == {"db.s1.mem"}
+
+
+def test_render_divide_series_and_guard(spark, panel):
+    got = _rows(render(
+        spark, "divideSeries(web.*.cpu, db.s1.mem)", series=panel
+    ))
+    assert ("divideSeries(web.s1.cpu,db.s1.mem)", 0, 2.0) in got
+    assert ("divideSeries(web.s2.cpu,db.s1.mem)", 60, None) in got
+    # multi-series divisor raises IN PLAN
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        render(
+            spark, "divideSeries(db.s1.mem, web.*.cpu)", series=panel
+        ).collect()
+
+
+def test_render_kwarg_and_quoted_interval(spark, panel):
+    got = _rows(render(
+        spark, "transformNull(web.s2.cpu, default=7)", series=panel
+    ))
+    assert ("transformNull(web.s2.cpu,7)", 60, 7.0) in got
+    got = _rows(render(
+        spark, 'summarize(web.s1.cpu, "2min", "sum")', series=panel
+    ))
+    assert got == [
+        ('summarize(web.s1.cpu,"2min","sum")', 0, 30.0),
+        ('summarize(web.s1.cpu,"2min","sum")', 120, 30.0),
+    ]
+
+
+def test_render_time_range_pushed(spark, panel):
+    got = _rows(render(
+        spark, "web.s1.cpu", from_time=60, until_time=121, series=panel
+    ))
+    assert [ts for _, ts, _ in got] == [60, 120]
+
+
+def test_render_diff_and_count(spark, panel):
+    got = _rows(render(
+        spark, "diffSeries(web.s1.cpu, db.s1.mem)", series=panel
+    ))
+    assert got == [
+        ("diffSeries(web.s1.cpu,db.s1.mem)", 0, 5.0),
+        ("diffSeries(web.s1.cpu,db.s1.mem)", 60, 12.0),
+        ("diffSeries(web.s1.cpu,db.s1.mem)", 120, 20.0),
+    ]
+    got = _rows(render(spark, "countSeries(*.*.*)", series=panel))
+    assert got == [
+        ("countSeries(*.*.*)", 0, 3.0),
+        ("countSeries(*.*.*)", 60, 2.0),  # the null drops out
+        ("countSeries(*.*.*)", 120, 3.0),
+    ]
+
+
+def test_render_unknown_function_and_literal_target(spark, panel):
+    with pytest.raises(InvalidRequest, match="unsupported render"):
+        render(spark, "definitelyNotAFunction(a.b)", series=panel)
+    with pytest.raises(InvalidRequest, match="literal"):
+        render(spark, "42", series=panel)
+
+
+def test_supported_list_is_stable_and_big():
+    fns = supported_functions()
+    assert len(fns) >= 70
+    for must in ["sumSeries", "aliasByNode", "scale", "movingAverage",
+                 "divideSeries", "limit", "summarize", "timeShift",
+                 "exponentialMovingAverage", "highestCurrent"]:
+        assert must in fns
