@@ -3872,6 +3872,24 @@ def _q_render_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_render_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render front door, windowed + name-recovery shape:
+    ``aliasByNode(movingAverage(prod.events.*,5),2)`` — glob fetch →
+    trailing 5-point decimal moving average (series_functions, one
+    per-metric window pass) with the graphite name rewrite →
+    aliasByNode's first-path regex extraction pulling the original
+    path back OUT of the rewritten ``movingAverage(…,5)`` wrapper and
+    selecting node 2. Pins the adapter naming contract end-to-end:
+    rewrite → extract → node select must compose losslessly."""
+    from ceres_spark.plans.render import render
+
+    return render(
+        spark,
+        "aliasByNode(movingAverage(prod.events.*,5),2)",
+        series=_render_points(spark, sf_dir),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -4848,6 +4866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # missing #1) — parse → compose → execute, both oracle-paired
         "render_target": _q_render_target,
         "render_panel": _q_render_panel,
+        "render_window": _q_render_window,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -7631,6 +7650,25 @@ ranked AS (
 SELECT h.metric, h.ts, h.value
 FROM hourly h JOIN ranked r USING (metric)
 WHERE r._r <= 3
+""",
+        # r12 render front door, windowed shape: aliasByNode(
+        # movingAverage(prod.events.*,5),2) — trailing 5-point decimal
+        # moving average per series (the series_functions recipe), the
+        # aliasByNode extract recovering the original path from the
+        # movingAverage(...) name rewrite, node 2 = the flat metric
+        "render_window": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT metric, ts,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,10)))
+              OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(value) OVER w AS value
+FROM deduped
+WINDOW w AS (PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
         # name family II: substr node slice + aliasByMetric + alias
         "name_functions_2": f"""

@@ -120,6 +120,24 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("out_path")
     c.add_argument("--budget", type=int, default=100_000)
 
+    rn = sub.add_parser(
+        "render",
+        help="evaluate a graphite render target against the tree — "
+        "the query front door: nested function-call strings over "
+        "metric globs (plans/render.py), e.g. "
+        "'aliasByNode(sumSeries(web.*.cpu),1)'",
+    )
+    rn.add_argument("root")
+    rn.add_argument("target")
+    rn.add_argument("--from", dest="from_time", type=int, default=None)
+    rn.add_argument("--until", dest="until_time", type=int, default=None)
+    rn.add_argument("--step", type=int, default=60)
+    rn.add_argument(
+        "--max-rows", type=int, default=200,
+        help="print at most this many rows (the plan itself is "
+        "unbounded — this caps only the driver-side collect)",
+    )
+
     e = sub.add_parser(
         "explain",
         help="print the physical plan of a registry query "
@@ -311,6 +329,28 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out_path)
         n = spark.read.parquet(args.out_path).count()
         print(f"{args.stage}: wrote {n} rows to {args.out_path}")
+    elif args.cmd == "render":
+        # graphite-web's evaluateTarget surface over a ceres tree:
+        # LWW-deduped points at the requested step are the store the
+        # target's path leaves resolve against
+        import ceres_spark.operators.compact as cp
+        from ceres_spark.plans.render import render as render_target
+
+        tree = CeresTree(spark, args.root)
+        series = cp.lww_dedup(tree.points(args.step)).select(
+            "metric", "ts", "value"
+        )
+        df = render_target(
+            spark,
+            args.target,
+            args.from_time,
+            args.until_time,
+            series=series,
+            step=args.step,
+        )
+        for r in df.orderBy("metric", "ts").limit(args.max_rows).collect():
+            v = "None" if r["value"] is None else repr(r["value"])
+            print(f"{r['metric']}\t{r['ts']}\t{v}")
     elif args.cmd == "explain":
         # EXPLAIN surface over the whole query registry — the ceres
         # CLI never had one because it had no planner; this one is how

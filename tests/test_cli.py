@@ -131,3 +131,31 @@ def test_cli_corpus_stage(spark, tmp_path, capsys):
     assert "wrote 2 rows" in capsys.readouterr().out
     cols = set(spark.read.parquet(out).columns)
     assert {"doc_id", "margin_micro", "keep"} <= cols
+
+
+def test_cli_render_front_door(spark, tmp_path, capsys):
+    """The r12 render subcommand: tree store → graphite target string
+    → composed plan → printed rows (the reference web layer's
+    evaluateTarget surface over a ceres tree)."""
+    root = str(tmp_path / "wh")
+    assert cli.main(["tree-create", root]) == 0
+    assert cli.main(["node-create", root, "web.s1.cpu"]) == 0
+    assert cli.main(["node-create", root, "web.s2.cpu"]) == 0
+    assert cli.main(
+        ["node-write", root, "web.s1.cpu", "60:1.0", "120:3.0"]
+    ) == 0
+    assert cli.main(
+        ["node-write", root, "web.s2.cpu", "60:2.0", "120:5.0"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["render", root, 'alias(sumSeries(web.*.cpu),"total")']
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["total\t60\t3.0", "total\t120\t8.0"]
+    # range + scale with graphite name rewrite
+    assert cli.main(
+        ["render", root, "scale(web.s1.cpu,2)", "--from", "120"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["scale(web.s1.cpu,2)\t120\t6.0"]
