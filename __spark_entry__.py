@@ -3895,6 +3895,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
 
 
+#: The r12 driver-checked prefix (the driver verifies the FIRST 50
+#: dict entries): (a) changed in r12 (guarded rank plans + the EMA
+#: emission fix + the tree.store commit-protocol lineage + the
+#: minhash bench-watch second source) → (b) new in r12 (the three
+#: composed render-target entries) → (c) the four r6-stale leftovers
+#: then the FULL 32-entry r7-stale block in CORRECTNESS_r07 key
+#: order → (d) the first 5 r8 greens in CORRECTNESS_r08 key order.
+#: See the ROTATION STATE section in the queries() docstring.
+_R12_PREFIX = [
+    # (a) changed in r12 (VERDICT r11 + ADVICE r11 — outputs and/or
+    # executed plans changed, MUST re-check)
+    "ema_window",                 # all-None seed window now EMITS
+    #                               0.0 (graphite's `or 0` arm) while
+    #                               still seeding state at 0.0 —
+    #                               output AND oracle changed
+    #                               (ADVICE r11 low #2)
+    "filter_series",              # highest/lowestCurrent ranks now
+    #                               carry the LOUD MAX_RANKED_SERIES
+    #                               in-plan guard (VERDICT r11 wrong
+    #                               #2) — executed plan changed
+    "series_orderings",           # rank_by_name guarded (was
+    #                               prunable around the rank_by_total
+    #                               guard) — executed plan changed
+    "average_outside_percentile", # band rank guarded — executed
+    #                               plan changed
+    "stream_store_replay",        # tree.store's physical commit is
+    #                               now per-commit staging + recover-
+    #                               able roll-forward (ADVICE r11 low
+    #                               #3) — the store/replay lineage
+    #                               must re-check
+    "minhash_pairs_portable",     # bench watch (VERDICT r11 wrong
+    #                               #1): this driver row is the
+    #                               second source under the both-
+    #                               sources rule — code unchanged
+    # (b) new in r12 — the graphite render-target front door
+    # (parser + composer over the operator layer; all oracle-paired,
+    # green at sf0.01 AND sf0.1 locally)
+    "render_target",              # aliasByNode(sumSeries(glob),n)
+    "render_panel",               # multi-target panel compose
+    "render_window",              # movingAverage window compose
+    # (c) the four r6-stale leftovers (rolled from the r11 plan),
+    # CORRECTNESS_r06 key order
+    "cohort_retention",
+    "approx_distinct_users",
+    "token_counts",
+    "multimodal_features",
+    # ...then the FULL 32-entry r7-stale block, CORRECTNESS_r07 key
+    # order — clears every r7 row from the backlog
+    "asof_join",
+    "tpch_q5",
+    "tpch_q3",
+    "tpch_q1",
+    "multimodal_resize",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "intersect_custkeys",
+    "anti_join",
+    "pivot_status",
+    "except_custkeys",
+    "cube_orders",
+    "top_parts",
+    "running_totals",
+    "rank_window",
+    "grouping_sets",
+    "range_frame_sum",
+    "percentiles",
+    "time_shift_join",
+    "forward_fill",
+    "anomaly_zscore",
+    "top_series",
+    "moving_median",
+    "winsorize",
+    "simhash_pairs_global",
+    "topk_cosine_pq",
+    "topk_cosine_ivfpq",
+    "slice_roundtrip",
+    "bigram_lm",
+    "quality_classifier",
+    # (d) fill to 50: the first 5 r8 greens in CORRECTNESS_r08 key
+    # order (stream_store_replay already promoted in (a))
+    "stream_windowed_rollup",
+    "stream_sessions",
+    "stream_interval_join",
+    "stream_corpus_ingest",
+    "stream_simhash_dedup",
+]
+
 #: The r11 driver-checked prefix (the driver verified the FIRST 50
 #: dict entries): (a) changed in r11 → (b) new in r11 (function-layer
 #: wave 7) → (c) the first 41 of the 45-entry r6-stale block in
@@ -4528,7 +4617,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 11, final): the 50-slot prefix is the
+    ROTATION STATE (round 12, final): the 50-slot prefix is the
+    explicit ``_R12_PREFIX`` list — (a) the 6 entries changed /
+    demanded in r12: ema_window (all-None seed window now EMITS 0.0,
+    graphite-web's ``ema = safeAvg(window) or 0`` arm — output and
+    oracle changed, ADVICE r11 low #2), filter_series +
+    series_orderings + average_outside_percentile (the three
+    previously-unguarded global rank sites now carry the LOUD
+    ``MAX_RANKED_SERIES`` in-plan guard demanded by VERDICT r11
+    wrong #2 — executed plans changed; the fleet-wide unpartitioned-
+    window audit in test_plan_audit.py machine-checks the
+    allowlist), stream_store_replay (tree.store's physical commit is
+    per-commit staging with recoverable roll-forward, ADVICE r11 low
+    #3 — the store/replay lineage re-checks), minhash_pairs_portable
+    (bench-watch second source under the both-sources rule, VERDICT
+    r11 wrong #1 — code unchanged); (b) 3 new entries — the graphite
+    render-target front door (VERDICT r11 missing #1): render_target
+    (parse → glob-find → compose → execute of a nested function-call
+    target string), render_panel (multi-target panel),
+    render_window (movingAverage window compose) — every one
+    oracle-paired so the rows-only census stays frozen at 16;
+    (c) the four r6-stale leftovers (cohort_retention,
+    approx_distinct_users, token_counts, multimodal_features) then
+    the FULL 32-entry r7-stale block in CORRECTNESS_r07 key order
+    (asof_join … quality_classifier) — clearing every r6 and r7 row
+    from the backlog; (d) the first 5 r8 greens in CORRECTNESS_r08
+    key order (stream_windowed_rollup … stream_simhash_dedup;
+    stream_store_replay was already promoted in (a)).
+
+    ROTATION PLAN (round 13): promote (a) anything changed in r13,
+    (b) new r13 entries, (c) the r8-stale block oldest-first in
+    CORRECTNESS_r08 key order (39 entries remain r8-stale going into
+    r13 after this round's 6 promotions; take them in file order and
+    roll any tail to r14), then (d) r9 greens oldest-first. After
+    rotating, run ``python tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 11, historical — superseded by r12): the
+    50-slot prefix was the
     explicit ``_R11_PREFIX`` list — (a) the 3 entries changed in r11
     (all ADVICE r10): stream_backfill_rollup (the backfill repair's
     date explode is now a 1-day-step ``sequence`` over every UTC day
@@ -4552,7 +4678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (cohort_retention, approx_distinct_users, token_counts,
     multimodal_features) rolls to r12.
 
-    ROTATION PLAN (round 12): promote (a) anything changed in r12,
+    ROTATION PLAN (round 12, historical — executed as written, see
+    STATE r12 above): promote (a) anything changed in r12,
     (b) new r12 entries, (c) the four r6-stale leftovers
     (cohort_retention, approx_distinct_users, token_counts,
     multimodal_features — in CORRECTNESS_r06 key order) then the
@@ -5087,7 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R11_PREFIX}
+    out = {k: base.pop(k) for k in _R12_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
