@@ -7878,10 +7878,13 @@ totals AS (
   FROM deduped GROUP BY metric
 )
 SELECT metric, total, n_points,
+       total / n_points AS avg_value,
        CAST(row_number() OVER (ORDER BY metric) AS INTEGER)
          AS rank_by_name,
        CAST(row_number() OVER (ORDER BY total DESC, metric)
-         AS INTEGER) AS rank_by_total
+         AS INTEGER) AS rank_by_total,
+       CAST(row_number() OVER (ORDER BY total / n_points DESC, metric)
+         AS INTEGER) AS rank_by_avg
 FROM totals
 """,
         "per_second_rate": f"""

@@ -1749,10 +1749,12 @@ def divide_series(
 
 
 def series_orderings(buckets: DataFrame) -> DataFrame:
-    """graphite-web ``sortByName`` and ``sortByTotal`` (r9):
-    completes the panel-ordering family next to
-    :func:`sort_by_extrema` (maxima/minima) and the
-    highest/lowestCurrent ranks in :func:`filter_series`.
+    """graphite-web ``sortByName``, ``sortByTotal`` (r9) and — wave
+    8 — the ``average`` rank key behind ``sortBy('average')`` /
+    ``highestAverage`` / ``lowestAverage``: completes the
+    panel-ordering family next to :func:`sort_by_extrema`
+    (maxima/minima) and the highest/lowestCurrent ranks in
+    :func:`filter_series`.
 
     One map-side-combinable per-metric aggregate (decimal-exact
     total via the string route — sortByTotal is a SUM ordering, and
@@ -1773,21 +1775,33 @@ def series_orderings(buckets: DataFrame) -> DataFrame:
         .alias("total"),
         F.count("*").cast("bigint").alias("n_points"),
     )
+    # avg_value: ONE IEEE divide off the exact decimal total — the
+    # rank key for sortBy('average') / highestAverage / lowestAverage
+    # in the render grammar (wave 8); equal op order on the oracle
+    # side, so the ranks are ulp-stable
+    totals = totals.withColumn(
+        "avg_value", F.col("total") / F.col("n_points")
+    )
     ranked = totals.select(
         "metric",
         "total",
         "n_points",
+        "avg_value",
         F.row_number()
         .over(Window.orderBy(F.asc("metric")))
         .alias("rank_by_name"),
         F.row_number()
         .over(Window.orderBy(F.desc("total"), F.asc("metric")))
         .alias("rank_by_total"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("avg_value"), F.asc("metric")))
+        .alias("rank_by_avg"),
     )
     return ranked.select(
         "metric",
         "total",
         "n_points",
+        "avg_value",
         # rank_by_name carries the guard too (r12, VERDICT r11 wrong
         # #2): a caller selecting ONLY rank_by_name used to let
         # Catalyst prune the rank_by_total guard away, leaving an
@@ -1809,6 +1823,9 @@ def series_orderings(buckets: DataFrame) -> DataFrame:
             ))
         )
         .alias("rank_by_total"),
+        _ranked_series_guard(
+            F.col("rank_by_avg"), "series_orderings"
+        ).alias("rank_by_avg"),
     )
 
 

@@ -169,12 +169,16 @@ class RenderContext:
         from_time: int | None = None,
         until_time: int | None = None,
         step: int = 60,
+        max_data_points: int | None = None,
     ):
         self.spark = spark
         self.series = series.select(*_SERIES_COLS)
         self.from_time = from_time
         self.until_time = until_time
         self.step = int(step)
+        self.max_data_points = (
+            int(max_data_points) if max_data_points is not None else None
+        )
 
     def fetch(self, pattern: str) -> SeriesFrame:
         """Resolve one metric path expression: brace alternation →
@@ -1116,6 +1120,585 @@ def _alias_sub(ctx, sf, search, replace):
     return SeriesFrame(out, sf.expr)
 
 
+# ---- wave 8: grammar completion over the existing operator layer ---
+#
+# r12: VERDICT r11 shipped the front door scoped to "wave 1"; these
+# registrations close the remaining ENGINE-SHAPED graphite names onto
+# operators that already exist (series.py wave 1-7 + holt_winters +
+# series_linreg + weighted_average + changed_points + point_gates'
+# minMax recipe). Determinism posture unchanged: every adapter is
+# either exact (decimal sums, integer ranks, name strings) or a fixed
+# IEEE expression tree both engines evaluate in the same order;
+# libm-backed names (logarithm, round, fractional pow, sigmoid,
+# logit) stay excluded with a loud raise.
+
+
+@_register("squareRoot")
+def _square_root(ctx, sf):
+    # IEEE-754 sqrt is CORRECTLY ROUNDED (unlike exp/log/pow), so it
+    # is cross-engine deterministic; negative input → NULL, matching
+    # graphite safePow's None on a math-domain error
+    sf = _series_arg(sf, "squareRoot")
+    return _value_map(
+        sf,
+        F.when(F.col("value") >= 0, F.sqrt(F.col("value"))),
+        "squareRoot",
+    )
+
+
+@_register("pow")
+def _pow(ctx, sf, n):
+    """pow(series, n) for small non-negative INTEGER exponents only:
+    the adapter emits an explicit left-associated multiply chain
+    (v·v·…), each step one correctly-rounded IEEE op — the same
+    fixed expression tree on the oracle side. Fractional/negative
+    exponents are libm pow (not correctly rounded cross-engine) and
+    raise, the logarithm/round exclusion rationale."""
+    sf = _series_arg(sf, "pow")
+    fn = float(n)
+    if fn != int(fn) or not (0 <= int(fn) <= 6):
+        raise InvalidRequest(
+            "pow: only integer exponents 0..6 are deterministic "
+            "cross-engine (fractional pow is libm-backed); got "
+            f"{n!r}"
+        )
+    k = int(fn)
+    if k == 0:
+        col = F.when(F.col("value").isNotNull(), F.lit(1.0))
+    else:
+        col = F.col("value")
+        for _ in range(k - 1):
+            col = col * F.col("value")
+    return _value_map(sf, col, "pow", _fmt_g(fn))
+
+
+@_register("minMax")
+def _min_max(ctx, sf):
+    """Per-series (v − min)/(max − min); degenerate max == min → 0
+    (the point_gates recipe — two IEEE subtracts + one correctly-
+    rounded divide, per-metric window, no extra shuffle)."""
+    from pyspark.sql.window import Window
+
+    sf = _series_arg(sf, "minMax")
+    w = Window.partitionBy("metric")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    col = F.when(
+        F.col("value").isNotNull(),
+        F.when(hi == lo, F.lit(0.0)).otherwise(
+            (F.col("value") - lo) / (hi - lo)
+        ),
+    )
+    return _value_map(sf, col, "minMax")
+
+
+@_register("changed")
+def _changed(ctx, sf):
+    """1 when the value differs from the previous point of the same
+    series, 0 for the first point and for no-change (the
+    changed_points recipe: NULL-safe inequality, so None→value and
+    value→None transitions count exactly like graphite's ``!=``)."""
+    from pyspark.sql.window import Window
+
+    sf = _series_arg(sf, "changed")
+    w = Window.partitionBy("metric").orderBy("ts")
+    first = F.row_number().over(w) == 1
+    col = (
+        F.when(first, F.lit(0))
+        .otherwise(
+            (~F.col("value").eqNullSafe(F.lag("value").over(w)))
+            .cast("int")
+        )
+        .cast("double")
+    )
+    return _value_map(sf, col, "changed")
+
+
+@_register("grep")
+def _grep(ctx, sf, pattern):
+    # re.search semantics == unanchored rlike; selection functions do
+    # not rename, and name-based selection keeps the order frame
+    sf = _series_arg(sf, "grep")
+    return sf.with_df(
+        sf.df.filter(F.col("metric").rlike(str(pattern))),
+        keep_order=True,
+    )
+
+
+@_register("exclude")
+def _exclude(ctx, sf, pattern):
+    sf = _series_arg(sf, "exclude")
+    return sf.with_df(
+        sf.df.filter(~F.col("metric").rlike(str(pattern))),
+        keep_order=True,
+    )
+
+
+@_register("substr")
+def _substr(ctx, sf, start=0, stop=0):
+    """Node-slice rename: split the extracted path on dots, keep
+    nodes [start, stop) (stop 0 = through the end) — graphite substr
+    with the wave-8 non-negative-index scope."""
+    sf = _series_arg(sf, "substr")
+    start_i, stop_i = int(start), int(stop)
+    if start_i < 0 or stop_i < 0:
+        raise InvalidRequest(
+            "substr: negative node indexes are outside the wave-8 "
+            "scope"
+        )
+    extracted = F.regexp_extract(F.col("metric"), _ALIAS_EXTRACT_RX, 1)
+    parts = F.split(extracted, r"\.")
+    length = (
+        F.greatest(F.size(parts) - start_i, F.lit(0))
+        if stop_i == 0
+        else F.lit(max(stop_i - start_i, 0))
+    )
+    out = sf.df.withColumn(
+        "metric", F.array_join(F.slice(parts, start_i + 1, length), ".")
+    )
+    return SeriesFrame(out, sf.expr)
+
+
+#: aggregate(seriesList, func): graphite 1.1's umbrella — dispatch
+#: onto the existing combinator adapters. median/multiply/last are
+#: excluded (median's index rule and variadic multiply's float
+#: re-association are not deterministic cross-engine at this layer).
+_AGGREGATE_DISPATCH: dict = {}
+
+
+def _init_aggregate_dispatch():
+    if _AGGREGATE_DISPATCH:
+        return
+    _AGGREGATE_DISPATCH.update({
+        "sum": _sum_series, "total": _sum_series,
+        "average": _average_series, "avg": _average_series,
+        "max": _max_series, "min": _min_series,
+        "count": _count_series, "stddev": _stddev_series,
+        "range": _range_of_series, "rangeOf": _range_of_series,
+        "diff": _diff_series,
+    })
+
+
+@_register("aggregate")
+def _aggregate(ctx, sf, func):
+    _init_aggregate_dispatch()
+    fn = _AGGREGATE_DISPATCH.get(str(func))
+    if fn is None:
+        raise InvalidRequest(
+            f"aggregate: unsupported function {func!r}; wave-8 "
+            f"supports: {', '.join(sorted(_AGGREGATE_DISPATCH))}"
+        )
+    sf = _series_arg(sf, "aggregate")
+    return fn(ctx, sf)
+
+
+@_register("group")
+def _group(ctx, *sfs):
+    """Union of the argument series lists, every series keeping its
+    own name (graphite group — the composition glue)."""
+    frames = [_series_arg(f, "group") for f in sfs]
+    return SeriesFrame(_union_all(frames), _comb_name("group", frames))
+
+
+@_register("unique")
+def _unique(ctx, *sfs):
+    """Union keeping only each metric name's FIRST list occurrence
+    (graphite unique): tag every input with its argument position,
+    keep rows whose position equals the per-metric minimum — a
+    series-cardinality aggregate broadcast back as a semi-join."""
+    frames = [_series_arg(f, "unique") for f in sfs]
+    tagged = frames[0].df.withColumn("_src", F.lit(0))
+    for i, f in enumerate(frames[1:], start=1):
+        tagged = tagged.unionByName(f.df.withColumn("_src", F.lit(i)))
+    firsts = tagged.groupBy("metric").agg(F.min("_src").alias("_src"))
+    out = tagged.join(
+        F.broadcast(firsts), ["metric", "_src"], "semi"
+    ).select(*_SERIES_COLS)
+    return SeriesFrame(out, _comb_name("unique", frames))
+
+
+_APPLY_TEMPLATE_RX = re.compile(
+    r"^divideSeries\(%\.([-\w.]+),\s*%\.([-\w.]+)\)$"
+)
+
+
+@_register("applyByNode")
+def _apply_by_node(ctx, sf, node, template):
+    """Wave-8 scope: the divide template (the docs' canonical
+    instance) — ``applyByNode(list, n, 'divideSeries(%.a, %.b)')``
+    pivots both legs per prefix group in one grouped pass
+    (series.apply_by_node). Other template bodies compose from the
+    registered functions over groupByNodes instead."""
+    sf = _series_arg(sf, "applyByNode")
+    m = _APPLY_TEMPLATE_RX.match(str(template).strip())
+    if m is None:
+        raise InvalidRequest(
+            "applyByNode: wave-8 supports the divide template "
+            "'divideSeries(%.num, %.den)'; got " + repr(template)
+        )
+    out = ser.apply_by_node(
+        sf.df.withColumnRenamed("metric", "path"),
+        int(node), m.group(1), m.group(2),
+    ).select(
+        F.col("name").alias("metric"), "ts",
+        F.col("quotient").alias("value"),
+    )
+    return SeriesFrame(out, sf.expr)
+
+
+@_register("divideSeriesLists")
+def _divide_series_lists(ctx, dividends, divisors):
+    """Pair the two lists on the path MINUS its first node (the
+    engine-native equivalent of graphite's positional zip after a
+    wildcard expansion — series.divide_series_lists' rule) and
+    divide per slot; NULL on a missing or zero divisor."""
+    dividends = _series_arg(dividends, "divideSeriesLists")
+    divisors = _series_arg(divisors, "divideSeriesLists")
+
+    def _suffix(df, vcol):
+        parts = F.split(F.col("metric"), r"\.")
+        return df.select(
+            F.array_join(
+                F.slice(
+                    parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+                ),
+                ".",
+            ).alias("_key"),
+            "metric", "ts", F.col("value").alias(vcol),
+        )
+    num = _suffix(dividends.df, "_a")
+    den = _suffix(divisors.df, "_b").withColumnRenamed(
+        "metric", "_dmetric"
+    )
+    out = num.join(den, ["_key", "ts"], "left").select(
+        F.concat(
+            F.lit("divideSeries("), F.col("metric"), F.lit(","),
+            F.coalesce(F.col("_dmetric"), F.lit("MISSING")),
+            F.lit(")"),
+        ).alias("metric"),
+        "ts",
+        F.when(
+            F.col("_b").isNotNull() & (F.col("_b") != 0.0),
+            F.col("_a") / F.col("_b"),
+        ).alias("value"),
+    )
+    name = _comb_name("divideSeriesLists", [dividends, divisors])
+    return SeriesFrame(out, name)
+
+
+@_register("consolidateBy")
+def _consolidate_by(ctx, sf, func="average"):
+    """graphite consolidateBy TAGS the series with the consolidation
+    function; the render layer applies it only when the series holds
+    more slots than the requester's maxDataPoints. With no
+    ``max_data_points`` on the context this is graphite's
+    points-fit case: a name tag, values untouched. With one set,
+    series.consolidate_by re-buckets with the derived
+    values-per-point (its c_step contract)."""
+    sf = _series_arg(sf, "consolidateBy")
+    if ctx.max_data_points is None:
+        out = _wrap_name(sf.df, "consolidateBy", f'"{func}"')
+        return SeriesFrame(out, sf.expr)
+    out = ser.consolidate_by(
+        sf.df, max_points=int(ctx.max_data_points),
+        method=str(func), step=ctx.step,
+    ).select("metric", "ts", F.col("value").cast("double").alias("value"))
+    return SeriesFrame(
+        _wrap_name(out, "consolidateBy", f'"{func}"'), sf.expr
+    )
+
+
+_MAX_TIMESTACK = 32
+
+
+@_register("timeStack")
+def _time_stack(ctx, sf, shift_unit="1d", start=0, end=7):
+    """Union of timeShifted copies for shift i in [start, end) —
+    each copy renamed ``timeShift(expr,-Ni)`` like graphite's
+    timeStack legend. Copy count is bounded (plan size is linear in
+    it)."""
+    sf = _series_arg(sf, "timeStack")
+    lo, hi = int(start), int(end)
+    if not (0 <= hi - lo <= _MAX_TIMESTACK):
+        raise InvalidRequest(
+            f"timeStack: copy count {hi - lo} outside 0..{_MAX_TIMESTACK}"
+        )
+    # same sign convention as the timeShift adapter: the parsed
+    # unsigned unit means the PAST (delta < 0), and copy i relabels
+    # points from t + i·delta onto t, i.e. ts_out = ts − i·delta
+    delta = parse_interval(shift_unit, implied_minus=True)
+    frames = []
+    for i in range(lo, hi):
+        shifted = ser.time_shift(sf.df, -i * delta)
+        named = shifted.withColumn(
+            "metric",
+            F.concat(
+                F.lit("timeShift("), F.col("metric"),
+                F.lit(f",{i * delta}s)"),
+            ),
+        )
+        frames.append(SeriesFrame(named, sf.expr))
+    return SeriesFrame(
+        _union_all(frames),
+        f"timeStack({sf.expr},\"{shift_unit}\",{lo},{hi})",
+    )
+
+
+@_register("movingWindow")
+def _moving_window(ctx, sf, window_size, func="average"):
+    """Dispatch onto the moving-* adapters; a time-string window
+    converts to points through the context step (the
+    exponentialMovingAverage precedent)."""
+    dispatch = {
+        "average": _moving_average, "avg": _moving_average,
+        "median": _moving_median, "min": _moving_min,
+        "max": _moving_max, "sum": _moving_sum, "stddev": _stdev,
+    }
+    fn = dispatch.get(str(func))
+    if fn is None:
+        raise InvalidRequest(
+            f"movingWindow: unsupported function {func!r}; wave-8 "
+            f"supports: {', '.join(sorted(dispatch))}"
+        )
+    if isinstance(window_size, str):
+        n = abs(parse_interval(window_size)) // ctx.step
+        if n < 1:
+            raise InvalidRequest(
+                f"movingWindow: window {window_size!r} is shorter "
+                f"than the series step {ctx.step}s"
+            )
+    else:
+        n = int(window_size)
+    return fn(ctx, sf, n)
+
+
+@_register("weightedAverage")
+def _weighted_average(ctx, avg_sf, weight_sf, *nodes):
+    """Pair each series in the first list with its weight series in
+    the second on the selected path nodes, then emit ONE series
+    Σ(aᵢ·wᵢ)/Σwᵢ per slot over pairs where both sides are non-null
+    (graphite weightedAverage; series.weighted_average is the
+    volume-weighted table-shaped sibling). Products accumulate
+    through the string-routed DECIMAL sum — order-independent — and
+    the single final division is one IEEE op."""
+    avg_sf = _series_arg(avg_sf, "weightedAverage")
+    weight_sf = _series_arg(weight_sf, "weightedAverage")
+    if not nodes:
+        raise InvalidRequest("weightedAverage: at least one node")
+
+    def _key(df, vcol):
+        parts = F.split(F.col("metric"), r"\.")
+        key = F.concat_ws(
+            ".", *[F.get(parts, int(n)) for n in nodes]
+        )
+        return df.select(
+            key.alias("_key"), "ts", F.col("value").alias(vcol)
+        )
+    name = (
+        f"weightedAverage({avg_sf.expr},{weight_sf.expr},"
+        + ",".join(_fmt_g(int(n)) for n in nodes) + ")"
+    )
+    j = _key(avg_sf.df, "_a").join(
+        _key(weight_sf.df, "_w"), ["_key", "ts"]
+    ).filter(F.col("_a").isNotNull() & F.col("_w").isNotNull())
+    prod = _DEC(F.col("_a") * F.col("_w"))
+    out = j.groupBy("ts").agg(
+        (
+            _DEC2DBL(F.sum(prod))
+            / _DEC2DBL(F.sum(_DEC(F.col("_w"))))
+        ).alias("value")
+    ).select(F.lit(name).alias("metric"), "ts", "value")
+    return SeriesFrame(out, name)
+
+
+@_register("linearRegression")
+def _linear_regression(ctx, sf):
+    """Per-series least-squares line over the request range
+    (series.series_linreg's exact-decimal closed form), re-expanded
+    to a fitted value per slot: ŷ(ts) = fit_end + slope·(ts − t_end)
+    with slope = slope_per_hour/3600 — a fixed IEEE expression tree
+    mirrored on the oracle side. Series with < 2 points emit NULL."""
+    sf = _series_arg(sf, "linearRegression")
+    fits = ser.series_linreg(sf.df)
+    ends = sf.df.filter(F.col("value").isNotNull()).groupBy(
+        "metric"
+    ).agg(F.max("ts").alias("_t_end"))
+    params = fits.join(ends, "metric")
+    out = sf.df.join(F.broadcast(params), "metric").select(
+        "metric", "ts",
+        (
+            F.col("fit_end")
+            + (F.col("slope_per_hour") / F.lit(3600.0))
+            * (F.col("ts") - F.col("_t_end")).cast("double")
+        ).alias("value"),
+    )
+    return SeriesFrame(_wrap_name(out, "linearRegression"), sf.expr)
+
+
+def _holt(ctx, sf, fn: str, delta=3):
+    return ser.holt_winters(sf.df, dev_scale=float(delta))
+
+
+@_register("holtWintersForecast")
+def _hw_forecast(ctx, sf):
+    sf = _series_arg(sf, "holtWintersForecast")
+    return _pick(
+        sf, _holt(ctx, sf, "holtWintersForecast"),
+        "forecast", "holtWintersForecast",
+    )
+
+
+@_register("holtWintersConfidenceBands")
+def _hw_bands(ctx, sf, delta=3):
+    """Graphite returns TWO series per input — the upper and lower
+    bands; the adapter unions both with graphite's Upper/Lower
+    naming. Bootstrap departure documented on series.holt_winters:
+    smoothing starts at the data start, not 7 days before the
+    request window."""
+    sf = _series_arg(sf, "holtWintersConfidenceBands")
+    hw = _holt(ctx, sf, "holtWintersConfidenceBands", delta)
+    up = hw.select(
+        F.concat(
+            F.lit("holtWintersConfidenceUpper("), F.col("metric"),
+            F.lit(")"),
+        ).alias("metric"),
+        "ts", F.col("upper").alias("value"),
+    )
+    lo = hw.select(
+        F.concat(
+            F.lit("holtWintersConfidenceLower("), F.col("metric"),
+            F.lit(")"),
+        ).alias("metric"),
+        "ts", F.col("lower").alias("value"),
+    )
+    return SeriesFrame(
+        up.unionByName(lo),
+        f"holtWintersConfidenceBands({sf.expr})",
+    )
+
+
+@_register("holtWintersAberration")
+def _hw_aberration(ctx, sf, delta=3):
+    sf = _series_arg(sf, "holtWintersAberration")
+    return _pick(
+        sf, _holt(ctx, sf, "holtWintersAberration", delta),
+        "aberration", "holtWintersAberration",
+    )
+
+
+def _avg_rank_pick(ctx, sf, n, fn: str, highest: bool):
+    """highest/lowestAverage share series_orderings' guarded
+    rank_by_avg; 'lowest' flips through the series count — a 1-row
+    scalar anchor (the fallback_series sanction), never a second
+    global sort."""
+    ranks = ser.series_orderings(sf.df).select("metric", "rank_by_avg")
+    if highest:
+        keep = ranks.filter(F.col("rank_by_avg") <= int(n))
+    else:
+        cnt = ranks.agg(F.count("*").alias("_cnt"))
+        keep = ranks.crossJoin(F.broadcast(cnt)).filter(
+            F.col("rank_by_avg") > F.col("_cnt") - int(n)
+        )
+    return _semi(sf, keep)
+
+
+@_register("highestAverage")
+def _highest_average(ctx, sf, n):
+    sf = _series_arg(sf, "highestAverage")
+    return _avg_rank_pick(ctx, sf, n, "highestAverage", True)
+
+
+@_register("lowestAverage")
+def _lowest_average(ctx, sf, n):
+    sf = _series_arg(sf, "lowestAverage")
+    return _avg_rank_pick(ctx, sf, n, "lowestAverage", False)
+
+
+def _rank_dispatch(ctx, sf, n, func: str, highest: bool, fn: str):
+    """graphite 1.1 highest/lowest umbrella: rank key by name.
+    'current' rides filter_series' guarded current ranks, 'max'/'min'
+    sort_by_extrema, 'average' series_orderings' rank_by_avg; lowest
+    arms flip through the scalar-count anchor where only the
+    descending rank exists."""
+    key = str(func)
+    if key in ("average", "avg"):
+        return _avg_rank_pick(ctx, sf, n, fn, highest)
+    if key == "current":
+        stats = ser.filter_series(sf.df)
+        col = "rank_highest_current" if highest else "rank_lowest_current"
+        return _semi(sf, stats.filter(F.col(col) <= int(n)))
+    if key in ("max", "min"):
+        ext = ser.sort_by_extrema(sf.df).select(
+            "metric",
+            F.col("rank_by_max" if key == "max" else "rank_by_min")
+            .alias("_r"),
+        )
+        # rank_by_max is descending (1 = biggest max), rank_by_min
+        # ascending in the smallest-min sense — 'highest max' uses
+        # rank_by_max directly, 'lowest min' uses rank_by_min
+        # directly; the crossed arms flip through the count anchor
+        direct = (key == "max") == highest
+        if direct:
+            keep = ext.filter(F.col("_r") <= int(n))
+        else:
+            cnt = ext.agg(F.count("*").alias("_cnt"))
+            keep = ext.crossJoin(F.broadcast(cnt)).filter(
+                F.col("_r") > F.col("_cnt") - int(n)
+            )
+        return _semi(sf, keep)
+    raise InvalidRequest(
+        f"{fn}: unsupported rank key {func!r}; wave-8 supports "
+        "average/avg, current, max, min"
+    )
+
+
+@_register("highest")
+def _highest(ctx, sf, n=1, func="average"):
+    sf = _series_arg(sf, "highest")
+    return _rank_dispatch(ctx, sf, n, func, True, "highest")
+
+
+@_register("lowest")
+def _lowest(ctx, sf, n=1, func="average"):
+    sf = _series_arg(sf, "lowest")
+    return _rank_dispatch(ctx, sf, n, func, False, "lowest")
+
+
+@_register("sortBy")
+def _sort_by(ctx, sf, func="average", reverse=False):
+    """Order frame from the named per-series rank; reverse flips
+    through the series count (scalar anchor, no second sort)."""
+    sf = _series_arg(sf, "sortBy")
+    key = str(func)
+    if key in ("average", "avg"):
+        ranks = ser.series_orderings(sf.df).select(
+            "metric", F.col("rank_by_avg").alias("_order")
+        )
+    elif key in ("total", "sum"):
+        ranks = ser.series_orderings(sf.df).select(
+            "metric", F.col("rank_by_total").alias("_order")
+        )
+    elif key == "max":
+        ranks = ser.sort_by_extrema(sf.df).select(
+            "metric", F.col("rank_by_max").alias("_order")
+        )
+    elif key == "min":
+        ranks = ser.sort_by_extrema(sf.df).select(
+            "metric", F.col("rank_by_min").alias("_order")
+        )
+    else:
+        raise InvalidRequest(
+            f"sortBy: unsupported key {func!r}; wave-8 supports "
+            "average/avg, total/sum, max, min"
+        )
+    if reverse:
+        cnt = ranks.agg(F.count("*").alias("_cnt"))
+        ranks = ranks.crossJoin(F.broadcast(cnt)).select(
+            "metric",
+            (F.col("_cnt") + 1 - F.col("_order")).alias("_order"),
+        )
+    return SeriesFrame(sf.df, sf.expr, order=ranks)
+
+
 # --------------------------------------------------------------------
 # evaluation
 # --------------------------------------------------------------------
@@ -1152,6 +1735,7 @@ def render(
     *,
     series: DataFrame,
     step: int = 60,
+    max_data_points: int | None = None,
 ) -> DataFrame:
     """Evaluate ONE graphite render target against a bucketed points
     frame → ``(metric, ts, value)`` DataFrame (the composed plan —
@@ -1169,7 +1753,7 @@ def render(
     ast = parse_target(target)
     ctx = RenderContext(
         spark, series, from_time=from_time, until_time=until_time,
-        step=step,
+        step=step, max_data_points=max_data_points,
     )
     out = _evaluate(ctx, ast)
     if not isinstance(out, SeriesFrame):

@@ -242,3 +242,217 @@ def test_supported_list_is_stable_and_big():
                  "divideSeries", "limit", "summarize", "timeShift",
                  "exponentialMovingAverage", "highestCurrent"]:
         assert must in fns
+
+
+# ---------------- wave 8: grammar completion ----------------
+
+
+def test_render_square_root_and_pow(spark, panel):
+    got = _rows(render(spark, "squareRoot(db.s1.mem)", series=panel))
+    assert ("squareRoot(db.s1.mem)", 120, 10.0 ** 0.5) in got
+    got = _rows(render(spark, "pow(db.s1.mem,3)", series=panel))
+    assert ("pow(db.s1.mem,3)", 60, 8.0 * 8.0 * 8.0) in got
+    # pow(…,0) is 1 for non-null values, fractional exponents raise
+    got = _rows(render(spark, "pow(web.s2.cpu,0)", series=panel))
+    assert ("pow(web.s2.cpu,0)", 0, 1.0) in got
+    assert ("pow(web.s2.cpu,0)", 60, None) in got
+    with pytest.raises(InvalidRequest, match="libm"):
+        render(spark, "pow(db.s1.mem,0.5)", series=panel)
+
+
+def test_render_square_root_negative_is_null(spark):
+    df = spark.createDataFrame(
+        [("a.b", 0, -4.0), ("a.b", 60, 9.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(spark, "squareRoot(a.b)", series=df))
+    assert got == [("squareRoot(a.b)", 0, None),
+                   ("squareRoot(a.b)", 60, 3.0)]
+
+
+def test_render_min_max_and_changed(spark, panel):
+    got = _rows(render(spark, "minMax(web.s1.cpu)", series=panel))
+    assert got == [("minMax(web.s1.cpu)", 0, 0.0),
+                   ("minMax(web.s1.cpu)", 60, 0.5),
+                   ("minMax(web.s1.cpu)", 120, 1.0)]
+    got = _rows(render(spark, "changed(web.s2.cpu)", series=panel))
+    # first point 0; 40→None and None→60 both count as changes
+    assert got == [("changed(web.s2.cpu)", 0, 0.0),
+                   ("changed(web.s2.cpu)", 60, 1.0),
+                   ("changed(web.s2.cpu)", 120, 1.0)]
+
+
+def test_render_grep_exclude_substr(spark, panel):
+    got = _rows(render(spark, 'grep(*.*.*, "cpu")', series=panel))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "web.s2.cpu"}
+    got = _rows(render(spark, 'exclude(*.*.*, "s2")', series=panel))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "db.s1.mem"}
+    got = _rows(render(spark, "substr(web.s1.cpu,1,3)", series=panel))
+    assert {m for m, _, _ in got} == {"s1.cpu"}
+    with pytest.raises(InvalidRequest, match="negative"):
+        render(spark, "substr(web.s1.cpu,-1)", series=panel)
+
+
+def test_render_aggregate_dispatch(spark, panel):
+    got = _rows(render(spark, 'aggregate(web.*.cpu,"max")', series=panel))
+    assert [v for _, _, v in got] == [40.0, 20.0, 60.0]
+    # sum matches sumSeries bit-for-bit
+    agg = _rows(render(spark, 'aggregate(web.*.cpu,"sum")', series=panel))
+    plain = _rows(render(spark, "sumSeries(web.*.cpu)", series=panel))
+    assert [v for _, _, v in agg] == [v for _, _, v in plain]
+    with pytest.raises(InvalidRequest, match="unsupported function"):
+        render(spark, 'aggregate(web.*.cpu,"median")', series=panel)
+
+
+def test_render_group_and_unique(spark, panel):
+    got = _rows(render(
+        spark, "group(web.s1.cpu, db.s1.mem)", series=panel
+    ))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "db.s1.mem"}
+    assert len(got) == 6
+    # unique keeps the FIRST occurrence of a duplicated name
+    got = _rows(render(
+        spark, "unique(web.*.cpu, web.s1.cpu)", series=panel
+    ))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "web.s2.cpu"}
+    assert len(got) == 6
+
+
+def test_render_divide_series_lists(spark):
+    df = spark.createDataFrame(
+        [("dc0.web.cpu", 0, 10.0), ("dc0.web.cpu", 60, 20.0),
+         ("dc1.web.cpu", 0, 2.0), ("dc1.web.cpu", 60, 0.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(
+        spark, "divideSeriesLists(dc0.*.*, dc1.*.*)", series=df
+    ))
+    # zero divisor → NULL, graphite's safeDiv
+    assert got == [
+        ("divideSeries(dc0.web.cpu,dc1.web.cpu)", 0, 5.0),
+        ("divideSeries(dc0.web.cpu,dc1.web.cpu)", 60, None),
+    ]
+
+
+def test_render_apply_by_node(spark):
+    df = spark.createDataFrame(
+        [("srv.a.disk.used", 0, 30.0), ("srv.a.disk.total", 0, 60.0),
+         ("srv.b.disk.used", 0, 10.0), ("srv.b.disk.total", 0, 40.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(
+        spark,
+        "applyByNode(srv.*.disk.*, 1,"
+        " 'divideSeries(%.disk.used, %.disk.total)')",
+        series=df,
+    ))
+    assert got == [("srv.a", 0, 0.5), ("srv.b", 0, 0.25)]
+    with pytest.raises(InvalidRequest, match="divide template"):
+        render(spark, "applyByNode(srv.*.disk.*, 1, 'sumSeries(%)')",
+               series=df)
+
+
+def test_render_consolidate_by(spark, panel):
+    # no maxDataPoints on the context → graphite's points-fit case:
+    # a name tag, values untouched
+    got = _rows(render(
+        spark, 'consolidateBy(web.s1.cpu,"max")', series=panel
+    ))
+    assert got == [('consolidateBy(web.s1.cpu,"max")', 0, 10.0),
+                   ('consolidateBy(web.s1.cpu,"max")', 60, 20.0),
+                   ('consolidateBy(web.s1.cpu,"max")', 120, 30.0)]
+    # with maxDataPoints=2: 3 slots consolidate at vpp=2
+    got = _rows(render(
+        spark, 'consolidateBy(web.s1.cpu,"max")', series=panel,
+        max_data_points=2,
+    ))
+    assert [v for _, _, v in got] == [20.0, 30.0]
+
+
+def test_render_time_stack(spark, panel):
+    got = _rows(render(
+        spark, 'timeStack(db.s1.mem,"1min",0,2)', series=panel
+    ))
+    names = {m for m, _, _ in got}
+    assert names == {"timeShift(db.s1.mem,0s)",
+                     "timeShift(db.s1.mem,-60s)"}
+    # the -60s copy relabels the point from t-60 onto t
+    assert ("timeShift(db.s1.mem,-60s)", 60, 5.0) in got
+    with pytest.raises(InvalidRequest, match="copy count"):
+        render(spark, 'timeStack(db.s1.mem,"1min",0,99)', series=panel)
+
+
+def test_render_moving_window_dispatch(spark, panel):
+    mw = _rows(render(
+        spark, 'movingWindow(web.s1.cpu,"2min","sum")', series=panel
+    ))
+    ms = _rows(render(spark, "movingSum(web.s1.cpu,2)", series=panel))
+    assert [v for _, _, v in mw] == [v for _, _, v in ms]
+    with pytest.raises(InvalidRequest, match="shorter"):
+        render(spark, 'movingWindow(web.s1.cpu,"30s")', series=panel)
+
+
+def test_render_weighted_average(spark):
+    df = spark.createDataFrame(
+        [("a.x.v", 0, 10.0), ("a.y.v", 0, 20.0),
+         ("w.x.v", 0, 1.0), ("w.y.v", 0, 3.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(
+        spark, "weightedAverage(a.*.v, w.*.v, 1)", series=df
+    ))
+    # (10·1 + 20·3) / (1+3) = 17.5
+    assert got == [("weightedAverage(a.*.v,w.*.v,1)", 0, 17.5)]
+
+
+def test_render_linear_regression(spark):
+    # real epoch timestamps: series_linreg's constant rebase assumes
+    # ts ≥ ~1.7e9 (its documented validity window)
+    t0 = 1_704_067_200
+    df = spark.createDataFrame(
+        [("a.b", t0, 1.0), ("a.b", t0 + 60, 2.0), ("a.b", t0 + 120, 3.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(spark, "linearRegression(a.b)", series=df))
+    # perfectly linear input → the fit reproduces it
+    vals = [v for _, _, v in got]
+    assert vals == pytest.approx([1.0, 2.0, 3.0])
+
+
+def test_render_holt_winters_family(spark, panel):
+    fc = render(
+        spark, "holtWintersForecast(web.s1.cpu)", series=panel
+    ).collect()
+    assert len(fc) == 3
+    bands = render(
+        spark, "holtWintersConfidenceBands(web.s1.cpu)", series=panel
+    )
+    names = {r.metric for r in bands.select("metric").distinct().collect()}
+    assert names == {"holtWintersConfidenceUpper(web.s1.cpu)",
+                     "holtWintersConfidenceLower(web.s1.cpu)"}
+    ab = _rows(render(
+        spark, "holtWintersAberration(web.s1.cpu)", series=panel
+    ))
+    assert len(ab) == 3
+
+
+def test_render_average_ranks_and_sort_by(spark, panel):
+    got = _rows(render(spark, "highestAverage(*.*.*,1)", series=panel))
+    assert {m for m, _, _ in got} == {"web.s2.cpu"}  # avg 50
+    got = _rows(render(spark, "lowestAverage(*.*.*,1)", series=panel))
+    assert {m for m, _, _ in got} == {"db.s1.mem"}
+    got = _rows(render(spark, 'highest(*.*.*,1,"max")', series=panel))
+    assert {m for m, _, _ in got} == {"web.s2.cpu"}
+    got = _rows(render(spark, 'lowest(*.*.*,1,"current")', series=panel))
+    assert {m for m, _, _ in got} == {"db.s1.mem"}
+    # sortBy('average') + limit composes like sortByMaxima + limit
+    got = _rows(render(
+        spark, 'limit(sortBy(*.*.*,"average"),2)', series=panel
+    ))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "web.s2.cpu"}
+    got = _rows(render(
+        spark, 'limit(sortBy(*.*.*,"average",true),1)', series=panel
+    ))
+    assert {m for m, _, _ in got} == {"db.s1.mem"}
+    with pytest.raises(InvalidRequest, match="unsupported rank key"):
+        render(spark, 'highest(*.*.*,1,"stddev")', series=panel)
