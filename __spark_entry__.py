@@ -3890,6 +3890,66 @@ def _q_render_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_render_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render front door, wave-8 composition glue end-to-end:
+    ``aggregate(group(grep(...,"click"),grep(...,"view")),"sum")`` —
+    two unanchored-regex name selections (graphite grep = re.search ≡
+    pushed-down rlike), union'd by group (each series keeping its
+    name), reduced by the aggregate() umbrella's sum arm (the
+    decimal-exact sumSeries combinator). The output series name is
+    the delegated combinator's canonical expression — the naming
+    contract the adapter docs promise. Catalyst collapses the two
+    grep branches into one scan: the union of two filters over the
+    same source is a single disjunctive pushed predicate."""
+    from ceres_spark.plans.render import render
+
+    return render(
+        spark,
+        'aggregate(group(grep(prod.events.*,"click"),'
+        'grep(prod.events.*,"view")),"sum")',
+        series=_render_points(spark, sf_dir),
+    )
+
+
+def _q_render_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render front door, weightedAverage pairing shape:
+    ``weightedAverage(prod.events.*,prod.events.*,2)`` pairs every
+    series with its weight series on path node 2 (the event type —
+    here the self-pairing degenerate, so the output is the
+    Σv²/Σv slot profile, a real dashboard idiom for spotting
+    heavy-hitter slots). Products ride the string-routed DECIMAL sum
+    (order-independent), the final division is one IEEE op — the
+    wave-8 adapter's determinism contract hash-checked through the
+    front door."""
+    from ceres_spark.plans.render import render
+
+    return render(
+        spark,
+        "weightedAverage(prod.events.*,prod.events.*,2)",
+        series=_render_points(spark, sf_dir),
+    )
+
+
+def _q_render_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render front door, model-fit shape:
+    ``linearRegression(prod.events.*)`` — series_linreg's exact-
+    decimal closed form (constant-rebased DECIMAL(9,0) timestamps so
+    t·t stays int64-backed, SURVEY §2.12) re-expanded to a fitted
+    value per slot: ŷ(ts) = fit_end + (slope_per_hour/3600)·(ts −
+    t_end). The oracle mirrors the IEEE expression tree step for
+    step (divide-then-multiply-then-add), so the whole line
+    hash-checks; the per-series params broadcast back onto the
+    points (series-cardinality join side, the unbounded axis never
+    re-shuffles)."""
+    from ceres_spark.plans.render import render
+
+    return render(
+        spark,
+        "linearRegression(prod.events.*)",
+        series=_render_points(spark, sf_dir),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dense ceres fetch on sf0.001; driver checks rows>0."""
     return _q_fetch_dense(spark, "/root/testdata/sf0.001")
@@ -3901,7 +3961,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: minhash bench-watch second source) → (b) new in r12 (the three
 #: composed render-target entries) → (c) the four r6-stale leftovers
 #: then the FULL 32-entry r7-stale block in CORRECTNESS_r07 key
-#: order → (d) the first 5 r8 greens in CORRECTNESS_r08 key order.
+#: order → (d) the first 2 r8 greens in CORRECTNESS_r08 key order.
 #: See the ROTATION STATE section in the queries() docstring.
 _R12_PREFIX = [
     # (a) changed in r12 (VERDICT r11 + ADVICE r11 — outputs and/or
@@ -3935,6 +3995,10 @@ _R12_PREFIX = [
     "render_target",              # aliasByNode(sumSeries(glob),n)
     "render_panel",               # multi-target panel compose
     "render_window",              # movingAverage window compose
+    # (b continued) wave-8 grammar-completion composed entries
+    "render_compose",             # aggregate(group(grep,grep),"sum")
+    "render_weighted",            # weightedAverage node-key pairing
+    "render_linreg",              # linearRegression per-slot fit
     # (c) the four r6-stale leftovers (rolled from the r11 plan),
     # CORRECTNESS_r06 key order
     "cohort_retention",
@@ -3975,13 +4039,12 @@ _R12_PREFIX = [
     "slice_roundtrip",
     "bigram_lm",
     "quality_classifier",
-    # (d) fill to 50: the first 5 r8 greens in CORRECTNESS_r08 key
-    # order (stream_store_replay already promoted in (a))
+    # (d) fill to 50: the first 2 r8 greens in CORRECTNESS_r08 key
+    # order (stream_store_replay already promoted in (a); the next
+    # three r8 greens were displaced by the wave-8 composed entries
+    # and stay at the head of the r13 (c) block)
     "stream_windowed_rollup",
     "stream_sessions",
-    "stream_interval_join",
-    "stream_corpus_ingest",
-    "stream_simhash_dedup",
 ]
 
 #: The r11 driver-checked prefix (the driver verified the FIRST 50
@@ -4631,24 +4694,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-commit staging with recoverable roll-forward, ADVICE r11 low
     #3 — the store/replay lineage re-checks), minhash_pairs_portable
     (bench-watch second source under the both-sources rule, VERDICT
-    r11 wrong #1 — code unchanged); (b) 3 new entries — the graphite
-    render-target front door (VERDICT r11 missing #1): render_target
-    (parse → glob-find → compose → execute of a nested function-call
-    target string), render_panel (multi-target panel),
-    render_window (movingAverage window compose) — every one
-    oracle-paired so the rows-only census stays frozen at 16;
+    r11 wrong #1 — code unchanged; series_orderings additionally
+    gains avg_value + guarded rank_by_avg for the wave-8
+    sortBy/highest/lowestAverage dispatch — output AND oracle
+    changed); (b) 6 new entries — the graphite render-target front
+    door (VERDICT r11 missing #1): render_target (parse → glob-find
+    → compose → execute of a nested function-call target string),
+    render_panel (multi-target panel), render_window (movingAverage
+    window compose), then the wave-8 grammar-completion composed
+    entries render_compose (aggregate(group(grep,grep),"sum") — the
+    composition glue), render_weighted (weightedAverage node-key
+    pairing, decimal product sums) and render_linreg
+    (linearRegression's closed form re-expanded per slot) — every
+    one oracle-paired so the rows-only census stays frozen at 16;
     (c) the four r6-stale leftovers (cohort_retention,
     approx_distinct_users, token_counts, multimodal_features) then
     the FULL 32-entry r7-stale block in CORRECTNESS_r07 key order
     (asof_join … quality_classifier) — clearing every r6 and r7 row
-    from the backlog; (d) the first 5 r8 greens in CORRECTNESS_r08
-    key order (stream_windowed_rollup … stream_simhash_dedup;
-    stream_store_replay was already promoted in (a)).
+    from the backlog; (d) the first 2 r8 greens in CORRECTNESS_r08
+    key order (stream_windowed_rollup, stream_sessions;
+    stream_store_replay was already promoted in (a), and the next
+    three r8 greens were displaced by the wave-8 composed entries).
 
     ROTATION PLAN (round 13): promote (a) anything changed in r13,
     (b) new r13 entries, (c) the r8-stale block oldest-first in
-    CORRECTNESS_r08 key order (39 entries remain r8-stale going into
-    r13 after this round's 6 promotions; take them in file order and
+    CORRECTNESS_r08 key order (42 entries remain r8-stale going into
+    r13 after this round's 3 promotions; take them in file order and
     roll any tail to r14), then (d) r9 greens oldest-first. After
     rotating, run ``python tools/prefix_state.py regen`` and keep
     tests/test_rotation_guard.py green.
@@ -4994,6 +5065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_target": _q_render_target,
         "render_panel": _q_render_panel,
         "render_window": _q_render_window,
+        "render_compose": _q_render_compose,
+        "render_weighted": _q_render_weighted,
+        "render_linreg": _q_render_linreg,
         "minhash_pairs_portable": _q_minhash_pairs_portable,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "approx_distinct_portable": _q_approx_distinct_portable,
@@ -7796,6 +7870,85 @@ SELECT metric, ts,
 FROM deduped
 WINDOW w AS (PARTITION BY metric ORDER BY ts
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        # r12 wave-8 composition glue: aggregate(group(grep,grep),
+        # "sum") — two regex selections union'd, the umbrella's sum
+        # arm, the delegated combinator's canonical name
+        "render_compose": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT 'sumSeries(group(grep(prod.events.*,"click"),'
+       || 'grep(prod.events.*,"view")))' AS metric, ts,
+       {DEC_SUM} AS value
+FROM deduped WHERE metric IN ('click', 'view')
+GROUP BY ts
+""",
+        # r12 wave-8 weightedAverage self-pairing on node 2: Σ(v·v)/Σv
+        # per slot, products through the string-routed decimal sum
+        "render_weighted": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT 'weightedAverage(prod.events.*,prod.events.*,2)' AS metric, ts,
+       CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR)
+            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS value
+FROM deduped GROUP BY ts
+""",
+        # r12 wave-8 linearRegression: the series_linreg closed form
+        # (constant-rebased decimal sums) re-expanded per slot with
+        # the adapter's exact IEEE tree: fit_end + (sph/3600)·Δt
+        "render_linreg": f"""
+WITH {POINTS_CTE},
+deduped AS (
+  SELECT metric, ts, arg_max(value, arrival_seq) AS value
+  FROM points WHERE value IS NOT NULL GROUP BY 1, 2
+),
+p AS (
+  SELECT 'prod.events.' || metric AS metric, ts, value FROM deduped
+),
+s AS (
+  SELECT metric, COUNT(*) AS n_points,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))) AS st,
+         SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(20,10))) AS sv,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
+             * CAST(CAST(value AS VARCHAR) AS DECIMAL(20,10))) AS stv,
+         SUM(CAST(ts - 1700000000 AS DECIMAL(9,0))
+             * CAST(ts - 1700000000 AS DECIMAL(9,0))) AS stt,
+         MAX(ts - 1700000000) AS t_end
+  FROM p WHERE value IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT metric, n_points, t_end,
+         CAST(n_points AS DOUBLE) AS nd,
+         CAST(CAST(st AS VARCHAR) AS DOUBLE) AS std,
+         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+         CAST(CAST(stv AS VARCHAR) AS DOUBLE) AS stvd,
+         CAST(CAST(stt AS VARCHAR) AS DOUBLE) AS sttd
+  FROM s
+),
+e AS (
+  SELECT *, CASE WHEN (nd*sttd - std*std) <> 0.0
+                 THEN (nd*stvd - std*svd) / (nd*sttd - std*std)
+            END AS slope
+  FROM d
+),
+f AS (
+  SELECT metric, t_end,
+         slope * 3600.0 AS sph,
+         ((svd - slope*std) / nd) + slope * t_end AS fit_end
+  FROM e
+)
+SELECT 'linearRegression(' || p.metric || ')' AS metric, p.ts,
+       fit_end + (sph / 3600.0)
+         * CAST(p.ts - 1700000000 - t_end AS DOUBLE) AS value
+FROM p JOIN f ON p.metric = f.metric
 """,
         # name family II: substr node slice + aliasByMetric + alias
         "name_functions_2": f"""
