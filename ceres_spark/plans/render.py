@@ -1064,11 +1064,67 @@ def _group_by_nodes(ctx, sf, callback, *nodes):
     return SeriesFrame(out, sf.expr)
 
 
+def _with_wildcards(sf, position, value_col: str, fn: str):
+    """Shared sum/averageSeriesWithWildcards body: the operator's
+    node surgery runs on a ``path`` column (its table-shaped
+    contract), so the metric renames across the boundary. r12 bugfix:
+    the wave-1 adapter passed ``metric`` straight through and every
+    invocation threw UNRESOLVED_COLUMN — caught by the wave-8
+    adapter tests."""
+    out = ser.series_with_wildcards(
+        sf.df.withColumnRenamed("metric", "path"),
+        position=int(position),
+    ).select(
+        F.col("name").alias("metric"), "ts",
+        F.col(value_col).alias("value"),
+    )
+    return SeriesFrame(out, sf.expr)
+
+
 @_register("sumSeriesWithWildcards")
-def _sum_series_with_wildcards(ctx, sf, position=0):
+def _sum_series_with_wildcards(ctx, sf, *positions):
     sf = _series_arg(sf, "sumSeriesWithWildcards")
-    out = ser.series_with_wildcards(sf.df, position=int(position))
-    return SeriesFrame(out.select(*_SERIES_COLS), sf.expr)
+    if len(positions) != 1:
+        raise InvalidRequest(
+            "sumSeriesWithWildcards: wave-8 supports exactly one "
+            "wildcard position (use groupByNodes to KEEP a node set)"
+        )
+    return _with_wildcards(
+        sf, positions[0], "sum_wild", "sumSeriesWithWildcards"
+    )
+
+
+@_register("averageSeriesWithWildcards")
+def _average_series_with_wildcards(ctx, sf, *positions):
+    sf = _series_arg(sf, "averageSeriesWithWildcards")
+    if len(positions) != 1:
+        raise InvalidRequest(
+            "averageSeriesWithWildcards: wave-8 supports exactly one "
+            "wildcard position (use groupByNodes to KEEP a node set)"
+        )
+    return _with_wildcards(
+        sf, positions[0], "avg_wild", "averageSeriesWithWildcards"
+    )
+
+
+@_register("aggregateWithWildcards")
+def _aggregate_with_wildcards(ctx, sf, func, *positions):
+    sf = _series_arg(sf, "aggregateWithWildcards")
+    col = {"sum": "sum_wild", "total": "sum_wild",
+           "average": "avg_wild", "avg": "avg_wild"}.get(str(func))
+    if col is None:
+        raise InvalidRequest(
+            "aggregateWithWildcards: wave-8 supports sum/total/"
+            f"average/avg; got {func!r}"
+        )
+    if len(positions) != 1:
+        raise InvalidRequest(
+            "aggregateWithWildcards: wave-8 supports exactly one "
+            "wildcard position"
+        )
+    return _with_wildcards(
+        sf, positions[0], col, "aggregateWithWildcards"
+    )
 
 
 # ---- naming ---------------------------------------------------------
@@ -1649,6 +1705,93 @@ def _rank_dispatch(ctx, sf, n, func: str, highest: bool, fn: str):
         f"{fn}: unsupported rank key {func!r}; wave-8 supports "
         "average/avg, current, max, min"
     )
+
+
+@_register("add")
+def _add(ctx, sf, constant):
+    # graphite 1.1 add(series, c) — offset with its own name rewrite
+    sf = _series_arg(sf, "add")
+    return _value_map(
+        sf, F.col("value") + F.lit(float(constant)), "add",
+        _fmt_g(float(constant)),
+    )
+
+
+@_register("cumulative")
+def _cumulative(ctx, sf):
+    # graphite cumulative(series) ≡ consolidateBy(series, 'sum')
+    sf = _series_arg(sf, "cumulative")
+    return _consolidate_by(ctx, sf, "sum")
+
+
+def _series_stat(df: DataFrame, func: str, fn: str) -> DataFrame:
+    """Per-series scalar for filterSeries/aggregateLine: decimal-
+    exact average/sum, exact max/min, 'current' = last non-null by
+    ts (graphite safeLast) — one series-cardinality aggregate."""
+    nn = df.filter(F.col("value").isNotNull())
+    key = str(func)
+    if key in ("average", "avg"):
+        col = _DEC2DBL(F.sum(_DEC(F.col("value")))) / F.count("*")
+    elif key in ("sum", "total"):
+        col = _DEC2DBL(F.sum(_DEC(F.col("value"))))
+    elif key == "max":
+        col = F.max("value")
+    elif key == "min":
+        col = F.min("value")
+    elif key in ("current", "last"):
+        col = F.max_by("value", F.col("ts"))
+    else:
+        raise InvalidRequest(
+            f"{fn}: unsupported aggregate {func!r}; wave-8 supports "
+            "average/avg, sum/total, max, min, current/last"
+        )
+    return nn.groupBy("metric").agg(col.alias("_stat"))
+
+
+@_register("aggregateLine")
+def _aggregate_line(ctx, sf, func="average"):
+    """Flat line per series at its aggregate value. Naming departure
+    (documented): graphite embeds the VALUE in the rewritten name
+    via %g — engine-side float→string differs across engines (the
+    libm-class nondeterminism), so the adapter names with the
+    FUNCTION instead: aggregateLine(name,"func")."""
+    sf = _series_arg(sf, "aggregateLine")
+    stats = _series_stat(sf.df, func, "aggregateLine")
+    out = sf.df.join(F.broadcast(stats), "metric").select(
+        "metric", "ts", F.col("_stat").alias("value")
+    )
+    return SeriesFrame(
+        _wrap_name(out, "aggregateLine", f'"{func}"'), sf.expr
+    )
+
+
+_FILTER_OPERATORS = {
+    "=": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+    ">": lambda c, t: c > t,
+    ">=": lambda c, t: c >= t,
+    "<": lambda c, t: c < t,
+    "<=": lambda c, t: c <= t,
+}
+
+
+@_register("filterSeries")
+def _filter_series_fn(ctx, sf, func, operator, threshold):
+    """graphite 1.1 filterSeries(list, func, operator, threshold) —
+    the generic gate behind the averageAbove/currentBelow family:
+    per-series scalar (the _series_stat kernel), one exact
+    comparison, broadcast semi-join back. Selection keeps names, so
+    the order frame survives."""
+    sf = _series_arg(sf, "filterSeries")
+    op = _FILTER_OPERATORS.get(str(operator))
+    if op is None:
+        raise InvalidRequest(
+            f"filterSeries: unknown operator {operator!r}; one of "
+            + ", ".join(sorted(_FILTER_OPERATORS))
+        )
+    stats = _series_stat(sf.df, func, "filterSeries")
+    keep = stats.filter(op(F.col("_stat"), F.lit(float(threshold))))
+    return _semi(sf, keep)
 
 
 @_register("highest")

@@ -456,3 +456,67 @@ def test_render_average_ranks_and_sort_by(spark, panel):
     assert {m for m, _, _ in got} == {"db.s1.mem"}
     with pytest.raises(InvalidRequest, match="unsupported rank key"):
         render(spark, 'highest(*.*.*,1,"stddev")', series=panel)
+
+
+def test_render_with_wildcards_family(spark):
+    # r12 bugfix coverage: the wave-1 sumSeriesWithWildcards adapter
+    # passed `metric` straight into the operator's `path` contract
+    # and EVERY invocation threw UNRESOLVED_COLUMN
+    df = spark.createDataFrame(
+        [("dc0.web.cpu", 0, 1.0), ("dc0.web.cpu", 60, 3.0),
+         ("dc1.web.cpu", 0, 2.0), ("dc1.web.cpu", 60, 5.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(
+        spark, "sumSeriesWithWildcards(*.web.cpu,0)", series=df
+    ))
+    assert got == [("web.cpu", 0, 3.0), ("web.cpu", 60, 8.0)]
+    got = _rows(render(
+        spark, "averageSeriesWithWildcards(*.web.cpu,0)", series=df
+    ))
+    assert got == [("web.cpu", 0, 1.5), ("web.cpu", 60, 4.0)]
+    agg = _rows(render(
+        spark, 'aggregateWithWildcards(*.web.cpu,"avg",0)', series=df
+    ))
+    assert agg == got
+    with pytest.raises(InvalidRequest, match="exactly one"):
+        render(spark, "sumSeriesWithWildcards(*.web.cpu,0,2)", series=df)
+    with pytest.raises(InvalidRequest, match="sum/total"):
+        render(spark, 'aggregateWithWildcards(*.web.cpu,"stddev",0)',
+               series=df)
+
+
+def test_render_add_cumulative_aggregate_line(spark, panel):
+    got = _rows(render(spark, "add(db.s1.mem,10)", series=panel))
+    assert got == [("add(db.s1.mem,10)", 0, 15.0),
+                   ("add(db.s1.mem,10)", 60, 18.0),
+                   ("add(db.s1.mem,10)", 120, 20.0)]
+    # cumulative ≡ consolidateBy('sum'); points-fit → tag only
+    got = _rows(render(spark, "cumulative(db.s1.mem)", series=panel))
+    assert [v for _, _, v in got] == [5.0, 8.0, 10.0]
+    got = _rows(render(
+        spark, 'aggregateLine(web.s1.cpu,"average")', series=panel
+    ))
+    assert [v for _, _, v in got] == [20.0, 20.0, 20.0]
+
+
+def test_render_filter_series_generic_gate(spark, panel):
+    got = _rows(render(
+        spark, 'filterSeries(*.*.*,"max",">=",30)', series=panel
+    ))
+    assert {m for m, _, _ in got} == {"web.s1.cpu", "web.s2.cpu"}
+    got = _rows(render(
+        spark, 'filterSeries(*.*.*,"current","=",10)', series=panel
+    ))
+    assert {m for m, _, _ in got} == {"db.s1.mem"}
+    # selection keeps the order frame: sort then filter then limit
+    got = _rows(render(
+        spark,
+        'limit(filterSeries(sortBy(*.*.*,"average"),"min","<",41),1)',
+        series=panel,
+    ))
+    assert {m for m, _, _ in got} == {"web.s2.cpu"}
+    with pytest.raises(InvalidRequest, match="unknown operator"):
+        render(spark, 'filterSeries(*.*.*,"max","~",1)', series=panel)
+    with pytest.raises(InvalidRequest, match="unsupported aggregate"):
+        render(spark, 'filterSeries(*.*.*,"stddev",">",1)', series=panel)
