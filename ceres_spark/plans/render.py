@@ -67,8 +67,10 @@ from ceres_spark.plans.target import Call, Path, parse_target
 __all__ = [
     "RenderContext",
     "render",
+    "render_targets",
     "format_expr",
     "parse_interval",
+    "parse_at_time",
     "supported_functions",
 ]
 
@@ -104,6 +106,53 @@ def parse_interval(text: str | int, *, implied_minus: bool = False) -> int:
     if sign_s == "-" or (sign_s == "" and implied_minus):
         return -secs
     return secs
+
+
+_ABS_DATE_RX = re.compile(
+    r"^(?:(\d{1,2}):(\d{2})_)?(\d{4})(\d{2})(\d{2})$"
+)
+
+
+def parse_at_time(text, now: int | None = None) -> int:
+    """graphite render/attime.py's AT-time grammar, the wave-8
+    subset: ``now``, ``today``/``yesterday``/``tomorrow`` (UTC
+    midnight), bare epoch seconds, ``HH:MM_YYYYMMDD`` / ``YYYYMMDD``
+    absolutes (UTC), and relative offsets ``-1d`` / ``+2h`` /
+    ``now-1d`` (a bare unsigned offset is NOT a valid at-time — it
+    would be ambiguous with epoch ints — so relative forms require
+    the sign, matching graphite). ``now`` is an explicit parameter
+    so plans stay reproducible (pass the request's wall clock);
+    None falls back to the system clock."""
+    import calendar
+    import time as _time
+
+    if isinstance(text, (int, float)) and not isinstance(text, bool):
+        return int(text)
+    s = str(text).strip().lower().replace(" ", "")
+    now_s = int(now if now is not None else _time.time())
+    if s == "now":
+        return now_s
+    day = 86400
+    midnight = now_s - now_s % day
+    if s == "today":
+        return midnight
+    if s == "yesterday":
+        return midnight - day
+    if s == "tomorrow":
+        return midnight + day
+    if s.startswith("now"):
+        return now_s + parse_interval(s[3:])
+    if s and s[0] in "+-":
+        return now_s + parse_interval(s)
+    m = _ABS_DATE_RX.match(s)
+    if m:
+        hh, mm, yyyy, mon, dd = m.groups()
+        tup = (int(yyyy), int(mon), int(dd),
+               int(hh or 0), int(mm or 0), 0)
+        return int(calendar.timegm(tup + (0, 0, -1)))
+    if s.isdigit():
+        return int(s)
+    raise InvalidRequest(f"unparseable at-time: {text!r}")
 
 
 def _fmt_g(x) -> str:
@@ -1023,9 +1072,34 @@ def _divide_series(ctx, dividend, divisor):
 
 
 @_register("asPercent")
-def _as_percent(ctx, sf):
+def _as_percent(ctx, sf, total=None):
+    """1-arg: share of the per-slot sum (series.as_percent — AQE
+    sizes the ts-keyed rejoin, no broadcast hint on the unbounded
+    axis). 2-arg (wave 8): graphite's ``100 * v / t`` against a
+    constant or a single-series total — the same fixed IEEE tree on
+    the oracle side."""
     sf = _series_arg(sf, "asPercent")
-    return _pick(sf, ser.as_percent(sf.df), "pct", "asPercent")
+    if total is None:
+        return _pick(sf, ser.as_percent(sf.df), "pct", "asPercent")
+    if isinstance(total, SeriesFrame):
+        tv = _single_series_per_ts(total.df, "asPercent")
+        out = sf.df.join(tv, "ts", "left").select(
+            "metric", "ts",
+            F.when(
+                F.col("_v").isNotNull() & (F.col("_v") != 0.0),
+                F.lit(100.0) * F.col("value") / F.col("_v"),
+            ).alias("value"),
+        )
+        return SeriesFrame(
+            _wrap_name(out, "asPercent", total.expr), sf.expr
+        )
+    t = float(total)
+    if t == 0.0:
+        raise InvalidRequest("asPercent: zero total")
+    return _value_map(
+        sf, F.lit(100.0) * F.col("value") / F.lit(t),
+        "asPercent", _fmt_g(t),
+    )
 
 
 @_register("percentileOfSeries")
@@ -1873,12 +1947,13 @@ def _evaluate(ctx: RenderContext, node):
 def render(
     spark: SparkSession,
     target: str,
-    from_time: int | None = None,
-    until_time: int | None = None,
+    from_time: int | str | None = None,
+    until_time: int | str | None = None,
     *,
     series: DataFrame,
     step: int = 60,
     max_data_points: int | None = None,
+    now: int | None = None,
 ) -> DataFrame:
     """Evaluate ONE graphite render target against a bucketed points
     frame → ``(metric, ts, value)`` DataFrame (the composed plan —
@@ -1890,9 +1965,16 @@ def render(
     ``series``: the store to resolve path leaves against — any
     ``(metric, ts, value)`` frame (e.g. a compacted ceres points
     table). ``from_time``/``until_time``: half-open request range,
-    pushed into the scan. ``step``: the series' bucket seconds
-    (scaleToSeconds / hitcount need it).
+    pushed into the scan — ints, or graphite at-time strings
+    (``"now"``, ``"-1d"``, ``"12:00_20240101"`` — see
+    :func:`parse_at_time`; pass ``now`` for a reproducible wall
+    clock). ``step``: the series' bucket seconds (scaleToSeconds /
+    hitcount need it).
     """
+    if from_time is not None:
+        from_time = parse_at_time(from_time, now=now)
+    if until_time is not None:
+        until_time = parse_at_time(until_time, now=now)
     ast = parse_target(target)
     ctx = RenderContext(
         spark, series, from_time=from_time, until_time=until_time,
@@ -1904,3 +1986,36 @@ def render(
             f"target {target!r} evaluates to a literal, not a series"
         )
     return out.df
+
+
+def render_targets(
+    spark: SparkSession,
+    targets: list[str],
+    from_time: int | str | None = None,
+    until_time: int | str | None = None,
+    *,
+    series: DataFrame,
+    step: int = 60,
+    max_data_points: int | None = None,
+    now: int | None = None,
+) -> DataFrame:
+    """graphite's multi-target request form (``&target=…&target=…``):
+    every target renders into ONE unioned ``(metric, ts, value)``
+    plan — Catalyst still sees a single tree, so shared path scans
+    collapse and the union is free at the exchange level. Names are
+    each target's own rewrites (graphite panels rely on them being
+    distinct; duplicate output names across targets are the caller's
+    concern, exactly as in graphite)."""
+    if not targets:
+        raise InvalidRequest("render_targets: at least one target")
+    dfs = [
+        render(
+            spark, t, from_time, until_time, series=series, step=step,
+            max_data_points=max_data_points, now=now,
+        )
+        for t in targets
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -520,3 +520,66 @@ def test_render_filter_series_generic_gate(spark, panel):
         render(spark, 'filterSeries(*.*.*,"max","~",1)', series=panel)
     with pytest.raises(InvalidRequest, match="unsupported aggregate"):
         render(spark, 'filterSeries(*.*.*,"stddev",">",1)', series=panel)
+
+
+def test_parse_at_time():
+    from ceres_spark.plans.render import parse_at_time
+
+    now = 1_704_067_200 + 3661  # 2024-01-01T01:01:01Z
+    assert parse_at_time("now", now=now) == now
+    assert parse_at_time("today", now=now) == 1_704_067_200
+    assert parse_at_time("yesterday", now=now) == 1_704_067_200 - 86400
+    assert parse_at_time("tomorrow", now=now) == 1_704_067_200 + 86400
+    assert parse_at_time("-1h", now=now) == now - 3600
+    assert parse_at_time("now-1d", now=now) == now - 86400
+    assert parse_at_time("now+10min", now=now) == now + 600
+    assert parse_at_time("20240101", now=now) == 1_704_067_200
+    assert parse_at_time("12:30_20240102", now=now) == \
+        1_704_067_200 + 86400 + 12 * 3600 + 30 * 60
+    assert parse_at_time(1_700_000_000) == 1_700_000_000
+    assert parse_at_time("1700000000") == 1_700_000_000
+    with pytest.raises(InvalidRequest):
+        parse_at_time("lastfullmoon", now=now)
+
+
+def test_render_at_time_strings_push_range(spark, panel):
+    # from/until as graphite at-time strings with an injected 'now'
+    got = _rows(render(
+        spark, "web.s1.cpu", "now-2min", "now", series=panel, now=120,
+    ))
+    assert [ts for _, ts, _ in got] == [0, 60]
+
+
+def test_render_as_percent_two_arg(spark, panel):
+    got = _rows(render(
+        spark, "asPercent(web.s1.cpu,200)", series=panel
+    ))
+    assert got == [("asPercent(web.s1.cpu,200)", 0, 5.0),
+                   ("asPercent(web.s1.cpu,200)", 60, 10.0),
+                   ("asPercent(web.s1.cpu,200)", 120, 15.0)]
+    got = _rows(render(
+        spark, "asPercent(web.s1.cpu,db.s1.mem)", series=panel
+    ))
+    assert got == [
+        ("asPercent(web.s1.cpu,db.s1.mem)", 0, 200.0),
+        ("asPercent(web.s1.cpu,db.s1.mem)", 60, 250.0),
+        ("asPercent(web.s1.cpu,db.s1.mem)", 120, 300.0),
+    ]
+    with pytest.raises(InvalidRequest, match="zero total"):
+        render(spark, "asPercent(web.s1.cpu,0)", series=panel)
+
+
+def test_render_targets_multi(spark, panel):
+    from ceres_spark.plans.render import render_targets
+
+    out = render_targets(
+        spark,
+        ["scale(web.s1.cpu,2)", "alias(db.s1.mem,'memory')"],
+        series=panel,
+    )
+    got = _rows(out)
+    names = {m for m, _, _ in got}
+    assert names == {"scale(web.s1.cpu,2)", "memory"}
+    assert len(got) == 6
+    with pytest.raises(InvalidRequest, match="at least one"):
+        render_targets(spark, [], series=panel)
