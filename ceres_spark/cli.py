@@ -129,9 +129,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     rn.add_argument("root")
     rn.add_argument("target")
-    rn.add_argument("--from", dest="from_time", type=int, default=None)
-    rn.add_argument("--until", dest="until_time", type=int, default=None)
+    rn.add_argument(
+        "--from", dest="from_time", default=None,
+        help="epoch seconds or a graphite at-time string "
+        "('now-1d', '12:00_20240101')",
+    )
+    rn.add_argument("--until", dest="until_time", default=None)
     rn.add_argument("--step", type=int, default=60)
+    rn.add_argument(
+        "--max-data-points", type=int, default=None,
+        help="consolidateBy() re-buckets past this count "
+        "(graphite's maxDataPoints render dial)",
+    )
     rn.add_argument(
         "--max-rows", type=int, default=200,
         help="print at most this many rows (the plan itself is "
@@ -347,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
             args.until_time,
             series=series,
             step=args.step,
+            max_data_points=args.max_data_points,
         )
         for r in df.orderBy("metric", "ts").limit(args.max_rows).collect():
             v = "None" if r["value"] is None else repr(r["value"])
