@@ -3894,13 +3894,18 @@ def _q_render_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render front door, wave-8 composition glue end-to-end:
     ``aggregate(group(grep(...,"click"),grep(...,"view")),"sum")`` —
     two unanchored-regex name selections (graphite grep = re.search ≡
-    pushed-down rlike), union'd by group (each series keeping its
-    name), reduced by the aggregate() umbrella's sum arm (the
+    an rlike filter directly over the scan; regexes don't push INTO
+    parquet — IsNotNull does), union'd by group (each series keeping
+    its name), reduced by the aggregate() umbrella's sum arm (the
     decimal-exact sumSeries combinator). The output series name is
     the delegated combinator's canonical expression — the naming
-    contract the adapter docs promise. Catalyst collapses the two
-    grep branches into one scan: the union of two filters over the
-    same source is a single disjunctive pushed predicate."""
+    contract the adapter docs promise. Plan shape (read from the
+    executed plan, not assumed): Spark does NOT merge the two grep
+    branches' scan subtrees — each is its own column-pruned scan +
+    rlike + LWW compact, unioned BEFORE the single ts-grouped sum,
+    so the union adds no exchange; a 100 TB caller wanting one
+    physical scan writes the disjunctive grep("click|view") form
+    (same result, one branch)."""
     from ceres_spark.plans.render import render
 
     return render(

@@ -242,10 +242,18 @@ def series_transform(
     )
 
 
-def series_linreg(buckets: DataFrame) -> DataFrame:
+def series_linreg(
+    buckets: DataFrame, include_t_end: bool = False
+) -> DataFrame:
     """Per-series least-squares trend (graphite-web
     ``linearRegression``): slope per hour and the fitted value at the
     series' last timestamp, from one aggregation pass.
+
+    ``include_t_end=True`` (r12, the render adapter's dial) adds the
+    raw ``t_end_ts`` column off the SAME aggregate, so a caller
+    re-expanding the fit per slot (render linearRegression) doesn't
+    pay a second scan for the anchor; the default output schema is
+    unchanged (the registry entry's oracle contract).
 
     Determinism contract: every sum is exact. Timestamps are rebased
     by a CONSTANT epoch (slope and fitted values are shift-invariant)
@@ -289,12 +297,19 @@ def series_linreg(buckets: DataFrame) -> DataFrame:
     den = nd * sttd - std * std
     slope = F.when(den != 0.0, num / den)
     intercept = (svd - slope * std) / nd
-    return agg_df.select(
-        "metric",
-        "n_points",
+    cols = [
+        F.col("metric"),
+        F.col("n_points"),
         (slope * F.lit(3600.0)).alias("slope_per_hour"),
         (intercept + slope * F.col("_t_end")).alias("fit_end"),
-    )
+    ]
+    if include_t_end:
+        cols.append(
+            (F.col("_t_end") + F.lit(1_700_000_000))
+            .cast("long")
+            .alias("t_end_ts")
+        )
+    return agg_df.select(*cols)
 
 
 def ewma(buckets: DataFrame, alpha: float = 0.3) -> DataFrame:

@@ -1648,17 +1648,15 @@ def _linear_regression(ctx, sf):
     with slope = slope_per_hour/3600 — a fixed IEEE expression tree
     mirrored on the oracle side. Series with < 2 points emit NULL."""
     sf = _series_arg(sf, "linearRegression")
-    fits = ser.series_linreg(sf.df)
-    ends = sf.df.filter(F.col("value").isNotNull()).groupBy(
-        "metric"
-    ).agg(F.max("ts").alias("_t_end"))
-    params = fits.join(ends, "metric")
+    # t_end_ts rides the SAME per-series aggregate (one scan for the
+    # params side, not two — the r12 plan-audit finding)
+    params = ser.series_linreg(sf.df, include_t_end=True)
     out = sf.df.join(F.broadcast(params), "metric").select(
         "metric", "ts",
         (
             F.col("fit_end")
             + (F.col("slope_per_hour") / F.lit(3600.0))
-            * (F.col("ts") - F.col("_t_end")).cast("double")
+            * (F.col("ts") - F.col("t_end_ts")).cast("double")
         ).alias("value"),
     )
     return SeriesFrame(_wrap_name(out, "linearRegression"), sf.expr)
