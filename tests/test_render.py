@@ -583,3 +583,62 @@ def test_render_targets_multi(spark, panel):
     assert len(got) == 6
     with pytest.raises(InvalidRequest, match="at least one"):
         render_targets(spark, [], series=panel)
+
+
+# ---------------- parser property: format/parse roundtrip ----------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FN_NAMES = st.from_regex(r"[a-zA-Z][a-zA-Z0-9]{0,15}", fullmatch=True)
+_PATHS = st.from_regex(
+    r"[a-zA-Z][a-zA-Z0-9_*-]{0,8}(\.[a-zA-Z0-9_*-]{1,8}){0,3}",
+    fullmatch=True,
+).map(Path)
+# strings: printable ascii minus the quote chars and backslash
+# (graphite strings have no escapes — the documented grammar contract)
+_STRINGS = st.text(
+    st.characters(
+        min_codepoint=32, max_codepoint=126,
+        blacklist_characters='"\'\\',
+    ),
+    max_size=12,
+)
+# ints within %g's 6-sig-digit window; floats normalized through %g so
+# the canonical rendering is exact (semantic == tolerates 2.0 == 2)
+_INTS = st.integers(min_value=-999_999, max_value=999_999)
+_FLOATS = st.floats(
+    allow_nan=False, allow_infinity=False, width=32
+).map(lambda x: float(f"{x:g}"))
+_LITERALS = st.one_of(
+    _INTS, _FLOATS, _STRINGS, st.booleans(), st.none()
+)
+
+
+def _calls(children):
+    args = st.lists(st.one_of(children, _PATHS, _LITERALS),
+                    min_size=1, max_size=4)
+    kwargs = st.lists(
+        st.tuples(st.from_regex(r"[a-z][a-zA-Z0-9]{0,8}", fullmatch=True),
+                  st.one_of(_LITERALS)),
+        max_size=2, unique_by=lambda kv: kv[0],
+    )
+    return st.builds(
+        lambda n, a, k: Call(n, tuple(a), tuple(k)),
+        _FN_NAMES, args, kwargs,
+    )
+
+
+_ASTS = st.recursive(_calls(st.nothing()), _calls, max_leaves=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ASTS)
+def test_format_parse_roundtrip_property(ast):
+    """format_expr is the combinators' naming contract — every name a
+    composed plan bakes into its output must re-parse to the SAME
+    tree (aliasByNode's extract-from-rewritten-name trick and any
+    user feeding a rendered name back as a target depend on it)."""
+    text = format_expr(ast)
+    assert parse_target(text) == ast
