@@ -238,11 +238,22 @@ class RenderContext:
         ]
         rx = "^(" + "|".join(bodies) + ")$"
         df = self.series.filter(F.col("metric").rlike(rx))
+        return SeriesFrame(self._clip(df), pattern)
+
+    def _clip(self, df: DataFrame) -> DataFrame:
         if self.from_time is not None:
             df = df.filter(F.col("ts") >= F.lit(int(self.from_time)))
         if self.until_time is not None:
             df = df.filter(F.col("ts") < F.lit(int(self.until_time)))
-        return SeriesFrame(df, pattern)
+        return df
+
+    def all_series(self) -> DataFrame:
+        """The whole store, request-range clipped — for adapters that
+        fetch REWRITTEN exact names (useSeriesAbove) rather than a
+        user glob. NOT ``fetch("*")``: a path glob's ``*`` stops at
+        dots (graphite node semantics), so that form silently matched
+        nothing on any dotted store — the r12 coverage-suite bug."""
+        return self._clip(self.series)
 
 
 # --------------------------------------------------------------------
@@ -823,12 +834,27 @@ def _use_series_above(ctx, sf, value, search, replace):
     sf = _series_arg(sf, "useSeriesAbove")
     # the rewritten names fetch REPLACEMENT series, so resolve against
     # the context's full points frame, not just sf's own selection
-    gated = ser.use_series_above(
-        sf.df, float(value), str(search), str(replace)
-    ).select("metric").distinct()
-    full = ctx.fetch("*").df
+    # the gate is on the INPUT selection's per-series max, but the
+    # rewritten names resolve against the WHOLE clipped store — the
+    # canonical use rewrites onto a DIFFERENT family than the user
+    # selected ('where capacity is above N, show active_io'), so
+    # joining through the operator's input (series.use_series_above's
+    # table-shaped contract, where the selection holds both families)
+    # or through a glob fetch ("*" stops at dots) both return nothing
+    # here — the two r12 coverage-suite findings
+    gated = (
+        sf.df.groupBy("metric")
+        .agg(F.max("value").alias("_mx"))
+        .filter(F.col("_mx") > F.lit(float(value)))
+        .select(
+            F.regexp_replace(F.col("metric"), str(search), str(replace))
+            .alias("metric")
+        )
+        .distinct()
+    )
     return SeriesFrame(
-        full.join(F.broadcast(gated), "metric", "semi"), sf.expr
+        ctx.all_series().join(F.broadcast(gated), "metric", "semi"),
+        sf.expr,
     )
 
 

@@ -642,3 +642,23 @@ def test_format_parse_roundtrip_property(ast):
     user feeding a rendered name back as a target depend on it)."""
     text = format_expr(ast)
     assert parse_target(text) == ast
+
+
+def test_render_use_series_above_cross_family(spark):
+    # the canonical graphite use: gate on ONE family, rewrite onto
+    # ANOTHER — the replacement resolves against the whole store,
+    # not the user's selection (two r12 coverage-suite findings:
+    # fetch("*") stopped at dots, and joining through the operator's
+    # input missed cross-family rewrites entirely)
+    df = spark.createDataFrame(
+        [("srv.a.disk.total", 0, 100.0), ("srv.a.disk.used", 0, 30.0),
+         ("srv.b.disk.total", 0, 10.0), ("srv.b.disk.used", 0, 9.0)],
+        "metric string, ts long, value double",
+    )
+    got = _rows(render(
+        spark,
+        'useSeriesAbove(srv.*.disk.total,50,"total","used")',
+        series=df,
+    ))
+    # only srv.a's total (100) clears 50 → fetch srv.a.disk.used
+    assert got == [("srv.a.disk.used", 0, 30.0)]
