@@ -1414,10 +1414,35 @@ def _substr(ctx, sf, start=0, stop=0):
     return SeriesFrame(out, sf.expr)
 
 
+def _median_series(ctx, *sfs):
+    """graphite's aggFuncs median is ELEMENT SELECTION —
+    ``sorted(vals)[len(vals) // 2]``, the upper median — so unlike a
+    mean it involves zero float arithmetic and is deterministic
+    cross-engine: per slot, sort the non-null values and pick the
+    floor(n/2) element. The per-slot collect is bounded by SERIES
+    cardinality (the panel axis every combinator reduces), never the
+    point axis."""
+    frames = [_series_arg(f, "median") for f in sfs]
+    name = _comb_name("medianSeries", frames)
+    nn = _union_all(frames).filter(F.col("value").isNotNull())
+    g = nn.groupBy("ts").agg(
+        F.sort_array(F.collect_list("value")).alias("_v")
+    )
+    out = g.select(
+        F.lit(name).alias("metric"),
+        "ts",
+        F.get(
+            F.col("_v"), (F.size("_v") / 2).cast("int")
+        ).alias("value"),
+    )
+    return SeriesFrame(out, name)
+
+
 #: aggregate(seriesList, func): graphite 1.1's umbrella — dispatch
-#: onto the existing combinator adapters. median/multiply/last are
-#: excluded (median's index rule and variadic multiply's float
-#: re-association are not deterministic cross-engine at this layer).
+#: onto the existing combinator adapters. multiply/last are excluded
+#: (variadic multiply's float re-association is not deterministic
+#: cross-engine, and 'last' depends on list order a frame doesn't
+#: carry); median ships via element selection (no float arithmetic).
 _AGGREGATE_DISPATCH: dict = {}
 
 
@@ -1430,7 +1455,7 @@ def _init_aggregate_dispatch():
         "max": _max_series, "min": _min_series,
         "count": _count_series, "stddev": _stddev_series,
         "range": _range_of_series, "rangeOf": _range_of_series,
-        "diff": _diff_series,
+        "diff": _diff_series, "median": _median_series,
     })
 
 

@@ -300,8 +300,16 @@ def test_render_aggregate_dispatch(spark, panel):
     agg = _rows(render(spark, 'aggregate(web.*.cpu,"sum")', series=panel))
     plain = _rows(render(spark, "sumSeries(web.*.cpu)", series=panel))
     assert [v for _, _, v in agg] == [v for _, _, v in plain]
+    # median is ELEMENT SELECTION (sorted[n//2], graphite's rule) —
+    # no float arithmetic, so it ships despite the mean-family
+    # determinism caveats; slot 60 has values [20] (s2's null
+    # skipped) → 20, slots 0/120 pick the upper of two
+    got = _rows(render(
+        spark, 'aggregate(web.*.cpu,"median")', series=panel
+    ))
+    assert [v for _, _, v in got] == [40.0, 20.0, 60.0]
     with pytest.raises(InvalidRequest, match="unsupported function"):
-        render(spark, 'aggregate(web.*.cpu,"median")', series=panel)
+        render(spark, 'aggregate(web.*.cpu,"multiply")', series=panel)
 
 
 def test_render_group_and_unique(spark, panel):
