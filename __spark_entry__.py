@@ -2681,8 +2681,14 @@ def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs: real WAV decode → envelope fingerprint →
     shared band-LSH + exact Hamming kernel. Rows-only: Python-side
     decode; gain-invariance and planted-pair recall pytest-pinned."""
+    # manual filter pushdown through the opaque encode (guide §4.2):
+    # audio_pairs uses only modality == "audio" = doc_id % 3 == 1
+    # under the fixture-encode contract — encode 1/3 of the corpus
+    # instead of all of it (see phash_neardup)
     assets = mm.real_assets_from_documents(
-        tbl.load(spark, "documents", sf_dir)
+        tbl.load(spark, "documents", sf_dir).filter(
+            F.col("doc_id") % 3 == 1
+        )
     )
     # toy-scale dial; see phash_neardup
     return mm.audio_pairs(assets, max_hamming=16, allow_weak_blocking=True)
@@ -2748,11 +2754,24 @@ def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically surfaces pairs. Rows-only: the decode is
     Python-side; hash values and planted-pair recall are
     pytest-pinned (test_llm_ops, test_jpeg)."""
+    docs = tbl.load(spark, "documents", sf_dir)
+    # manual filter pushdown through the opaque encode pass (guide
+    # §4.2: Catalyst can't see through mapInPandas): phash_pairs uses
+    # only modality == "image", and the fixture-encode contract maps
+    # doc_id % 3 == 0 → image deterministically (multimodal.py
+    # real_assets_from_documents), so filtering the INPUT is
+    # equivalent and cuts the encode to 1/3 of the corpus. Likewise
+    # the twins branch needs only every-24th asset (all images, since
+    # 3 | 24): filtering docs there cuts its re-encode from a full
+    # second encode pass to 1/24.
     assets = mm.real_assets_from_documents(
-        tbl.load(spark, "documents", sf_dir)
+        docs.filter(F.col("doc_id") % 3 == 0)
     )
     twins = mm.reencode_images(
-        assets.filter(F.col("asset_id") % 24 == 0), quality=95
+        mm.real_assets_from_documents(
+            docs.filter(F.col("doc_id") % 24 == 0)
+        ),
+        quality=95,
     )
     return mm.phash_pairs(assets.unionByName(twins), max_hamming=6)
 

@@ -48,6 +48,11 @@ def chunk_documents(
             ),
         ),
     )
+    # (spread() was tried here and reverted: for the plain chunking/
+    # packing entries the chunk HOF is light next to the exchange it
+    # adds — measured 0.39 s → 2.6 s on packed_sequences at sf0.1.
+    # chunk_retrieval, whose downstream embed + scoring join IS
+    # CPU-heavy, spreads its input before calling in.)
     return docs.select(
         "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "_c")
     ).select(
@@ -112,8 +117,12 @@ def chunk_retrieval(
     """
     from ceres_spark.operators.corpus import hash_embed
     from ceres_spark.operators.similarity import cosine
+    from ceres_spark.sources.tables import spread
 
-    chunks = chunk_documents(docs, size=size, stride=stride)
+    # spread: hash_embed's explode-aggregate and the fold-cosine
+    # scoring join both inherit the chunk layout — a one-row-group
+    # scan would serialize the whole retrieval path (§2.5)
+    chunks = chunk_documents(spread(docs), size=size, stride=stride)
     # the packed key is only injective for 0 <= chunk_idx < 1e6 and
     # 0 <= doc_id < ~9.22e12 (doc_id * 1e6 must not overflow BIGINT)
     # — a >=48M-token document, a negative id, or a huge id would

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 import ceres_spark.operators.sharding as sharding
 from ceres_spark.operators.text import tokens
+from ceres_spark.sources.tables import spread
 
 
 # ------------------------------------------------------------- exact
@@ -98,9 +99,15 @@ def jaccard_pairs(
     """
     raw = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
     grams = F.transform(raw, lambda g: F.xxhash64(g))
-    d = docs.select(
+    # spread: the gram-hash HOF pass is the per-row cost and a single
+    # row-group scan would run it on one core (guide §2.5); eager
+    # localCheckpoint materializes the small fingerprint table ONCE —
+    # without it the whole gram subtree is re-evaluated on BOTH sides
+    # of the self-join below (guide §3.3/§8: stage the signature
+    # table, join the lightweight proxy)
+    d = spread(docs).select(
         F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
-    )
+    ).localCheckpoint(eager=True)
     a = d.select(
         F.col("doc_id").alias("doc_a"), "_blk", F.col("_g").alias("_ga")
     )
@@ -157,7 +164,9 @@ def jaccard_pairs_vectorized(
     """
     raw = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
     grams = F.transform(raw, lambda g: F.xxhash64(g))
-    d = docs.select(
+    # spread: the gram-hash pass is per-row CPU; a one-row-group scan
+    # would run it single-core before the block shuffle (guide §2.5)
+    d = spread(docs).select(
         F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
     )
     schema = "doc_a long, doc_b long, jaccard_sim double"
@@ -221,7 +230,8 @@ def contamination(
     ev = (
         eval_docs.select(F.explode(g).alias("gram")).distinct()
     )
-    d = docs.select("doc_id", F.explode(g).alias("gram"))
+    # spread: shingle explode is the corpus-side per-row cost (§2.5)
+    d = spread(docs).select("doc_id", F.explode(g).alias("gram"))
     return (
         d.join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
@@ -275,7 +285,7 @@ def bloom_decontaminate(
         .groupBy("word")
         .agg(F.expr("bit_or(_m)").alias("bits"))
     )
-    cand = docs.select("doc_id", F.explode(g).alias("gram"))
+    cand = spread(docs).select("doc_id", F.explode(g).alias("gram"))
     for s in seeds:
         w = words.select(
             F.col("word").alias(f"_w{s}"), F.col("bits").alias(f"_b{s}")
@@ -420,7 +430,12 @@ def _minhash_bands_pandas(
                 {"doc_id": pdf["doc_id"], "_g": gs, "_bands": band_arrays}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+    # spread: the blake2b/affine-rehash pass is pure Python CPU; a
+    # one-row-group scan would hand the whole corpus to ONE worker
+    # (guide §2.5/§4 — parallelize before the Python boundary)
+    return spread(docs).select("doc_id", "text").mapInPandas(
+        run, schema=schema
+    )
 
 
 def minhash_lsh_pairs(
@@ -545,7 +560,10 @@ def minhash_pairs_portable(
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
     sh = shingles(shingle_k)
-    d = docs.select(
+    # spread: shingling + 31-bit md5 + the 32-permutation signature
+    # below are the per-row cost; a one-row-group scan would run all
+    # of it single-core before the checkpoint (guide §2.5)
+    d = spread(docs).select(
         "doc_id",
         F.array_distinct(F.transform(sh, _md5_low31)).alias("_h"),
     )
@@ -574,34 +592,42 @@ def minhash_pairs_portable(
             for j in range(bands)
         ]
     )
+    # THIN banding (guide §2.3/§8: shuffle keys, not payloads): the
+    # band explode + self-join used to carry the full shingle-hash
+    # array on BOTH sides (bands× replicated through the exchange)
+    # and dedup pairs with the arrays in tow — a sort-based aggregate
+    # (arrays aren't hash-aggregatable). Band keys alone generate the
+    # same candidate pairs; the arrays are attached ONCE per
+    # surviving pair by joining back to the checkpointed signature
+    # table, and the pair dedup is a hash aggregate over two BIGINTs.
     keyed = d.select(
         "doc_id",
-        "_h",
         F.posexplode(band_keys).alias("band_id", "band_key"),
     )
     a = keyed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("_h").alias("_ha"),
-        "band_id",
-        "band_key",
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
     b = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("_h").alias("_hb"),
-        "band_id",
-        "band_key",
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
     )
     candidates = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_ha", "_hb")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return candidates.select(
-        "doc_a",
-        "doc_b",
-        jaccard(F.col("_ha"), F.col("_hb")).alias("jaccard_sim"),
-    ).filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+    ha = d.select(F.col("doc_id").alias("doc_a"), F.col("_h").alias("_ha"))
+    hb = d.select(F.col("doc_id").alias("doc_b"), F.col("_h").alias("_hb"))
+    return (
+        candidates.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("_ha"), F.col("_hb")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+    )
 
 
 def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
@@ -620,7 +646,10 @@ def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
     pairwise join — linear in corpus size, the only 100 TB-safe shape
     for substring-level dedup.
     """
-    g = docs.select(
+    # spread: the span explode (tokenize + k-slide + xxhash) is the
+    # per-row cost and runs TWICE (agg branch + probe branch); a
+    # one-row-group scan would serialize both onto one core (§2.5)
+    g = spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(shingles(k), lambda s: F.xxhash64(s))
@@ -656,7 +685,8 @@ def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
     same key (AQE reuses the partitioning), one doc aggregate — never
     a pairwise join. Exact-integer ppm output, oracle-paired.
     """
-    g = docs.select(
+    # spread: same double-explode shape as span_dup_ratio (§2.5)
+    g = spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(shingles(k), lambda s: F.xxhash64(s))
@@ -721,7 +751,11 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             out[i] = np.int64(np.uint64(word))
         return pd.Series(out)
 
-    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+    # spread: the md5-vote UDF is pure Python CPU; parallelize before
+    # the Python boundary (§2.5/§4)
+    return spread(docs).select(
+        "doc_id", _simhash(F.col("text")).alias("simhash")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -859,7 +893,10 @@ def fuzzy_pairs_quadratic(
     metric, so the oracle comparison is tolerance-free.
     """
     pre = F.substring(F.regexp_replace(F.lower(F.col("text")), " +", " "), 1, int(prefix_len))
-    d = docs.select(
+    # spread: the O(p²) levenshtein verify over Σ block² candidates
+    # inherits the probe side's layout — a one-row-group scan would
+    # run every DP cell on one core (§2.5)
+    d = spread(docs).select(
         "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
     )
     a = d.select(
@@ -929,7 +966,10 @@ def fuzzy_pairs_banded(
     pre = F.substring(
         F.regexp_replace(F.lower(F.col("text")), " +", " "), 1, int(prefix_len)
     )
-    base = docs.select(
+    # spread: segment explode + the levenshtein verify downstream
+    # inherit the scan layout (§2.5, same reasoning as the quadratic
+    # path)
+    base = spread(docs).select(
         "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
     ).withColumn("_L", F.length("_pre"))
     main = base.filter(F.col("_L") >= m)

@@ -3010,23 +3010,17 @@ def real_assets_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     # the encode pass is CPU-bound Python; a toy-scale documents
-    # table arrives as 1-2 parquet files, which would serialize the
-    # whole encode (and every downstream decode that inherits this
-    # partitioning) onto 2 cores. repartition() to the session's
-    # shuffle parallelism — shuffles only (doc_id, text), and is a
-    # no-op layout-wise at production scale where the input already
-    # has many splits.
-    return (
-        docs.select("doc_id", "text")
-        .repartition(
-            int(
-                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        )
-        .mapInPandas(
-            enc,
-            schema="asset_id long, modality string, payload binary",
-        )
+    # table arrives as 1-2 parquet row groups, which would serialize
+    # the whole encode (and every downstream decode that inherits
+    # this partitioning) onto 1-2 cores. spread() shuffles only
+    # (doc_id, text) up to the session's core count, and SKIPS the
+    # exchange at production scale where the input already has many
+    # splits (guide §2.5).
+    from ceres_spark.sources.tables import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        enc,
+        schema="asset_id long, modality string, payload binary",
     )
 
 
@@ -3307,6 +3301,15 @@ def _hamming_band_pairs(
             "the threshold (≤ 6) or pass allow_weak_blocking=True "
             "for a bounded corpus."
         )
+    # eager localCheckpoint: the fingerprint input is the OUTPUT of a
+    # full decode pipeline (Python mapInPandas passes); without a
+    # materialization barrier the whole decode subtree is duplicated
+    # on both sides of the band self-join below — measured as the
+    # dominant cost of phash/audio_neardup (guide §3.3/§8: stage the
+    # tiny signature table, self-join that). Blocks are
+    # reference-counted away after driver GC (see the minhash note in
+    # operators/dedup.py).
+    fp = fp.localCheckpoint(eager=True)
     banded = fp.select(
         "asset_id",
         fp_col,

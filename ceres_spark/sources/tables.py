@@ -82,6 +82,80 @@ def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFr
     return {name: load(spark, name, sf_dir) for name in TABLES}
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure a minimum partition count before CPU-heavy per-row work
+    (fingerprint/decode/explode passes).
+
+    A parquet scan parallelizes at row-group granularity; the driver
+    fixtures are ONE row group per table, so every scan is one task
+    and any expensive map inherits that single-core layout (guide
+    §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read"). This helper is scale-adaptive, not
+    a local[32] constant: the target is the session's
+    ``defaultParallelism`` (cores available, whatever the deployment)
+    and the repartition is SKIPPED when the plan already has that
+    many partitions — on a production table with thousands of
+    row-group splits it is a no-op. Pass only scan-side frames
+    (projections/filters of a scan): partition count is read off the
+    physical plan, which is trivially cheap for a scan but would
+    trigger stage execution under AQE for a post-shuffle frame.
+
+    Correctness: callers apply this below per-row deterministic maps
+    and above partition-independent aggregates, so row placement
+    cannot change any result; Spark's sort-before-repartition (on by
+    default) keeps the round-robin assignment retry-deterministic.
+    """
+    if df.isStreaming:
+        # a streaming frame has no static partition count (and .rdd
+        # would raise); micro-batch parallelism is the stream's own
+        # concern — pass through untouched
+        return df
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    min_parts = int(min_parts)
+    # partition-count probe: df.rdd.getNumPartitions() is exact but
+    # costs 75-180 ms of driver-side plan conversion PER CALL
+    # (measured) — a real tax on sub-second queries. For file scans,
+    # estimate the split count the way Spark's own planner does
+    # (Σ ceil(size / maxPartitionBytes)); inputFiles() is ~1 ms. The
+    # estimate errs toward MORE splits than a row-group-starved file
+    # actually yields, i.e. toward SKIPPING the repartition — which
+    # at production scale is the safe direction (never shuffle a
+    # payload that is already parallel).
+    files = df.inputFiles()
+    if files:
+        n = _estimate_scan_splits(spark, files)
+    else:
+        n = df.rdd.getNumPartitions()  # non-file source: exact
+    return df if n >= min_parts else df.repartition(min_parts)
+
+
+def _estimate_scan_splits(spark: SparkSession, files: list[str]) -> int:
+    import math
+    from urllib.parse import urlparse
+
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        mpb = int(str(raw).lower().rstrip("b"))
+    except (TypeError, ValueError):
+        mpb = 128 * 1024 * 1024
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            try:
+                size = os.path.getsize(parsed.path)
+            except OSError:
+                size = 0
+            splits += max(1, math.ceil(size / mpb))
+        else:
+            # remote store: size unknown without an RPC — count the
+            # file as one split (again errs toward skipping)
+            splits += 1
+    return splits
+
+
 def points(
     spark: SparkSession,
     sf_dir: str | None = None,
