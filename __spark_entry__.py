@@ -1363,8 +1363,14 @@ def _q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual "sample frames from 100 TB of video" kernel (map-only;
     payload bytes never leave the task). Rows-only; decode and stats
     are pytest-pinned (test_llm_ops)."""
+    # manual filter pushdown through the opaque encode (guide §4.2):
+    # frame sampling uses only modality == "video" = doc_id % 3 == 2
+    # under the fixture-encode contract — encode 1/3 of the corpus
+    # (see phash_neardup)
     assets = mm.real_assets_from_documents(
-        tbl.load(spark, "documents", sf_dir)
+        tbl.load(spark, "documents", sf_dir).filter(
+            F.col("doc_id") % 3 == 2
+        )
     )
     return mm.frame_sample_real(assets, every_n=2).select(
         "asset_id",

@@ -131,7 +131,12 @@ def build_index(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Vectors + ``_list`` assignment + precomputed norm (at scale:
-    write this partitioned by _list)."""
+    write this partitioned by _list).
+
+    (spread() was tried here and reverted: the assignment is one
+    numpy matmul per Arrow batch — the exchange + 32-worker dispatch
+    it adds costs more than the pass itself at any corpus the local
+    bench sees, measured 0.88 s → 1.10 s on topk_cosine_ivf.)"""
     return _assign(vectors, centroids, id_col, vec_col).withColumn(
         "_norm", norm(as_double(F.col(vec_col)))
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 import ceres_spark.operators.sharding as sharding
+from ceres_spark.sources.tables import spread
 
 
 def as_double(vec: Column) -> Column:
@@ -76,7 +77,10 @@ def topk_brute(
         F.col(vec_col).alias("_qv"),
         norm(as_double(F.col(vec_col))).alias("_qn"),
     )
-    c = embeddings.select(
+    # spread: the fold-cosine scoring inherits the corpus scan's
+    # layout — a one-row-group scan would run every dot product on
+    # one core (guide §2.5); no-op when the scan is already parallel
+    c = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm(as_double(F.col(vec_col))).alias("_cn"),
@@ -235,11 +239,20 @@ def embedding_neardup_pairs(
     pairs colliding in ≥1 table are scored (near-identical vectors
     share all sign bits of some table with overwhelming probability),
     deduped before the cosine."""
-    l = _with_bucket_rows(
-        embeddings, dim, n_planes, n_tables, id_col, vec_col, "id_a", "_va"
-    )
-    r = _with_bucket_rows(
-        embeddings, dim, n_planes, n_tables, id_col, vec_col, "id_b", "_vb"
+    # eager localCheckpoint: the bucket computation appears on BOTH
+    # sides of the self-join — materialize the (id, vec, norm, table,
+    # bucket) rows once (guide §3.3/§8; same idiom as minhash/simhash)
+    banded = _with_bucket_rows(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col,
+        "id_a", "_va",
+    ).localCheckpoint(eager=True)
+    l = banded
+    r = banded.select(
+        F.col("id_a").alias("id_b"),
+        F.col("_va").alias("_vb"),
+        F.col("_van").alias("_vbn"),
+        "_tbl",
+        "_bkt",
     )
     return (
         l.join(r, ["_tbl", "_bkt"])
@@ -423,7 +436,9 @@ def topk_cosine_quantized(
     """
     from pyspark.sql.window import Window
 
-    q = quantize_embeddings(emb)
+    # spread: quantization HOFs + the int-dot scoring join inherit
+    # the scan layout (§2.5)
+    q = quantize_embeddings(spread(emb))
     base = q.select("vec_id", "label", "q")
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
@@ -498,7 +513,7 @@ def embedding_decontamination(
     )
     sim_col = cosine(F.col(vec_col), F.col("_eval_vec"))
     return (
-        emb.select(id_col, vec_col)
+        spread(emb).select(id_col, vec_col)
         .join(ev)
         .select(
             id_col,
@@ -551,7 +566,8 @@ def hard_negatives(
             norm(as_double(F.col(vec_col))).alias("_qn"),
         )
     )
-    c = emb.select(
+    # spread: see topk_brute — parallelize the fold-cosine band scan
+    c = spread(emb).select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).alias("_cv"),
         norm(as_double(F.col(vec_col))).alias("_cn"),
