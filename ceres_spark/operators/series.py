@@ -817,19 +817,30 @@ def n_percentile(buckets: DataFrame, n: int = 90) -> DataFrame:
     rank-th smallest non-null. Pure integer rank selection — exact on
     any engine, no float percentile definitions to reconcile.
 
-    Plan: one per-metric sort window (row_number) + a broadcast join
-    of per-metric counts; the k-th order statistic never moves more
-    than one metric's values through a partition — at 100 TB the
-    window shuffle is keyed by metric, the same exchange every other
-    per-series kernel here already pays.
+    Plan (optimization r12, guide §2.1/§5.3): ONE per-metric window
+    pass — row_number over the value sort plus a whole-partition
+    non-null count from the SAME exchange — instead of the old
+    rank-window + separate count aggregate + broadcast join. The old
+    two-branch shape re-evaluated the entire upstream subtree (scan →
+    compact) once per branch: Catalyst copies a shared DataFrame's
+    logical plan into each consumer and per-branch column pruning
+    then specializes the copies, so exchange reuse never fires
+    (verified empirically: 0 ReusedExchange, 2 scans). Single-pass =
+    one scan, one metric-keyed exchange at any scale.
     """
     from pyspark.sql.window import Window
 
-    vals = buckets.filter(F.col("value").isNotNull())
-    counts = vals.groupBy("metric").agg(F.count("*").alias("_cnt"))
-    w = Window.partitionBy("metric").orderBy("value")
-    ranked = vals.select(
-        "metric", "value", F.row_number().over(w).alias("_rn")
+    w = Window.partitionBy("metric").orderBy(
+        F.col("value").asc_nulls_last()
+    )
+    w_all = Window.partitionBy("metric")
+    ranked = buckets.select(
+        "metric",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        # count(value) skips nulls — the rank universe is the
+        # non-null values, which sort first under asc_nulls_last
+        F.count("value").over(w_all).alias("_cnt"),
     )
     # integer `div`: exact ceil(n(cnt+1)/100), no float rounding
     k = F.greatest(
@@ -839,11 +850,9 @@ def n_percentile(buckets: DataFrame, n: int = 90) -> DataFrame:
             F.expr(f"({int(n)}L * (_cnt + 1) + 99) div 100"),
         ),
     )
-    return (
-        ranked.join(F.broadcast(counts), "metric")
-        .filter(F.col("_rn") == k)
-        .select("metric", F.col("value").alias("n_percentile"))
-    )
+    return ranked.filter(
+        F.col("value").isNotNull() & (F.col("_rn") == k)
+    ).select("metric", F.col("value").alias("n_percentile"))
 
 
 def percentile_of_series(buckets: DataFrame, n: int = 90) -> DataFrame:
@@ -854,20 +863,26 @@ def percentile_of_series(buckets: DataFrame, n: int = 90) -> DataFrame:
     Same non-interpolated rank rule as :func:`n_percentile`, applied
     per ``ts`` bucket instead of per metric. Output: (ts, value).
 
-    Plan: one ts-partitioned window + a SHUFFLE join back to the
-    per-ts counts — deliberately NOT a broadcast: counts has one row
-    per timestamp, unbounded along the time axis, and AQE reuses the
-    ts partitioning from the window for the join anyway. The per-ts
-    group is #metrics wide (small); the exchange is on ts, so the
-    combine parallelizes across the time axis — the right axis at
-    100 TB, where time is the unbounded dimension.
+    Plan (optimization r12, guide §2.1/§5.3): ONE ts-partitioned
+    window pass — rank and per-ts non-null count off the same
+    exchange — replacing the old window + count-aggregate + shuffle
+    join, whose two branches each re-evaluated the upstream scan →
+    compact subtree (per-branch column pruning defeats exchange
+    reuse; verified 0 ReusedExchange before this change). The
+    exchange is on ts, so the combine parallelizes across the time
+    axis — the right axis at 100 TB, where time is the unbounded
+    dimension.
     """
     from pyspark.sql.window import Window
 
-    vals = buckets.filter(F.col("value").isNotNull())
-    counts = vals.groupBy("ts").agg(F.count("*").alias("_cnt"))
-    w = Window.partitionBy("ts").orderBy("value")
-    ranked = vals.select("ts", "value", F.row_number().over(w).alias("_rn"))
+    w = Window.partitionBy("ts").orderBy(F.col("value").asc_nulls_last())
+    w_all = Window.partitionBy("ts")
+    ranked = buckets.select(
+        "ts",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count("value").over(w_all).alias("_cnt"),
+    )
     k = F.greatest(
         F.lit(1).cast("long"),
         F.least(
@@ -875,11 +890,9 @@ def percentile_of_series(buckets: DataFrame, n: int = 90) -> DataFrame:
             F.expr(f"({int(n)}L * (_cnt + 1) + 99) div 100"),
         ),
     )
-    return (
-        ranked.join(counts, "ts")
-        .filter(F.col("_rn") == k)
-        .select("ts", F.col("value").alias("value"))
-    )
+    return ranked.filter(
+        F.col("value").isNotNull() & (F.col("_rn") == k)
+    ).select("ts", F.col("value").alias("value"))
 
 
 def sort_by_extrema(buckets: DataFrame) -> DataFrame:
@@ -1006,19 +1019,52 @@ def remove_percentile(
     stays aligned with its neighbors, unlike a filter).
 
     The per-series threshold is the same non-interpolated integer
-    rank rule as :func:`n_percentile` (exact on any engine), then one
-    broadcast join-back and a projection — the threshold table is
-    series-cardinality, never point-cardinality.
+    rank rule as :func:`n_percentile` (exact on any engine).
+
+    Plan (optimization r12, guide §2.1/§5.3): the threshold is drawn
+    beside every point in ONE per-metric window pass — rank the
+    values, pick the rank-k value with ``max(when(rn = k))`` over the
+    whole partition — instead of the old n_percentile branch +
+    broadcast join-back, which re-evaluated the upstream scan →
+    compact subtree three times (per-branch column pruning defeats
+    exchange reuse). One scan, one metric-keyed exchange at any
+    scale; the window partition is one series' points, exactly what
+    the old per-metric rank window already held.
     """
-    thr = n_percentile(buckets, n).withColumnRenamed(
-        "n_percentile", "_thr"
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy(
+        F.col("value").asc_nulls_last()
+    )
+    w_all = Window.partitionBy("metric")
+    ranked = buckets.select(
+        "metric",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count("value").over(w_all).alias("_cnt"),
+    )
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.col("_cnt"),
+            F.expr(f"({int(n)}L * (_cnt + 1) + 99) div 100"),
+        ),
+    )
+    with_thr = ranked.select(
+        "metric",
+        "ts",
+        "value",
+        F.max(F.when(F.col("_rn") == k, F.col("value")))
+        .over(w_all)
+        .alias("_thr"),
     )
     offend = (
         F.col("value") > F.col("_thr")
         if above
         else F.col("value") < F.col("_thr")
     )
-    return buckets.join(F.broadcast(thr), "metric", "left").select(
+    return with_thr.select(
         "metric",
         "ts",
         F.when(offend, F.lit(None).cast("double"))
