@@ -443,6 +443,15 @@ def triangle_counts(
         )
         .filter(F.col("a") < F.col("b"))  # drop self-loops
         .distinct()
+        # eager localCheckpoint (optimization r12, guide §3.3/§5):
+        # the closure consumes the edge set THREE times (e1/e2/e3),
+        # and Catalyst clones the upstream plan per consumer — with a
+        # pair-generation pipeline upstream (neardup_triangles' full
+        # jaccard tokenize → band join → verify) the whole pipeline
+        # ran 3×. The edge table is pair-cardinality — far smaller
+        # than the corpus it came from — so staging it once is the
+        # same contract as connected_components' input checkpoint.
+        .localCheckpoint(eager=True)
     )
     wedges = (
         e.alias("e1")
