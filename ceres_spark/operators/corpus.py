@@ -105,6 +105,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         docs.select("doc_id", F.explode(tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        # eager localCheckpoint (optimization r12, guide §5.3): tf is
+        # consumed by the df branch AND the scored branch, and
+        # Catalyst clones the tokenize → explode → aggregate upstream
+        # per consumer — the full tokenize ran twice. The TF matrix
+        # is the materialization real tf-idf pipelines stage anyway
+        # (far smaller than the raw text it came from).
+        .localCheckpoint(eager=True)
     )
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))

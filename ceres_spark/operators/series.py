@@ -531,25 +531,37 @@ def anomaly_zscore(buckets: DataFrame, z: float = 3.0) -> DataFrame:
     (order-independent → partitioning-independent), combined with the
     textbook E[x²] − E[x]² identity in plain IEEE double ops — the
     oracle reproduces the identical expression, so the z threshold
-    cuts bit-identically. Stats are a per-metric aggregate (tiny) and
-    re-join the buckets broadcast: the series never shuffles twice.
+    cuts bit-identically.
+
+    Plan (optimization r12, guide §2.4/§2.1): the stats are drawn
+    beside every point in ONE metric-partitioned window pass instead
+    of the old per-metric aggregate + broadcast join-back, whose two
+    branches each re-evaluated the upstream scan → compact → hourly
+    subtree (12 Exchanges / 2 scans before — per-branch column
+    pruning defeats exchange reuse on cloned plans). The upstream
+    already shuffles the full table twice to build the hourly frame,
+    so evaluating it once and paying one hourly-cardinality metric
+    exchange is strictly cheaper at any scale.
     """
+    from pyspark.sql.window import Window
+
     # the cast INTO decimal routes through a string: both engines
     # round the same shortest-repr decimal literal instead of the raw
     # binary double, whose 10th-decimal rounding differs between
     # engines on boundary values (surfaces at sf0.1 row counts)
+    w = Window.partitionBy("metric")
     dec = lambda c: (
         F.sum(c.cast("string").cast("decimal(30,10)"))
+        .over(w)
         .cast("string")
         .cast("double")
     )
-    stats = buckets.groupBy("metric").agg(
-        (dec(F.col("value")) / F.count("value")).alias("_mean"),
-        (
-            dec(F.col("value") * F.col("value")) / F.count("value")
-        ).alias("_ex2"),
+    cnt = F.count("value").over(w)
+    j = buckets.select(
+        "metric", "ts", "value",
+        (dec(F.col("value")) / cnt).alias("_mean"),
+        (dec(F.col("value") * F.col("value")) / cnt).alias("_ex2"),
     )
-    j = buckets.join(F.broadcast(stats), "metric")
     var = F.col("_ex2") - F.col("_mean") * F.col("_mean")
     zscore = (F.col("value") - F.col("_mean")) / F.sqrt(var)
     return (
