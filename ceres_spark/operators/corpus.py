@@ -882,19 +882,32 @@ def split_leak_check(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     leakage). Composition of two independently oracle-checked stages
     (stratified_split, simhash pairing), itself oracle-checked END TO
     END.
+
+    Plan (optimization r12, guide §2.4): the split label is a pure
+    function of the text (stratified_split is a projection), so it is
+    evaluated INSIDE the simhash fingerprint projection and carried
+    through the band join (``carry=``) — the old shape re-scanned the
+    corpus for the split table and joined it back TWICE at pair
+    cardinality (Catalyst clones the scan per join side). One corpus
+    pass total, zero join-backs; the carried label costs one byte-ish
+    column per band row.
     """
     import ceres_spark.operators.dedup as dd
 
-    splits = stratified_split(docs).select("doc_id", "split")
-    pairs = dd.simhash_pairs(docs, max_hamming=max_hamming, block_col=None)
-    sa = splits.withColumnsRenamed({"doc_id": "doc_a", "split": "_sa"})
-    sb = splits.withColumnsRenamed({"doc_id": "doc_b", "split": "_sb"})
+    b = content_bucket()
+    split_expr = (
+        F.when(b <= _TRAIN_MAX, F.lit("train"))
+        .when(b <= _VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    pairs = dd.simhash_pairs(
+        docs, max_hamming=max_hamming, block_col=None,
+        carry={"_sp": split_expr},
+    )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.least("_sa", "_sb").alias("split_a"),
-            F.greatest("_sa", "_sb").alias("split_b"),
+        pairs.select(
+            F.least("_sp_a", "_sp_b").alias("split_a"),
+            F.greatest("_sp_a", "_sp_b").alias("split_b"),
         )
         .groupBy("split_a", "split_b")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))

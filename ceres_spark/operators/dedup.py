@@ -711,7 +711,11 @@ def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
 
 # ----------------------------------------------------------- simhash
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """SimHash fingerprint: bit j of the hash is the sign of
     \u03a3_tokens (2\u00b7bit_j(hash(token)) \u2212 1). Near-dups have small
     Hamming distance.
@@ -752,10 +756,14 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
         return pd.Series(out)
 
     # spread: the md5-vote UDF is pure Python CPU; parallelize before
-    # the Python boundary (§2.5/§4)
-    return spread(docs).select(
-        "doc_id", _simhash(F.col("text")).alias("simhash")
-    )
+    # the Python boundary (§2.5/§4). ``extra`` lets a caller evaluate
+    # per-doc expressions (e.g. the content-hash split label) in this
+    # same projection instead of re-scanning the corpus to join them
+    # back at pair cardinality later (optimization r12, guide §2.4).
+    cols = [F.col("doc_id"), _simhash(F.col("text")).alias("simhash")]
+    if extra:
+        cols.extend(e.alias(n) for n, e in extra.items())
+    return spread(docs).select(*cols)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -784,6 +792,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     block_col: str | None = "source",
     n_bands: int | None = None,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via Hamming prefix-band LSH.
 
@@ -802,15 +811,24 @@ def simhash_pairs(
     smaller ``max_hamming`` (wider bands) prunes harder; ``block_col``
     further subdivides buckets and preserves the blocked semantics
     (pass None for corpus-global pairing).
+
+    ``carry`` (optimization r12, guide §2.4): per-doc expressions
+    evaluated in the SAME fingerprint projection and carried through
+    the band join, emitted as ``<name>_a`` / ``<name>_b`` on each
+    pair. A caller that needs a pure-function-of-doc label on both
+    pair ends (e.g. split_leak_check's train/val/test tag) gets it
+    for a few bytes per band row instead of two pair-cardinality
+    join-backs that each re-scan the corpus.
     """
     b = n_bands if n_bands is not None else max_hamming + 1
     if b <= max_hamming:
         raise ValueError("n_bands must exceed max_hamming (pigeonhole)")
+    carry = carry or {}
     # eager localCheckpoint: the per-bit vote UDF would otherwise run
     # on both sides of the self-join; unlike persist() the blocks are
     # reference-counted away after driver GC (no storage leak across
     # a long-lived session — see minhash note)
-    s = simhash(docs)
+    s = simhash(docs, extra=carry)
     if block_col is not None:
         s = s.join(docs.select("doc_id", F.col(block_col).alias("_blk")), "doc_id")
     else:
@@ -820,6 +838,7 @@ def simhash_pairs(
         "doc_id",
         "simhash",
         "_blk",
+        *carry,
         F.posexplode(F.array(*simhash_bands(F.col("simhash"), b))).alias(
             "_band_id", "_band_val"
         ),
@@ -828,11 +847,13 @@ def simhash_pairs(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("_ha"),
         "_blk", "_band_id", "_band_val",
+        *[F.col(n).alias(f"{n}_a") for n in carry],
     )
     bb = keyed.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("_hb"),
         "_blk", "_band_id", "_band_val",
+        *[F.col(n).alias(f"{n}_b") for n in carry],
     )
     return (
         a.join(bb, ["_blk", "_band_id", "_band_val"])
@@ -841,10 +862,13 @@ def simhash_pairs(
             "doc_a",
             "doc_b",
             hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"),
+            *[f"{n}_a" for n in carry],
+            *[f"{n}_b" for n in carry],
         )
         .filter(F.col("hamming") <= max_hamming)
-        # a pair sharing k bands surfaces k times; hamming is a pure
-        # function of the pair so any copy is the canonical row
+        # a pair sharing k bands surfaces k times; hamming (and any
+        # carried column — pure per-doc functions) is a pure function
+        # of the pair so any copy is the canonical row
         .dropDuplicates(["doc_a", "doc_b"])
     )
 

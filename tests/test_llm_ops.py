@@ -513,6 +513,25 @@ def test_simhash_banded_equals_brute(spark, docs):
     assert n_global >= len(banded)
 
 
+def test_simhash_pairs_carry_matches_joinback(spark, docs):
+    # optimization r12: `carry` evaluates per-doc expressions inside
+    # the fingerprint projection and carries them through the band
+    # join — must equal the old shape's explicit join-back, and must
+    # not change the pair set
+    base = {(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, max_hamming=12).collect()}
+    carried = dd.simhash_pairs(
+        docs, max_hamming=12,
+        carry={"_src": F.col("source")},
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in carried} == base
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    for r in carried:
+        assert r["_src_a"] == src[r["doc_a"]]
+        assert r["_src_b"] == src[r["doc_b"]]
+
+
 def test_simhash_banded_joins_on_bands_not_block(spark, docs):
     import io, contextlib
     buf = io.StringIO()
