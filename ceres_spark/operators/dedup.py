@@ -735,22 +735,42 @@ def simhash(
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
+        # Batch-level unique-token hashing (optimization r12, guide
+        # §4.2): tokens repeat heavily across the documents of one
+        # Arrow batch, so md5 runs once per DISTINCT token in the
+        # batch instead of once per occurrence; each doc then sums
+        # pre-unpacked bit rows by index. The per-doc vote sum is
+        # order-independent, so dropping the old sorted() and the
+        # per-doc hashing changes nothing in the output word.
         out = np.empty(len(texts), dtype=np.int64)
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(texts):
-            toks = sorted(set((t or "").lower().split(" ")))
-            if not toks:
-                out[i] = 0
-                continue
+        vocab: dict[str, int] = {}
+        idx_lists: list[np.ndarray] = []
+        for t in texts:
+            toks = set((t or "").lower().split(" "))
+            idxs = np.empty(len(toks), dtype=np.intp)
+            for j, tok in enumerate(toks):
+                k = vocab.get(tok)
+                if k is None:
+                    k = vocab[tok] = len(vocab)
+                idxs[j] = k
+            idx_lists.append(idxs)
+        if vocab:
             hs = np.frombuffer(
                 b"".join(
                     hashlib.md5(tok.encode()).digest()[8:16]
-                    for tok in toks
+                    for tok in vocab
                 ),
                 dtype=np.uint8,
             ).reshape(-1, 8)
-            bits_ = np.unpackbits(hs, axis=1, bitorder="little")
-            votes = 2 * bits_.sum(axis=0, dtype=np.int64) - len(toks)
+            bits_all = np.unpackbits(
+                hs, axis=1, bitorder="little"
+            ).astype(np.int64)
+        for i, idxs in enumerate(idx_lists):
+            if len(idxs) == 0:
+                out[i] = 0
+                continue
+            votes = 2 * bits_all[idxs].sum(axis=0) - len(idxs)
             word = np.bitwise_or.reduce(weights[votes > 0]) if (votes > 0).any() else np.uint64(0)
             out[i] = np.int64(np.uint64(word))
         return pd.Series(out)
