@@ -127,19 +127,28 @@ def connected_components_star(
     small-star(u): over Γ≤(u) = {v ∈ Γ(u): v < u}: m = min(Γ≤ ∪ {u});
                    emit (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
     """
-    # symmetrize once; drop self-loops (they carry no information and
-    # would survive every round)
+    # canonical DOWNHILL edge set (u > v), self-loops dropped
+    # (optimization r12, guide §2.4): keeping `e` strictly downhill
+    # makes the symmetric closure `e ∪ swap(e)` a DISJOINT union, so
+    # the per-round `.distinct()` that used to follow it (a full
+    # edge-set Exchange + HashAggregate) is provably a no-op and is
+    # gone; the small-star output is strictly downhill too, so the
+    # invariant self-maintains across rounds.
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     # remember every vertex: star rounds may contract a node away from
     # the edge list entirely once it points straight at the root
-    vertices = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=True
+    vertices = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def checksum(df: DataFrame):
@@ -154,11 +163,12 @@ def connected_components_star(
 
     prev = None
     for _ in range(max_iter):
-        # ---- large-star (on the symmetrized current graph: after
-        # round 1 `e` holds only downhill u→v edges) ----
+        # ---- large-star (`e` is downhill u→v, distinct, loop-free:
+        # the symmetric closure below is a disjoint union — no
+        # distinct needed, guide §2.4) ----
         se = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         mins = se.groupBy("u").agg(
             F.least(F.col("u"), F.min("v")).alias("m")
         )
@@ -170,14 +180,15 @@ def connected_components_star(
             .distinct()
         )
         # ---- small-star over the large-star output ----
-        le = large.union(
-            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        down = le.filter(F.col("v") < F.col("u"))
-        smins = down.groupBy("u").agg(F.min("v").alias("m"))
+        # large is STRICTLY downhill (m = min(Γ(u) ∪ {u}) ≤ u < v for
+        # every emitted (v, m)), so the downhill half of its symmetric
+        # closure — what the old `union(swap).distinct().filter(v<u)`
+        # computed — is large itself (two more per-round edge-set
+        # shuffles gone).
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
         # (v, m) for each small neighbor v, plus (u, m) for u itself
         small = (
-            down.join(smins, "u")
+            large.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
