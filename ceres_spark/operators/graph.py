@@ -62,6 +62,15 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Γ(a) ∪ {a} in ONE edge list (optimization r12, guide §2.4):
+    # appending a self-loop per node makes each round's neighbor-min
+    # already include the node's own label, so the old second join
+    # (labels ⋈ nbr + least/coalesce) — a full labels-side shuffle
+    # per round — collapses into the same groupBy. Update rule is
+    # unchanged: min over {comp(b) : b ∈ Γ(a) ∪ {a}}.
+    sym_self = sym.union(
+        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).localCheckpoint(eager=True)
 
     def label_sum(df: DataFrame) -> int:
         # labels only ever DECREASE, so Σcomp strictly decreases iff
@@ -74,20 +83,11 @@ def connected_components(
 
     prev_sum = label_sum(labels)
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("_nbr_comp"))
-        )
         new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"),
-                    F.coalesce(F.col("_nbr_comp"), F.col("comp")),
-                ).alias("comp"),
-            )
+            sym_self.join(labels, sym_self["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("comp"))
+            .withColumnRenamed("a", "node")
             .localCheckpoint(eager=True)
         )
         new_sum = label_sum(new_labels)

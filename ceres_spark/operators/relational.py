@@ -619,11 +619,16 @@ def q21_waiting_supplier(
 
     The reference EXISTS / NOT EXISTS pair is re-expressed as one
     per-order aggregate — n_suppliers and n_late_suppliers via two
-    count-distincts — joined back to the late lines: 'exists another
-    supplier' ⇔ n_suppliers >= 2, 'not exists another late supplier'
-    ⇔ n_late_suppliers == 1. Both the aggregate and the join-back
-    shuffle on the SAME key (l_orderkey), so AQE reuses the
-    partitioning; supplier⋈nation is a broadcast dim."""
+    count-distincts: 'exists another supplier' ⇔ n_suppliers >= 2,
+    'not exists another late supplier' ⇔ n_late_suppliers == 1. The
+    sole late supplier is read off the SAME aggregate
+    (max(when(late, suppkey)) — with n_late_suppliers == 1 every late
+    row carries that one suppkey, so max equals the oracle's DISTINCT
+    late row), which removes the join-back branch that re-evaluated
+    the lineitem⋈orders subtree a second time (optimization r12,
+    guide §2.4): one lineitem scan + one l_orderkey exchange instead
+    of two of each plus a pair-side distinct. supplier⋈nation is a
+    broadcast dim."""
     orders = tbl.load(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate", "o_orderstatus"
     ).filter(F.col("o_orderstatus") == "F")
@@ -642,13 +647,14 @@ def q21_waiting_supplier(
         F.countDistinct(
             F.when(F.col("_late") == 1, F.col("l_suppkey"))
         ).alias("_n_late_supp"),
+        F.max(
+            F.when(F.col("_late") == 1, F.col("l_suppkey"))
+        ).alias("_late_supp"),
     )
     sole_late = (
-        j.filter(F.col("_late") == 1)
-        .join(per_order, "l_orderkey")
+        per_order
         .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .select("l_orderkey", F.col("_late_supp").alias("l_suppkey"))
     )
     supplier = tbl.load(spark, "supplier", sf_dir)
     nation = tbl.load(spark, "nation", sf_dir)
