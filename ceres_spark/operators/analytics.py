@@ -40,26 +40,58 @@ def funnel(
     ``t >= t_prev``).
 
     Returns one row per step: ``step_idx, step, n_users``.
+
+    Plan (optimization r12, guide §2.4): ONE user-partitioned window
+    pass computes every step's first-reach time off the same
+    exchange — ``t_i = min(t | type = step_i ∧ t >= t_{i-1}) over
+    (partition by user)`` — then a per-user aggregate (reuses the
+    window's partitioning, no second shuffle) and one scalar count
+    per step. The old reach-join chain re-evaluated each prior
+    stage's events subtree per step (12 scans in the census plan);
+    this shape scans events once and shuffles once. Null users
+    replicate the join semantics exactly: step 1's GROUP BY counts
+    the null group, steps ≥ 2 gate on ``user_id IS NOT NULL``
+    because a USING join never matches null keys.
     """
+    from pyspark.sql.window import Window
+
     base = events.select(
         "user_id", "event_type", _event_secs(events).alias("t")
     )
-    out = None
-    reach = None
+    w = Window.partitionBy("user_id")
+    cur = base
+    prev_t = None
     for i, step in enumerate(steps):
-        hits = base.filter(F.col("event_type") == step)
-        if reach is not None:
-            hits = hits.join(reach, "user_id").filter(
-                F.col("t") >= F.col("t_reach")
-            ).drop("t_reach")
-        reach = hits.groupBy("user_id").agg(F.min("t").alias("t_reach"))
-        row = reach.agg(F.count("*").alias("n_users")).select(
-            F.lit(i + 1).cast("long").alias("step_idx"),
-            F.lit(step).alias("step"),
-            "n_users",
+        cond = F.col("event_type") == step
+        if prev_t is not None:
+            cond = (
+                cond & (F.col("t") >= prev_t)
+                & F.col("user_id").isNotNull()
+            )
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col("t"))).over(w)
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        prev_t = F.col(f"_t{i}")
+    per_user = cur.groupBy("user_id").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    totals = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(steps))]
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
 
 def cohort_retention(events: DataFrame, period_s: int = WEEK) -> DataFrame:

@@ -1012,10 +1012,21 @@ def fuzzy_pairs_banded(
     )
     # spread: segment explode + the levenshtein verify downstream
     # inherit the scan layout (§2.5, same reasoning as the quadratic
-    # path)
-    base = spread(docs).select(
-        "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
-    ).withColumn("_L", F.length("_pre"))
+    # path). Project to the three used columns BEFORE the spread
+    # exchange (§2.2), and stage the narrow prefix table ONCE
+    # (optimization r12, guide §5.3): five consumers (idx, lens,
+    # probe0, shorts, partners) otherwise each re-run the scan and
+    # the full-text lower+regexp normalization — Catalyst clones a
+    # shared subtree per consumer and exchange reuse never fires
+    # across the clones.
+    base = (
+        spread(docs.select("doc_id", block_col, "text"))
+        .select(
+            "doc_id", F.col(block_col).alias("_blk"), pre.alias("_pre")
+        )
+        .withColumn("_L", F.length("_pre"))
+        .localCheckpoint(eager=True)
+    )
     main = base.filter(F.col("_L") >= m)
 
     # ---- index side: the m segments of every string (even partition)
