@@ -756,10 +756,13 @@ partsupp AS (
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: for size-15 parts, the EUROPE supplier(s) offering
     the minimum supply cost. The correlated MIN subquery becomes a
-    per-part min over the region-filtered partsupp join, joined back
-    on equality — one aggregate + one join-back on the same key, the
-    standard decorrelation. Supplier⋈nation⋈region is a broadcast
-    dim."""
+    per-part min drawn beside every row in ONE p_partkey-partitioned
+    window pass (optimization r12, guide §2.4) — the earlier
+    aggregate + equality join-back consumed the partsupp⋈part⋈dim
+    subtree twice and Catalyst re-evaluated it per consumer (24
+    scans in the census plan). Keeping rows equal to the per-group
+    min is exactly what the equality join-back kept. Supplier⋈
+    nation⋈region is a broadcast dim."""
     ps = partsupp_view(spark, sf_dir)
     part = tbl.load(spark, "part", sf_dir).filter(
         F.col("p_size") == 15
@@ -782,15 +785,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey", "p_type"),
         ps["ps_partkey"] == F.col("p_partkey"),
     ).join(dim, ps["ps_suppkey"] == dim["s_suppkey"])
-    min_cost = eu_ps.groupBy(
-        F.col("p_partkey").alias("_pk")
-    ).agg(F.min("ps_supplycost").alias("_min_cost"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_partkey")
     return (
-        eu_ps.join(
-            min_cost,
-            on=(F.col("p_partkey") == F.col("_pk"))
-            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        eu_ps.withColumn(
+            "_min_cost", F.min("ps_supplycost").over(w)
         )
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
             "p_type", "ps_supplycost",
@@ -876,14 +878,24 @@ def q11_important_stock(
     # only float op (cents/100 doubles sit exactly on decimal rounding
     # boundaries, where double→DECIMAL rounding differs across engines)
     value_cents = F.col("ps_cents") * F.col("ps_availqty")
+    # ONE partsupp evaluation (optimization r12, guide §5.3): the
+    # old separate per-part and scalar aggregates each re-derived
+    # the 4x|part| partsupp explode (16 scans in the census plan).
+    # The per-part aggregate keeps the exact BIGINT cents sum and is
+    # staged eagerly; the grand total is the BIGINT sum OVER those
+    # sums — associative integer addition, so both the total and
+    # every stock_value divide the identical integers as before.
     per_part = nat_ps.groupBy("ps_partkey").agg(
-        (F.sum(value_cents) / F.lit(100.0)).alias("stock_value")
-    )
-    total = nat_ps.agg(
-        (F.sum(value_cents) / F.lit(100.0)).alias("_total")
+        F.sum(value_cents).alias("_cents")
+    ).localCheckpoint(eager=False)
+    total = per_part.agg(
+        (F.sum("_cents") / F.lit(100.0)).alias("_total")
     )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn(
+            "stock_value", F.col("_cents") / F.lit(100.0)
+        )
+        .join(F.broadcast(total))
         .filter(
             F.col("stock_value") > F.col("_total") * F.lit(float(fraction))
         )
