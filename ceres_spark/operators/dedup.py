@@ -640,24 +640,30 @@ def span_dup_ratio(docs: DataFrame, k: int = 8) -> DataFrame:
 
     Plan shape: spans are carried as xxhash64 values (counts only —
     a 64-bit collision merges two span counts with odds ~n²/2⁶⁴, the
-    same argument as jaccard_pairs); one token-keyed aggregation for
-    span document-counts, joined back on the SAME key (AQE reuses the
-    partitioning), then one doc_id aggregation. Never materializes a
-    pairwise join — linear in corpus size, the only 100 TB-safe shape
-    for substring-level dedup.
+    same argument as jaccard_pairs); the per-gram occurrence count is
+    drawn beside every span row in ONE gram-partitioned window pass
+    (optimization r12, guide §2.4 — the earlier aggregate +
+    same-key join-back re-ran the tokenize + k-slide + xxhash
+    explode on both branches), then one doc_id aggregation. Never
+    materializes a pairwise join — linear in corpus size, the only
+    100 TB-safe shape for substring-level dedup.
     """
+    from pyspark.sql.window import Window
+
     # spread: the span explode (tokenize + k-slide + xxhash) is the
-    # per-row cost and runs TWICE (agg branch + probe branch); a
-    # one-row-group scan would serialize both onto one core (§2.5)
+    # per-row cost; a one-row-group scan would serialize it onto one
+    # core (§2.5)
     g = spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(shingles(k), lambda s: F.xxhash64(s))
         ).alias("gram"),
     )
-    per_gram = g.groupBy("gram").agg(F.count("*").alias("_n_docs"))
     return (
-        g.join(per_gram, "gram")
+        g.withColumn(
+            "_n_docs",
+            F.count("*").over(Window.partitionBy("gram")),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -681,20 +687,26 @@ def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
     signal drives re-crawl scheduling.
 
     Same linear plan family as :func:`span_dup_ratio`: spans as
-    xxhash64 values, one gram-keyed MIN aggregate, join-back on the
-    same key (AQE reuses the partitioning), one doc aggregate — never
-    a pairwise join. Exact-integer ppm output, oracle-paired.
+    xxhash64 values, the per-gram MIN doc_id drawn beside every span
+    in one gram-partitioned window pass (optimization r12, guide
+    §2.4 — replaces the aggregate + same-key join-back that re-ran
+    the span explode on both branches), one doc aggregate — never a
+    pairwise join. Exact-integer ppm output, oracle-paired.
     """
-    # spread: same double-explode shape as span_dup_ratio (§2.5)
+    from pyspark.sql.window import Window
+
+    # spread: same explode shape as span_dup_ratio (§2.5)
     g = spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(shingles(k), lambda s: F.xxhash64(s))
         ).alias("gram"),
     )
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("_first"))
     return (
-        g.join(first, "gram")
+        g.withColumn(
+            "_first",
+            F.min("doc_id").over(Window.partitionBy("gram")),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_spans"),
