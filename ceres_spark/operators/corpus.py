@@ -760,9 +760,13 @@ def source_similarity(docs: DataFrame) -> DataFrame:
     per-source sizes. Output: ``src_a, src_b, n_common, size_a,
     size_b, jaccard_ppm``.
     """
+    # ONE vocabulary evaluation (optimization r12, guide §5.3): four
+    # consumers (sizes twice, both self-join sides) otherwise each
+    # re-run the tokenize + explode + distinct; lazy localCheckpoint
+    # shares the cached result without a serialized staging job.
     vocab = docs.select(
         "source", F.explode(tokens()).alias("token")
-    ).filter(F.col("token") != "").distinct()
+    ).filter(F.col("token") != "").distinct().localCheckpoint(eager=False)
     sizes = vocab.groupBy("source").agg(
         F.count("*").cast("bigint").alias("size")
     )

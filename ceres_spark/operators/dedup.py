@@ -266,7 +266,16 @@ def bloom_decontaminate(
     """
     m = int(bits)
     g = shingles(shingle_k)
-    ev = eval_docs.select(F.explode(g).alias("gram")).distinct()
+    # ONE eval-gram evaluation (optimization r12, guide §5.3): the
+    # distinct gram set feeds the bitmap build AND the exact verify,
+    # and the bitmap is broadcast once per seed — lazy checkpoints
+    # share the cached results instead of re-running the explode +
+    # distinct per consumer.
+    ev = (
+        eval_docs.select(F.explode(g).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     seeds = list(range(int(n_hashes)))
 
     def _pos(s: int, col) -> Column:
@@ -284,6 +293,7 @@ def bloom_decontaminate(
         )
         .groupBy("word")
         .agg(F.expr("bit_or(_m)").alias("bits"))
+        .localCheckpoint(eager=False)
     )
     cand = spread(docs).select("doc_id", F.explode(g).alias("gram"))
     for s in seeds:
