@@ -119,63 +119,81 @@ def chunk_retrieval(
     from ceres_spark.operators.similarity import cosine
     from ceres_spark.sources.tables import spread
 
+    def _vecs(d: DataFrame) -> DataFrame:
+        chunks = chunk_documents(d, size=size, stride=stride)
+        # the packed key is only injective for 0 <= chunk_idx < 1e6
+        # and 0 <= doc_id < ~9.22e12 (doc_id * 1e6 must not overflow
+        # BIGINT) — a >=48M-token document, a negative id, or a huge
+        # id would silently corrupt retrieval, so fail LOUDLY in-plan
+        # instead (raise_error is JVM-side; the happy path stays
+        # codegen)
+        keyed = chunks.select(
+            F.when(
+                (F.col("chunk_idx") >= 0)
+                & (F.col("chunk_idx") < 1_000_000)
+                & (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < 9_000_000_000_000),
+                F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "chunk_retrieval: packed ckey out of range "
+                            "(need 0 <= doc_id < 9e12 and chunk_idx < "
+                            "1e6), got doc_id="
+                        ),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" chunk_idx="),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                )
+            )
+            .alias("ckey"),
+            "doc_id",
+            "chunk_idx",
+            F.col("chunk_text").alias("text"),
+        )
+        return (
+            hash_embed(
+                keyed.select(F.col("ckey").alias("doc_id"), "text"),
+                dim=dim,
+            )
+            .select(
+                F.col("doc_id").alias("ckey"),
+                F.expr(
+                    "transform(vec, x -> cast(x as double))"
+                ).alias("v"),
+            )
+            # a chunk whose signed buckets fully cancel has no
+            # direction — exclude zero-norm vectors (mirrored in the
+            # oracle) instead of dividing by zero
+            .filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x) > 0"))
+            # (doc_id, chunk_idx) come back out of the key
+            # ARITHMETICALLY — no join back to the chunk table, which
+            # would recompute the whole explode a second time
+            .select(
+                "ckey",
+                "v",
+                F.expr("ckey div 1000000").alias("doc_id"),
+                (F.col("ckey") % 1_000_000).alias("chunk_idx"),
+            )
+        )
+
     # spread: hash_embed's explode-aggregate and the fold-cosine
     # scoring join both inherit the chunk layout — a one-row-group
     # scan would serialize the whole retrieval path (§2.5)
-    chunks = chunk_documents(spread(docs), size=size, stride=stride)
-    # the packed key is only injective for 0 <= chunk_idx < 1e6 and
-    # 0 <= doc_id < ~9.22e12 (doc_id * 1e6 must not overflow BIGINT)
-    # — a >=48M-token document, a negative id, or a huge id would
-    # silently corrupt retrieval, so fail LOUDLY in-plan instead
-    # (raise_error is JVM-side; the happy path stays codegen)
-    keyed = chunks.select(
-        F.when(
-            (F.col("chunk_idx") >= 0)
-            & (F.col("chunk_idx") < 1_000_000)
-            & (F.col("doc_id") >= 0)
-            & (F.col("doc_id") < 9_000_000_000_000),
-            F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
-        )
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "chunk_retrieval: packed ckey out of range "
-                        "(need 0 <= doc_id < 9e12 and chunk_idx < "
-                        "1e6), got doc_id="
-                    ),
-                    F.col("doc_id").cast("string"),
-                    F.lit(" chunk_idx="),
-                    F.col("chunk_idx").cast("string"),
-                )
-            )
-        )
-        .alias("ckey"),
-        "doc_id",
-        "chunk_idx",
-        F.col("chunk_text").alias("text"),
-    )
-    vecs = (
-        hash_embed(keyed.select(F.col("ckey").alias("doc_id"), "text"),
-                   dim=dim)
-        .select(F.col("doc_id").alias("ckey"),
-                F.expr("transform(vec, x -> cast(x as double))").alias("v"))
-        # a chunk whose signed buckets fully cancel has no direction —
-        # exclude zero-norm vectors (mirrored in the oracle) instead
-        # of dividing by zero
-        .filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x) > 0"))
-        # (doc_id, chunk_idx) come back out of the key ARITHMETICALLY
-        # — no join back to the chunk table, which would recompute the
-        # whole explode a second time
-        .select(
-            "ckey",
-            "v",
-            F.expr("ckey div 1000000").alias("doc_id"),
-            (F.col("ckey") % 1_000_000).alias("chunk_idx"),
-        )
-    )
+    vecs = _vecs(spread(docs))
+    # query side re-derived from the FILTERED scan (optimization r12,
+    # guide §2.4/§6): chunking + embedding are per-document, so the
+    # query chunks equal the full pipeline filtered — the old
+    # vecs.filter(...) broadcast branch re-ran the whole corpus
+    # chunk→embed pipeline a second time just to keep
+    # query_docs_below documents; this pushes the doc_id predicate
+    # into the parquet scan and embeds only the query docs.
     q = F.broadcast(
-        vecs.filter(F.col("doc_id") < int(query_docs_below)).select(
+        _vecs(docs.filter(F.col("doc_id") < int(query_docs_below)))
+        .select(
             F.col("ckey").alias("q_ckey"),
             F.col("doc_id").alias("query_doc"),
             F.col("chunk_idx").alias("query_chunk"),
