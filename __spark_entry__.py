@@ -4019,6 +4019,21 @@ _R12_PREFIX = [
     #                               #1): this driver row is the
     #                               second source under the both-
     #                               sources rule — code unchanged
+    # (a2) changed by the r12 OPTIMIZATION phase (plans restructured,
+    # outputs oracle-proven identical at both SFs locally — promoted
+    # so the driver re-hashes them): the three whose _q fns changed
+    # (modality filter pushed through the opaque encode), plus one
+    # referencing entry per operator module the optimization touched
+    # that had none left in the prefix (chunking.py query-side
+    # filter pushdown; graph.py star + min-label CC round rewrites;
+    # ivf.py docstring-only)
+    "phash_neardup",
+    "audio_neardup",
+    "multimodal_frames_real",
+    "chunk_retrieval",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "topk_ivf_portable",
     # (b) new in r12 — the graphite render-target front door
     # (parser + composer over the operator layer; all oracle-paired,
     # green at sf0.01 AND sf0.1 locally)
@@ -4052,17 +4067,12 @@ _R12_PREFIX = [
     "except_custkeys",
     "cube_orders",
     "top_parts",
-    "running_totals",
-    "rank_window",
     "grouping_sets",
     "range_frame_sum",
     "percentiles",
     "time_shift_join",
     "forward_fill",
     "anomaly_zscore",
-    "top_series",
-    "moving_median",
-    "winsorize",
     "simhash_pairs_global",
     "topk_cosine_pq",
     "topk_cosine_ivfpq",
@@ -4073,8 +4083,6 @@ _R12_PREFIX = [
     # order (stream_store_replay already promoted in (a); the next
     # three r8 greens were displaced by the wave-8 composed entries
     # and stay at the head of the r13 (c) block)
-    "stream_windowed_rollup",
-    "stream_sessions",
 ]
 
 #: The r11 driver-checked prefix (the driver verified the FIRST 50
@@ -4727,30 +4735,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 wrong #1 — code unchanged; series_orderings additionally
     gains avg_value + guarded rank_by_avg for the wave-8
     sortBy/highest/lowestAverage dispatch — output AND oracle
-    changed); (b) 6 new entries — the graphite render-target front
-    door (VERDICT r11 missing #1): render_target (parse → glob-find
-    → compose → execute of a nested function-call target string),
-    render_panel (multi-target panel), render_window (movingAverage
-    window compose), then the wave-8 grammar-completion composed
-    entries render_compose (aggregate(group(grep,grep),"sum") — the
-    composition glue), render_weighted (weightedAverage node-key
-    pairing, decimal product sums) and render_linreg
-    (linearRegression's closed form re-expanded per slot) — every
-    one oracle-paired so the rows-only census stays frozen at 16;
-    (c) the four r6-stale leftovers (cohort_retention,
-    approx_distinct_users, token_counts, multimodal_features) then
-    the FULL 32-entry r7-stale block in CORRECTNESS_r07 key order
-    (asof_join … quality_classifier) — clearing every r6 and r7 row
-    from the backlog; (d) the first 2 r8 greens in CORRECTNESS_r08
-    key order (stream_windowed_rollup, stream_sessions;
-    stream_store_replay was already promoted in (a), and the next
-    three r8 greens were displaced by the wave-8 composed entries).
+    changed); (a2) 7 entries promoted by the r12 OPTIMIZATION phase
+    — plans restructured with outputs oracle-proven identical at
+    both SFs locally, so the driver re-hashes them: phash_neardup +
+    audio_neardup + multimodal_frames_real (the modality filter now
+    pushes through the opaque encode — _q fns changed),
+    chunk_retrieval (query side re-derived from the filtered scan),
+    neardup_clusters + neardup_clusters_star (the min-label
+    single-join round and the star contraction's canonical-downhill
+    rewrite), topk_ivf_portable (ivf.py module-hash coverage — a
+    tried-and-reverted docstring note only); (b) 6 new entries — the
+    graphite render-target front door (VERDICT r11 missing #1):
+    render_target (parse → glob-find → compose → execute of a nested
+    function-call target string), render_panel (multi-target panel),
+    render_window (movingAverage window compose), then the wave-8
+    grammar-completion composed entries render_compose
+    (aggregate(group(grep,grep),"sum") — the composition glue),
+    render_weighted (weightedAverage node-key pairing, decimal
+    product sums) and render_linreg (linearRegression's closed form
+    re-expanded per slot) — every one oracle-paired so the rows-only
+    census stays frozen at 16; (c) the four r6-stale leftovers
+    (cohort_retention, approx_distinct_users, token_counts,
+    multimodal_features) then the FIRST 27 of the 32-entry r7-stale
+    block in CORRECTNESS_r07 key order (asof_join …
+    quality_classifier, minus the five displaced by (a2):
+    rank_window, running_totals, top_series, moving_median,
+    winsorize — those five roll to r13); (d) is EMPTY — the two r8
+    greens the build session had filled with (stream_windowed_rollup,
+    stream_sessions) were displaced by (a2) and stay at the head of
+    the r13 (d) block.
 
     ROTATION PLAN (round 13): promote (a) anything changed in r13,
-    (b) new r13 entries, (c) the r8-stale block oldest-first in
-    CORRECTNESS_r08 key order (42 entries remain r8-stale going into
-    r13 after this round's 3 promotions; take them in file order and
-    roll any tail to r14), then (d) r9 greens oldest-first. After
+    (b) new r13 entries, (c) the five r7-stale leftovers
+    (rank_window, running_totals, top_series, moving_median,
+    winsorize — CORRECTNESS_r07 key order) then the r8-stale block
+    oldest-first in CORRECTNESS_r08 key order (take them in file
+    order and roll any tail to r14), then (d) r9 greens oldest-first
+    starting with stream_windowed_rollup + stream_sessions. After
     rotating, run ``python tools/prefix_state.py regen`` and keep
     tests/test_rotation_guard.py green.
 

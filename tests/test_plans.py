@@ -124,13 +124,23 @@ def test_tfidf_df_join_is_broadcast(spark):
     assert "partial_count" in plan or "HashAggregate" in plan, plan
 
 
-def test_anomaly_stats_join_is_broadcast(spark):
+def test_anomaly_stats_single_window_pass(spark):
+    # optimization r12: the per-metric stats are drawn beside every
+    # point in ONE metric-partitioned window pass — the old aggregate
+    # + broadcast join-back (whose two branches each re-evaluated the
+    # upstream) is gone, so the plan has NO join and exactly one
+    # metric-keyed Window over the input's exchange
+    import re
+
     import ceres_spark.operators.series as ser
     hourly = tbl.points(spark, SF).groupBy(
         "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
     ).agg(F.avg("value").alias("value"))
     plan = plan_of(ser.anomaly_zscore(hourly))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_windows == 1, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
 
 
 def test_series_functions_single_sort_exchange(spark):
@@ -245,12 +255,17 @@ def test_mixture_sample_single_scan_partial_agg(spark):
     assert "text" not in rs, rs
 
 
-def test_funnel_joins_user_cardinality_sides(spark):
+def test_funnel_single_pass_no_joins(spark):
+    # optimization r12: the reach-join chain (which re-evaluated every
+    # prior step's subtree per step — 6 scans for 3 steps) became ONE
+    # user-partitioned window pass + a per-user aggregate reusing the
+    # window's partitioning: a single events scan and NO join anywhere
+    import re
+
     import ceres_spark.operators.analytics as ana
     plan = plan_of(ana.funnel(tbl.load(spark, "events", SF)))
-    # each stage filter reaches the events scan (no full-stream join)
-    assert "PushedFilters" in plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
 
 
 def test_salted_join_spreads_hot_keys(spark):
@@ -536,14 +551,19 @@ def test_source_similarity_joins_vocab_not_corpus(spark):
 
 
 def test_ngram_novelty_single_gram_exchange(spark):
+    import re
+
     import ceres_spark.operators.dedup as dd
 
     plan = plan_of(dd.ngram_novelty(tbl.load(spark, "documents", SF)))
-    # linear shape: gram-keyed MIN + join-back reusing the same
-    # hash partitioning, one doc-keyed aggregate — no pairwise join
+    # linear shape (optimization r12): the per-gram MIN rides a
+    # gram-partitioned Window beside every span row — ONE span
+    # explode, no join of any kind, then the doc-keyed aggregate
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
-        or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_windows == 1, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
 
 
 def test_temperature_mix_single_corpus_scan(spark):
