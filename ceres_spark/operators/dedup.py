@@ -100,14 +100,16 @@ def jaccard_pairs(
     raw = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
     grams = F.transform(raw, lambda g: F.xxhash64(g))
     # spread: the gram-hash HOF pass is the per-row cost and a single
-    # row-group scan would run it on one core (guide §2.5); eager
-    # localCheckpoint materializes the small fingerprint table ONCE —
-    # without it the whole gram subtree is re-evaluated on BOTH sides
-    # of the self-join below (guide §3.3/§8: stage the signature
-    # table, join the lightweight proxy)
+    # row-group scan would run it on one core (guide §2.5); LAZY
+    # localCheckpoint shares ONE evaluation of the fingerprint table
+    # across both self-join sides (guide §3.3/§8: stage the signature
+    # table, join the lightweight proxy) without paying a serialized
+    # materialization job up front — the eager form was measured
+    # ~+0.2 s of pure job latency here (same lesson as tpch_q11's
+    # per-part table: the first action materializes it either way)
     d = spread(docs).select(
         F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = d.select(
         F.col("doc_id").alias("doc_a"), "_blk", F.col("_g").alias("_ga")
     )

@@ -513,7 +513,14 @@ def embedding_decontamination(
     )
     sim_col = cosine(F.col(vec_col), F.col("_eval_vec"))
     return (
-        spread(emb).select(id_col, vec_col)
+        # no spread() here (tried r12, measured, reverted): the corpus
+        # side feeds a broadcast-join explode whose per-row fold-cosine
+        # is cheap relative to a round-robin Exchange of the vectors —
+        # the added shuffle regressed the bench action ~2× while the
+        # parallelized compute it bought is pruned-out under count().
+        # At production scale the scan is already parallel and spread
+        # would be a no-op anyway (guide §1.2: measure, then revert).
+        emb.select(id_col, vec_col)
         .join(ev)
         .select(
             id_col,
