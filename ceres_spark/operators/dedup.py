@@ -166,9 +166,12 @@ def jaccard_pairs_vectorized(
     """
     raw = shingles(shingle_k) if use_shingles else F.array_distinct(tokens())
     grams = F.transform(raw, lambda g: F.xxhash64(g))
-    # spread: the gram-hash pass is per-row CPU; a one-row-group scan
-    # would run it single-core before the block shuffle (guide §2.5)
-    d = spread(docs).select(
+    # no spread() here (tried r12, interleaved A/B, reverted): the
+    # heavy work (the per-block numpy matmul) runs AFTER the groupBy
+    # exchange, which redistributes rows anyway — a round-robin
+    # Exchange ahead of it only parallelizes the cheap gram HOF and
+    # cost ~0.2 s net on the bench action (0.54 → 0.75 s min)
+    d = docs.select(
         F.col("doc_id"), F.col(block_col).alias("_blk"), grams.alias("_g")
     )
     schema = "doc_a long, doc_b long, jaccard_sim double"
