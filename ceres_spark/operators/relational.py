@@ -680,7 +680,9 @@ def q21_waiting_supplier(
     )
 
 
-def partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partsupp_view(
+    spark: SparkSession, sf_dir: str, part: DataFrame | None = None
+) -> DataFrame:
     """Deterministic ``partsupp`` derived from part × supplier-count
     with pure modular arithmetic — the fixture ships no partsupp
     table, and this construction is reproducible bit-identically in
@@ -699,8 +701,20 @@ def partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 4×|part| rows built scan-side from the part table; the
     supplier count is a 1-row broadcast. No data is materialized —
     it's a view composed into each query's plan.
+
+    ``part`` (optimization r12, guide §2.3/§3.2 — reduce before the
+    explode): a caller that inner-joins the view against a FILTERED
+    part set can pass that frame here and the synthesis runs over
+    4×|σ(part)| rows instead of 4×|part| — synthesized rows for
+    filtered-out parts could only die in the caller's join anyway
+    (the min-collapse groups on ps_partkey, so dropping whole parts
+    changes no surviving group). The ``_S`` supplier-count seed stays
+    the FULL supplier table regardless — it is part of the suppkey
+    formula, not a join reduction.
     """
-    part = tbl.load(spark, "part", sf_dir).select("p_partkey")
+    if part is None:
+        part = tbl.load(spark, "part", sf_dir)
+    part = part.select("p_partkey")
     s_cnt = tbl.load(spark, "supplier", sf_dir).agg(
         F.count("*").alias("_S")
     )
@@ -763,10 +777,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans in the census plan). Keeping rows equal to the per-group
     min is exactly what the equality join-back kept. Supplier⋈
     nation⋈region is a broadcast dim."""
-    ps = partsupp_view(spark, sf_dir)
     part = tbl.load(spark, "part", sf_dir).filter(
         F.col("p_size") == 15
     )
+    # seed the partsupp synthesis with the filtered part set (guide
+    # §2.3): 4×|size-15 parts| synthesized rows instead of 4×|part| —
+    # the inner join below dropped the rest anyway
+    ps = partsupp_view(spark, sf_dir, part=part)
     supplier = tbl.load(spark, "supplier", sf_dir)
     nation = tbl.load(spark, "nation", sf_dir)
     region = tbl.load(spark, "region", sf_dir).filter(
@@ -808,10 +825,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp and part are broadcast dims against the lineitem fact;
     the only fact shuffle is the orderkey join to orders for the
     year, then the small (nation, year) aggregate."""
-    ps = partsupp_view(spark, sf_dir)
     part = tbl.load(spark, "part", sf_dir).filter(
         F.col("p_name").like("%red%")
     ).select("p_partkey")
+    # red-filtered synthesis seed (guide §2.3) — the li⋈part inner
+    # join kept only red parts' ps rows anyway
+    ps = partsupp_view(spark, sf_dir, part=part)
     li = tbl.load(spark, "lineitem", sf_dir)
     orders = tbl.load(spark, "orders", sf_dir).select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
@@ -910,12 +929,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier count per (brand, type, size) for non-PROMO, non-Brand#1
     parts in the probe sizes. Anti-join of the excluded suppliers
     rides the broadcast; the count-distinct is the only shuffle."""
-    ps = partsupp_view(spark, sf_dir)
     part = tbl.load(spark, "part", sf_dir).filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 42, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # filtered synthesis seed (guide §2.3) — the inner part join kept
+    # only these parts' ps rows anyway
+    ps = partsupp_view(spark, sf_dir, part=part)
     bad_supp = tbl.load(spark, "supplier", sf_dir).filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -946,10 +967,12 @@ def q20_excess_stock_suppliers(
     into one (partkey, suppkey) aggregate of the date-pruned lineitem
     scan, joined to partsupp on the same composite key — a LEFT SEMI
     from supplier finishes the EXISTS."""
-    ps = partsupp_view(spark, sf_dir)
     part = tbl.load(spark, "part", sf_dir).filter(
         F.col("p_name").like("blue%")
     ).select("p_partkey")
+    # blue-filtered synthesis seed (guide §2.3) — the ps⋈part inner
+    # join kept only blue parts' ps rows anyway
+    ps = partsupp_view(spark, sf_dir, part=part)
     li = tbl.load(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
