@@ -1176,11 +1176,26 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     pl = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    avg_q = pl.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        _dec_avg(F.col("l_quantity")).alias("_avg_qty")
+    # per-part average drawn BESIDE every row in one l_partkey window
+    # pass (optimization r12, guide §2.4 — the q2/batch-3 idiom): the
+    # old aggregate + broadcast join-back consumed the lineitem⋈part
+    # subtree twice, i.e. a second full lineitem scan at any scale.
+    # The window's sum/count are the SAME decimal operands the groupBy
+    # computed, so the 0.2× threshold sees identical values; the extra
+    # l_partkey exchange carries only the part-filtered subset
+    # (brand+type selective), which a second fact scan dwarfs.
+    w = Window.partitionBy("l_partkey")
+    # same expression chain as _dec_avg with the window attached to
+    # the aggregates themselves (the casts live OUTSIDE the sum):
+    # sum(decimal) → string → double, divided by count — identical
+    # operands and rounding to the groupBy form
+    avg_beside = (
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).over(w)
+        .cast("string").cast("double")
+        / F.count(F.col("l_quantity")).over(w)
     )
     return (
-        pl.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_pk"))
+        pl.withColumn("_avg_qty", avg_beside)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
         .agg(
             (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
