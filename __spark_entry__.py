@@ -481,9 +481,7 @@ def _q_stream_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _replay_scratch("store", sf_dir)
     src, pts_dir, ck = f"{base}/src", f"{base}/pts", f"{base}/ck"
     pts = tbl.points(spark, sf_dir).filter(F.col("value").isNotNull())
-    _write_arrival_files(
-        _with_time_quartile(pts, "arrival_seq"), src, 4
-    )
+    _write_arrival_files_ranged(pts, "arrival_seq", src, 4)
     stream = (
         spark.readStream.schema(
             "metric string, ts long, value double, arrival_seq long"
@@ -2862,9 +2860,7 @@ def _replay_stateful(
     instead of one per entry."""
     base = _replay_scratch(name, sf_dir)
     src, ck = f"{base}/src", f"{base}/ck"
-    _write_arrival_files(
-        _with_time_quartile(feed, t_col, n_batches), src, n_batches
-    )
+    _write_arrival_files_ranged(feed, t_col, src, n_batches)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2884,78 +2880,98 @@ def _replay_stateful(
     return spark.table(q.name)
 
 
-def _write_arrival_files(
-    df: DataFrame, src: str, n: int, part_col: str = "_part"
-) -> None:
-    """Write ``df`` as ``n`` single-file parquet batches in arrival
-    order (``part_col`` values 0..n-1, dropped before write), pinning
-    each batch's file mtimes to a distinct synthetic epoch — the file
-    streaming source triggers by modification time and two fast
-    appends can share a tick, which would scramble arrival order.
-
-    This is FIXTURE PREP, not an operator: the feeds are toy-scale by
-    the replay contract, so the fast path collects them once as Arrow
-    batches (Spark's own Arrow schema — timestamps stay
-    tz-aware microseconds, float lists stay float32, so the file
-    source's explicit read schema sees exactly the types the Spark
-    write would have produced) and writes the n files driver-side
-    with pyarrow — zero Spark jobs. The previous forms ran n
-    sequential filter+coalesce jobs (r1–r6, ~1.5–3 s of the
-    per-replay floor) then one partitionBy job (early r7); if the
-    Arrow collect is unavailable the partitionBy form remains as the
-    fallback. n files == n micro-batches either way."""
-    import glob
-    import os
-    import shutil
-
+def _arrow_collect(df: DataFrame):
+    """Collect ``df`` driver-side as one Arrow table (the replay
+    fixture fast path — feeds are toy-scale by the replay contract).
+    Returns ``None`` when the Arrow bridge is unavailable or the
+    frame is empty, after printing the LOUD fallback line (a PySpark
+    change that breaks the Arrow collect must not silently re-inflate
+    the replay floor; tests/test_arrow_seam.py pins the API)."""
     try:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         # public API since Spark 4.0 (SPARK-47365) — replaced the
         # private _collect_as_arrow this rode through r8, retiring
-        # the version-bump seam VERDICT r8 flagged; same Arrow
-        # conversion path, so the schema guarantees above still hold
+        # the version-bump seam VERDICT r8 flagged; timestamps stay
+        # tz-aware microseconds, float lists stay float32, so the
+        # file source's explicit read schema sees exactly the types
+        # the Spark write would have produced
         tbl = df.toArrow()
-        if tbl.num_rows == 0:
-            tbl = None
+        return None if tbl.num_rows == 0 else tbl
     except Exception as exc:
-        # LOUD fallback: a PySpark change that breaks the Arrow
-        # collect must not silently re-inflate the replay floor
-        # (~1.5-3 s/replay of partitionBy jobs).
-        # tests/test_arrow_seam.py pins the API so a breaking bump
-        # fails pytest; this line makes a runtime fallback visible
-        # in driver logs too (VERDICT r8).
         print(
             "[ceres_spark] arrow arrival fast path unavailable "
             f"({type(exc).__name__}: {exc}); falling back to "
             "partitionBy arrival write",
             file=sys.stderr,
         )
-        tbl = None
+        return None
+
+
+def _write_arrival_arrow(tbl, part, src: str, n: int) -> bool:
+    """Write an Arrow table as ``n`` single-file parquet arrival
+    batches selected by the numpy int vector ``part`` (values 0..n-1,
+    not a table column), mtimes pinned to distinct synthetic epochs —
+    the file streaming source triggers by modification time and two
+    fast appends can share a tick, which would scramble arrival
+    order. Returns False on a mid-write I/O failure (after cleaning
+    partial files) so the caller can run its Spark fallback."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(src, exist_ok=True)
+    try:
+        for i in range(n):
+            sub = tbl.filter(pa.array(part == i))
+            if sub.num_rows == 0:
+                # a real exception, not assert: under python -O an
+                # assert vanishes and an empty arrival file would
+                # silently change the micro-batch count (ADVICE r7)
+                raise _BadArrivalSplit(f"empty arrival batch {i} ({src})")
+            dst = os.path.join(src, f"arrival-{i:02d}.parquet")
+            pq.write_table(sub, dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+        return True
+    except _BadArrivalSplit:
+        raise  # logic error — the fallback would produce it too
+    except Exception:
+        # mid-write failure (disk, arrow) → remove partial files so
+        # the partitionBy fallback starts from a clean src dir
+        for part_f in glob.glob(os.path.join(src, "arrival-*.parquet")):
+            os.remove(part_f)
+        return False
+
+
+def _write_arrival_files(
+    df: DataFrame, src: str, n: int, part_col: str = "_part"
+) -> None:
+    """Write ``df`` as ``n`` single-file parquet batches in arrival
+    order (``part_col`` values 0..n-1, dropped before write).
+
+    This is FIXTURE PREP, not an operator: the fast path collects the
+    frame once as Arrow (see :func:`_arrow_collect`) and writes the n
+    files driver-side with pyarrow — zero Spark jobs. The previous
+    forms ran n sequential filter+coalesce jobs (r1–r6, ~1.5–3 s of
+    the per-replay floor) then one partitionBy job (early r7); if the
+    Arrow collect is unavailable the partitionBy form remains as the
+    fallback. n files == n micro-batches either way."""
+    tbl = _arrow_collect(df)
     if tbl is not None:
-        try:
-            col = tbl.column(part_col)
-            for i in range(n):
-                sub = tbl.filter(pc.equal(col, i)).drop([part_col])
-                if sub.num_rows == 0:
-                    # a real exception, not assert: under python -O an
-                    # assert vanishes and an empty arrival file would
-                    # silently change the micro-batch count (ADVICE r7)
-                    raise _BadArrivalSplit(f"empty arrival batch {i} ({src})")
-                dst = os.path.join(src, f"arrival-{i:02d}.parquet")
-                pq.write_table(sub, dst)
-                os.utime(dst, (1000 + i, 1000 + i))
+        part = tbl.column(part_col).to_numpy(zero_copy_only=False)
+        if _write_arrival_arrow(tbl.drop([part_col]), part, src, n):
             return
-        except _BadArrivalSplit:
-            raise  # logic error — the fallback would produce it too
-        except Exception:
-            # mid-write failure (disk, arrow) → remove partial files so
-            # the partitionBy fallback starts from a clean src dir
-            for part in glob.glob(os.path.join(src, "arrival-*.parquet")):
-                os.remove(part)
+    _write_arrival_spark_fallback(df, src, n, part_col)
+
+
+def _write_arrival_spark_fallback(
+    df: DataFrame, src: str, n: int, part_col: str = "_part"
+) -> None:
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
     stage = src.rstrip("/") + "_stage"
     (
         df.repartition(n, F.col(part_col))
@@ -2972,6 +2988,62 @@ def _write_arrival_files(
         os.replace(files[0], dst)
         os.utime(dst, (1000 + i, 1000 + i))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _write_arrival_files_ranged(
+    df: DataFrame, t_col: str, src: str, n: int, drop: tuple[str, ...] = ()
+) -> None:
+    """Arrival write with the contiguous time-range split computed
+    DRIVER-SIDE from the one Arrow collect the fixture write already
+    pays (optimization r13, guide §2.4/§5: the Spark-side form cost
+    one extra min/max scalar job plus a wider collect per replay
+    entry — pure fixed overhead billed to every streaming entry).
+    Same integer split rule as :func:`_with_time_quartile`
+    (``part = (n * (t - lo)) div span``, arrival strictly
+    time-ordered so watermarks never drop replayed data); byte-equal
+    files. ``drop`` columns (e.g. a helper epoch column) are removed
+    before write, AFTER the split is computed from them. Falls back
+    to the two-job Spark path when Arrow is unavailable."""
+    import numpy as np
+
+    tbl = _arrow_collect(df)
+    if tbl is not None:
+        t = tbl.column(t_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(t.min()), int(t.max())
+        span = hi - lo + 1
+        part = (n * (t - lo)) // span
+        if _write_arrival_arrow(
+            tbl.drop(list(drop)) if drop else tbl, part, src, n
+        ):
+            return
+    fb = _with_time_quartile(df, t_col, n)
+    if drop:
+        fb = fb.drop(*drop)
+    _write_arrival_spark_fallback(fb, src, n)
+
+
+def _write_arrival_files_half(df: DataFrame, id_col: str, src: str) -> None:
+    """Arrival write for the two-batch id-ordered replays
+    (corpus/simhash/ann ingest): batch 1 = rows with
+    ``id > max(id) // 2`` — the existing split rule, with the
+    max(id) scalar job folded into the Arrow collect the write
+    already pays (optimization r13, same motivation as
+    :func:`_write_arrival_files_ranged`)."""
+    import numpy as np
+
+    tbl = _arrow_collect(df)
+    if tbl is not None:
+        ids = (
+            tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        mid = int(ids.max()) // 2
+        part = (ids > mid).astype(np.int64)
+        if _write_arrival_arrow(tbl, part, src, 2):
+            return
+    mid = df.agg(F.max(id_col)).collect()[0][0] // 2  # bounded scalar
+    _write_arrival_spark_fallback(
+        df.withColumn("_part", (F.col(id_col) > mid).cast("int")), src, 2
+    )
 
 
 class _BadArrivalSplit(RuntimeError):
@@ -3046,8 +3118,11 @@ class _replay_shuffle:
     checkpoint at first start; the scratch dir is wiped per call, so
     scoping the confs around start() is safe."""
 
-    def __init__(self, spark: SparkSession, n: int = 4):
+    def __init__(
+        self, spark: SparkSession, n: int = 4, no_data_batch: bool = True
+    ):
         self.spark, self.n = spark, n
+        self.no_data_batch = no_data_batch
 
     def __enter__(self):
         import os
@@ -3057,7 +3132,24 @@ class _replay_shuffle:
         conf.set("spark.sql.shuffle.partitions", str(self.n))
         mode = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb_changelog")
         self.saved = {}
-        for k, v in STATE_STORE_MODES.get(mode, {}).items():
+        extra = {}
+        if not self.no_data_batch:
+            # optimization r13 (guide §2.4 — remove a whole no-op
+            # cycle): availableNow appends one NO-DATA micro-batch
+            # after the last data batch to advance the watermark. For
+            # update-mode aggregates (emission happens in the data
+            # batch that changed the group) and watermarked INNER
+            # joins (emission happens when the match arrives; the
+            # watermark only EVICTS state) that extra batch provably
+            # emits zero rows while paying a full plan/offset/state-
+            # commit cycle per state partition — at any scale. Callers
+            # whose OUTPUT depends on watermark closure (append-mode
+            # sessions) must keep it. Results are oracle-verified per
+            # entry; batch==stream pytest parity pins it too.
+            extra["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+        for k, v in {
+            **STATE_STORE_MODES.get(mode, {}), **extra
+        }.items():
             # rocksdb.* keys are provider confs without registered
             # SQLConf defaults — get(key) raises on them, get(key,
             # None) does not
@@ -3114,7 +3206,9 @@ def _q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out
         )
 
-    with _replay_shuffle(spark):
+    # update-mode aggregate: every emission happens in the data batch
+    # that changed the group — the trailing no-data batch is a no-op
+    with _replay_shuffle(spark, no_data_batch=False):
         q = (
             agg.writeStream.foreachBatch(_sink)
             .outputMode("update")
@@ -3179,18 +3273,47 @@ def _q_stream_backfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec.alias("x"),
         "event_id",
     )
-    x0 = ev.agg(F.min("x")).collect()[0][0]  # bounded 1-row scalar
-    cut = int(x0) - int(x0) % 300 + 6 * 3600  # 300-aligned: no
-    # window straddles the late/on-time boundary by ts alone —
-    # mixing happens per-ROW (event_id%3), giving merged windows
-    late = (F.col("x") < F.lit(cut)) & (F.col("event_id") % 3 == 0)
-    on_time = _with_time_quartile(ev.filter(~late), "x", 3)
-    feed = on_time.unionByName(
-        ev.filter(late).withColumn("_part", F.lit(3))
-    ).drop("event_id")
-    _write_arrival_files(feed, src, 4)
+    # cut is 300-aligned: no window straddles the late/on-time
+    # boundary by ts alone — mixing happens per-ROW (event_id%3),
+    # giving merged windows. Fast path (optimization r13): the late
+    # mask and the 3-way on-time time-range split are derived
+    # driver-side from the ONE Arrow collect the arrival write pays,
+    # instead of a min(x) scalar job + _with_time_quartile's min/max
+    # job + a union plan — same rows per arrival file, same order.
+    tbl_ev = _arrow_collect(ev)
+    if tbl_ev is not None:
+        import numpy as np
+
+        x = tbl_ev.column("x").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        eid = tbl_ev.column("event_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        x0 = int(x.min())
+        cut = x0 - x0 % 300 + 6 * 3600
+        late_np = (x < cut) & (eid % 3 == 0)
+        lo = int(x[~late_np].min())
+        span = int(x[~late_np].max()) - lo + 1
+        part = np.where(late_np, 3, (3 * (x - lo)) // span)
+        wrote = _write_arrival_arrow(
+            tbl_ev.drop(["event_id"]), part, src, 4
+        )
+    else:
+        wrote = False
+    if not wrote:
+        x0 = ev.agg(F.min("x")).collect()[0][0]  # bounded 1-row scalar
+        cut = int(x0) - int(x0) % 300 + 6 * 3600
+        late = (F.col("x") < F.lit(cut)) & (F.col("event_id") % 3 == 0)
+        on_time = _with_time_quartile(ev.filter(~late), "x", 3)
+        feed = on_time.unionByName(
+            ev.filter(late).withColumn("_part", F.lit(3))
+        ).drop("event_id")
+        _write_arrival_spark_fallback(feed, src, 4)
     schema = "metric string, ts timestamp, value double, x long"
-    with _replay_shuffle(spark):
+    # both legs emit only in data batches (update-mode aggregate /
+    # stateless foreachBatch) — the trailing no-data batch is a no-op
+    with _replay_shuffle(spark, no_data_batch=False):
         # leg 1: the watermarked dashboard (drops the late batch)
         agg1 = sing.windowed_rollup_stream(
             spark.readStream.schema(schema)
@@ -3275,16 +3398,13 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ck = f"{base}/src", f"{base}/ck"
     ev_raw = tbl.load(spark, "events", sf_dir)
     sec = tbl.epoch_seconds(ev_raw.schema["ts"].dataType)
-    ev = _with_time_quartile(
-        ev_raw.select(
-            "user_id",
-            F.timestamp_seconds(sec).alias("ts"),
-            "value",
-            sec.alias("_t"),
-        ),
-        "_t",
-    ).drop("_t")
-    _write_arrival_files(ev, src, 4)
+    ev = ev_raw.select(
+        "user_id",
+        F.timestamp_seconds(sec).alias("ts"),
+        "value",
+        sec.alias("_t"),
+    )
+    _write_arrival_files_ranged(ev, "_t", src, 4, drop=("_t",))
     stream = (
         spark.readStream.schema(
             "user_id long, ts timestamp, value double"
@@ -3330,18 +3450,16 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other 60% of the stream would be filtered inside the query
     # anyway, and at sf0.1 streaming them through the join state
     # machinery tripled the entry's wall time
-    ev = _with_time_quartile(
-        ev_raw.filter(F.col("event_type").isin("purchase", "click"))
-        .select(
-            "user_id",
-            F.timestamp_seconds(sec).alias("ts"),
-            "value",
-            "event_type",
-            sec.alias("_t"),
-        ),
-        "_t",
-    ).drop("_t")
-    _write_arrival_files(ev, src, 4)
+    ev = ev_raw.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        F.timestamp_seconds(sec).alias("ts"),
+        "value",
+        "event_type",
+        sec.alias("_t"),
+    )
+    _write_arrival_files_ranged(ev, "_t", src, 4, drop=("_t",))
 
     def read(kind: str) -> DataFrame:
         return (
@@ -3358,7 +3476,9 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read("purchase"), read("click"), within="1 hour",
         lateness="1 minute",
     )
-    with _replay_shuffle(spark):
+    # inner join: rows emit when the match ARRIVES; the watermark only
+    # evicts state — the trailing no-data batch is a no-op
+    with _replay_shuffle(spark, no_data_batch=False):
         q = (
             joined.writeStream.format("memory")
             .queryName(f"sij_{abs(hash(base)) % 10**9}")
@@ -3420,14 +3540,7 @@ def _q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # scalar, bounded
-    _write_arrival_files(
-        docs.withColumn(
-            "_part", (F.col("doc_id") > mid).cast("int")
-        ),
-        src,
-        2,
-    )
+    _write_arrival_files_half(docs, "doc_id", src)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -3470,12 +3583,7 @@ def _q_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # bounded scalar
-    _write_arrival_files(
-        docs.withColumn("_part", (F.col("doc_id") > mid).cast("int")),
-        src,
-        2,
-    )
+    _write_arrival_files_half(docs, "doc_id", src)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -3593,12 +3701,7 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen coarse quantizer: 8 rows, bounded collect (index artifact)
     cent_rows = quant.orderBy("vec_id").limit(8).collect()
     centroids = [[int(v) for v in r["qvec"]] for r in cent_rows]
-    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2  # bounded scalar
-    _write_arrival_files(
-        quant.withColumn("_part", (F.col("vec_id") > mid).cast("int")),
-        src,
-        2,
-    )
+    _write_arrival_files_half(quant, "vec_id", src)
     stream = (
         spark.readStream.schema("vec_id long, qvec array<long>")
         .option("maxFilesPerTrigger", 1)

@@ -123,3 +123,66 @@ def test_empty_split_raises_not_silently_shrinks(spark, tmp_path):
     )
     with pytest.raises(entry._BadArrivalSplit):
         entry._write_arrival_files(df, str(tmp_path / "bad"), 4)
+
+def test_ranged_split_matches_spark_quartile_path(spark, tmp_path):
+    """Optimization r13: _write_arrival_files_ranged computes the
+    contiguous time-range split driver-side from the Arrow collect.
+    The files must be row-identical to the old Spark-side
+    _with_time_quartile + _write_arrival_files path (same integer
+    split rule), including the drop= helper-column handling."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.range(97).select(
+        (F.col("id") * 7 + 13).cast("long").alias("ts"),
+        (F.col("id").cast("double") / 3).alias("v"),
+    )
+    new = str(tmp_path / "new")
+    entry._write_arrival_files_ranged(df, "ts", new, 4)
+    old = str(tmp_path / "old")
+    entry._write_arrival_files(
+        entry._with_time_quartile(df, "ts", 4), old, 4
+    )
+    con = duckdb.connect()
+    for i in range(4):
+        q = "SELECT * FROM read_parquet('{}/arrival-%02d.parquet')" % i
+        assert (
+            con.execute(q.format(new)).fetchall()
+            == con.execute(q.format(old)).fetchall()
+        )
+    # drop= removes the helper column AFTER the split is computed
+    dropped = str(tmp_path / "dropped")
+    entry._write_arrival_files_ranged(df, "ts", dropped, 4, drop=("ts",))
+    cols = con.execute(
+        f"SELECT * FROM read_parquet('{dropped}/arrival-00.parquet') LIMIT 0"
+    ).description
+    assert [c[0] for c in cols] == ["v"]
+
+
+def test_half_split_matches_agg_mid_path(spark, tmp_path):
+    """_write_arrival_files_half: batch 1 is id > max(id)//2 — the
+    split rule the corpus/simhash/ann replays used, with the max(id)
+    scalar job folded into the Arrow collect."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.range(31).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    new = str(tmp_path / "new")
+    entry._write_arrival_files_half(df, "doc_id", new)
+    mid = df.agg(F.max("doc_id")).collect()[0][0] // 2
+    old = str(tmp_path / "old")
+    entry._write_arrival_files(
+        df.withColumn("_part", (F.col("doc_id") > mid).cast("int")),
+        old,
+        2,
+    )
+    con = duckdb.connect()
+    for i in range(2):
+        q = "SELECT * FROM read_parquet('{}/arrival-%02d.parquet')" % i
+        assert (
+            con.execute(q.format(new)).fetchall()
+            == con.execute(q.format(old)).fetchall()
+        )
