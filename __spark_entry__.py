@@ -1473,7 +1473,8 @@ def _q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom operator (§2.2): range/interval join — events banded by
     value tier via binned containment join, then aggregated."""
     ev = tbl.load(spark, "events", sf_dir).select("event_id", "value")
-    bands = spark.createDataFrame(
+    bands = tbl.local_rows(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 250.0)],
         "band string, lo double, hi double",
     )
@@ -1893,7 +1894,7 @@ def _q_remove_empty_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("metric")
         .distinct()
         .unionByName(
-            spark.createDataFrame([("nodata",)], "metric string")
+            tbl.local_rows(spark, [("nodata",)], "metric string")
         )
     )
     dense = ser.read_series(scoped, metrics, T0, T0 + DAY, 3600, "average")
@@ -2073,7 +2074,8 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import ceres_spark.operators.join_strategies as js
 
     ev = tbl.load(spark, "events", sf_dir).select("event_type", "value")
-    dim = spark.createDataFrame(
+    dim = tbl.local_rows(
+        spark,
         [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
          ("signup", 5.0), ("error", 0.0)],
         "event_type string, weight double",

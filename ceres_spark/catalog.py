@@ -45,20 +45,34 @@ DEFAULTS = {"timeStep": 60, "aggregationMethod": "average"}
 def make_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Build a catalog DataFrame from metadata dicts (node create,
     op #2). Unknown JSON keys are dropped — the engine only ever read
-    the keys modeled here."""
+    the keys modeled here.
+
+    Built as a pure-JVM literal plan (``inline`` over a struct-array
+    literal), NOT ``spark.createDataFrame(list_of_dicts)``
+    (optimization r13, guide §4.1): the list form is a Python-RDD-
+    backed relation that spins ``defaultParallelism`` pickled-row
+    Python tasks every time the catalog is evaluated — 32 Python
+    worker round-trips to materialize a handful of metadata rows,
+    and the cost SCALES WITH CORE COUNT (the expire_catalog 32-vs-8
+    inversion in PERF_r12's scaling block). The literal plan
+    evaluates driver/JVM-side with zero Python tasks at any core
+    count. Same schema, same rows, same nullability.
+    """
+    from ceres_spark.sources.tables import local_rows
+
     filled = [
-        {
-            "metric": r["metric"],
-            "timeStep": int(r.get("timeStep", DEFAULTS["timeStep"])),
-            "aggregationMethod": r.get(
-                "aggregationMethod", DEFAULTS["aggregationMethod"]
-            ),
-            "retentions": r.get("retentions"),
-            "xFilesFactor": r.get("xFilesFactor"),
-        }
+        (
+            str(r["metric"]),
+            int(r.get("timeStep", DEFAULTS["timeStep"])),
+            str(r.get("aggregationMethod", DEFAULTS["aggregationMethod"])),
+            r.get("retentions"),
+            None
+            if r.get("xFilesFactor") is None
+            else float(r["xFilesFactor"]),
+        )
         for r in rows
     ]
-    return spark.createDataFrame(filled, CATALOG_SCHEMA)
+    return local_rows(spark, filled, CATALOG_SCHEMA)
 
 
 def catalog_from_points(points: DataFrame) -> DataFrame:

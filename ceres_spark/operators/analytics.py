@@ -307,9 +307,11 @@ def _flag_hot(df: DataFrame, key_col: str, hot_list: list) -> DataFrame:
     chains the flag machinery into every branch of the lineage."""
     if len(hot_list) <= MAX_HOT_ISIN:
         return df.withColumn("_hot", F.col(key_col).isin(hot_list))
+    from ceres_spark.sources.tables import local_rows
+
     spark = df.sparkSession
-    hot_df = spark.createDataFrame(
-        [(k,) for k in hot_list], schema=df.select(key_col).schema
+    hot_df = local_rows(
+        spark, [(k,) for k in hot_list], df.select(key_col).schema
     ).withColumn("_hot_flag", F.lit(True))
     return (
         df.join(F.broadcast(hot_df), key_col, "left")

@@ -231,7 +231,10 @@ def bpe_train(
             vocab = vocab.withColumn("syms", _merge_expr(left, right))
             if rank % 4 == 0 or rank == int(n_merges):
                 vocab = vocab.localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    from ceres_spark.sources.tables import local_rows
+
+    return local_rows(
+        spark,
         [
             (rank, left, right, left + right, int(cnt))
             for rank, left, right, cnt in merges

@@ -82,6 +82,70 @@ def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFr
     return {name: load(spark, name, sf_dir) for name in TABLES}
 
 
+#: past this many rows a literal expression tree costs more in
+#: analysis/planning than the Python tasks it saves — fall back
+_LOCAL_ROWS_MAX = 1000
+
+
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-local table as a PURE-JVM literal plan
+    (optimization r13, guide §4.1).
+
+    ``spark.createDataFrame(list, schema)`` builds a Python-RDD-backed
+    relation: EVERY evaluation of the frame (each branch of a plan, a
+    broadcast build, a count) runs ``defaultParallelism`` pickled-row
+    Python tasks — 32 Python worker round-trips to emit a 3-row dims
+    table, with cost that grows with core count (the expire_catalog
+    32-core-loses-to-8 inversion in PERF_r12's scaling block). A
+    ``inline(array(struct...))`` literal evaluates JVM-side with zero
+    Python tasks and constant-folds into the plan.
+
+    Same rows, same column names/types as the ``createDataFrame``
+    form. Falls back to ``createDataFrame`` for empty/large inputs or
+    cell types the literal builder doesn't model (struct/map cells).
+    """
+    from pyspark.sql import types as T
+
+    target = spark.createDataFrame([], schema)  # parses DDL; no job
+    fields = target.schema.fields
+    rows = list(rows)
+    if not rows:
+        return target
+    if len(rows) > _LOCAL_ROWS_MAX:
+        return spark.createDataFrame(rows, target.schema)
+
+    def lit_cell(v, dt):
+        if v is None:
+            return F.lit(None).cast(dt)
+        if isinstance(dt, T.ArrayType):
+            if not isinstance(v, (list, tuple)):
+                raise TypeError(f"array cell from {type(v).__name__}")
+            if len(v) == 0:
+                return F.array().cast(dt)
+            return F.array(
+                *[lit_cell(x, dt.elementType) for x in v]
+            ).cast(dt)
+        if isinstance(dt, (T.StructType, T.MapType)):
+            raise TypeError(f"unmodeled literal cell type {dt}")
+        return F.lit(v).cast(dt)
+
+    try:
+        structs = [
+            F.struct(
+                *[
+                    lit_cell(r[i], f.dataType).alias(f.name)
+                    for i, f in enumerate(fields)
+                ]
+            )
+            for r in rows
+        ]
+    except TypeError:
+        return spark.createDataFrame(rows, target.schema)
+    # numPartitions=1: a bare range(1) still plans defaultParallelism
+    # splits — 32 tasks to emit one row
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure a minimum partition count before CPU-heavy per-row work
     (fingerprint/decode/explode passes).

@@ -122,7 +122,10 @@ class TransactionLog:
             )
             for e in self.entries()
         ]
-        return spark.createDataFrame(
+        from ceres_spark.sources.tables import local_rows
+
+        return local_rows(
+            spark,
             rows,
             "version long, action string, metric string, step int, n_rows long",
         ).orderBy("version", ascending=False)

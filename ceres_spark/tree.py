@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 import ceres_spark.catalog as cat
 import ceres_spark.operators.compact as cp
 import ceres_spark.operators.series as ser
+import ceres_spark.sources.tables as tbl
 import ceres_spark.sources.txn_log as txn
 from ceres_spark.errors import CorruptNode, NodeNotFound
 
@@ -230,8 +231,8 @@ class CeresTree:
                 pdir = os.path.join(base, d)
                 files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
                 rows.append((step, d.split("=", 1)[1], len(files)))
-        df = self.spark.createDataFrame(
-            rows or [], "step int, date string, n_files int"
+        df = tbl.local_rows(
+            self.spark, rows or [], "step int, date string, n_files int"
         )
         counts = None
         for step in self.resolutions():
@@ -276,7 +277,9 @@ class CeresTree:
             tables[step] = cp.lww_dedup(pts)
         if not tables:
             tables = {node.time_step: self.points(node.time_step)}
-        metrics = self.spark.createDataFrame([(node_path,)], "metric string")
+        metrics = tbl.local_rows(
+            self.spark, [(node_path,)], "metric string"
+        )
         return resmod.read_multi_resolution(
             tables, metrics, from_time, until_time, node.aggregation_method
         )
@@ -596,8 +599,8 @@ class CeresNode:
         if as_of is not None:
             mine = mine.filter(F.col("arrival_seq") <= int(as_of))
         pts = cp.lww_dedup(mine)
-        metrics = self.tree.spark.createDataFrame(
-            [(self.node_path,)], "metric string"
+        metrics = tbl.local_rows(
+            self.tree.spark, [(self.node_path,)], "metric string"
         )
         return ser.read_series(
             pts, metrics, from_time, until_time, step, self.aggregation_method
