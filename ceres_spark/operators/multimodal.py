@@ -779,16 +779,41 @@ def _huff_encode_table(bits, vals):
     return out
 
 
+class _HuffTable:
+    """Canonical Huffman decode table with an 8-bit first-level LUT
+    (optimization r13, guide §4.2: the per-bit dict walk was ~45% of
+    JPEG decode kernel time — 3.7M read_bit calls on the sf0.1 image
+    corpus). ``lut[p]`` resolves every code of length ≤ 8 from one
+    8-bit peek; longer codes (rare in real streams) fall back to the
+    original per-bit ``walk`` dict from length 9. Decoded symbols are
+    exact integers, so the fast path is bit-identical by
+    construction."""
+
+    __slots__ = ("lut", "walk")
+
+    def __init__(self, bits, vals):
+        lut = [None] * 256
+        walk, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                sym = vals[k]
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    hit = (sym, ln)
+                    for p in range(base, base + (1 << (8 - ln))):
+                        lut[p] = hit
+                else:
+                    walk[(ln, code)] = sym
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
+        self.walk = walk
+
+
 def _huff_decode_table(bits, vals):
-    """((length, code) → symbol) — per-bit canonical walk."""
-    out, code, k = {}, 0, 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """Decode-side table for :meth:`_BitReader.read_symbol`."""
+    return _HuffTable(bits, vals)
 
 
 def _ijg_scale(tbl: "np.ndarray", quality: int) -> "np.ndarray":
@@ -948,9 +973,9 @@ def encode_jpeg(
         pred[comp] = int(zz[0])
         sz, bits_v = _mag_bits(diff)
         code, ln = enc_dc[t][sz]
-        bw.put(code, ln)
-        if sz:
-            bw.put(bits_v, sz)
+        # one fused put per symbol (code then magnitude bits — the
+        # same emitted bitstream, half the bit-writer calls; r13 §4.2)
+        bw.put((code << sz) | bits_v, ln + sz) if sz else bw.put(code, ln)
         run = 0
         for k in range(1, 64):
             v = int(zz[k])
@@ -963,8 +988,7 @@ def encode_jpeg(
                 run -= 16
             sz, bits_v = _mag_bits(v)
             code, ln = enc_ac[t][(run << 4) | sz]
-            bw.put(code, ln)
-            bw.put(bits_v, sz)
+            bw.put((code << sz) | bits_v, ln + sz)
             run = 0
         if run:
             code, ln = enc_ac[t][0x00]  # EOB
@@ -1296,12 +1320,26 @@ def encode_jpeg(
 
 
 class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy segments.
+
+    Optimization r13 (guide §4.2): position is ONE bit offset
+    (``bp``) instead of (byte, bit); multi-bit reads slice bytes and
+    extract in one ``int.from_bytes`` instead of n per-bit calls, and
+    ``read_symbol`` resolves short codes from one 8-bit peek via
+    :class:`_HuffTable`. Overrun semantics unchanged: T.81 pads the
+    final byte, so ≤ 7 phantom zero-bits past the segment end are
+    legal; consuming an 8th raises (codec contract clause 4 — a cut
+    stream must never silently decode as zeros)."""
+
     def __init__(self, segments):
         self.segments = segments  # list of de-stuffed entropy chunks
         self.seg_i = 0
-        self.data = segments[0] if segments else b""
-        self.pos = 0
-        self.bit = 0
+        self._load(segments[0] if segments else b"")
+
+    def _load(self, data) -> None:
+        self.data = data
+        self.nbits = 8 * len(data)
+        self.bp = 0  # bit offset into data
         self.overrun = 0  # bits read past the segment end
 
     def next_segment(self) -> None:
@@ -1314,43 +1352,103 @@ class _BitReader:
             raise ValueError(
                 "truncated JPEG entropy stream (missing restart segment)"
             )
-        self.data = self.segments[self.seg_i]
-        self.pos = 0
-        self.bit = 0
-        self.overrun = 0  # each segment pads to its own byte boundary
+        # each segment pads to its own byte boundary
+        self._load(self.segments[self.seg_i])
+
+    def _phantom(self, n: int) -> None:
+        """Account for n zero-bits consumed past the segment end."""
+        self.overrun += n
+        if self.overrun > 7:
+            raise ValueError("truncated JPEG entropy stream")
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            # T.81 pads the FINAL byte to alignment, so a conformant
-            # stream never needs more than 7 phantom bits; reading
-            # further means the entropy data was cut — silent zeros
-            # would decode wrong pixels (codec contract clause 4)
-            self.overrun += 1
-            if self.overrun > 7:
-                raise ValueError("truncated JPEG entropy stream")
+        bp = self.bp
+        if bp >= self.nbits:
+            self._phantom(1)
             return 0
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self.bp = bp + 1
+        return (self.data[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        bp = self.bp
+        end = bp + n
+        if end <= self.nbits:
+            b0 = bp >> 3
+            b1 = (end + 7) >> 3
+            chunk = int.from_bytes(self.data[b0:b1], "big")
+            self.bp = end
+            return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
+        avail = self.nbits - bp
+        v = self.read_bits(avail) if avail > 0 else 0
+        self._phantom(n - max(avail, 0))
+        return v << (n - max(avail, 0))
 
-    def read_symbol(self, table: dict) -> int:
-        code, ln = 0, 0
+    def _peek8(self) -> int:
+        """Next 8 bits without consuming, zero-padded past the end."""
+        bp = self.bp
+        seg = self.data[bp >> 3:(bp >> 3) + 2]
+        chunk = int.from_bytes(seg, "big") << (16 - 8 * len(seg))
+        return (chunk >> (8 - (bp & 7))) & 0xFF
+
+    def read_symbol(self, table: "_HuffTable") -> int:
+        hit = table.lut[self._peek8()]
+        if hit is not None:
+            sym, ln = hit
+            end = self.bp + ln
+            if end <= self.nbits:
+                self.bp = end
+            else:
+                phantom = end - max(self.bp, self.nbits)
+                self.bp = self.nbits
+                self._phantom(phantom)
+            return sym
+        # no code of length ≤ 8 prefixes the peek: consume those 8
+        # bits and continue the canonical walk from length 9
+        code = self.read_bits(8)
+        ln = 8
+        walk = table.walk
         while ln < 16:
             code = (code << 1) | self.read_bit()
             ln += 1
-            sym = table.get((ln, code))
+            sym = walk.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG huffman code")
+
+    def read_rs_val(self, table: "_HuffTable") -> tuple:
+        """Fused AC-coefficient read: the (run<<4 | size) Huffman
+        symbol plus its ``size`` magnitude bits extended to a signed
+        value (0 when size == 0) — ONE 40-bit buffer slice for the
+        common case instead of two method calls per coefficient
+        (r13 §4.2; the AC loop is the hottest path in baseline
+        decode). Long codes (> 8 bits) and the segment tail fall back
+        to the generic calls, which keep overrun bookkeeping exact.
+        Integer-exact, so bit-identical to the unfused reads."""
+        bp = self.bp
+        b0 = bp >> 3
+        seg = self.data[b0:b0 + 5]
+        # 40-bit window: worst case bit-offset 7 + 8-bit code +
+        # 15 magnitude bits = 30 bits — always inside the window
+        chunk = int.from_bytes(seg, "big") << (40 - 8 * len(seg))
+        off = bp & 7
+        hit = table.lut[(chunk >> (32 - off)) & 0xFF]
+        if hit is not None:
+            rs, ln = hit
+            size = rs & 15
+            end = bp + ln + size
+            if end <= self.nbits:
+                self.bp = end
+                if size == 0:
+                    return rs, 0
+                v = (chunk >> (40 - off - ln - size)) & ((1 << size) - 1)
+                return rs, (
+                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                )
+        rs = self.read_symbol(table)
+        size = rs & 15
+        if size == 0:
+            return rs, 0
+        return rs, _extend(self.read_bits(size), size)
 
 
 def _extend(v: int, s: int) -> int:
@@ -1758,7 +1856,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 zz[0] = pred[cid]
                 k = 1
                 while k < 64:
-                    rs = br.read_symbol(ac_tab[cid])
+                    rs, val = br.read_rs_val(ac_tab[cid])
                     run, size = rs >> 4, rs & 15
                     if size == 0:
                         if run == 15:  # ZRL
@@ -1768,7 +1866,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                     k += run
                     if k > 63:
                         raise ValueError("JPEG AC index out of range")
-                    zz[k] = _extend(br.read_bits(size), size)
+                    zz[k] = val
                     k += 1
                 blk = np.zeros(64, np.int64)
                 blk[_ZIGZAG] = zz
@@ -2316,40 +2414,65 @@ class _MSBWriter:
 
 
 class _MSBReader:
+    """MSB-first bit reader for the FLAC paths.
+
+    Optimization r13 (guide §4.2, same treatment as the JPEG
+    ``_BitReader``): position is one bit offset; ``take`` slices the
+    needed bytes and extracts in a single ``int.from_bytes`` instead
+    of a per-bit loop (was ~55% of FLAC decode kernel time — 1.7M
+    per-bit ``take`` calls on the sf0.1 audio corpus), and
+    ``take_unary`` scans zeros a byte-window at a time via
+    ``bit_length``. Integer-exact, so bit-identical; reading past the
+    end still raises ValueError (codec contract clause 4)."""
+
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.byte = pos
-        self.bit = 0
+        self.bp = pos * 8
+        self.nbits = 8 * len(data)
+
+    @property
+    def byte(self) -> int:
+        """Current byte offset (callers read it only byte-aligned)."""
+        return self.bp >> 3
 
     def take(self, bits: int) -> int:
-        v = 0
-        for _ in range(bits):
-            if self.byte >= len(self.data):
-                # damaged payloads surface as ValueError (the codec
-                # contract clause 4, docs/CODECS.md), never IndexError
-                raise ValueError("truncated FLAC bitstream")
-            b = (self.data[self.byte] >> (7 - self.bit)) & 1
-            v = (v << 1) | b
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return v
+        bp = self.bp
+        end = bp + bits
+        if end > self.nbits:
+            # damaged payloads surface as ValueError (the codec
+            # contract clause 4, docs/CODECS.md), never IndexError
+            raise ValueError("truncated FLAC bitstream")
+        b0 = bp >> 3
+        b1 = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[b0:b1], "big")
+        self.bp = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << bits) - 1)
 
     def take_signed(self, bits: int) -> int:
         v = self.take(bits)
         return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
     def take_unary(self) -> int:
+        data = self.data
+        bp = self.bp
+        nbits = self.nbits
         q = 0
-        while self.take(1) == 0:
-            q += 1
-        return q
+        while True:
+            if bp >= nbits:
+                raise ValueError("truncated FLAC bitstream")
+            window = data[bp >> 3] & ((1 << (8 - (bp & 7))) - 1)
+            if window == 0:
+                skipped = 8 - (bp & 7)
+                q += skipped
+                bp += skipped
+                continue
+            lead = (8 - (bp & 7)) - window.bit_length()
+            self.bp = bp + lead + 1
+            return q + lead
 
     def align(self) -> None:
-        if self.bit:
-            self.bit = 0
-            self.byte += 1
+        if self.bp & 7:
+            self.bp = (self.bp | 7) + 1
 
 
 def _utf8_code(n: int) -> bytes:
@@ -2487,11 +2610,14 @@ def encode_flac(
             while (1 << (p + 1)) < mean + 1 and p < 14:
                 p += 1
             body.put(p, 4)
-            for u in zz:
-                u = int(u)
-                body.put_unary(u >> p)
-                if p:
-                    body.put(u & ((1 << p) - 1), p)
+            # one fused put per residual (r13 §4.2): q unary zeros,
+            # the stop 1, then the p low bits as a single
+            # (q+1+p)-bit field — byte-identical bitstream, half the
+            # bit-writer calls
+            put = body.put
+            mask = (1 << p) - 1
+            for u in zz.tolist():
+                put((1 << p) | (u & mask), (u >> p) + 1 + p)
         body.align()
         bb = body.bytes()
         frame = head + bb
@@ -2626,18 +2752,66 @@ def decode_flac(payload: bytes):
                                 r.take_signed(raw_bits) if raw_bits else 0
                             )
                     else:
+                        # fused Rice loop (r13 §4.2): unary scan +
+                        # param bits + unzigzag inlined over local
+                        # state — 3 method calls per residual was the
+                        # remaining FLAC hot spot (1.7M residuals per
+                        # sf0.1 corpus pass). Same bit math as
+                        # take_unary/take/_unzigzag, bit-identical.
+                        data = r.data
+                        bp = r.bp
+                        nbits = r.nbits
+                        app = res.append
                         for _ in range(cnt):
-                            q = r.take_unary()
-                            u = (q << param) | (
-                                r.take(param) if param else 0
-                            )
-                            res.append(_unzigzag(u))
-                x = np.empty(n, dtype=np.int64)
-                x[:order] = warm
-                cl = np.array(coefs, dtype=np.int64)
+                            q = 0
+                            while True:
+                                if bp >= nbits:
+                                    raise ValueError(
+                                        "truncated FLAC bitstream"
+                                    )
+                                rem = 8 - (bp & 7)
+                                window = data[bp >> 3] & ((1 << rem) - 1)
+                                if window == 0:
+                                    q += rem
+                                    bp += rem
+                                    continue
+                                lead = rem - window.bit_length()
+                                q += lead
+                                bp += lead + 1
+                                break
+                            if param:
+                                end = bp + param
+                                if end > nbits:
+                                    raise ValueError(
+                                        "truncated FLAC bitstream"
+                                    )
+                                b1 = (end + 7) >> 3
+                                chunk = int.from_bytes(
+                                    data[bp >> 3:b1], "big"
+                                )
+                                u = (q << param) | (
+                                    (chunk >> ((b1 << 3) - end))
+                                    & ((1 << param) - 1)
+                                )
+                                bp = end
+                            else:
+                                u = q
+                            app((u >> 1) ^ -(u & 1))
+                        r.bp = bp
+                # pure-int recurrence (r13 §4.2): the numpy
+                # slice-reverse-multiply-sum per SAMPLE was ~600k
+                # numpy reductions per sf0.1 corpus pass; plain
+                # Python ints compute the identical exact integer
+                # dot (arithmetic >> matches int64 floor shift)
+                xs = [int(w) for w in warm]
+                cl = [int(c) for c in coefs]
+                app = xs.append
                 for i in range(order, n):
-                    pred = int((x[i - order:i][::-1] * cl).sum()) >> shift
-                    x[i] = pred + res[i - order]
+                    acc = 0
+                    for j, c in enumerate(cl):
+                        acc += c * xs[i - 1 - j]
+                    app((acc >> shift) + res[i - order])
+                x = np.array(xs, dtype=np.int64)
             else:
                 raise ValueError(f"reserved subframe type {t}")
             if wasted:
