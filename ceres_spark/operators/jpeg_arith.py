@@ -153,33 +153,44 @@ class _QMDecoder:
         return 0
 
     def decode(self, st: bytearray, i: int) -> int:
+        # registers cached in locals and RENORMD inlined (r13 §4.2:
+        # ~1M decode() calls per 150 sf0.1 arith images — attribute
+        # round-trips and the renorm call were half the kernel);
+        # flowchart arithmetic unchanged, bit-identical
         sv = st[i]
         qe, nmps, nlps, sw = _QM_TABLE[sv & 0x7F]
         mps = sv >> 7
-        self.a -= qe
-        ap = self.a
-        if self.c >= (ap << self.ct):
+        a = self.a - qe
+        c = self.c
+        ct = self.ct
+        if c >= (a << ct):
             # code point in the TOP subinterval (size Qe)
-            self.c -= ap << self.ct
-            self.a = qe
-            if ap < qe:  # conditional exchange: top decodes MPS
+            c -= a << ct
+            if a < qe:  # conditional exchange: top decodes MPS
                 d = mps
                 st[i] = (sv & 0x80) | nmps
             else:
                 d = mps ^ 1
                 st[i] = ((mps ^ sw) << 7) | nlps
-            self._renorm()
-        elif ap < 0x8000:
+            a = qe
+        elif a < 0x8000:
             # bottom subinterval, renormalization due → exchange test
-            if ap < qe:
+            if a < qe:
                 d = mps ^ 1
                 st[i] = ((mps ^ sw) << 7) | nlps
             else:
                 d = mps
                 st[i] = (sv & 0x80) | nmps
-            self._renorm()
         else:
-            d = mps
+            self.a = a
+            return mps
+        while a < 0x8000:  # RENORMD
+            if ct == 0:
+                c = (c << 8) | self._next()
+                ct = 8
+            a <<= 1
+            ct -= 1
+        self.a, self.c, self.ct = a, c, ct
         return d
 
     def _renorm(self) -> None:
@@ -211,24 +222,39 @@ class _QMEncoder:
         self.out = bytearray()
 
     def encode(self, st: bytearray, i: int, d: int) -> None:
+        # registers in locals, RENORME inlined (r13 §4.2 — same
+        # treatment as _QMDecoder.decode; flowchart arithmetic
+        # unchanged, byte-identical output)
         sv = st[i]
         qe, nmps, nlps, sw = _QM_TABLE[sv & 0x7F]
         mps = sv >> 7
-        self.a -= qe
+        a = self.a - qe
         if d == mps:
-            if self.a >= 0x8000:
+            if a >= 0x8000:
+                self.a = a
                 return
-            if self.a < qe:  # conditional exchange: MPS takes top
-                self.c += self.a
-                self.a = qe
+            if a < qe:  # conditional exchange: MPS takes top
+                self.c += a
+                a = qe
             st[i] = (sv & 0x80) | nmps
         else:
-            if self.a >= qe:  # normal LPS: top subinterval, size Qe
-                self.c += self.a
-                self.a = qe
+            if a >= qe:  # normal LPS: top subinterval, size Qe
+                self.c += a
+                a = qe
             # else exchange: LPS keeps the bottom (C unchanged)
             st[i] = ((mps ^ sw) << 7) | nlps
-        self._renorm()
+        c = self.c
+        ct = self.ct
+        while a < 0x8000:  # RENORME
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                self.c = c
+                self._byteout()
+                c = self.c
+                ct = 8
+        self.a, self.c, self.ct = a, c, ct
 
     def _renorm(self) -> None:
         while self.a < 0x8000:
