@@ -4098,6 +4098,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the FULL 32-entry r7-stale block in CORRECTNESS_r07 key
 #: order → (d) the first 2 r8 greens in CORRECTNESS_r08 key order.
 #: See the ROTATION STATE section in the queries() docstring.
+_R13_PREFIX = [
+    # (a) changed in r13 — the optimization round's touched entries
+    # (executed plans / in-task kernels changed; outputs oracle-proven
+    # identical at both SFs locally, promoted so the driver re-hashes
+    # them). All 13 streaming replays (driver-side arrival splits;
+    # no-data micro-batch removed on rollup/interval-join/backfill):
+    "stream_store_replay",
+    "stream_windowed_rollup",
+    "stream_backfill_rollup",
+    "stream_sessions",
+    "stream_interval_join",
+    "stream_corpus_ingest",
+    "stream_simhash_dedup",
+    "stream_ann_ingest",
+    "stream_cusum",
+    "stream_ewma",
+    "stream_holt_winters",
+    "stream_hw_seasonal",
+    "stream_kmv",
+    # ...the pure-JVM literal local-relation conversions (plans
+    # changed: Scan ExistingRDD -> inline literal):
+    "expire_catalog",
+    "rollup_catalog",
+    "range_band_join",
+    "salted_join",
+    "remove_empty_series",
+    "bpe_train",
+    "bpe_segment",
+    # ...and the codec-kernel entries (bit readers / Huffman LUT /
+    # fused Rice + QM locals — outputs bit-identical, kernels new):
+    "phash_neardup",
+    "audio_neardup",
+    "multimodal_decode",
+    "multimodal_decode_arith",
+    # (b) new in r13: none (optimization round)
+    # (c) the five r7-stale leftovers (CORRECTNESS_r07 key order)
+    "rank_window",
+    "running_totals",
+    "top_series",
+    "moving_median",
+    "winsorize",
+    # (d) the r8-stale block oldest-first, CORRECTNESS_r08 key order
+    # (the remaining 9 r8-stale rows — quantize_lww … length_-
+    # percentile_gate — roll to r14)
+    "multimodal_frames",
+    "event_transitions_salted",
+    "funnel_salted",
+    "approx_distinct_portable",
+    "consolidate_by",
+    "counter_wrap_rate",
+    "time_stack",
+    "changed_points",
+    "weighted_average",
+    "series_combinators",
+    "token_budget_fill",
+    "vocab_drift",
+    "corpus_card",
+    "embedding_decontamination",
+    "cusum_changepoints",
+    "semantic_dedup_docs",
+    "semantic_dedup",
+    "fuzzy_pairs",
+    "series_transform",
+    "series_linreg",
+    "frequent_items",
+]
+
+#: The r12 driver-checked prefix — superseded by _R13_PREFIX; kept
+#: for lineage.
 _R12_PREFIX = [
     # (a) changed in r12 (VERDICT r11 + ADVICE r11 — outputs and/or
     # executed plans changed, MUST re-check)
@@ -4823,7 +4892,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round are parked at the back (they remain covered by
     tools/check_oracle.py locally).
 
-    ROTATION STATE (round 12, final): the 50-slot prefix is the
+    ROTATION STATE (round 13, final): the 50-slot prefix is the
+    explicit ``_R13_PREFIX`` list — (a) the 24 entries the r13
+    OPTIMIZATION round touched (executed plans / in-task kernels
+    changed; outputs oracle-proven identical at both SFs locally, so
+    the driver re-hashes them): all 13 streaming replays (driver-side
+    arrival splits fleet-wide; the trailing no-data micro-batch
+    removed on the three provably-emission-free queries), the seven
+    pure-JVM literal local-relation conversions (expire_catalog,
+    rollup_catalog, range_band_join, salted_join,
+    remove_empty_series, bpe_train, bpe_segment — Python-RDD
+    createDataFrame relations replaced by inline struct-array
+    literals), and the four codec-kernel entries (phash_neardup,
+    audio_neardup, multimodal_decode, multimodal_decode_arith —
+    slice-based bit readers, Huffman LUT, fused Rice loop, QM locals;
+    bit-identical outputs); (b) EMPTY (optimization round, no new
+    entries); (c) the five r7-stale leftovers in CORRECTNESS_r07 key
+    order (rank_window, running_totals, top_series, moving_median,
+    winsorize); (d) the first 21 of the 30-entry r8-stale block in
+    CORRECTNESS_r08 key order (multimodal_frames … frequent_items —
+    the remaining 9, minhash_pairs … length_percentile_gate, roll to
+    r14).
+
+    ROTATION PLAN (round 14): promote (a) anything changed in r14,
+    (b) new r14 entries, (c) the nine r8-stale leftovers
+    (minhash_pairs, order_analytics, fetch_dense, quantize_lww,
+    hash_embed, source_similarity, ngram_novelty, dataset_diff,
+    length_percentile_gate — CORRECTNESS_r08 key order), then (d) r9
+    greens oldest-first. After rotating, run ``python
+    tools/prefix_state.py regen`` and keep
+    tests/test_rotation_guard.py green.
+
+    ROTATION STATE (round 12, historical — superseded by r13): the
+    50-slot prefix was the
     explicit ``_R12_PREFIX`` list — (a) the 6 entries changed /
     demanded in r12: ema_window (all-None seed window now EMITS 0.0,
     graphite-web's ``ema = safeAvg(window) or 0`` arm — output and
@@ -4870,13 +4971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_sessions) were displaced by (a2) and stay at the head of
     the r13 (d) block.
 
-    ROTATION PLAN (round 13): promote (a) anything changed in r13,
+    ROTATION PLAN (round 13, historical — executed as written, see
+    STATE r13 above): promote (a) anything changed in r13,
     (b) new r13 entries, (c) the five r7-stale leftovers
     (rank_window, running_totals, top_series, moving_median,
     winsorize — CORRECTNESS_r07 key order) then the r8-stale block
     oldest-first in CORRECTNESS_r08 key order (take them in file
     order and roll any tail to r14), then (d) r9 greens oldest-first
-    starting with stream_windowed_rollup + stream_sessions. After
+    starting with stream_windowed_rollup + stream_sessions (both
+    landed in (a) instead — changed in r13). After
     rotating, run ``python tools/prefix_state.py regen`` and keep
     tests/test_rotation_guard.py green.
 
@@ -5444,7 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "asof_join": _q_asof_join,
     }
-    out = {k: base.pop(k) for k in _R12_PREFIX}
+    out = {k: base.pop(k) for k in _R13_PREFIX}
     out.update(base)  # parked: prior relative order preserved
     return out
 
